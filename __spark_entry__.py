@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query (smoke check at sf0.001).
+``queries()`` — every implemented operator from SURVEY.md §2 as a
+(spark, sf_dir) -> DataFrame callable.
+``oracle_sql()`` — DuckDB twins; the driver hash-compares at sf0.01.
 """
 
 from __future__ import annotations
@@ -12,27 +11,39 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: pricing-summary rollup (TPC-H-Q1 shape — the densest
+    aggregate the engine plans: scan → partial agg → shuffle → final
+    agg, money sums in DECIMAL so results are order-independent)."""
+    from data_warehouse_nhom8_spark.sources import Catalog
+
+    c = Catalog(spark, "/root/testdata/sf0.001")
+    li = c.lineitem
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("sum_base_price"),
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from data_warehouse_nhom8_spark.plans import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from data_warehouse_nhom8_spark.plans import ORACLES
+
+    return dict(ORACLES)

@@ -1,0 +1,72 @@
+"""Aggregation operators (SURVEY.md §2d).
+
+Everything here is a plain hash aggregate — partial (map-side) +
+final after a shuffle on the group keys, which is what Spark plans
+for `groupBy().agg()` automatically. The helpers encode the
+determinism contract used by the oracle comparison:
+
+- money sums go through DECIMAL(18,2) (exact, associative — a double
+  sum is order-dependent and a 100 TB sum *will* differ run to run);
+- averages are computed as exact decimal SUM / COUNT, so Spark and
+  DuckDB round the same value;
+- `approx_count_distinct` is exposed as the scale twin of exact
+  COUNT(DISTINCT) — at 100 TB the exact form is a full shuffle of the
+  distinct keys, HLL is a constant-size sketch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def count_if(cond: Column) -> Column:
+    """SUM(CASE WHEN cond THEN 1 ELSE 0 END) — conditional count (A2)."""
+    return F.sum(F.when(cond, 1).otherwise(0))
+
+
+def decimal_sum(col: Column | str, scale: int = 2) -> Column:
+    """Exact, order-independent money sum: SUM(CAST(x AS DECIMAL(18,s)))."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal(18,{scale})"))
+
+
+def exact_avg(col: Column | str, round_to: int = 2) -> Column:
+    """Deterministic ROUND(AVG(x), n) via exact decimal sum / count.
+
+    Returns DOUBLE so Spark and DuckDB agree on the output type.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    s = F.sum(c.cast("decimal(18,4)"))
+    return F.round(s / F.count(F.lit(1)), round_to).cast("double")
+
+
+def grouping_sets_union(df: DataFrame, key_sets: list[list[str]], agg_cols: list[Column]) -> DataFrame:
+    """GROUPING SETS as a union of per-set aggregates (A1 generalized).
+
+    The reference's datamart runs one GROUP BY per configured key over
+    the same source (reference datamart/load_to_dm.py:118-123 +
+    config.xml:86-123); expressing the set as GROUPING SETS lets Spark
+    share the scan via `Expand` instead of N passes.
+
+    This helper keeps the semantics portable: union of groupBys with
+    NULL-padding for the keys outside each set. (For the shared-scan
+    physical plan, use `spark.sql` GROUPING SETS — both are provided
+    so plans can be compared.)
+    """
+    all_keys: list[str] = []
+    for ks in key_sets:
+        for k in ks:
+            if k not in all_keys:
+                all_keys.append(k)
+    parts = []
+    for ks in key_sets:
+        g = df.groupBy(*ks).agg(*agg_cols)
+        for k in all_keys:
+            if k not in ks:
+                g = g.withColumn(k, F.lit(None).cast(df.schema[k].dataType))
+        parts.append(g.select(*all_keys, *[c for c in g.columns if c not in all_keys]))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -1,0 +1,103 @@
+"""Join operators (SURVEY.md §2c).
+
+The reference's joins are MySQL joins under utf8mb4_unicode_ci —
+case/accent-insensitive string keys (reference
+loadtowh/create_warehouse_db.sql:19) — plus a hand-rolled broadcast
+hash lookup (a date_dim dict probed per row, reference
+staging/staging_transformer_v2.py:77-86) and SCD2's
+equi-plus-residual change-detection join (reference
+loadtowh/load_to_wh.sh:64-75).
+
+Scale notes (100 TB):
+- dimension lookups are *always* broadcast (`F.broadcast`) — a 7k-row
+  date_dim must never shuffle a 100 TB fact;
+- fact-fact joins shuffle on their equi keys; AQE skew-join handles
+  hot keys, and `salted_join` is the explicit fallback for known-hot
+  keys (e.g. a company_name that is 10% of all rows);
+- anti/semi joins keep the probe side unprojected (Catalyst prunes to
+  the key columns on the build side automatically).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def norm_key(col: Column | str) -> Column:
+    """Collation-normalized join/group key.
+
+    MySQL utf8mb4_unicode_ci compares case- and accent-insensitively;
+    Spark string equality is binary. `lower` + trim covers the case
+    dimension (accent folding would need ICU; lower/trim is the
+    documented engine contract for parity joins).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lower(F.trim(c))
+
+
+def broadcast_dim_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: Column | str | Sequence[str],
+    how: str = "left",
+) -> DataFrame:
+    """Broadcast hash join of a fact against a small dimension (J2)."""
+    return fact.join(F.broadcast(dim), on=on, how=how)
+
+
+def semi_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
+    """EXISTS (J5)."""
+    return left.join(right, on=on, how="left_semi")
+
+
+def anti_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
+    """NOT EXISTS (J4)."""
+    return left.join(right, on=on, how="left_anti")
+
+
+def changed_rows_condition(
+    left_prefix: str,
+    right_prefix: str,
+    compare_cols: Sequence[str],
+    null_safe: bool = True,
+) -> Column:
+    """Residual change-detection predicate for SCD2 (J3).
+
+    The reference uses MySQL `<>`, which is NULL-unsafe: a NULL on
+    either side makes the comparison unknown and the row is NOT
+    treated as changed (reference loadtowh/load_to_wh.sh:70-74).
+    Engine default is null-safe (`~(a <=> b)`: NULL → non-NULL counts
+    as a change); ``null_safe=False`` replicates MySQL exactly.
+    """
+    parts = []
+    for c in compare_cols:
+        a, b = F.col(f"{left_prefix}.{c}"), F.col(f"{right_prefix}.{c}")
+        parts.append(~a.eqNullSafe(b) if null_safe else a != b)
+    cond = parts[0]
+    for p in parts[1:]:
+        cond = cond | p
+    return cond
+
+
+def salted_join(
+    big: DataFrame,
+    skewed: DataFrame,
+    key: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigated equi-join: salt the big side, explode the other.
+
+    For known-hot keys when AQE's runtime skew splitting isn't enough:
+    `big` gets a uniform random salt in [0, n_salts); `skewed` is
+    replicated n_salts times; the join key becomes (key, salt), so one
+    hot key spreads over n_salts reducers.
+    """
+    salt = (F.crc32(F.col(key).cast("string")) + F.monotonically_increasing_id()) % n_salts
+    big_s = big.withColumn("__salt", salt.cast("int"))
+    rep = skewed.withColumn("__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)])))
+    out = big_s.join(rep, on=[key, "__salt"], how=how)
+    return out.drop("__salt")

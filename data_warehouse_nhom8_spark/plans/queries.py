@@ -1,0 +1,512 @@
+"""Declared oracle queries Q01..Q32 as DataFrame plans.
+
+Each function takes ``(spark, sf_dir)`` and returns a lazy DataFrame;
+the driver (and tests/bench) collect it. Every computed column is
+aliased to the same name as in the matching SQL in
+``plans/oracles.py`` — the correctness compare sorts columns by name.
+
+Each docstring cites the SURVEY.md §2 operator rows it exercises and
+the reference behaviour those rows came from.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_warehouse_nhom8_spark.operators import aggregates as agg
+from data_warehouse_nhom8_spark.operators import joins as J
+from data_warehouse_nhom8_spark.operators import setops
+from data_warehouse_nhom8_spark.operators import windows as W
+from data_warehouse_nhom8_spark.sources import Catalog
+
+
+def q01_scan_filter_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/S3/P1/P3/P4: scan + project + equality filter + sort + limit.
+
+    Reference: staging loader CSV scan + projection
+    (staging/staging_loader.py:55-84), point/status filters
+    (topcv_scraper_v5.py:175).
+    """
+    c = Catalog(spark, sf_dir)
+    return (
+        c.orders.filter(F.col("o_orderstatus") == "F")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        )
+        .orderBy("o_orderkey")
+        .limit(1000)
+    )
+
+
+def q02_project_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4: projection with rename + case folding.
+
+    Reference: date_dim importer projects/renames 10 of 18 columns
+    (staging/import_date_dim.py:24-29).
+    """
+    c = Catalog(spark, sf_dir)
+    return c.nation.select(
+        F.col("n_nationkey").alias("nation_sk"),
+        F.lower("n_name").alias("nation_name"),
+        "n_regionkey",
+    ).orderBy("nation_sk")
+
+
+def q03_partition_day_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6/S9: date-function predicate = the mysqldump partition-day
+    filter (LoadToWH.java:160). On partitioned storage this prunes."""
+    c = Catalog(spark, sf_dir)
+    return (
+        c.lineitem.filter(F.to_date("l_shipdate") == F.lit("1995-06-17").cast("date"))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_extendedprice").cast("decimal(18,2)").alias("ep"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+def q04_computed_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2/F6/F8: computed projection — math + date parts.
+
+    Reference: monitoring views' file_size_mb / DATE_FORMAT columns
+    (create_control_db_v5.sql:98-109).
+    """
+    c = Catalog(spark, sf_dir)
+    return (
+        c.orders.select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") / 1024, 2).alias("price_kb"),
+            F.year("o_orderdate").cast("long").alias("y"),
+            F.month("o_orderdate").cast("long").alias("m"),
+            F.dayofmonth("o_orderdate").cast("long").alias("d"),
+        )
+        .orderBy("o_orderkey")
+        .limit(500)
+    )
+
+
+def q05_like_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5: LIKE-prefix source routing (run_all_scrapers.sh:23,26)."""
+    c = Catalog(spark, sf_dir)
+    return (
+        c.part.filter(F.col("p_brand").like("Brand#1%"))
+        .select("p_partkey", "p_brand")
+        .orderBy("p_partkey")
+    )
+
+
+def q06_validity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8: null/empty validity filter (topcv_scraper_v5.py:123)."""
+    c = Catalog(spark, sf_dir)
+    return (
+        c.customer.filter(
+            F.col("c_name").isNotNull() & (F.col("c_name") != "") & (F.col("c_acctbal") > 0)
+        )
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    )
+
+
+def q07_inner_equijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: inner equi-join (create_control_db_v5.sql:136-148)."""
+    c = Catalog(spark, sf_dir)
+    o, cu = c.orders.alias("o"), c.customer.alias("c")
+    return (
+        o.join(cu, F.col("o.o_custkey") == F.col("c.c_custkey"), "inner")
+        .filter(F.col("c.c_mktsegment") == "BUILDING")
+        .select("o.o_orderkey", "c.c_custkey", "c.c_mktsegment")
+        .orderBy("o_orderkey", "c_custkey")
+        .limit(2000)
+    )
+
+
+def q08_broadcast_dim_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: broadcast dimension lookup chain — the Spark form of the
+    reference's date_dim dict probe (staging_transformer_v2.py:77-86).
+    Both dims are broadcast; the fact never shuffles."""
+    c = Catalog(spark, sf_dir)
+    cu = c.customer.alias("c")
+    n = c.nation.alias("n")
+    r = c.region.alias("r")
+    return (
+        J.broadcast_dim_join(cu, n, F.col("c.c_nationkey") == F.col("n.n_nationkey"), "inner")
+        .join(F.broadcast(r), F.col("n.n_regionkey") == F.col("r.r_regionkey"), "inner")
+        .select("c.c_custkey", "n.n_name", "r.r_name")
+        .orderBy("c_custkey")
+        .limit(2000)
+    )
+
+
+def q09_theta_change_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: equi + residual theta join — shape of the SCD2 change
+    detection (load_to_wh.sh:64-75)."""
+    c = Catalog(spark, sf_dir)
+    l, o = c.lineitem.alias("l"), c.orders.alias("o")
+    return (
+        l.join(o, F.col("l.l_orderkey") == F.col("o.o_orderkey"), "inner")
+        .filter(F.col("l.l_extendedprice") > F.col("o.o_totalprice") * 0.5)
+        .select("l.l_orderkey", "l.l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+def q10_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4/J7: NOT EXISTS anti-join — the SCD2 new-rows branch
+    (load_to_wh.sh:78-87)."""
+    c = Catalog(spark, sf_dir)
+    open_orders = c.orders.filter(F.col("o_orderstatus") == "O")
+    return (
+        J.anti_join(
+            c.customer,
+            open_orders,
+            c.customer["c_custkey"] == open_orders["o_custkey"],
+        )
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    )
+
+
+def q11_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: EXISTS semi-join — the is_process_done gate
+    (create_config_loadtowh.sql:56-64)."""
+    c = Catalog(spark, sf_dir)
+    return (
+        J.semi_join(c.part, c.lineitem, c.part["p_partkey"] == c.lineitem["l_partkey"])
+        .select("p_partkey")
+        .orderBy("p_partkey")
+        .limit(2000)
+    )
+
+
+def q12_correlated_scalar_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: correlated scalar COUNT — decorrelated to agg + left join
+    (create_control_db_v5.sql:157-158)."""
+    c = Catalog(spark, sf_dir)
+    per_order = c.lineitem.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("__n"))
+    o = c.orders.select("o_orderkey")
+    return (
+        o.join(per_order, o["o_orderkey"] == per_order["l_orderkey"], "left")
+        .select("o_orderkey", F.coalesce(F.col("__n"), F.lit(0)).cast("long").alias("n_lines"))
+        .orderBy("o_orderkey")
+        .limit(2000)
+    )
+
+
+def q13_single_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: the datamart aggregate — GROUP BY key, COUNT(*)
+    (datamart/load_to_dm.py:118-123)."""
+    c = Catalog(spark, sf_dir)
+    return (
+        c.customer.groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("total"))
+        .orderBy("c_mktsegment")
+    )
+
+
+def q14_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 generalized: the datamart's N-aggregates-from-one-source
+    config loop (config.xml:86-123) as GROUPING SETS — one shared
+    scan + Expand instead of N passes."""
+    Catalog(spark, sf_dir).customer.createOrReplaceTempView("q14_customer")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, c_nationkey, COUNT(*) AS total
+        FROM q14_customer
+        GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey))
+        ORDER BY c_mktsegment, c_nationkey, total
+        """
+    )
+
+
+def q15_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/F9: conditional (pivot-style) aggregation — the scraper
+    status rollup (create_control_db_v5.sql:124-133)."""
+    c = Catalog(spark, sf_dir)
+    return (
+        c.lineitem.groupBy("l_returnflag")
+        .agg(
+            agg.count_if(F.col("l_linestatus") == "F").cast("long").alias("n_f"),
+            agg.count_if(F.col("l_linestatus") == "O").cast("long").alias("n_o"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.max("l_shipdate").alias("last_ship"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q16_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: daily rollup with COUNT(DISTINCT) (create_control_db_v5.sql:151-161).
+    At 100 TB the exact distinct is the bottleneck — `approx_count_distinct`
+    is the engine's scale twin (see operators.aggregates)."""
+    c = Catalog(spark, sf_dir)
+    return (
+        c.events.groupBy(F.to_date("ts").alias("d"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("d")
+    )
+
+
+def q17_scalar_agg_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: global scalar aggregate — skip-if-done gate
+    (run_topcv_scraper_with_retry.sh:53-58)."""
+    c = Catalog(spark, sf_dir)
+    return c.orders.filter(
+        (F.col("o_orderstatus") == "O") & (F.col("o_totalprice") > 100000)
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+def q18_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: latest-row-per-key via row_number rank-1
+    (run_topcv_scraper_with_retry.sh:186-190)."""
+    c = Catalog(spark, sf_dir)
+    return W.latest_per_key(
+        c.events, ["user_id"], [F.desc("ts"), F.desc("event_id")]
+    ).select("user_id", "event_id").orderBy("user_id")
+
+
+def q19_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2/W3/W4: top-k composite sort (check_scraper_status.sh:53-66)
+    — plans as TakeOrderedAndProject, no global sort."""
+    c = Catalog(spark, sf_dir)
+    return W.topk(
+        c.events.select("event_id", "user_id", "event_type", "ts"),
+        [F.desc("ts"), F.desc("event_id")],
+        5,
+    ).select("event_id", "user_id", "event_type")
+
+
+def q20_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5/F1/F2: string cleanup surface — trim/lower/substring/replace/
+    concat (topcv_scraper_v5.py:100-121, check_scraper_status.sh:107)."""
+    c = Catalog(spark, sf_dir)
+    return (
+        c.part.select(
+            "p_partkey",
+            F.lower(F.trim(F.substring("p_name", 1, 10))).alias("s"),
+            F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("t"),
+            F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("b"),
+        )
+        .orderBy("p_partkey")
+        .limit(1000)
+    )
+
+
+def q21_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1: UNION ALL — the shell CSV concat (run_all_scrapers.sh:100-133)."""
+    c = Catalog(spark, sf_dir)
+    hi = c.orders.filter(F.col("o_totalprice") >= 150000).select(
+        F.lit("hi").alias("s"), F.col("o_orderkey").alias("k")
+    )
+    lo = c.orders.filter(F.col("o_totalprice") < 1000).select(
+        F.lit("lo").alias("s"), F.col("o_orderkey").alias("k")
+    )
+    return setops.union_all(hi, lo).orderBy("s", "k")
+
+
+def q22_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2: EXCEPT — skip-if-done complement (run_all_scrapers.sh:22-44)."""
+    c = Catalog(spark, sf_dir)
+    left = c.customer.filter(F.col("c_acctbal") > 0).select("c_custkey")
+    right = c.orders.filter(F.col("o_totalprice") > 400000).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return setops.except_distinct(left, right).orderBy("c_custkey")
+
+
+def q23_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3: INTERSECT (completeness twin of U2)."""
+    c = Catalog(spark, sf_dir)
+    left = c.customer.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    right = c.orders.select(F.col("o_custkey").alias("c_custkey"))
+    return setops.intersect_distinct(left, right).orderBy("c_custkey")
+
+
+def q24_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3/F4: regex number extraction — the salary-parser primitive
+    (staging_transformer_v2.py:57)."""
+    c = Catalog(spark, sf_dir)
+    num = F.regexp_extract("p_brand", r"([0-9]+)", 1)
+    return (
+        c.part.filter(num != "")
+        .select("p_partkey", num.cast("int").alias("brand_num"))
+        .orderBy("p_partkey")
+    )
+
+
+def q25_relative_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5/F7: relative-date resolver twin — the posted_time offset
+    logic (staging_transformer_v2.py:64-75) as a when-chain over
+    intervals."""
+    c = Catalog(spark, sf_dir)
+    adj = (
+        F.when(
+            F.col("o_orderpriority") == "1-URGENT",
+            F.col("o_orderdate") - F.expr("INTERVAL 1 DAY"),
+        )
+        .when(
+            F.col("o_orderpriority") == "2-HIGH",
+            F.col("o_orderdate") - F.expr("INTERVAL 7 DAY"),
+        )
+        .otherwise(F.col("o_orderdate"))
+    )
+    return (
+        c.orders.select("o_orderkey", "o_orderdate", adj.alias("adj_date"))
+        .orderBy("o_orderkey")
+        .limit(1000)
+    )
+
+
+def q26_md5_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10/X1: hash fingerprint — exact-dedup key (create_control_db_v5.sql:42)."""
+    c = Catalog(spark, sf_dir)
+    return (
+        c.documents.select("doc_id", F.md5("text").alias("h"))
+        .orderBy("doc_id")
+        .limit(500)
+    )
+
+
+def q27_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props extraction (portable JSON twin) — the
+    engine's native path is get_json_object; the oracle-portable form
+    is a regex (SURVEY §2g note)."""
+    c = Catalog(spark, sf_dir)
+    return (
+        c.events.select(
+            "event_id",
+            F.regexp_extract("props", r'"([A-Za-z_]+)"', 1).alias("first_key"),
+        )
+        .orderBy("event_id")
+        .limit(1000)
+    )
+
+
+def q28_tumbling_daily_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin (batch-checked): tumbling daily window rollup.
+    The streaming module runs the same agg via F.window over readStream
+    (SURVEY §2h); sums go through DECIMAL so a 100 TB sum is
+    order-independent."""
+    c = Catalog(spark, sf_dir)
+    return (
+        c.events.groupBy(F.to_date("ts").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(agg.decimal_sum("value"), 2).cast("double").alias("total"),
+        )
+        .orderBy("w", "event_type")
+    )
+
+
+def q29_session_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows via LAG gap analysis — the batch twin of
+    session_window (SURVEY §2h sliding/session row)."""
+    c = Catalog(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = c.events.select(
+        "user_id",
+        "ts",
+        F.lag("ts").over(w).alias("prev_ts"),
+    )
+    new_s = F.when(
+        F.col("prev_ts").isNull()
+        | (F.col("ts") > F.col("prev_ts") + F.expr("INTERVAL 30 MINUTE")),
+        1,
+    ).otherwise(0)
+    return (
+        gaps.select("user_id", new_s.alias("new_s"))
+        .filter(F.col("new_s") == 1)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy("user_id")
+    )
+
+
+def q30_keyed_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1/D3: keyed upsert / last-writer-wins — the ON DUPLICATE KEY
+    UPDATE semantics (staging_transformer_v2.py:134-151) as
+    row_number-rank-1 over (key, recency)."""
+    c = Catalog(spark, sf_dir)
+    return (
+        W.latest_per_key(
+            c.events.select(
+                "user_id", "event_type", F.round("value", 2).alias("value"), "ts", "event_id"
+            ),
+            ["user_id", "event_type"],
+            [F.desc("ts"), F.desc("event_id")],
+        )
+        .select("user_id", "event_type", "value")
+        .orderBy("user_id", "event_type")
+    )
+
+
+def q31_duplicate_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4: duplicate detection — groupBy + HAVING count>1
+    (extract doc §7 dup-URL check)."""
+    c = Catalog(spark, sf_dir)
+    return (
+        c.documents.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .orderBy("source")
+    )
+
+
+def q32_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3: text stats/filters over documents (LLM-pipeline extension)."""
+    c = Catalog(spark, sf_dir)
+    return (
+        c.documents.filter(F.col("n_chars") >= 10)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 2).alias("avg_len"),
+        )
+        .orderBy("lang")
+    )
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q01_scan_filter_sort": q01_scan_filter_sort,
+    "q02_project_rename": q02_project_rename,
+    "q03_partition_day_filter": q03_partition_day_filter,
+    "q04_computed_projection": q04_computed_projection,
+    "q05_like_prefix": q05_like_prefix,
+    "q06_validity_filter": q06_validity_filter,
+    "q07_inner_equijoin": q07_inner_equijoin,
+    "q08_broadcast_dim_chain": q08_broadcast_dim_chain,
+    "q09_theta_change_join": q09_theta_change_join,
+    "q10_anti_join": q10_anti_join,
+    "q11_semi_join": q11_semi_join,
+    "q12_correlated_scalar_count": q12_correlated_scalar_count,
+    "q13_single_key_agg": q13_single_key_agg,
+    "q14_grouping_sets": q14_grouping_sets,
+    "q15_conditional_agg": q15_conditional_agg,
+    "q16_daily_rollup": q16_daily_rollup,
+    "q17_scalar_agg_gate": q17_scalar_agg_gate,
+    "q18_latest_per_key": q18_latest_per_key,
+    "q19_topk": q19_topk,
+    "q20_string_functions": q20_string_functions,
+    "q21_union_all": q21_union_all,
+    "q22_except": q22_except,
+    "q23_intersect": q23_intersect,
+    "q24_regex_extract": q24_regex_extract,
+    "q25_relative_date": q25_relative_date,
+    "q26_md5_fingerprint": q26_md5_fingerprint,
+    "q27_props_extract": q27_props_extract,
+    "q28_tumbling_daily_window": q28_tumbling_daily_window,
+    "q29_session_gap": q29_session_gap,
+    "q30_keyed_upsert": q30_keyed_upsert,
+    "q31_duplicate_detection": q31_duplicate_detection,
+    "q32_text_stats": q32_text_stats,
+}

@@ -1,0 +1,61 @@
+"""SparkSession factory.
+
+Defaults chosen for correctness-vs-oracle and for scale:
+
+- ``spark.sql.session.timeZone=UTC`` — the oracle (DuckDB) treats
+  parquet timestamps as UTC-naive; pinning the session TZ makes
+  date_trunc/year/month agree. (The reference pins Asia/Ho_Chi_Minh
+  for its MySQL servers — see reference loadtowh/LoadToWH.java:12 —
+  which the pipeline layer honours via an explicit option; query
+  correctness against the oracle needs UTC.)
+- AQE on (coalesce partitions, skew join): at 100 TB the static
+  shuffle-partition guess is always wrong; AQE re-plans at runtime.
+- ``spark.sql.shuffle.partitions`` sized from the local parallelism
+  for tests; on a real cluster this should be ~2-3x total cores and
+  AQE coalescing takes it down per-stage.
+- Arrow enabled for any pandas interchange (vectorized UDF path).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "data_warehouse_nhom8_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    session_tz: str = "UTC",
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    On a cluster, ``master`` comes from spark-submit; locally we
+    default to ``local[$SPARK_GRAFT_CPUS]``.
+    """
+    master = master or f"local[{DEFAULT_CPUS}]"
+    shuffle_partitions = shuffle_partitions or DEFAULT_CPUS
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", session_tz)
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

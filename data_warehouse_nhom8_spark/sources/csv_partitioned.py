@@ -1,0 +1,58 @@
+"""Hive-partitioned CSV source/sink (operators S2/S3 in SURVEY.md §2a).
+
+The reference writes scraped CSVs into a
+``raw/source={source_id}/date={YYYY-MM-DD}/`` tree (reference
+extract/topcv_scraper_v5.py:196-209) and reads them back by glob
+(reference staging/staging_loader.py:55-79). In Spark the same layout
+is a first-class partitioned datasource: ``partitionBy`` on write,
+partition discovery + pruning on read — a filter on ``source`` or
+``date`` prunes directories before any file is opened, which is the
+scan behaviour that survives a 100 TB raw zone.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def write_partitioned_csv(
+    df: DataFrame,
+    path: str,
+    partition_cols: tuple[str, ...] = ("source", "date"),
+    mode: str = "append",
+) -> None:
+    """Partitioned CSV sink with header, UTF-8 (S2)."""
+    (
+        df.write.mode(mode)
+        .partitionBy(*partition_cols)
+        .option("header", "true")
+        .option("encoding", "UTF-8")
+        .csv(path)
+    )
+
+
+def read_partitioned_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    source: str | None = None,
+    date: str | None = None,
+) -> DataFrame:
+    """Partition-pruned CSV scan (S3).
+
+    ``source``/``date`` filters compile to partition pruning (the
+    Spark twin of the reference's directory glob) — check
+    ``.explain()`` for ``PartitionFilters``.
+    """
+    df = (
+        spark.read.schema(schema)
+        .option("header", "true")
+        .option("encoding", "UTF-8")
+        .csv(path)
+    )
+    if source is not None:
+        df = df.filter(df["source"] == source)
+    if date is not None:
+        df = df.filter(df["date"] == date)
+    return df

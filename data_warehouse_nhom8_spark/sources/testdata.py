@@ -1,0 +1,62 @@
+"""Readers for the driver-generated parquet testdata.
+
+One parquet file per table under ``{sf_dir}/{name}.parquet``
+(TESTDATA.md). Readers always pass the explicit schema so a scan
+never pays inference and column pruning works from the first plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_warehouse_nhom8_spark import schemas
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table as a DataFrame (lazy; no action).
+
+    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects ([PARQUET_TYPE_ILLEGAL]); we read it as
+    nanos-since-epoch (legacy long mode) and convert to microsecond
+    TIMESTAMP_NTZ — the same truncation DuckDB applies, so oracle
+    comparisons agree. The other tables' ms timestamps arrive as
+    TIMESTAMP_NTZ natively.
+    """
+    if name not in schemas.TESTDATA_TABLES:
+        raise KeyError(f"unknown testdata table: {name}")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+        )
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view (for the SQL API)."""
+    for name in schemas.TESTDATA_TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+class Catalog:
+    """Lazy handle bundle over one scale-factor directory.
+
+    ``Catalog(spark, sf_dir).orders`` is the orders DataFrame; handles
+    are created on first access and cached (plan reuse, not data cache).
+    """
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        self.spark = spark
+        self.sf_dir = sf_dir
+        self._dfs: dict[str, DataFrame] = {}
+
+    def __getattr__(self, name: str) -> DataFrame:
+        if name.startswith("_") or name not in schemas.TESTDATA_TABLES:
+            raise AttributeError(name)
+        if name not in self._dfs:
+            self._dfs[name] = load_table(self.spark, self.sf_dir, name)
+        return self._dfs[name]
+
+    def table(self, name: str) -> DataFrame:
+        return getattr(self, name)

@@ -1,0 +1,114 @@
+"""Local mimic of the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin
+on DuckDB over the same parquet tables, then compares:
+  1. row count
+  2. column-name set
+  3. sorted, canonicalized cell values (order-insensitive)
+
+Usage: python scripts/verify_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+import math
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, ".")
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def canon(v):
+    if v is None:
+        return "\x00NULL"
+    if isinstance(v, bool):
+        return f"b:{v}"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "f:nan"
+        return f"f:{v!r}"
+    if isinstance(v, decimal.Decimal):
+        return f"d:{v.normalize()}"
+    if isinstance(v, datetime.datetime):
+        return f"ts:{v.isoformat()}"
+    if isinstance(v, datetime.date):
+        return f"dt:{v.isoformat()}"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    return f"{type(v).__name__}:{v}"
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+    from data_warehouse_nhom8_spark.session import get_spark
+
+    spark = get_spark("verify_oracle")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs, sqls = entrymod.queries(), entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(canon(v) for v in row) for row in sdf.collect()]
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: spark error: {e}")
+            continue
+        if name not in sqls:
+            print(f"SKIP {name}: no oracle (rows-only: {len(srows)} rows)")
+            continue
+        try:
+            cur = con.execute(sqls[name])
+            dcols = [d[0] for d in cur.description]
+            drows = [tuple(canon(v) for v in row) for row in cur.fetchall()]
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: duckdb error: {e}")
+            continue
+
+        problems = []
+        if len(srows) != len(drows):
+            problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
+        if sorted(scols) != sorted(dcols):
+            problems.append(f"cols spark={sorted(scols)} duck={sorted(dcols)}")
+        else:
+            # align column order by name, then sort rows
+            sidx = [scols.index(c) for c in sorted(scols)]
+            didx = [dcols.index(c) for c in sorted(dcols)]
+            ss = sorted(tuple(r[i] for i in sidx) for r in srows)
+            dd = sorted(tuple(r[i] for i in didx) for r in drows)
+            if ss != dd:
+                diffs = [(a, b) for a, b in zip(ss, dd) if a != b][:3]
+                extra = abs(len(ss) - len(dd))
+                problems.append(f"values differ: first_diffs={diffs} len_delta={extra}")
+        dt = time.time() - t0
+        if problems:
+            failures.append(name)
+            print(f"FAIL {name} ({dt:.1f}s): " + "; ".join(problems))
+        else:
+            print(f"OK   {name} ({dt:.1f}s, {len(srows)} rows)")
+
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
