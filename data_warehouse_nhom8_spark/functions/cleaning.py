@@ -1,0 +1,101 @@
+"""Business parsers as *native column expressions* — not Python UDFs.
+
+The reference implements these as row-at-a-time Python inside a
+fetchall loop (reference staging/staging_transformer_v2.py:53-75).
+Re-expressed as Catalyst expressions they stay inside whole-stage
+codegen (no Python worker round-trip), which is the difference
+between "works on 60k rows" and "works on 100 TB".
+
+Contracts (from reference staging/staging_transformer_v2.py):
+
+``clean_salary`` (:53-62) — input like ``"10 - 15 triệu"``:
+  * lowercase, strip ``,`` and ``.`` thousand separators
+  * ``"thỏa thuận"`` (negotiable)          → (0, 0)
+  * ``"tới N"`` / ``"lên tới N"`` (up to)  → (0, N·1e6)
+  * ``"trên N"`` (above)                   → (N·1e6, 0)
+  * ``"N - M"``                            → (N·1e6, M·1e6)
+  * single number ``"N"``                  → (N·1e6, N·1e6)
+  * no digits / NULL                       → (NULL, NULL)
+
+``calc_posted_date`` (:64-75) — relative posted_time vs extract date:
+  * ``"hôm qua"`` (yesterday)              → extract_date - 1 day
+  * ``"N ngày trước"`` (N days ago)        → extract_date - N days
+  * ``"N tuần trước"`` (N weeks ago)       → extract_date - 7N days
+  * ``"hôm nay"`` / ``"vừa xong"`` / today-ish with no number → extract_date
+  * anything unparseable                   → NULL
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+MILLION = 1_000_000
+
+
+def _nums(c: Column) -> Column:
+    """All integer runs in the text, as an array<string> (re.findall twin)."""
+    return F.regexp_extract_all(c, F.lit(r"(\d+)"), 1)
+
+
+def clean_salary_cols(salary: Column | str) -> tuple[Column, Column]:
+    """(salary_min, salary_max) in VND as LongType expressions."""
+    s = F.col(salary) if isinstance(salary, str) else salary
+    txt = F.lower(F.regexp_replace(F.trim(s), r"[,\.]", ""))
+    nums = _nums(txt)
+    n0 = F.element_at(nums, 1).cast("long")
+    n1 = F.element_at(nums, 2).cast("long")
+    has0 = F.size(nums) >= 1
+    has1 = F.size(nums) >= 2
+
+    is_negotiable = txt.contains("thỏa thuận") | txt.contains("thoả thuận")
+    is_upto = txt.contains("tới") | txt.contains("đến")
+    is_above = txt.contains("trên")
+
+    salary_min = (
+        F.when(s.isNull() | (txt == ""), F.lit(None).cast("long"))
+        .when(is_negotiable, F.lit(0))
+        .when(is_upto & has0, F.lit(0))
+        .when(is_above & has0, n0 * MILLION)
+        .when(has1, n0 * MILLION)
+        .when(has0, n0 * MILLION)
+        .otherwise(F.lit(None).cast("long"))
+    )
+    salary_max = (
+        F.when(s.isNull() | (txt == ""), F.lit(None).cast("long"))
+        .when(is_negotiable, F.lit(0))
+        .when(is_upto & has0, n0 * MILLION)
+        .when(is_above & has0, F.lit(0))
+        .when(has1, n1 * MILLION)
+        .when(has0, n0 * MILLION)
+        .otherwise(F.lit(None).cast("long"))
+    )
+    return salary_min, salary_max
+
+
+def posted_date_col(posted_time: Column | str, extract_date: Column | str) -> Column:
+    """Resolved posting date (DateType) from a relative description."""
+    p = F.col(posted_time) if isinstance(posted_time, str) else posted_time
+    d = F.col(extract_date) if isinstance(extract_date, str) else extract_date
+    d = d.cast("date")
+    txt = F.lower(F.trim(p))
+    n = F.coalesce(F.element_at(_nums(txt), 1).cast("int"), F.lit(0))
+
+    return (
+        F.when(txt.isNull() | (txt == ""), F.lit(None).cast("date"))
+        .when(txt.contains("hôm qua"), F.date_sub(d, 1))
+        .when(txt.contains("ngày trước"), F.date_sub(d, n))
+        .when(txt.contains("tuần trước"), F.date_sub(d, n * 7))
+        .when(
+            txt.contains("hôm nay") | txt.contains("vừa xong") | txt.contains("mới đăng"),
+            d,
+        )
+        .otherwise(F.lit(None).cast("date"))
+    )
+
+
+def normalize_text(c: Column | str) -> Column:
+    """Join/group key normalization for utf8mb4_unicode_ci parity
+    (lower + trim + collapse internal whitespace)."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")

@@ -1,0 +1,161 @@
+"""SCD Type 2 merge (SURVEY.md §2i D2) — the reference's signature op.
+
+Reference semantics (loadtowh/load_to_wh.sh:62-87):
+  1. UPDATE: current rows (expired='9999-12-31') whose natural key
+     matches an incoming row and whose tracked attributes differ get
+     expired = <effective date>   (:64-75)
+  2. INSERT: incoming rows with no *live* match are inserted as new
+     current versions (NOT EXISTS anti-join, :78-87)
+Natural key = (job_title, company_name) under utf8mb4_unicode_ci —
+case-insensitive — so keys are normalized before matching.
+
+Decisions encoded here (SURVEY §4 "custom work"):
+  * change detection defaults to NULL-SAFE (`a <=> b`); MySQL's `<>`
+    (NULL never counts as changed) is available via null_safe=False.
+  * surrogate keys are deterministic: row_number over a stable sort of
+    the inserted batch, offset by max existing sk — reruns produce
+    identical keys (never monotonically_increasing_id).
+
+Plan shape & scale: one shuffle of `current` and `incoming` on the
+normalized natural key (a single full-outer-style join computes
+changed/unchanged/new in one pass); at 100 TB `current` should be
+bucketed on the key so only the increment shuffles. The output is a
+full snapshot — pair with dynamic partition overwrite to rewrite only
+affected partitions.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from data_warehouse_nhom8_spark.functions.cleaning import normalize_text
+
+CURRENT_SENTINEL = "9999-12-31"
+
+
+def scd2_merge(
+    current: DataFrame | None,
+    incoming: DataFrame,
+    natural_keys: Sequence[str],
+    compare_cols: Sequence[str],
+    effective_date: str,
+    sk_col: str = "job_sk",
+    expired_col: str = "expired",
+    null_safe: bool = True,
+    normalize_keys: bool = True,
+) -> DataFrame:
+    """Return the post-merge snapshot (history + current rows).
+
+    `incoming` must carry the business columns (natural keys +
+    compare_cols + any payload); `current` additionally carries
+    `sk_col` and `expired_col`. First load: pass current=None.
+    """
+    sentinel = F.lit(CURRENT_SENTINEL).cast("date")
+    eff = F.lit(effective_date).cast("date")
+
+    def with_norm(df: DataFrame) -> DataFrame:
+        for k in natural_keys:
+            df = df.withColumn(
+                f"__nk_{k}", normalize_text(k) if normalize_keys else F.col(k)
+            )
+        return df
+
+    nk = [f"__nk_{k}" for k in natural_keys]
+
+    # Dedup the increment on the natural key (one version per key per
+    # load — the reference's daily dump has the same property via the
+    # staging UNIQUE key).
+    inc = with_norm(incoming).dropDuplicates(nk)
+
+    if current is None:
+        new_rows = inc.drop(*nk)
+        return _assign_sks(new_rows, None, sk_col, natural_keys).withColumn(
+            expired_col, sentinel
+        )
+
+    cur = with_norm(current)
+    live = cur.filter(F.col(expired_col) == sentinel)
+    dead = cur.filter(F.col(expired_col) != sentinel).drop(*nk)
+
+    inc_cmp = inc.select(
+        *nk,
+        *[F.col(c).alias(f"__inc_{c}") for c in compare_cols],
+        F.lit(1).alias("__matched"),
+    )
+    j = live.join(inc_cmp, on=nk, how="left")
+
+    def differs(c: str):
+        a, b = F.col(c), F.col(f"__inc_{c}")
+        return ~a.eqNullSafe(b) if null_safe else (a != b) & a.isNotNull() & b.isNotNull()
+
+    change_cond = F.lit(False)
+    for c in compare_cols:
+        change_cond = change_cond | differs(c)
+    is_changed = F.col("__matched").isNotNull() & change_cond
+
+    inc_cols = [f"__inc_{c}" for c in compare_cols]
+    expired_now = (
+        j.filter(is_changed)
+        .drop(*inc_cols, "__matched", *nk)
+        .withColumn(expired_col, eff)
+    )
+    still_live = j.filter(~is_changed).drop(*inc_cols, "__matched", *nk)
+
+    # New versions: incoming keys that are brand-new OR whose live row
+    # just got expired (changed). Equivalent to anti-join against the
+    # *unchanged* live set.
+    unchanged_keys = j.filter(~is_changed).select(*nk)
+    new_versions = (
+        inc.join(unchanged_keys, on=nk, how="left_anti")
+        .drop(*nk)
+        .withColumn(expired_col, sentinel)
+    )
+    new_with_sks = _assign_sks(new_versions, cur.drop(*nk), sk_col, natural_keys)
+
+    out_cols = dead.columns
+    return (
+        dead.select(out_cols)
+        .unionByName(expired_now.select(out_cols))
+        .unionByName(still_live.select(out_cols))
+        .unionByName(new_with_sks.select(out_cols))
+    )
+
+
+def _assign_sks(
+    new_rows: DataFrame,
+    existing: DataFrame | None,
+    sk_col: str,
+    natural_keys: Sequence[str],
+) -> DataFrame:
+    """Deterministic surrogate keys: stable sort of the batch →
+    row_number + max(existing). Identical input ⇒ identical keys,
+    which is what makes reruns idempotent (AUTO_INCREMENT, reference
+    create_warehouse_db.sql:7724, is NOT deterministic under replay —
+    this is deliberately stronger)."""
+    w = Window.orderBy(*[F.col(k) for k in natural_keys])
+    numbered = new_rows.withColumn(sk_col, F.row_number().over(w).cast("long"))
+    if existing is None:
+        return numbered
+    base = existing.agg(F.coalesce(F.max(sk_col), F.lit(0)).alias("m"))
+    return numbered.crossJoin(F.broadcast(base)).withColumn(
+        sk_col, (F.col(sk_col) + F.col("m")).cast("long")
+    ).drop("m")
+
+
+def scd2_invariant_violations(snapshot: DataFrame, natural_keys: Sequence[str],
+                              expired_col: str = "expired") -> DataFrame:
+    """Rows violating 'exactly one current version per natural key' —
+    empty DataFrame ⇔ healthy table (used by tests and the write path
+    as a FK-style validation, SURVEY §2c J7)."""
+    sentinel = F.lit(CURRENT_SENTINEL).cast("date")
+    live = snapshot.filter(F.col(expired_col) == sentinel)
+    keys = [normalize_text(k).alias(f"__nk_{k}") for k in natural_keys]
+    return (
+        live.select(*keys)
+        .groupBy(*[f"__nk_{k}" for k in natural_keys])
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+    )

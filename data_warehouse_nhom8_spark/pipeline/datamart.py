@@ -1,0 +1,88 @@
+"""Config-driven datamart rebuild (SURVEY.md §2d A1).
+
+The reference loops over aggregate specs from config.xml:86-123 and,
+for each, DROPs + recreates one 2-column table
+`(group_col, total_jobs)` via `SELECT {k}, COUNT(*) FROM job GROUP BY
+{k}` (reference datamart/load_to_dm.py:104-173).
+
+Engine: the same spec list drives either N independent aggregates
+(each a trivial plan) or ONE shared-scan GROUPING SETS plan — at
+100 TB the shared scan reads the fact once instead of N times.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class AggSpec:
+    """One datamart aggregate (mirrors a <aggregate> element of the
+    reference's config.xml)."""
+
+    table_name: str
+    group_by: str
+    count_alias: str = "total_jobs"
+
+
+DEFAULT_SPECS = (
+    AggSpec("agg_job_by_company", "company_name"),
+    AggSpec("agg_job_by_location", "location"),
+    AggSpec("agg_job_by_salary", "salary"),
+    AggSpec("agg_job_by_experience", "experience_required"),
+)
+
+
+def build_aggregate(fact: DataFrame, spec: AggSpec) -> DataFrame:
+    return fact.groupBy(spec.group_by).agg(
+        F.count(F.lit(1)).alias(spec.count_alias)
+    )
+
+
+def build_all_shared_scan(fact: DataFrame, specs: tuple[AggSpec, ...] = DEFAULT_SPECS) -> dict[str, DataFrame]:
+    """All aggregates from ONE scan via grouping sets + grouping_id,
+    split back into per-table DataFrames. Spark plans a single Expand,
+    so the fact is read once."""
+    keys = [s.group_by for s in specs]
+    sets = ", ".join(f"({k})" for k in keys)
+    fact.createOrReplaceTempView("__dm_fact")
+    wide = fact.sparkSession.sql(
+        f"""
+        SELECT {', '.join(keys)}, GROUPING_ID({', '.join(keys)}) AS gid,
+               COUNT(*) AS total
+        FROM __dm_fact GROUP BY GROUPING SETS ({sets})
+        """
+    )
+    out: dict[str, DataFrame] = {}
+    n = len(keys)
+    for i, s in enumerate(specs):
+        # gid bit pattern: all keys aggregated except key i
+        gid = (2**n - 1) ^ (2 ** (n - 1 - i))
+        out[s.table_name] = (
+            wide.filter(F.col("gid") == gid)
+            .select(F.col(s.group_by), F.col("total").alias(s.count_alias))
+        )
+    return out
+
+
+def rebuild_datamart(
+    fact: DataFrame,
+    out_dir: str,
+    specs: tuple[AggSpec, ...] = DEFAULT_SPECS,
+    shared_scan: bool = True,
+) -> dict[str, int]:
+    """Drop-and-recreate each aggregate table (S8: overwrite) and
+    return row counts for the run ledger."""
+    tables = (
+        build_all_shared_scan(fact, specs)
+        if shared_scan
+        else {s.table_name: build_aggregate(fact, s) for s in specs}
+    )
+    counts: dict[str, int] = {}
+    for name, df in tables.items():
+        df.write.mode("overwrite").parquet(f"{out_dir}/{name}")
+        counts[name] = df.count()
+    return counts

@@ -1,0 +1,150 @@
+"""Run ledger: the control-plane contract (SURVEY.md §1, §2h).
+
+The reference keeps five MySQL log tables (extract_log, process_log,
+load_log, load_to_wh_log, load_to_dm_log) with the same lifecycle:
+open a Running row, do work, close Success/Failed; wrappers consult
+the ledger (not exit codes) for skip-if-done and retry decisions
+(reference extract/run_topcv_scraper_with_retry.sh:52-59,186-196).
+
+Here: one parquet table, append-only; status-of-record is the latest
+row per (process, run_date) by log_id. Reads are tiny (control plane),
+writes are appends — safe at any scale because the ledger grows with
+runs, not data.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_warehouse_nhom8_spark import schemas
+from data_warehouse_nhom8_spark.operators.windows import latest_per_key
+
+
+class RunLedger:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    def _read(self) -> DataFrame:
+        if not _exists(self.path):
+            return self.spark.createDataFrame([], schemas.RUN_LEDGER)
+        return self.spark.read.schema(schemas.RUN_LEDGER).parquet(self.path)
+
+    def _append(self, rows: list[dict]) -> None:
+        df = self.spark.createDataFrame(
+            [_fill(r) for r in rows], schemas.RUN_LEDGER
+        )
+        df.write.mode("append").parquet(self.path)
+
+    def open_run(self, process: str, run_date: datetime.date) -> int:
+        """Insert a Running row; returns its log_id."""
+        log_id = uuid.uuid4().int % (1 << 62)
+        self._append(
+            [
+                {
+                    "log_id": log_id,
+                    "process": process,
+                    "run_date": run_date,
+                    "status": "Running",
+                    "start_time": datetime.datetime.now(),
+                }
+            ]
+        )
+        return log_id
+
+    def close_run(
+        self,
+        log_id: int,
+        process: str,
+        run_date: datetime.date,
+        status: str,
+        rows_processed: int | None = None,
+        file_path: str | None = None,
+        error_message: str | None = None,
+        start_time: datetime.datetime | None = None,
+    ) -> None:
+        """Append the terminal row (append-only ledger: the close row
+        supersedes the Running row by log-order, like the reference's
+        UPDATE supersedes in place). duration_seconds mirrors the
+        reference's stored generated column
+        (create_control_db_v5.sql:47)."""
+        assert status in ("Success", "Failed")
+        end = datetime.datetime.now()
+        dur = int((end - start_time).total_seconds()) if start_time else None
+        self._append(
+            [
+                {
+                    "log_id": log_id + 1,
+                    "process": process,
+                    "run_date": run_date,
+                    "status": status,
+                    "rows_processed": rows_processed,
+                    "file_path": file_path,
+                    "start_time": start_time,
+                    "end_time": end,
+                    "duration_seconds": dur,
+                    "error_message": error_message,
+                }
+            ]
+        )
+
+    def latest_status(self) -> DataFrame:
+        """Latest row per (process, run_date) — the W1 pattern."""
+        return latest_per_key(
+            self._read(), ["process", "run_date"], [F.desc("log_id")]
+        )
+
+    def is_done(self, process: str, run_date: datetime.date) -> bool:
+        """Skip-if-done gate: any Success for (process, run_date)
+        (reference run_topcv_scraper_with_retry.sh:52-59 — COUNT > 0,
+        not latest-row)."""
+        n = (
+            self._read()
+            .filter(
+                (F.col("process") == process)
+                & (F.col("run_date") == F.lit(run_date))
+                & (F.col("status") == "Success")
+            )
+            .limit(1)
+            .count()
+        )
+        return n > 0
+
+    def runnable(self, enabled: DataFrame, run_date: datetime.date) -> DataFrame:
+        """U2: enabled processes minus already-succeeded-today
+        (reference run_all_scrapers.sh:22-44) as a left-anti join.
+        `enabled` must have a `process` column."""
+        done = (
+            self._read()
+            .filter((F.col("run_date") == F.lit(run_date)) & (F.col("status") == "Success"))
+            .select("process")
+        )
+        return enabled.join(done, on="process", how="left_anti")
+
+
+def _exists(path: str) -> bool:
+    return os.path.exists(path) and any(
+        f.endswith(".parquet") for f in os.listdir(path)
+    )
+
+
+def _fill(r: dict) -> dict:
+    base = {
+        "log_id": None,
+        "process": None,
+        "run_date": None,
+        "status": None,
+        "rows_processed": None,
+        "file_path": None,
+        "start_time": None,
+        "end_time": None,
+        "duration_seconds": None,
+        "error_message": None,
+    }
+    base.update(r)
+    return base

@@ -1,0 +1,124 @@
+"""t3-tier golden pipeline tests (SURVEY.md §5): partitioned ingest →
+staging transform → upsert → datamart aggregates; ledger gates."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_warehouse_nhom8_spark import schemas
+from data_warehouse_nhom8_spark.pipeline.datamart import (
+    DEFAULT_SPECS,
+    build_aggregate,
+    build_all_shared_scan,
+)
+from data_warehouse_nhom8_spark.pipeline.date_dim import build_date_dim
+from data_warehouse_nhom8_spark.pipeline.ledger import RunLedger
+from data_warehouse_nhom8_spark.pipeline.staging import (
+    transform_raw_jobs,
+    upsert_staging,
+)
+from data_warehouse_nhom8_spark.sources import (
+    read_partitioned_csv,
+    write_partitioned_csv,
+)
+
+RAW_ROWS = [
+    # source_id, job_id, title, company, salary, location, exp, job_type,
+    # posted_time, tags, url, logo, extracted_date, extracted_ts
+    ("topcv_jobs", "t1", "Dev Python", "ACME", "10 - 15 triệu", "Hà Nội",
+     "2 năm", "", "hôm qua", "python,sql", "https://x/t1", "l1",
+     "2025-03-10", "2025-03-10 02:00:00"),
+    ("topcv_jobs", "t2", "Data Engineer", "ACME", "Thỏa thuận", "HCM",
+     "Không yêu cầu", "", "3 ngày trước", "", "https://x/t2", "l2",
+     "2025-03-10", "2025-03-10 02:00:00"),
+    ("jobsgo_jobs", "g1", "QA", "Beta Corp", "Tới 20 triệu", "Đà Nẵng",
+     "1 năm", "Full-time", "2 tuần trước", "", "https://x/g1", "l3",
+     "2025-03-10", "2025-03-10 02:05:00"),
+    # invalid: empty job_id -> dropped by validity filter
+    ("topcv_jobs", "", "Ghost", "None Inc", "", "", "", "", "", "", "", "",
+     "2025-03-10", "2025-03-10 02:00:00"),
+]
+
+
+@pytest.fixture()
+def raw_dir(spark, tmp_path):
+    df = spark.createDataFrame(RAW_ROWS, schemas.RAW_JOBS_CSV).withColumn(
+        "source", F.col("source_id")
+    ).withColumn("date", F.col("extracted_date"))
+    out = str(tmp_path / "raw")
+    write_partitioned_csv(df, out)
+    return out
+
+
+def test_bronze_roundtrip_and_pruning(spark, raw_dir):
+    back = read_partitioned_csv(spark, raw_dir, schemas.RAW_JOBS_CSV)
+    assert back.count() == 4
+    pruned = read_partitioned_csv(spark, raw_dir, schemas.RAW_JOBS_CSV, source="topcv_jobs")
+    assert pruned.count() == 3
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(source" in plan, plan
+
+
+def test_staging_transform_golden(spark, raw_dir):
+    raw = read_partitioned_csv(spark, raw_dir, schemas.RAW_JOBS_CSV)
+    dim = build_date_dim(spark, "2025-03-01", "2025-03-31")
+    silver = transform_raw_jobs(raw, dim)
+    rows = {r["job_id"]: r for r in silver.collect()}
+    assert set(rows) == {"t1", "t2", "g1"}  # ghost row dropped
+    t1 = rows["t1"]
+    assert (t1["salary_min"], t1["salary_max"]) == (10_000_000, 15_000_000)
+    assert t1["posted_time"] == "2025-03-09"          # hôm qua
+    assert rows["t2"]["posted_time"] == "2025-03-07"  # 3 ngày trước
+    assert rows["g1"]["posted_time"] == "2025-02-24"  # 2 tuần trước
+    assert (rows["t2"]["salary_min"], rows["t2"]["salary_max"]) == (0, 0)
+    # date_id = date_sk of 2025-03-10 (10th row of the March dim)
+    assert t1["date_id"] == 10
+
+
+def test_staging_upsert_rerun_identical(spark, raw_dir):
+    raw = read_partitioned_csv(spark, raw_dir, schemas.RAW_JOBS_CSV)
+    dim = build_date_dim(spark, "2025-03-01", "2025-03-31")
+    silver = transform_raw_jobs(raw, dim)
+    snap1 = upsert_staging(None, silver)
+    snap2 = upsert_staging(snap1, silver)  # same day rerun
+    assert sorted(map(tuple, snap1.collect())) == sorted(map(tuple, snap2.collect()))
+
+
+def test_datamart_goldens(spark, raw_dir):
+    raw = read_partitioned_csv(spark, raw_dir, schemas.RAW_JOBS_CSV)
+    dim = build_date_dim(spark, "2025-03-01", "2025-03-31")
+    fact = upsert_staging(None, transform_raw_jobs(raw, dim))
+    by_company = {
+        r["company_name"]: r["total_jobs"]
+        for r in build_aggregate(fact, DEFAULT_SPECS[0]).collect()
+    }
+    assert by_company == {"ACME": 2, "Beta Corp": 1}
+    shared = build_all_shared_scan(fact)
+    by_company2 = {
+        r["company_name"]: r["total_jobs"]
+        for r in shared["agg_job_by_company"].collect()
+    }
+    assert by_company2 == by_company
+    by_loc = {r["location"]: r["total_jobs"] for r in shared["agg_job_by_location"].collect()}
+    assert by_loc == {"Hà Nội": 1, "HCM": 1, "Đà Nẵng": 1}
+
+
+def test_ledger_skip_if_done_and_latest(spark, tmp_path):
+    led = RunLedger(spark, str(tmp_path / "ledger"))
+    d = datetime.date(2025, 3, 10)
+    assert not led.is_done("extract_topcv", d)
+    lid = led.open_run("extract_topcv", d)
+    assert not led.is_done("extract_topcv", d)  # Running != done
+    led.close_run(lid, "extract_topcv", d, "Success", rows_processed=42)
+    assert led.is_done("extract_topcv", d)
+    latest = led.latest_status().collect()
+    assert len(latest) == 1 and latest[0]["status"] == "Success"
+    # runnable complement (U2)
+    enabled = spark.createDataFrame(
+        [("extract_topcv",), ("extract_jobsgo",)], "process string"
+    )
+    todo = [r["process"] for r in led.runnable(enabled, d).collect()]
+    assert todo == ["extract_jobsgo"]
