@@ -1,0 +1,134 @@
+"""Text-analysis operators for LLM training-data pipelines
+(SURVEY.md §2k X1/X3; north-star extensions beyond the reference).
+
+All hot-path expressions are native Catalyst (no Python UDFs): at
+100 TB these run inside whole-stage codegen over the parquet scan,
+pushing only the projected text column.
+
+Operators:
+  exact_dedup         — md5-keyed exact duplicate removal (X1)
+  token_count_col     — whitespace tokenization count
+  bpe_ish_token_count — sub-word-ish token estimate (regex word pieces)
+  quality_cols        — length / punctuation / stopword-ratio scores
+  lang_id_col         — n-gram/stopword heuristic language ID
+  fingerprint_col     — normalized rolling fingerprint (md5 of
+                        canonicalized shingle stream)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from data_warehouse_nhom8_spark.operators.windows import latest_per_key
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+# ------------------------------------------------------------- exact dedup
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one row per exact text (md5 key), lowest id wins —
+    deterministic, unlike dropDuplicates. One shuffle on the 128-bit
+    key; at 100 TB group on the hash, never the text itself."""
+    return latest_per_key(
+        df.withColumn("__h", F.md5(_c(text_col))), ["__h"], [F.asc(id_col)]
+    ).drop("__h")
+
+
+# ------------------------------------------------------------ token counts
+
+def token_count_col(text: Column | str = "text") -> Column:
+    """Whitespace token count (LongType)."""
+    t = F.trim(_c(text))
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+"))).cast("long")
+
+
+def bpe_ish_token_count(text: Column | str = "text") -> Column:
+    """Sub-word-ish token estimate: count of word pieces + digits +
+    punctuation runs (a cheap, deterministic BPE proxy — the regex
+    splits on letter-runs of <=4 chars)."""
+    t = _c(text)
+    pieces = F.regexp_extract_all(t, F.lit(r"([A-Za-z]{1,4}|\d|[^\sA-Za-z\d])"), 1)
+    return F.size(pieces).cast("long")
+
+
+# ---------------------------------------------------------- quality scores
+
+_PUNCT_RE = r"[^\w\s]"
+
+EN_STOPWORDS = ("the", "and", "of", "to", "a", "in", "is", "it", "that", "for")
+
+
+def quality_cols(text: Column | str = "text") -> dict[str, Column]:
+    """Deterministic quality features: n_chars, n_tokens, punct_ratio,
+    stopword_ratio, mean_token_len. Ratios are ROUND(x, 4) doubles."""
+    t = _c(text)
+    n_chars = F.length(t).cast("long")
+    n_tokens = token_count_col(t)
+    n_punct = F.size(F.regexp_extract_all(t, F.lit(f"({_PUNCT_RE})"), 1)).cast("long")
+    words = F.split(F.lower(F.trim(t)), r"\s+")
+    n_stop = F.size(
+        F.filter(words, lambda w: w.isin(*EN_STOPWORDS))
+    ).cast("long")
+    safe_tokens = F.when(n_tokens > 0, n_tokens).otherwise(F.lit(1))
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "punct_ratio": F.round(n_punct / F.when(n_chars > 0, n_chars).otherwise(1), 4).cast("double"),
+        "stopword_ratio": F.round(n_stop / safe_tokens, 4).cast("double"),
+        "mean_token_len": F.round(
+            (n_chars - (n_tokens - 1)) / safe_tokens, 4
+        ).cast("double"),
+    }
+
+
+# ------------------------------------------------------------- language ID
+
+# Minimal deterministic stopword tables for a 6-language heuristic.
+_LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "is", "of", "to", "that", "with"),
+    "es": ("el", "la", "los", "las", "que", "es", "una", "por"),
+    "fr": ("le", "la", "les", "des", "est", "une", "dans", "pour"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "nicht", "mit"),
+    "vi": ("của", "và", "là", "các", "cho", "trong", "một", "được"),
+}
+
+
+def lang_id_col(text: Column | str = "text") -> Column:
+    """Heuristic language ID: CJK codepoint share first, then the
+    stopword table with the most hits; ties broken by fixed language
+    order; no hits → 'und'. Pure expressions — runs at scan speed."""
+    t = F.lower(_c(text))
+    words = F.split(F.trim(t), r"\s+")
+    cjk = F.size(F.regexp_extract_all(t, F.lit(r"([\x{4e00}-\x{9fff}])"), 1))
+
+    def marker_hits(markers: tuple[str, ...]):
+        return lambda w: w.isin(*markers)
+
+    scores = {
+        lang: F.size(F.filter(words, marker_hits(markers)))
+        for lang, markers in _LANG_MARKERS.items()
+    }
+    best = F.lit("und")
+    best_score = F.lit(0)
+    # fixed order ⇒ deterministic tie-break (earlier language wins ties)
+    for lang in ("en", "es", "fr", "de", "vi"):
+        s = scores[lang]
+        take = s > best_score
+        best = F.when(take, F.lit(lang)).otherwise(best)
+        best_score = F.when(take, s).otherwise(best_score)
+    return F.when(cjk * 5 > F.size(words), F.lit("zh")).otherwise(best)
+
+
+# ------------------------------------------------------------- fingerprint
+
+def fingerprint_col(text: Column | str = "text", shingle: int = 3) -> Column:
+    """Document fingerprint: md5 over the canonicalized (lowercased,
+    whitespace-collapsed) token stream re-joined with single spaces —
+    robust to case/whitespace-only edits, unlike raw md5(text)."""
+    t = _c(text)
+    canon = F.concat_ws(" ", F.split(F.lower(F.trim(t)), r"\s+"))
+    return F.md5(canon)

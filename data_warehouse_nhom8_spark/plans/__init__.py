@@ -1,6 +1,13 @@
 """Declared query plans (SURVEY.md §2 oracle contract)."""
 
-from data_warehouse_nhom8_spark.plans.queries import QUERIES
-from data_warehouse_nhom8_spark.plans.oracles import ORACLES
+from data_warehouse_nhom8_spark.plans.queries import QUERIES as _CORE
+from data_warehouse_nhom8_spark.plans.oracles import ORACLES as _CORE_ORACLES
+from data_warehouse_nhom8_spark.plans.extensions import (
+    EXTENSION_ORACLES,
+    EXTENSION_QUERIES,
+)
+
+QUERIES = {**_CORE, **EXTENSION_QUERIES}
+ORACLES = {**_CORE_ORACLES, **EXTENSION_ORACLES}
 
 __all__ = ["QUERIES", "ORACLES"]

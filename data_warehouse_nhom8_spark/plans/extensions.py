@@ -1,0 +1,190 @@
+"""LLM-data-pipeline extension queries (SURVEY.md §2k) over the
+documents/embeddings testdata tables.
+
+Oracle-checked where DuckDB can express identical semantics; the
+approximate/vector operators carry the `_noracle` suffix → the driver
+records the weaker rows-only check and pytest verifies them against
+exact twins (brute-force Jaccard / numpy cosine) instead.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_warehouse_nhom8_spark.operators import neardup, similarity
+from data_warehouse_nhom8_spark.operators.multimodal import extract_features
+from data_warehouse_nhom8_spark.operators.text import (
+    exact_dedup,
+    fingerprint_col,
+    lang_id_col,
+    quality_cols,
+    token_count_col,
+)
+from data_warehouse_nhom8_spark.sources import Catalog
+
+
+def q33_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1: exact dedup groups — md5 key, min-id winner, group size."""
+    c = Catalog(spark, sf_dir)
+    return (
+        c.documents.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n"))
+        .orderBy("keep_id")
+    )
+
+
+def q34_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3: whitespace token counting (native split, no UDF)."""
+    c = Catalog(spark, sf_dir)
+    return (
+        c.documents.select("doc_id", token_count_col("text").alias("n_tokens"))
+        .orderBy("doc_id")
+        .limit(500)
+    )
+
+
+def q35_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3: quality features per doc (ratios as rounded doubles)."""
+    c = Catalog(spark, sf_dir)
+    q = quality_cols("text")
+    return (
+        c.documents.select(
+            "doc_id",
+            q["n_tokens"].alias("n_tokens"),
+            q["stopword_ratio"].alias("stopword_ratio"),
+            q["mean_token_len"].alias("mean_token_len"),
+        )
+        .orderBy("doc_id")
+        .limit(500)
+    )
+
+
+def q36_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1: canonicalized fingerprint (whitespace/case-robust md5)."""
+    c = Catalog(spark, sf_dir)
+    return (
+        c.documents.select("doc_id", fingerprint_col("text").alias("fp"))
+        .orderBy("doc_id")
+        .limit(500)
+    )
+
+
+def q37_lang_id_noracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3: heuristic language-ID distribution (tested against labeled
+    fixtures in pytest; heuristic ≠ SQL-portable)."""
+    c = Catalog(spark, sf_dir)
+    return (
+        c.documents.select(lang_id_col("text").alias("lang_pred"))
+        .groupBy("lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang_pred")
+    )
+
+
+def q38_minhash_neardup_noracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2: MinHash+LSH near-dup pairs (recall tested vs brute-force
+    Jaccard in pytest)."""
+    c = Catalog(spark, sf_dir)
+    return neardup.minhash_neardup_pairs(c.documents, threshold=0.5).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def q39_simhash_neardup_noracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2: SimHash near-dup pairs within Hamming radius 3."""
+    c = Catalog(spark, sf_dir)
+    return neardup.simhash_neardup_pairs(c.documents, max_hamming=3).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def q40_cosine_topk_noracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2: brute-force cosine top-10 for a fixed query vector (the
+    vec_id=0 embedding); exactness tested vs numpy in pytest."""
+    c = Catalog(spark, sf_dir)
+    qvec = c.embeddings.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return similarity.cosine_topk_bruteforce(
+        c.embeddings.filter(F.col("vec_id") != 0), [float(x) for x in qvec], k=10
+    ).withColumn("cosine", F.round("cosine", 6))
+
+
+def q41_embedding_neardup_noracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2: embedding-cosine near-dup pairs via hyperplane LSH buckets."""
+    c = Catalog(spark, sf_dir)
+    return similarity.embedding_neardup_pairs(c.embeddings, threshold=0.9).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def q42_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: multimodal plumbing end-to-end — documents cast to binary
+    payloads, Arrow-batched mapInPandas feature extraction; n_bytes is
+    oracle-checked (the decode itself is the documented deterministic
+    fake)."""
+    c = Catalog(spark, sf_dir)
+    media = c.documents.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    return (
+        extract_features(media)
+        .select("media_id", "kind", "n_bytes")
+        .orderBy("media_id")
+    )
+
+
+EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q33_exact_dedup_docs": q33_exact_dedup_docs,
+    "q34_token_counts": q34_token_counts,
+    "q35_quality_scores": q35_quality_scores,
+    "q36_doc_fingerprint": q36_doc_fingerprint,
+    "q37_lang_id_noracle": q37_lang_id_noracle,
+    "q38_minhash_neardup_noracle": q38_minhash_neardup_noracle,
+    "q39_simhash_neardup_noracle": q39_simhash_neardup_noracle,
+    "q40_cosine_topk_noracle": q40_cosine_topk_noracle,
+    "q41_embedding_neardup_noracle": q41_embedding_neardup_noracle,
+    "q42_multimodal_features": q42_multimodal_features,
+}
+
+EXTENSION_ORACLES: dict[str, str] = {
+    "q33_exact_dedup_docs": """
+        SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS n
+        FROM documents GROUP BY md5(text) ORDER BY keep_id NULLS FIRST
+    """,
+    "q34_token_counts": """
+        SELECT doc_id,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+        FROM documents ORDER BY doc_id NULLS FIRST LIMIT 500
+    """,
+    "q35_quality_scores": """
+        WITH t AS (
+          SELECT doc_id,
+                 CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+                 CAST(length(text) AS BIGINT) AS n_chars,
+                 CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                      x -> x IN ('the','and','of','to','a','in','is','it','that','for'))) AS BIGINT) AS n_stop
+          FROM documents)
+        SELECT doc_id, n_tokens,
+               ROUND(n_stop / CASE WHEN n_tokens > 0 THEN n_tokens ELSE 1 END, 4) AS stopword_ratio,
+               ROUND((n_chars - (n_tokens - 1)) / CASE WHEN n_tokens > 0 THEN n_tokens ELSE 1 END, 4) AS mean_token_len
+        FROM t ORDER BY doc_id NULLS FIRST LIMIT 500
+    """,
+    "q36_doc_fingerprint": """
+        SELECT doc_id,
+               md5(array_to_string(string_split_regex(lower(trim(text)), '\\s+'), ' ')) AS fp
+        FROM documents ORDER BY doc_id NULLS FIRST LIMIT 500
+    """,
+    "q42_multimodal_features": """
+        SELECT doc_id AS media_id,
+               CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        FROM documents ORDER BY media_id NULLS FIRST
+    """,
+}

@@ -1,0 +1,211 @@
+"""LLM-data operators: approximate paths verified against exact twins
+(MinHash/SimHash vs brute-force Jaccard, LSH-ANN vs numpy cosine),
+multimodal plumbing, text analysis fixtures."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from data_warehouse_nhom8_spark.operators import neardup, similarity
+from data_warehouse_nhom8_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
+    extract_features,
+    metadata_profile,
+    sample_frames,
+)
+from data_warehouse_nhom8_spark.operators.text import (
+    exact_dedup,
+    bpe_ish_token_count,
+    lang_id_col,
+    token_count_col,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden outside"
+)
+
+DOCS = [
+    (0, BASE),
+    (1, BASE),  # exact dup of 0
+    (2, BASE.replace("warm", "cold")),  # near dup of 0 (1-token edit)
+    (3, "completely different content about spark catalyst optimizer plans and shuffles here"),
+    (4, BASE.replace("birds", "bees").replace("garden", "yard")),  # near dup, 2 edits
+    (5, "short text"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup_keeps_lowest_id(spark, docs):
+    out = exact_dedup(docs)
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert ids == [0, 2, 3, 4, 5]  # doc 1 removed, winner is 0
+
+
+def test_minhash_recall_vs_bruteforce(spark, docs):
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in neardup.jaccard_bruteforce(docs, threshold=0.6).collect()
+    }
+    assert (0, 1) in exact and (0, 2) in exact  # sanity on the fixture
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in neardup.minhash_neardup_pairs(docs, threshold=0.6).collect()
+    }
+    # verify step guarantees precision; bands must recall everything here
+    assert lsh == exact
+
+
+def test_minhash_jaccard_values_exact(spark, docs):
+    """The verify stage computes EXACT jaccard — spot-check one pair
+    against a python set computation."""
+    row = (
+        neardup.jaccard_bruteforce(docs, threshold=0.0)
+        .filter((F.col("id_a") == 0) & (F.col("id_b") == 2))
+        .head()
+    )
+
+    def sh(t, w=3):
+        toks = t.lower().split()
+        return {" ".join(toks[i : i + w]) for i in range(max(len(toks) - w + 1, 1))}
+
+    a, b = sh(DOCS[0][1]), sh(DOCS[2][1])
+    want = round(len(a & b) / len(a | b), 6)
+    assert row["jaccard"] == pytest.approx(want, abs=1e-6)
+
+
+def test_simhash_finds_near_dups(spark, docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in neardup.simhash_neardup_pairs(docs, max_hamming=10).collect()
+    }
+    assert pairs.get((0, 1)) == 0  # identical text, identical signature
+    assert (0, 2) in pairs  # 1-token edit within radius
+    assert (0, 3) not in pairs  # different doc far away
+
+
+def test_cosine_topk_matches_numpy(spark):
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(200, 16)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    q = [float(x) for x in vecs[0]]
+    got = similarity.cosine_topk_bruteforce(df, q, k=5).collect()
+    v = vecs.astype("float64")
+    qv = v[0]
+    sims = (v @ qv) / (np.linalg.norm(v, axis=1) * np.linalg.norm(qv))
+    want_ids = list(np.argsort(-sims)[:5])
+    assert [r["vec_id"] for r in got] == want_ids
+    for r, wid in zip(got, want_ids):
+        assert r["cosine"] == pytest.approx(sims[wid], abs=1e-9)
+
+
+def test_lsh_ann_recall(spark):
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(300, 16)).astype("float32")
+    # plant 5 close neighbours of vecs[0]
+    for i in range(1, 6):
+        vecs[i] = vecs[0] + rng.normal(scale=0.05, size=16).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    q = [float(x) for x in vecs[0]]
+    exact = {r["vec_id"] for r in similarity.cosine_topk_bruteforce(df, q, k=6).collect()}
+    ann = {
+        r["vec_id"]
+        for r in similarity.cosine_topk_lsh(df, q, k=6, n_planes=8, probe_hamming=2).collect()
+    }
+    # multi-probe ANN must recover the planted neighbours
+    assert {0, 1, 2, 3, 4, 5} <= ann or len(ann & exact) >= 5
+
+
+def test_embedding_neardup_pairs(spark):
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(50, 16)).astype("float32")
+    vecs[7] = vecs[3] * 1.001  # scaled copy => cosine ~ 1
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.embedding_neardup_pairs(df, threshold=0.99, dim=16).collect()
+    }
+    assert (3, 7) in pairs
+
+
+# ----------------------------------------------------------- text analysis
+
+def test_token_counts(spark):
+    df = spark.createDataFrame(
+        [(0, "a b  c"), (1, ""), (2, "  "), (3, "one")], "id long, text string"
+    )
+    got = {r["id"]: r["n"] for r in df.select("id", token_count_col("text").alias("n")).collect()}
+    assert got == {0: 3, 1: 0, 2: 0, 3: 1}
+    bpe = df.select(bpe_ish_token_count("text").alias("n")).collect()
+    assert all(r["n"] >= 0 for r in bpe)
+
+
+def test_lang_id_fixtures(spark):
+    cases = [
+        ("the cat is on the mat and it is warm", "en"),
+        ("el gato es negro y la casa es grande", "es"),
+        ("le chat est dans la maison pour une nuit", "fr"),
+        ("der hund und die katze das ist ein haus", "de"),
+        ("đây là một văn bản tiếng việt của chúng tôi và các bạn", "vi"),
+        ("这是一个中文文档 完全没有空格的汉字串", "zh"),
+        ("zzz qqq xxx", "und"),
+    ]
+    df = spark.createDataFrame([(i, t) for i, (t, _) in enumerate(cases)], "id long, text string")
+    got = {r["id"]: r["lang"] for r in df.select("id", lang_id_col("text").alias("lang")).collect()}
+    for i, (t, want) in enumerate(cases):
+        assert got[i] == want, f"{t!r}: got {got[i]}, want {want}"
+
+
+# ------------------------------------------------------------- multimodal
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        (1, "image", b"\x89PNG fake bytes", ("image/png", 640, 480, None, "s3://x/1")),
+        (2, "audio", b"RIFF fake wav", ("audio/wav", None, None, 4000, "s3://x/2")),
+        (3, "video", b"\x00\x00ftyp fake mp4", ("video/mp4", 1920, 1080, 2500, "s3://x/3")),
+        (4, "image", None, ("image/png", 1, 1, None, "s3://x/4")),
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_multimodal_feature_extraction(spark, media):
+    out = {r["media_id"]: r for r in extract_features(media).collect()}
+    assert out[1]["n_bytes"] == 15 and len(out[1]["feature"]) == 8
+    assert out[4]["n_bytes"] == 0 and out[4]["sha1"] == ""
+    # deterministic fake: same payload -> same feature
+    again = {r["media_id"]: r for r in extract_features(media).collect()}
+    assert out[1]["feature"] == again[1]["feature"]
+
+
+def test_frame_sampling(spark, media):
+    frames = sample_frames(media, every_ms=1000).collect()
+    got = sorted(r["frame_ms"] for r in frames)
+    assert got == [0, 1000, 2000]  # video duration 2500ms
+
+
+def test_metadata_profile_prunes_payload(spark, media, tmp_path):
+    """Metadata rollups must not read the binary column — check the
+    parquet scan's ReadSchema."""
+    path = str(tmp_path / "media")
+    media.write.parquet(path)
+    df = spark.read.parquet(path)
+    prof = metadata_profile(df)
+    plan = prof._jdf.queryExecution().executedPlan().toString()
+    assert "payload" not in plan.split("ReadSchema:")[1], plan
+    assert {r["kind"] for r in prof.collect()} == {"image", "audio", "video"}
