@@ -1,0 +1,161 @@
+"""Streaming jobs (SURVEY.md §2h).
+
+The reference is batch-only: daily cron micro-batches (extract doc
+§8.1), relative-timestamp late data resolved at rest
+(staging_transformer_v2.py:64-75), upsert-on-arrival
+(ON DUPLICATE KEY, :134-144). The engine maps those semantics to
+Structured Streaming:
+
+  daily cron ingest      → file source + Trigger.AvailableNow
+  late data tolerance    → withWatermark on the event-time column
+  day-grain rollup       → tumbling F.window(ts, "1 day")
+  (not in reference)     → sliding F.window / F.session_window,
+                           exposed for the idiomatic surface
+  ON DUPLICATE KEY       → foreachBatch running the SAME batch merge
+                           (operators.dedup.upsert_last_writer_wins) —
+                           one merge implementation for batch + stream
+
+Exactly-once-ish: the file source + checkpoint gives at-least-once
+micro-batches; the upsert sink is idempotent by key, so replays
+converge — the same contract the reference gets from its skip-if-done
+ledger + UNIQUE key.
+
+Scale: stateful aggs keep per-window per-key state in the state
+store; the watermark bounds state size. Shuffle partition count =
+state store shard count — size it for the key cardinality, not the
+data volume.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import DataStreamWriter
+
+from data_warehouse_nhom8_spark.operators.dedup import upsert_last_writer_wins
+
+
+def stream_source(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source readStream over a (possibly partitioned) directory."""
+    r = spark.readStream.format(fmt).schema(schema)
+    if max_files_per_trigger:
+        r = r.option("maxFilesPerTrigger", max_files_per_trigger)
+    if fmt == "csv":
+        r = r.option("header", "true")
+    return r.load(path)
+
+
+def tumbling_rollup(
+    events: DataFrame,
+    ts_col: str = "ts",
+    keys: Sequence[str] = ("event_type",),
+    window: str = "1 day",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Day-grain rollup (the A3/Q28 twin) with late-data tolerance."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), *keys)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("total"),
+        )
+        .select(F.col("w.start").alias("w_start"), *keys, "n", "total")
+    )
+
+
+def sliding_rollup(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Sliding-window rollup (idiomatic surface; no reference twin)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("w_start"), F.col("w.end").alias("w_end"), "n")
+    )
+
+
+def session_rollup(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Session windows (gap-based), the streaming-native form of the
+    Q29 LAG-gap analysis — one row per (key, session)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("s"), F.col(key))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            key,
+            F.col("s.start").alias("s_start"),
+            F.col("s.end").alias("s_end"),
+            "n_events",
+        )
+    )
+
+
+def upsert_sink(
+    stream: DataFrame,
+    snapshot_path: str,
+    keys: Sequence[str],
+    order_by_cols: Sequence[str],
+    checkpoint: str,
+) -> DataStreamWriter:
+    """foreachBatch upsert into a parquet snapshot — the streaming
+    face of D1. Each micro-batch runs the shared batch merge against
+    the current snapshot and atomically rewrites it.
+
+    Idempotent under micro-batch replay (merge by key), which is what
+    makes the at-least-once file source effectively exactly-once here.
+    """
+
+    def merge(batch: DataFrame, epoch_id: int) -> None:
+        import os
+
+        spark = batch.sparkSession
+        if os.path.exists(snapshot_path):
+            current = spark.read.parquet(snapshot_path)
+        else:
+            current = None
+        order_by = [F.desc(c) for c in order_by_cols]
+        merged = upsert_last_writer_wins(current, batch, keys, order_by)
+        # rewrite via staging dir rename-free pattern: collect to a new
+        # snapshot version, then overwrite (parquet overwrite is atomic
+        # per-directory in the local committer; on object stores use a
+        # table format)
+        merged.cache()
+        merged.count()
+        merged.write.mode("overwrite").parquet(snapshot_path)
+        merged.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+
+
+def run_available_now(writer: DataStreamWriter) -> None:
+    """Drain everything currently in the source, then stop — the
+    daily-cron micro-batch semantics (Trigger.AvailableNow)."""
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination()

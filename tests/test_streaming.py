@@ -1,0 +1,135 @@
+"""Streaming twins: results must equal their batch counterparts
+(SURVEY §2h — the oracle for streaming is the batch plan)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_warehouse_nhom8_spark.sources import load_table
+from data_warehouse_nhom8_spark.streaming import jobs
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """Events re-materialized as micro-timestamp parquet (the raw
+    testdata is TIMESTAMP(NANOS), unreadable by the streaming source)."""
+    path = str(tmp_path_factory.mktemp("stream") / "events")
+    # watermarks require TIMESTAMP (tz-aware); the engine reader yields
+    # NTZ for oracle parity, so the streaming layer casts (UTC session
+    # tz => identical instants)
+    load_table(spark, SF_DIR, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    ).write.parquet(path)
+    return path
+
+
+@pytest.fixture(scope="module")
+def events_schema(spark, events_dir):
+    return spark.read.parquet(events_dir).schema
+
+
+def test_tumbling_stream_equals_batch(spark, events_dir, events_schema, tmp_path):
+    stream = jobs.stream_source(spark, events_dir, events_schema)
+    agg = jobs.tumbling_rollup(stream)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("tumbling_out")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (str(r["w_start"]), r["event_type"]): (r["n"], r["total"])
+        for r in spark.sql("SELECT * FROM tumbling_out").collect()
+    }
+    batch = (
+        spark.read.parquet(events_dir)
+        .groupBy(F.date_trunc("day", "ts").alias("w_start"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("total"),
+        )
+    )
+    want = {
+        (str(r["w_start"]), r["event_type"]): (r["n"], r["total"])
+        for r in batch.collect()
+    }
+    assert got == want
+
+
+def test_session_stream_matches_gap_analysis(spark, events_dir, events_schema, tmp_path):
+    """session_window sessions per user == the Q29 LAG-gap count.
+    A far-future sentinel event pushes the watermark past all real
+    sessions so append mode emits them."""
+    sentinel = spark.createDataFrame(
+        [(999999, "2030-01-01 00:00:00", -1, "x", 0.0, "{}")],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    src_dir = str(tmp_path / "src")
+    spark.read.parquet(events_dir).unionByName(sentinel).write.parquet(src_dir)
+
+    stream = jobs.stream_source(spark, src_dir, events_schema)
+    q = (
+        jobs.session_rollup(stream, gap="30 minutes", watermark="0 seconds")
+        .writeStream.format("memory")
+        .queryName("session_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = (
+        spark.sql("SELECT user_id, COUNT(*) AS n FROM session_out WHERE user_id >= 0 GROUP BY user_id")
+        .collect()
+    )
+    got_map = {r["user_id"]: r["n"] for r in got}
+
+    from data_warehouse_nhom8_spark.plans.queries import q29_session_gap
+
+    want = {r["user_id"]: r["n_sessions"] for r in q29_session_gap(spark, SF_DIR).collect()}
+    assert got_map == want
+
+
+def test_foreachbatch_upsert_two_batches(spark, tmp_path):
+    """Two micro-batch files arriving in sequence; final snapshot ==
+    last-writer-wins state (the D1 contract, streaming face)."""
+    src = tmp_path / "src"
+    snap = str(tmp_path / "snap")
+    schema = "job_id string, salary string, extracted_date date"
+
+    b1 = spark.createDataFrame(
+        [("a", "old", "2025-03-10"), ("b", "keep", "2025-03-10")],
+        "job_id string, salary string, extracted_date string",
+    ).withColumn("extracted_date", F.col("extracted_date").cast("date"))
+    b1.write.parquet(str(src / "f1"))
+
+    stream = jobs.stream_source(spark, str(src / "*"), b1.schema)
+    writer = jobs.upsert_sink(
+        stream, snap, keys=["job_id"], order_by_cols=["extracted_date"],
+        checkpoint=str(tmp_path / "ck"),
+    )
+    jobs.run_available_now(writer)
+    got1 = {r["job_id"]: r["salary"] for r in spark.read.parquet(snap).collect()}
+    assert got1 == {"a": "old", "b": "keep"}
+
+    b2 = spark.createDataFrame(
+        [("a", "new", "2025-03-11"), ("c", "fresh", "2025-03-11")],
+        "job_id string, salary string, extracted_date string",
+    ).withColumn("extracted_date", F.col("extracted_date").cast("date"))
+    b2.write.parquet(str(src / "f2"))
+
+    stream = jobs.stream_source(spark, str(src / "*"), b1.schema)
+    writer = jobs.upsert_sink(
+        stream, snap, keys=["job_id"], order_by_cols=["extracted_date"],
+        checkpoint=str(tmp_path / "ck"),  # same checkpoint: only f2 is new
+    )
+    jobs.run_available_now(writer)
+    got2 = {r["job_id"]: r["salary"] for r in spark.read.parquet(snap).collect()}
+    assert got2 == {"a": "new", "b": "keep", "c": "fresh"}
