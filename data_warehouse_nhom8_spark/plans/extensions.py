@@ -88,9 +88,9 @@ def q38_minhash_neardup_noracle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2: MinHash+LSH near-dup pairs (recall tested vs brute-force
     Jaccard in pytest)."""
     c = Catalog(spark, sf_dir)
-    return neardup.minhash_neardup_pairs(c.documents, threshold=0.5).orderBy(
-        "id_a", "id_b"
-    )
+    return neardup.minhash_neardup_pairs(
+        c.documents, threshold=0.8, bands=8, shingle_w=5
+    ).orderBy("id_a", "id_b")
 
 
 def q39_simhash_neardup_noracle(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -25,6 +25,24 @@ from pyspark.sql import SparkSession
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def auto_shuffle_partitions(data_dir: str, target_partition_bytes: int = 64 << 20,
+                            floor: int = 8, ceiling: int = 4096) -> int:
+    """Data-driven shuffle-partition sizing: ~one partition per 64 MB
+    of input, clamped to [floor, ceiling]. At sf0.1 (~60 MB) this is
+    `floor`; at 100 TB it saturates `ceiling` and AQE coalesces
+    per-stage. The wrong constant in either direction is the classic
+    Spark perf bug (200 tasks over 50 MB, or 200 tasks over 100 TB).
+    """
+    total = 0
+    for root, _dirs, files in os.walk(data_dir):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return max(floor, min(ceiling, total // target_partition_bytes or floor))
+
+
 def get_spark(
     app_name: str = "data_warehouse_nhom8_spark",
     master: str | None = None,

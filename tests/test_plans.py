@@ -1,0 +1,73 @@
+"""Physical-plan regression gates: the optimizations the 100 TB
+story depends on must stay in the plan (SURVEY.md §4)."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_warehouse_nhom8_spark.plans import QUERIES
+from tests.conftest import SF_DIR
+
+
+def plan_of(spark, name: str) -> str:
+    return QUERIES[name](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_to_scan(spark):
+    p = plan_of(spark, "q01_scan_filter_sort")
+    assert "PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,F)]" in p
+
+
+def test_column_pruning(spark):
+    p = plan_of(spark, "q01_scan_filter_sort")
+    assert (
+        "ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint,"
+        "o_orderstatus:string,o_totalprice:double>" in p
+    ), "scan must read only the projected columns"
+
+
+def test_like_prefix_pushdown(spark):
+    assert "StringStartsWith(p_brand,Brand#1)" in plan_of(spark, "q05_like_prefix")
+
+
+def test_dimension_joins_broadcast(spark):
+    p = plan_of(spark, "q08_broadcast_dim_chain")
+    assert p.count("BroadcastHashJoin") == 2, "nation+region must broadcast, never shuffle the fact"
+
+
+def test_topk_is_take_ordered(spark):
+    assert "TakeOrderedAndProject" in plan_of(spark, "q19_topk"), (
+        "ORDER BY+LIMIT must not materialize a global sort"
+    )
+
+
+def test_aggregates_are_partial(spark):
+    assert "partial_count" in plan_of(spark, "q13_single_key_agg"), (
+        "map-side combine must run before the shuffle"
+    )
+
+
+def test_anti_semi_join_types(spark):
+    assert "LeftAnti" in plan_of(spark, "q10_anti_join")
+    assert "LeftSemi" in plan_of(spark, "q11_semi_join")
+
+
+def test_whole_stage_codegen_everywhere(spark):
+    """`*(n)` marks whole-stage-codegen spans; AQE plans only show the
+    final plan after execution, so run the query first."""
+    for q in ("q15_conditional_agg", "q20_string_functions", "q24_regex_extract"):
+        df = QUERIES[q](spark, SF_DIR)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "*(" in plan, f"{q}: no codegen span in\n{plan[:500]}"
+
+
+def test_no_python_udfs_in_declared_queries(spark):
+    """Everything oracle-checked must stay JVM-side (q42's mapInPandas
+    is the sanctioned Arrow path for multimodal, excluded here)."""
+    from data_warehouse_nhom8_spark.plans import ORACLES
+
+    for name in ORACLES:
+        if name == "q42_multimodal_features":
+            continue
+        assert "EvalPython" not in plan_of(spark, name), name
