@@ -1,0 +1,115 @@
+"""Extract layer: connector contract + multi-source ingest runner
+(SURVEY.md §2a S1/S2, §2f U1/U2, §3.1).
+
+The reference's extract is a Selenium scraper per job board writing
+partitioned CSVs and ledger rows (reference extract/topcv_scraper_v5.py,
+jobsgo_scraper_v1.py), orchestrated by a master runner that skips
+already-succeeded sources and merges the day's CSVs
+(run_all_scrapers.sh:22-44,100-133). Scraping itself is external
+ingestion, not a query operator — here it is a Connector protocol: any
+callable returning the day's rows under the 14-column bronze contract
+(RAW_JOBS_CSV; JobsGo's extra job_type column is already part of it —
+schema evolution by projection, SURVEY §1).
+
+The engine replaces the shell CSV concat with the multi-file scan
+(U1 = implicit union of the partition directory), and the
+skip-if-done complement with the ledger's left-anti `runnable` (U2).
+"""
+
+from __future__ import annotations
+
+import datetime
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_warehouse_nhom8_spark import schemas
+from data_warehouse_nhom8_spark.pipeline.ledger import RunLedger
+from data_warehouse_nhom8_spark.sources import (
+    read_partitioned_csv,
+    write_partitioned_csv,
+)
+
+# A connector yields plain dict rows for (source_id, date) — the shape
+# the reference's scrape_with_pagination produces (topcv_scraper_v5.py:61-142).
+Connector = Callable[[str, datetime.date], Sequence[dict]]
+
+
+def ingest_source(
+    spark: SparkSession,
+    connector: Connector,
+    source_id: str,
+    run_date: datetime.date,
+    bronze_path: str,
+    ledger: RunLedger | None = None,
+) -> int:
+    """One source, one day: connector rows → validity filter →
+    13/14-col projection → partitioned CSV append + ledger close.
+    Returns rows written. (The B4..B8 lifecycle of SURVEY §3.1.)"""
+    start = datetime.datetime.now()
+    log_id = ledger.open_run(f"extract_{source_id}", run_date) if ledger else None
+    try:
+        rows = connector(source_id, run_date)
+        cols = [f.name for f in schemas.RAW_JOBS_CSV.fields]
+        normalized = [{c: r.get(c) for c in cols} for r in rows]
+        df = spark.createDataFrame(normalized, schemas.RAW_JOBS_CSV)
+        df = df.filter(
+            F.col("job_id").isNotNull() & (F.trim("job_id") != "")
+            & F.col("job_title").isNotNull() & (F.trim("job_title") != "")
+        ).withColumn("source", F.lit(source_id)).withColumn(
+            "date", F.lit(run_date.isoformat())
+        )
+        n = df.count()
+        write_partitioned_csv(df, bronze_path)
+        if ledger:
+            ledger.close_run(
+                log_id, f"extract_{source_id}", run_date, "Success",
+                rows_processed=n, file_path=bronze_path, start_time=start,
+            )
+        return n
+    except Exception as e:
+        if ledger:
+            ledger.close_run(
+                log_id, f"extract_{source_id}", run_date, "Failed",
+                error_message=str(e)[:500], start_time=start,
+            )
+        raise
+
+
+def run_all_sources(
+    spark: SparkSession,
+    connectors: dict[str, Connector],
+    run_date: datetime.date,
+    bronze_path: str,
+    ledger: RunLedger,
+) -> dict[str, int]:
+    """The master runner (run_all_scrapers.sh): enabled sources minus
+    already-succeeded-today (U2 left-anti via the ledger), each
+    ingested independently; failures don't stop later sources."""
+    enabled = spark.createDataFrame(
+        [(f"extract_{s}",) for s in connectors], "process string"
+    )
+    todo = {
+        r["process"].removeprefix("extract_")
+        for r in ledger.runnable(enabled, run_date).collect()
+    }
+    results: dict[str, int] = {}
+    for source_id, conn in connectors.items():
+        if source_id not in todo:
+            continue
+        try:
+            results[source_id] = ingest_source(
+                spark, conn, source_id, run_date, bronze_path, ledger
+            )
+        except Exception:
+            results[source_id] = -1
+    return results
+
+
+def read_day(spark: SparkSession, bronze_path: str, run_date: datetime.date) -> DataFrame:
+    """The day's merged bronze rows — U1 as a partition-pruned
+    multi-file scan (replaces the shell header+tail concat)."""
+    return read_partitioned_csv(
+        spark, bronze_path, schemas.RAW_JOBS_CSV, date=run_date.isoformat()
+    )

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import datetime
 import os
-import uuid
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -42,8 +42,13 @@ class RunLedger:
         df.write.mode("append").parquet(self.path)
 
     def open_run(self, process: str, run_date: datetime.date) -> int:
-        """Insert a Running row; returns its log_id."""
-        log_id = uuid.uuid4().int % (1 << 62)
+        """Insert a Running row; returns its log_id.
+
+        log_id is a nanosecond timestamp: MONOTONIC across runs, like
+        the reference's AUTO_INCREMENT — latest_status orders by it,
+        so a random id would let an old Failed row outrank a newer
+        Success (found by end-to-end drive; don't regress this)."""
+        log_id = time.time_ns()
         self._append(
             [
                 {

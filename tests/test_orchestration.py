@@ -1,0 +1,185 @@
+"""Orchestration contracts: XML config, retry-until-ledger-success,
+PID locks, multi-source ingest with skip-if-done (SURVEY §3.1)."""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+import pytest
+
+from data_warehouse_nhom8_spark.pipeline.config import RetryPolicy, load_config
+from data_warehouse_nhom8_spark.pipeline.extract import (
+    ingest_source,
+    read_day,
+    run_all_sources,
+)
+from data_warehouse_nhom8_spark.pipeline.ledger import RunLedger
+from data_warehouse_nhom8_spark.pipeline.orchestrator import (
+    LockHeld,
+    ProcessLock,
+    run_with_retry,
+)
+
+D = datetime.date(2025, 3, 10)
+
+SAMPLE_XML = """<?xml version="1.0" encoding="UTF-8"?>
+<configuration>
+  <paths>
+    <bronze>/tmp/dw/bronze</bronze>
+    <ledger>/tmp/dw/ledger</ledger>
+  </paths>
+  <extract>
+    <retry><max_attempts>5</max_attempts><retry_interval>60</retry_interval></retry>
+  </extract>
+  <settings><truncateBeforeInsert>false</truncateBeforeInsert></settings>
+  <aggregates>
+    <table><name>agg_job_by_company</name><source>job</source>
+      <groupBy>company_name</groupBy>
+      <metrics><metric>COUNT(*) AS total_jobs</metric></metrics></table>
+    <table><name>agg_job_by_city</name><source>job</source>
+      <groupBy>location</groupBy>
+      <metrics><metric>COUNT(*) AS n</metric></metrics></table>
+  </aggregates>
+</configuration>
+"""
+
+
+def test_config_loader(tmp_path):
+    p = tmp_path / "config.xml"
+    p.write_text(SAMPLE_XML)
+    cfg = load_config(str(p))
+    assert cfg.bronze_path == "/tmp/dw/bronze"
+    assert cfg.ledger_path == "/tmp/dw/ledger"
+    assert cfg.staging_path == "data/staging"  # default
+    assert cfg.retry == RetryPolicy(5, 60)
+    assert not cfg.truncate_before_insert
+    assert [a.table_name for a in cfg.aggregates] == ["agg_job_by_company", "agg_job_by_city"]
+    assert cfg.aggregates[1].count_alias == "n"
+
+
+def test_retry_until_ledger_success(spark, tmp_path):
+    led = RunLedger(spark, str(tmp_path / "ledger"))
+    attempts = []
+
+    def flaky_job():
+        attempts.append(1)
+        lid = led.open_run("p", D)
+        if len(attempts) < 3:
+            led.close_run(lid, "p", D, "Failed", error_message="boom")
+        else:
+            led.close_run(lid, "p", D, "Success")
+
+    waits = []
+    ok = run_with_retry(flaky_job, led, "p", D, RetryPolicy(3, 900), sleeper=waits.append)
+    assert ok and len(attempts) == 3
+    assert waits == [900, 900]  # slept between attempts, not after success
+
+
+def test_retry_exhausted(spark, tmp_path):
+    led = RunLedger(spark, str(tmp_path / "ledger"))
+
+    def always_fails():
+        lid = led.open_run("p", D)
+        led.close_run(lid, "p", D, "Failed", error_message="nope")
+
+    ok = run_with_retry(always_fails, led, "p", D, RetryPolicy(2, 1), sleeper=lambda s: None)
+    assert not ok
+
+
+def test_retry_ignores_exception_trusts_ledger(spark, tmp_path):
+    """A job that raises but wrote Success is a success — DB-status
+    detection, not exit codes (run_topcv_scraper_with_retry.sh:186-196)."""
+    led = RunLedger(spark, str(tmp_path / "ledger"))
+
+    def weird_job():
+        lid = led.open_run("p", D)
+        led.close_run(lid, "p", D, "Success")
+        raise RuntimeError("crashed after committing")
+
+    ok = run_with_retry(weird_job, led, "p", D, RetryPolicy(3, 1), sleeper=lambda s: None)
+    assert ok
+
+
+def test_latest_status_failed_then_success(spark, tmp_path):
+    """A retry Success must outrank the earlier Failed row in
+    latest_status (log_id must be monotonic — regression for the
+    random-uuid ordering bug)."""
+    led = RunLedger(spark, str(tmp_path / "ledger"))
+    lid = led.open_run("p", D)
+    led.close_run(lid, "p", D, "Failed", error_message="first try")
+    lid2 = led.open_run("p", D)
+    led.close_run(lid2, "p", D, "Success", rows_processed=7)
+    latest = led.latest_status().filter("process = 'p'").collect()
+    assert len(latest) == 1
+    assert latest[0]["status"] == "Success" and latest[0]["rows_processed"] == 7
+
+
+def test_lock_liveness(tmp_path):
+    lock = ProcessLock(str(tmp_path), "p")
+    with lock:
+        other = ProcessLock(str(tmp_path), "p")
+        with pytest.raises(LockHeld):
+            other.acquire()
+    # stale lock (dead pid) is broken
+    (tmp_path / "p.lock").write_text("999999999")
+    lock2 = ProcessLock(str(tmp_path), "p")
+    lock2.acquire()
+    lock2.release()
+
+
+def fake_rows(n, source_id, d, start=0):
+    return [
+        {
+            "source_id": source_id,
+            "job_id": f"{source_id}-{i}",
+            "job_title": f"Role {i}",
+            "company_name": "ACME",
+            "salary": "10 - 15 triệu",
+            "location": "HN",
+            "experience_required": "",
+            "job_type": "",
+            "posted_time": "hôm qua",
+            "tags": "",
+            "job_url": f"https://x/{source_id}/{i}",
+            "company_logo": "",
+            "extracted_date": d.isoformat(),
+            "extracted_timestamp": f"{d} 02:00:00",
+        }
+        for i in range(start, start + n)
+    ]
+
+
+def test_ingest_and_run_all_with_skip(spark, tmp_path):
+    bronze = str(tmp_path / "bronze")
+    led = RunLedger(spark, str(tmp_path / "ledger"))
+
+    calls = []
+
+    def conn_a(source_id, d):
+        calls.append(source_id)
+        return fake_rows(3, source_id, d)
+
+    def conn_b(source_id, d):
+        calls.append(source_id)
+        raise RuntimeError("scrape blew up")
+
+    res = run_all_sources(spark, {"topcv_jobs": conn_a, "jobsgo_jobs": conn_b}, D, bronze, led)
+    assert res == {"topcv_jobs": 3, "jobsgo_jobs": -1}
+    assert led.is_done("extract_topcv_jobs", D)
+    assert not led.is_done("extract_jobsgo_jobs", D)
+
+    # second run: topcv skipped (U2 gate), jobsgo retried and fixed
+    def conn_b_fixed(source_id, d):
+        calls.append(source_id)
+        return fake_rows(2, source_id, d)
+
+    res2 = run_all_sources(
+        spark, {"topcv_jobs": conn_a, "jobsgo_jobs": conn_b_fixed}, D, bronze, led
+    )
+    assert res2 == {"jobsgo_jobs": 2}
+    assert calls.count("topcv_jobs") == 1  # never re-scraped
+
+    merged = read_day(spark, bronze, D)
+    assert merged.count() == 5  # U1: multi-file scan merges both sources
+    assert merged.filter("job_id = 'topcv_jobs-0'").count() == 1

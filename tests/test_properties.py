@@ -1,0 +1,192 @@
+"""Property-based checks (SURVEY §5): the column-expression parsers
+against a pure-Python executable spec, and upsert/SCD2 under random
+replays. Spark evaluation is batched — one DataFrame per example —
+and example counts kept small (each example is a Spark job)."""
+
+from __future__ import annotations
+
+import datetime
+import re
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from data_warehouse_nhom8_spark.functions.cleaning import (
+    clean_salary_cols,
+    posted_date_col,
+)
+from data_warehouse_nhom8_spark.operators.dedup import upsert_last_writer_wins
+from data_warehouse_nhom8_spark.operators.scd2 import (
+    scd2_invariant_violations,
+    scd2_merge,
+)
+
+M = 1_000_000
+
+
+# ------------------------------------------------------ executable specs
+
+def salary_spec(s: str | None) -> tuple[int | None, int | None]:
+    """Pure-Python spec of the clean_salary contract (docstring of
+    functions/cleaning.py)."""
+    if s is None:
+        return None, None
+    txt = re.sub(r"[,\.]", "", s.strip()).lower()
+    if txt == "":
+        return None, None
+    nums = re.findall(r"\d+", txt)
+    if "thỏa thuận" in txt or "thoả thuận" in txt:
+        return 0, 0
+    if ("tới" in txt or "đến" in txt) and nums:
+        return 0, int(nums[0]) * M
+    if "trên" in txt and nums:
+        return int(nums[0]) * M, 0
+    if len(nums) >= 2:
+        return int(nums[0]) * M, int(nums[1]) * M
+    if len(nums) == 1:
+        return int(nums[0]) * M, int(nums[0]) * M
+    return None, None
+
+
+def posted_spec(p: str | None, d: datetime.date) -> datetime.date | None:
+    if p is None:
+        return None
+    txt = p.strip().lower()
+    if txt == "":
+        return None
+    nums = re.findall(r"\d+", txt)
+    n = int(nums[0]) if nums else 0
+    if "hôm qua" in txt:
+        return d - datetime.timedelta(days=1)
+    if "ngày trước" in txt:
+        return d - datetime.timedelta(days=n)
+    if "tuần trước" in txt:
+        return d - datetime.timedelta(days=7 * n)
+    if "hôm nay" in txt or "vừa xong" in txt or "mới đăng" in txt:
+        return d
+    return None
+
+
+# ------------------------------------------------------------- strategies
+
+salary_texts = st.one_of(
+    st.just("Thỏa thuận"),
+    st.builds(lambda n: f"Tới {n} triệu", st.integers(1, 999)),
+    st.builds(lambda n: f"Trên {n} triệu", st.integers(1, 999)),
+    st.builds(lambda a, b: f"{a} - {b} triệu", st.integers(1, 500), st.integers(1, 500)),
+    st.builds(lambda a, b: f"{a:,} - {b:,} USD", st.integers(100, 9999), st.integers(100, 9999)),
+    st.builds(lambda n: f"{n} triệu", st.integers(1, 99)),
+    st.text(alphabet="abc 0123456789-", max_size=20),
+    st.just(""),
+    st.none(),
+)
+
+posted_texts = st.one_of(
+    st.just("hôm qua"),
+    st.just("Hôm nay"),
+    st.builds(lambda n: f"{n} ngày trước", st.integers(0, 60)),
+    st.builds(lambda n: f"{n} tuần trước", st.integers(0, 10)),
+    st.text(alphabet="xyz 12", max_size=10),
+    st.none(),
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(salary_texts, min_size=1, max_size=40))
+def test_salary_parser_matches_spec(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id int, salary string"
+    )
+    smin, smax = clean_salary_cols("salary")
+    got = {
+        r["id"]: (r["lo"], r["hi"])
+        for r in df.select("id", smin.alias("lo"), smax.alias("hi")).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == salary_spec(t), f"{t!r}: {got[i]} != {salary_spec(t)}"
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(posted_texts, min_size=1, max_size=40),
+       st.dates(datetime.date(2024, 1, 1), datetime.date(2026, 1, 1)))
+def test_posted_date_matches_spec(spark, texts, d):
+    df = spark.createDataFrame(
+        [(i, t, d.isoformat()) for i, t in enumerate(texts)],
+        "id int, posted string, extracted string",
+    )
+    got = {
+        r["id"]: r["pd"]
+        for r in df.select("id", posted_date_col("posted", "extracted").alias("pd")).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == posted_spec(t, d), f"{t!r} @ {d}: {got[i]} != {posted_spec(t, d)}"
+
+
+# --------------------------------------------------------- merge replays
+
+kv_batches = st.lists(
+    st.lists(
+        st.tuples(st.sampled_from("abcde"), st.integers(0, 100)),
+        min_size=1, max_size=6,
+    ),
+    min_size=1, max_size=4,
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(kv_batches)
+def test_upsert_replay_equals_last_writer(spark, batches):
+    """Applying batches sequentially through the merge must leave, for
+    every key, the value of its last occurrence (batch order, then
+    within-batch seq order)."""
+    snap = None
+    expected: dict[str, int] = {}
+    for bi, batch in enumerate(batches):
+        rows = [(k, v, bi * 1000 + si) for si, (k, v) in enumerate(batch)]
+        inc = spark.createDataFrame(rows, "k string, v int, seq int")
+        snap = upsert_last_writer_wins(snap, inc, ["k"], [F.desc("seq")])
+        for si, (k, v) in enumerate(batch):
+            expected[k] = v  # later within batch wins, later batch wins
+    got = {r["k"]: r["v"] for r in snap.collect()}
+    assert got == expected
+
+
+scd2_days = st.lists(
+    st.lists(
+        st.tuples(st.sampled_from("abc"), st.sampled_from(["x", "y", None])),
+        min_size=1, max_size=3, unique_by=lambda t: t[0],
+    ),
+    min_size=1, max_size=3,
+)
+
+
+def _rowset(df):
+    return sorted(df.collect(), key=lambda r: tuple(map(repr, r)))
+
+
+@settings(max_examples=4, deadline=None)
+@given(scd2_days)
+def test_scd2_random_replays_keep_invariants(spark, days):
+    """Random day-sequences of (key, attr) loads: after every merge —
+    exactly one current row per key ever loaded, and re-merging the
+    same day is a no-op."""
+    snap = None
+    seen: set[str] = set()
+    for di, day_rows in enumerate(days):
+        d = (datetime.date(2025, 1, 1) + datetime.timedelta(days=di)).isoformat()
+        inc = spark.createDataFrame(
+            [(k, f"T{k}", v, d) for k, v in day_rows],
+            "job_id string, job_title string, salary string, extracted_date string",
+        ).withColumn("extracted_date", F.col("extracted_date").cast("date"))
+        merged = scd2_merge(snap, inc, ["job_title"], ["salary"], d)
+        # materialize: keeps the iterated plan shallow (as a real run's
+        # write/read cycle would)
+        rows = merged.collect()
+        snap = spark.createDataFrame(rows, merged.schema)
+        seen |= {k for k, _ in day_rows}
+        assert scd2_invariant_violations(snap, ["job_title"]).count() == 0
+        live = snap.filter(F.col("expired") == F.lit("9999-12-31").cast("date"))
+        assert live.count() == len(seen)
+        # rerun same day: identical snapshot
+        again = scd2_merge(snap, inc, ["job_title"], ["salary"], d)
+        assert _rowset(again) == sorted(rows, key=lambda r: tuple(map(repr, r)))
