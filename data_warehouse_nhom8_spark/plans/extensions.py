@@ -140,6 +140,22 @@ def q42_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q43_approx_distinct_noracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 scale twin: approx_count_distinct (HLL, constant memory)
+    beside the exact COUNT(DISTINCT) — at 100 TB the exact form
+    shuffles every distinct key, the sketch ships ~1.5KB per group.
+    Error bound asserted against the exact column in pytest."""
+    c = Catalog(spark, sf_dir)
+    return (
+        c.events.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("exact_users"),
+            F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
 EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q33_exact_dedup_docs": q33_exact_dedup_docs,
     "q34_token_counts": q34_token_counts,
@@ -151,6 +167,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q40_cosine_topk_noracle": q40_cosine_topk_noracle,
     "q41_embedding_neardup_noracle": q41_embedding_neardup_noracle,
     "q42_multimodal_features": q42_multimodal_features,
+    "q43_approx_distinct_noracle": q43_approx_distinct_noracle,
 }
 
 EXTENSION_ORACLES: dict[str, str] = {

@@ -23,9 +23,16 @@ TABLES = (
 
 @pytest.fixture(scope="session")
 def spark():
+    import tempfile
+
     from data_warehouse_nhom8_spark.session import get_spark
 
-    s = get_spark("tests", master="local[8]", shuffle_partitions=8)
+    s = get_spark(
+        "tests",
+        master="local[8]",
+        shuffle_partitions=8,
+        extra_conf={"spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="spark-wh-")},
+    )
     yield s
 
 
