@@ -68,6 +68,24 @@ def build_all_shared_scan(fact: DataFrame, specs: tuple[AggSpec, ...] = DEFAULT_
     return out
 
 
+def serve_datamart(spark, out_dir: str, specs: tuple[AggSpec, ...] = DEFAULT_SPECS) -> dict:
+    """Serving read path (S12): the reference's Flask dashboard reads
+    each agg table and renders bar charts (datamart/app.py:36-66). The
+    engine serves the same shape — one small pandas frame per table —
+    for whatever viz layer sits on top."""
+    out = {}
+    for s in specs:
+        try:
+            out[s.table_name] = (
+                spark.read.parquet(f"{out_dir}/{s.table_name}")
+                .orderBy(F.desc(s.count_alias))
+                .toPandas()
+            )
+        except Exception:
+            out[s.table_name] = None  # table not built yet
+    return out
+
+
 def rebuild_datamart(
     fact: DataFrame,
     out_dir: str,

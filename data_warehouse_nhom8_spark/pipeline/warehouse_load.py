@@ -7,7 +7,13 @@ the ledger (reference loadtowh/LoadToWH.java, load_to_wh.sh).
 Engine: no dump/ship (shared storage); one driver function —
 ledger gate → filter the day's increment (the `--where DATE(...)`
 filter, here partition pruning) → SCD2 merge → snapshot overwrite →
-observe counts into the ledger.
+observed counts into the ledger.
+
+A5 row-count side-outputs: the reference sums ROW_COUNT() after its
+UPDATE and INSERT branches into load_to_wh_log (load_to_wh.sh:97-103).
+The engine's twin is `merge_metrics`: per-branch counts (expired /
+inserted / carried) computed from the merged snapshot in ONE aggregate
+pass — no extra scan per metric.
 """
 
 from __future__ import annotations
@@ -17,7 +23,7 @@ import datetime
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from data_warehouse_nhom8_spark.operators.scd2 import scd2_merge
+from data_warehouse_nhom8_spark.operators.scd2 import CURRENT_SENTINEL, scd2_merge
 from data_warehouse_nhom8_spark.pipeline.ledger import RunLedger
 
 SCD2_NATURAL_KEYS = ("job_title", "company_name")  # load_to_wh.sh:66-67
@@ -57,12 +63,29 @@ def load_day_to_warehouse(
         null_safe=null_safe,
     )
     if ledger is not None:
+        m = merge_metrics(snapshot, day)
         ledger.close_run(
             log_id,
             process,
             day,
             "Success",
-            rows_processed=inc.count(),
+            rows_processed=m["expired_today"] + m["inserted_today"],
             start_time=start,
         )
     return snapshot
+
+
+def merge_metrics(snapshot: DataFrame, day: datetime.date) -> dict[str, int]:
+    """The ROW_COUNT() accounting (A5): how many rows this day's merge
+    expired vs inserted, plus the live total — one aggregate pass."""
+    sentinel = F.lit(CURRENT_SENTINEL).cast("date")
+    row = snapshot.agg(
+        F.sum(F.when(F.col("expired") == F.lit(day), 1).otherwise(0)).alias("expired_today"),
+        F.sum(
+            F.when(
+                (F.col("extracted_date") == F.lit(day)) & (F.col("expired") == sentinel), 1
+            ).otherwise(0)
+        ).alias("inserted_today"),
+        F.sum(F.when(F.col("expired") == sentinel, 1).otherwise(0)).alias("live_total"),
+    ).collect()[0]
+    return {k: int(row[k] or 0) for k in ("expired_today", "inserted_today", "live_total")}

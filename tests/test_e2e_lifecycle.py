@@ -1,0 +1,92 @@
+"""Full-system lifecycle test: config → connector ingest → staging →
+SCD2 warehouse (two days, with a change) → datamart → serve.
+This is the reference's cron day, end to end, in one Catalyst session
+(SURVEY §3.1-3.3 + datamart)."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from data_warehouse_nhom8_spark import schemas
+from data_warehouse_nhom8_spark.operators.scd2 import scd2_invariant_violations
+from data_warehouse_nhom8_spark.pipeline.datamart import rebuild_datamart, serve_datamart
+from data_warehouse_nhom8_spark.pipeline.date_dim import build_date_dim
+from data_warehouse_nhom8_spark.pipeline.extract import read_day, run_all_sources
+from data_warehouse_nhom8_spark.pipeline.ledger import RunLedger
+from data_warehouse_nhom8_spark.pipeline.staging import transform_raw_jobs, upsert_staging
+from data_warehouse_nhom8_spark.pipeline.warehouse_load import (
+    load_day_to_warehouse,
+    merge_metrics,
+)
+
+D1 = datetime.date(2025, 3, 10)
+D2 = datetime.date(2025, 3, 11)
+
+
+def connector_for(day_rows):
+    def conn(source_id, d):
+        return [
+            {
+                "source_id": source_id,
+                "job_id": jid,
+                "job_title": title,
+                "company_name": comp,
+                "salary": sal,
+                "location": "HN",
+                "experience_required": "2 năm",
+                "job_type": "",
+                "posted_time": "hôm qua",
+                "tags": "",
+                "job_url": f"https://x/{jid}",
+                "company_logo": "",
+                "extracted_date": d.isoformat(),
+                "extracted_timestamp": f"{d} 02:00:00",
+            }
+            for jid, title, comp, sal in day_rows
+        ]
+
+    return conn
+
+
+def test_two_day_lifecycle(spark, tmp_path):
+    bronze = str(tmp_path / "bronze")
+    led = RunLedger(spark, str(tmp_path / "ledger"))
+    dim = build_date_dim(spark, "2025-03-01", "2025-03-31")
+
+    # ---- day 1
+    day1 = [("t1", "Dev", "ACME", "10 - 15 triệu"), ("g1", "QA", "Beta", "Tới 20 triệu")]
+    run_all_sources(spark, {"topcv_jobs": connector_for(day1)}, D1, bronze, led)
+    stg = upsert_staging(None, transform_raw_jobs(read_day(spark, bronze, D1), dim))
+    wh = load_day_to_warehouse(stg, None, D1, ledger=led)
+    wh = spark.createDataFrame(wh.collect(), wh.schema)  # materialize (write/read cycle)
+    m1 = merge_metrics(wh, D1)
+    assert m1 == {"expired_today": 0, "inserted_today": 2, "live_total": 2}
+
+    # ---- day 2: t1 salary changes, t9 is new
+    day2 = [("t1", "Dev", "ACME", "Trên 25 triệu"), ("t9", "Intern", "ACME", "Thỏa thuận")]
+    run_all_sources(spark, {"topcv_jobs": connector_for(day2)}, D2, bronze, led)
+    stg = upsert_staging(stg, transform_raw_jobs(read_day(spark, bronze, D2), dim))
+    wh = load_day_to_warehouse(stg, wh, D2, ledger=led)
+    wh = spark.createDataFrame(wh.collect(), wh.schema)
+    m2 = merge_metrics(wh, D2)
+    assert m2 == {"expired_today": 1, "inserted_today": 2, "live_total": 3}
+    assert scd2_invariant_violations(wh, ["job_title", "company_name"]).count() == 0
+
+    # ledger shows every stage Success
+    statuses = {
+        (r["process"], str(r["run_date"])): r["status"]
+        for r in led.latest_status().collect()
+    }
+    assert statuses[("extract_topcv_jobs", "2025-03-10")] == "Success"
+    assert statuses[("load_to_wh", "2025-03-11")] == "Success"
+
+    # ---- datamart over the live warehouse rows + serve
+    live = wh.filter(F.col("expired") == F.lit("9999-12-31").cast("date"))
+    counts = rebuild_datamart(live, str(tmp_path / "dm"))
+    assert counts["agg_job_by_company"] == 2  # ACME, Beta
+    served = serve_datamart(spark, str(tmp_path / "dm"))
+    pdf = served["agg_job_by_company"]
+    assert list(pdf.columns) == ["company_name", "total_jobs"]
+    assert dict(zip(pdf.company_name, pdf.total_jobs)) == {"ACME": 2, "Beta": 1}

@@ -97,6 +97,25 @@ def test_session_stream_matches_gap_analysis(spark, events_dir, events_schema, t
     assert got_map == want
 
 
+def test_sliding_window_stream(spark, events_dir, events_schema, tmp_path):
+    """Sliding windows: each event lands in window_duration/slide
+    windows; totals across windows = n_events * (window/slide)."""
+    stream = jobs.stream_source(spark, events_dir, events_schema)
+    q = (
+        jobs.sliding_rollup(stream, window="1 hour", slide="15 minutes")
+        .writeStream.format("memory")
+        .queryName("sliding_out")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "cks"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    total = spark.sql("SELECT SUM(n) AS s FROM sliding_out").collect()[0]["s"]
+    n_events = spark.read.parquet(events_dir).count()
+    assert total == n_events * 4  # 1h / 15min = 4 windows per event
+
+
 def test_foreachbatch_upsert_two_batches(spark, tmp_path):
     """Two micro-batch files arriving in sequence; final snapshot ==
     last-writer-wins state (the D1 contract, streaming face)."""
