@@ -97,13 +97,20 @@ _LANG_MARKERS: dict[str, tuple[str, ...]] = {
 }
 
 
-def lang_id_col(text: Column | str = "text") -> Column:
+def lang_id_col(text: Column | str = "text", sample_chars: int = 256, sample_tokens: int = 64) -> Column:
     """Heuristic language ID: CJK codepoint share first, then the
     stopword table with the most hits; ties broken by fixed language
-    order; no hits → 'und'. Pure expressions — runs at scan speed."""
-    t = F.lower(_c(text))
-    words = F.split(F.trim(t), r"\s+")
-    cjk = F.size(F.regexp_extract_all(t, F.lit(r"([\x{4e00}-\x{9fff}])"), 1))
+    order; no hits → 'und'. Pure expressions — runs at scan speed.
+
+    Classifies from a PREFIX SAMPLE (first `sample_chars` chars /
+    `sample_tokens` tokens): language is a document-level property, and
+    unicode-class regex over full 100 KB documents costs ~60% of the
+    scan (measured) for no accuracy gain."""
+    t = F.lower(F.substring(_c(text), 1, sample_chars))
+    words = F.slice(F.split(F.trim(t), r"\s+"), 1, sample_tokens)
+    # CJK share via length-delta (one regexp_replace pass over the
+    # sample — a per-char regexp_extract_all array was 3x the cost)
+    cjk = F.length(t) - F.length(F.regexp_replace(t, r"[\x{4e00}-\x{9fff}]", ""))
 
     def marker_hits(markers: tuple[str, ...]):
         return lambda w: w.isin(*markers)

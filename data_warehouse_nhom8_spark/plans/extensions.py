@@ -140,6 +140,31 @@ def q42_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q44_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 hierarchy generalization: ROLLUP over (returnflag,
+    linestatus) — subtotals + grand total in one Expand pass."""
+    c = Catalog(spark, sf_dir)
+    return (
+        c.lineitem.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("l_returnflag", "l_linestatus", "n")
+    )
+
+
+def q45_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (continuous interpolation) per group — the
+    order-statistics surface; approx twin checked in pytest."""
+    c = Catalog(spark, sf_dir)
+    return (
+        c.orders.groupBy("o_orderstatus")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 2).alias("p90"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 def q43_approx_distinct_noracle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3 scale twin: approx_count_distinct (HLL, constant memory)
     beside the exact COUNT(DISTINCT) — at 100 TB the exact form
@@ -168,6 +193,8 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q41_embedding_neardup_noracle": q41_embedding_neardup_noracle,
     "q42_multimodal_features": q42_multimodal_features,
     "q43_approx_distinct_noracle": q43_approx_distinct_noracle,
+    "q44_rollup": q44_rollup,
+    "q45_percentiles": q45_percentiles,
 }
 
 EXTENSION_ORACLES: dict[str, str] = {
@@ -203,5 +230,16 @@ EXTENSION_ORACLES: dict[str, str] = {
                CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
         FROM documents ORDER BY media_id NULLS FIRST
+    """,
+    "q44_rollup": """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST, n NULLS FIRST
+    """,
+    "q45_percentiles": """
+        SELECT o_orderstatus,
+               ROUND(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+               ROUND(quantile_cont(o_totalprice, 0.9), 2) AS p90
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus NULLS FIRST
     """,
 }

@@ -1,0 +1,76 @@
+"""Salted skew join correctness + the SQL API surface."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_warehouse_nhom8_spark.operators.joins import salted_join
+from data_warehouse_nhom8_spark.sql_api import sql
+from tests.conftest import SF_DIR
+
+
+def _skewed_fixture(spark):
+    # 'hot' carries 80% of rows — the company_name-style hot key
+    big = spark.createDataFrame(
+        [("hot", i) for i in range(400)] + [(f"k{i % 20}", i) for i in range(100)],
+        "key string, v long",
+    )
+    dim = spark.createDataFrame(
+        [("hot", "H")] + [(f"k{i}", f"D{i}") for i in range(20)] + [("orphan", "X")],
+        "key string, label string",
+    )
+    return big, dim
+
+
+def test_salted_join_equals_plain_inner(spark):
+    big, dim = _skewed_fixture(spark)
+    plain = {(r["key"], r["v"], r["label"]) for r in big.join(dim, "key").collect()}
+    salted = {
+        (r["key"], r["v"], r["label"])
+        for r in salted_join(big, dim, "key", n_salts=4).collect()
+    }
+    assert salted == plain
+    assert len(salted) == 500  # every big row matched exactly once
+
+
+def test_salted_join_left(spark):
+    big, dim = _skewed_fixture(spark)
+    no_match = big.unionByName(
+        spark.createDataFrame([("missing", 1)], "key string, v long")
+    )
+    plain = {
+        (r["key"], r["v"], r["label"])
+        for r in no_match.join(dim, "key", "left").collect()
+    }
+    salted = {
+        (r["key"], r["v"], r["label"])
+        for r in salted_join(no_match, dim, "key", n_salts=4, how="left").collect()
+    }
+    assert salted == plain  # unmatched rows kept exactly once with NULL label
+
+
+def test_sql_api(spark):
+    df = sql(
+        spark,
+        SF_DIR,
+        """
+        SELECT c_mktsegment, COUNT(*) AS total
+        FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """,
+    )
+    rows = df.collect()
+    assert sum(r["total"] for r in rows) == sql(spark, SF_DIR, "SELECT * FROM customer").count()
+
+
+def test_sql_api_joins_all_tables(spark):
+    df = sql(
+        spark,
+        SF_DIR,
+        """
+        SELECT r.r_name, COUNT(DISTINCT c.c_custkey) AS n
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+                        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name ORDER BY r.r_name
+        """,
+    )
+    assert df.count() == 5  # all regions represented
