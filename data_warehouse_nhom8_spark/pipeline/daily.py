@@ -1,0 +1,92 @@
+"""The composed daily run — one call per cron day (SURVEY §3).
+
+What the reference spreads over cron + bash wrappers + three processes
+on two servers (extract 02:00 → staging → loadtowh → datamart 08:00),
+the engine runs as one driver function over shared storage: every
+stage ledger-gated, every merge idempotent, so re-running a partially
+failed day continues where it stopped.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from data_warehouse_nhom8_spark import schemas
+from data_warehouse_nhom8_spark.pipeline.config import EngineConfig
+from data_warehouse_nhom8_spark.pipeline.datamart import rebuild_datamart
+from data_warehouse_nhom8_spark.pipeline.date_dim import build_date_dim
+from data_warehouse_nhom8_spark.pipeline.extract import Connector, read_day, run_all_sources
+from data_warehouse_nhom8_spark.pipeline.ledger import RunLedger
+from data_warehouse_nhom8_spark.pipeline.staging import transform_raw_jobs, upsert_staging
+from data_warehouse_nhom8_spark.pipeline.warehouse_load import load_day_to_warehouse
+
+
+def run_daily_pipeline(
+    spark: SparkSession,
+    cfg: EngineConfig,
+    connectors: dict[str, Connector],
+    day: datetime.date,
+    date_dim_range: tuple[str, str] = ("2024-01-01", "2046-01-01"),
+) -> dict:
+    """Extract → staging → warehouse → datamart for one day.
+    Returns per-stage row counts for monitoring."""
+    ledger = RunLedger(spark, cfg.ledger_path)
+    report: dict = {}
+
+    # 1. extract (skip-if-done per source inside)
+    report["extract"] = run_all_sources(spark, connectors, day, cfg.bronze_path, ledger)
+
+    # 2. staging: day's bronze → typed silver → keyed upsert snapshot
+    dim = build_date_dim(spark, *date_dim_range)
+    raw = read_day(spark, cfg.bronze_path, day)
+    silver = transform_raw_jobs(raw, dim)
+    current = (
+        spark.read.schema(schemas.STAGING_JOBS).parquet(cfg.staging_path)
+        if _has_parquet(cfg.staging_path)
+        else None
+    )
+    staged = upsert_staging(current, silver.select(*[f.name for f in schemas.STAGING_JOBS.fields]))
+    _overwrite(staged, cfg.staging_path, schemas.STAGING_JOBS)
+    staging_df = spark.read.schema(schemas.STAGING_JOBS).parquet(cfg.staging_path)
+    report["staging_rows"] = staging_df.count()
+
+    # 3. warehouse SCD2 merge (ledger-gated)
+    warehouse = (
+        spark.read.parquet(cfg.warehouse_path) if _has_parquet(cfg.warehouse_path) else None
+    )
+    merged = load_day_to_warehouse(staging_df, warehouse, day, ledger=ledger)
+    if merged is not warehouse:  # gate may have skipped
+        _overwrite(merged, cfg.warehouse_path)
+    wh = spark.read.parquet(cfg.warehouse_path)
+    report["warehouse_rows"] = wh.count()
+
+    # 4. datamart over live rows
+    live = wh.filter(F.col("expired") == F.lit("9999-12-31").cast("date"))
+    specs = cfg.aggregates or None
+    report["datamart"] = (
+        rebuild_datamart(live, cfg.datamart_path, specs)
+        if specs
+        else rebuild_datamart(live, cfg.datamart_path)
+    )
+    return report
+
+
+def _has_parquet(path: str) -> bool:
+    return os.path.exists(path) and any(
+        f.endswith(".parquet") for f in os.listdir(path)
+    )
+
+
+def _overwrite(df, path: str, schema=None) -> None:
+    """Materialize-then-overwrite: the snapshot being replaced is also
+    the plan's input, so collect before truncating. At scale, write to
+    a versioned directory and swap a pointer (or use a table format);
+    for the local engine the collect is bounded by the snapshot size."""
+    spark = df.sparkSession
+    rows = df.collect()
+    out = spark.createDataFrame(rows, schema or df.schema)
+    out.write.mode("overwrite").parquet(path)

@@ -120,6 +120,67 @@ class RunLedger:
         )
         return n > 0
 
+    def success_rate_view(self) -> DataFrame:
+        """Per-process health rollup — the v_scraper_stats monitoring
+        view shape (reference extract/create_control_db_v5.sql:124-133):
+        conditional success/fail counts, avg rows, last run date."""
+        df = self._read().filter(F.col("status") != "Running")
+        return (
+            df.groupBy("process")
+            .agg(
+                F.count(F.lit(1)).alias("n_runs"),
+                F.sum(F.when(F.col("status") == "Success", 1).otherwise(0)).alias("n_success"),
+                F.sum(F.when(F.col("status") == "Failed", 1).otherwise(0)).alias("n_failed"),
+                F.round(F.avg("rows_processed"), 0).alias("avg_rows"),
+                F.max("run_date").alias("last_run_date"),
+            )
+            .orderBy("process")
+        )
+
+    def daily_summary_view(self) -> DataFrame:
+        """Per-day rollup — the v_daily_summary shape (reference
+        create_control_db_v5.sql:151-161): distinct processes,
+        success/fail counts per run_date."""
+        df = self._read().filter(F.col("status") != "Running")
+        return (
+            df.groupBy("run_date")
+            .agg(
+                F.countDistinct("process").alias("n_processes"),
+                F.sum(F.when(F.col("status") == "Success", 1).otherwise(0)).alias("n_success"),
+                F.sum(F.when(F.col("status") == "Failed", 1).otherwise(0)).alias("n_failed"),
+            )
+            .orderBy(F.desc("run_date"))
+        )
+
+    def recent_failures_view(self, k: int = 5) -> DataFrame:
+        """Last-k failures with truncated messages — the
+        v_recent_errors shape (reference create_control_db_v5.sql:
+        113-121 + check_scraper_status.sh:103-113 SUBSTRING)."""
+        return (
+            self._read()
+            .filter(F.col("status") == "Failed")
+            .select(
+                "process",
+                "run_date",
+                "end_time",
+                F.substring("error_message", 1, 80).alias("error_80"),
+            )
+            .orderBy(F.desc("run_date"), F.desc("end_time"))
+            .limit(k)
+        )
+
+    def prune(self, keep_days: int, today: datetime.date | None = None) -> int:
+        """Retention sweep — the 30-day log cleanup (reference
+        extract/cleanup_old_logs.sh:11): rewrite the ledger keeping
+        only rows newer than `keep_days`. Returns rows kept."""
+        today = today or datetime.date.today()
+        cutoff = today - datetime.timedelta(days=keep_days)
+        kept = self._read().filter(F.col("run_date") >= F.lit(cutoff))
+        rows = kept.collect()
+        df = self.spark.createDataFrame(rows, schemas.RUN_LEDGER)
+        df.write.mode("overwrite").parquet(self.path)
+        return len(rows)
+
     def runnable(self, enabled: DataFrame, run_date: datetime.date) -> DataFrame:
         """U2: enabled processes minus already-succeeded-today
         (reference run_all_scrapers.sh:22-44) as a left-anti join.

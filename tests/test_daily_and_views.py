@@ -1,0 +1,89 @@
+"""Composed daily pipeline + ledger monitoring views + retention."""
+
+from __future__ import annotations
+
+import datetime
+
+from data_warehouse_nhom8_spark.pipeline.config import EngineConfig
+from data_warehouse_nhom8_spark.pipeline.daily import run_daily_pipeline
+from data_warehouse_nhom8_spark.pipeline.ledger import RunLedger
+
+D1, D2 = datetime.date(2025, 3, 10), datetime.date(2025, 3, 11)
+
+
+def mk_connector(rows_by_day):
+    def conn(source_id, d):
+        return [
+            {
+                "source_id": source_id, "job_id": jid, "job_title": title,
+                "company_name": comp, "salary": sal, "location": "HN",
+                "experience_required": "", "job_type": "", "posted_time": "hôm qua",
+                "tags": "", "job_url": f"https://x/{jid}", "company_logo": "",
+                "extracted_date": d.isoformat(), "extracted_timestamp": "",
+            }
+            for jid, title, comp, sal in rows_by_day[d]
+        ]
+
+    return conn
+
+
+def test_run_daily_pipeline_two_days(spark, tmp_path):
+    cfg = EngineConfig(
+        bronze_path=str(tmp_path / "bronze"),
+        staging_path=str(tmp_path / "staging"),
+        warehouse_path=str(tmp_path / "warehouse"),
+        datamart_path=str(tmp_path / "dm"),
+        ledger_path=str(tmp_path / "ledger"),
+    )
+    rows = {
+        D1: [("t1", "Dev", "ACME", "10 - 15 triệu"), ("g1", "QA", "Beta", "Tới 20 triệu")],
+        D2: [("t1", "Dev", "ACME", "Trên 25 triệu"), ("t9", "Intern", "ACME", "Thỏa thuận")],
+    }
+    conns = {"topcv_jobs": mk_connector(rows)}
+
+    r1 = run_daily_pipeline(spark, cfg, conns, D1)
+    assert r1["extract"] == {"topcv_jobs": 2}
+    assert r1["staging_rows"] == 2 and r1["warehouse_rows"] == 2
+
+    r2 = run_daily_pipeline(spark, cfg, conns, D2)
+    assert r2["extract"] == {"topcv_jobs": 2}
+    assert r2["staging_rows"] == 3          # t1 updated, t9 new, g1 kept
+    assert r2["warehouse_rows"] == 4        # + expired t1 version
+    assert r2["datamart"]["agg_job_by_company"] == 2
+
+    # rerun day 2: extract + warehouse both gate on the ledger; state unchanged
+    r3 = run_daily_pipeline(spark, cfg, conns, D2)
+    assert r3["extract"] == {}              # skip-if-done
+    assert r3["warehouse_rows"] == 4
+
+
+def test_ledger_views_and_prune(spark, tmp_path):
+    led = RunLedger(spark, str(tmp_path / "ledger"))
+    for d, status, msg in [
+        (D1, "Failed", "timeout talking to site"),
+        (D1, "Success", None),
+        (D2, "Success", None),
+    ]:
+        lid = led.open_run("extract_topcv", d)
+        led.close_run(lid, "extract_topcv", d, status, rows_processed=10, error_message=msg)
+    lid = led.open_run("loadwh", D2)
+    led.close_run(lid, "loadwh", D2, "Failed", error_message="x" * 200)
+
+    rates = {r["process"]: r for r in led.success_rate_view().collect()}
+    assert rates["extract_topcv"]["n_success"] == 2
+    assert rates["extract_topcv"]["n_failed"] == 1
+    assert rates["loadwh"]["n_failed"] == 1
+
+    daily = {str(r["run_date"]): r for r in led.daily_summary_view().collect()}
+    assert daily["2025-03-11"]["n_processes"] == 2
+    assert daily["2025-03-10"]["n_success"] == 1 and daily["2025-03-10"]["n_failed"] == 1
+
+    fails = led.recent_failures_view(5).collect()
+    assert len(fails) == 2
+    assert all(len(r["error_80"] or "") <= 80 for r in fails)  # W5 truncation
+
+    # retention: keep 0 days relative to D2 → only D2 rows survive
+    kept = led.prune(keep_days=0, today=D2)
+    assert kept == 4  # D2 open+close rows for both processes
+    assert not led.is_done("extract_topcv", D1)
+    assert led.is_done("extract_topcv", D2)
