@@ -52,21 +52,24 @@ def clean_salary_cols(salary: Column | str) -> tuple[Column, Column]:
     is_upto = txt.contains("tới") | txt.contains("đến")
     is_above = txt.contains("trên")
 
+    # Two numbers always mean a range — "10 đến 15 triệu" is a range
+    # even though "đến" alone (with one number) marks an up-to bound,
+    # so the range branch must precede the up-to branch.
     salary_min = (
         F.when(s.isNull() | (txt == ""), F.lit(None).cast("long"))
         .when(is_negotiable, F.lit(0))
+        .when(has1, n0 * MILLION)
         .when(is_upto & has0, F.lit(0))
         .when(is_above & has0, n0 * MILLION)
-        .when(has1, n0 * MILLION)
         .when(has0, n0 * MILLION)
         .otherwise(F.lit(None).cast("long"))
     )
     salary_max = (
         F.when(s.isNull() | (txt == ""), F.lit(None).cast("long"))
         .when(is_negotiable, F.lit(0))
+        .when(has1, n1 * MILLION)
         .when(is_upto & has0, n0 * MILLION)
         .when(is_above & has0, F.lit(0))
-        .when(has1, n1 * MILLION)
         .when(has0, n0 * MILLION)
         .otherwise(F.lit(None).cast("long"))
     )

@@ -67,8 +67,14 @@ def scd2_merge(
 
     # Dedup the increment on the natural key (one version per key per
     # load — the reference's daily dump has the same property via the
-    # staging UNIQUE key).
-    inc = with_norm(incoming).dropDuplicates(nk)
+    # staging UNIQUE key). Deterministic winner: rank-1 under a total
+    # order over every column — dropDuplicates keeps an arbitrary row,
+    # which would break the rerun-identical contract below.
+    from data_warehouse_nhom8_spark.operators.windows import latest_per_key
+
+    inc_n = with_norm(incoming)
+    tiebreak = [F.asc_nulls_first(c) for c in incoming.columns]
+    inc = latest_per_key(inc_n, nk, tiebreak)
 
     if current is None:
         new_rows = inc.drop(*nk)

@@ -130,10 +130,22 @@ def embedding_neardup_pairs(
     n_planes: int = 12,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    dim: int = 64,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs: bucket join on the hyperplane
-    signature, exact cosine verify inside buckets."""
+    signature, exact cosine verify inside buckets.
+
+    `dim` defaults to the actual vector length (sampled from one row):
+    a wrong hard-coded dim makes zip_with null-pad, every dot product
+    NULL, every bucket 0 — silently degenerating the bucket join into
+    an O(n²) cross join."""
+    if dim is None:
+        head = embeddings.select(vec_col).head()
+        if head is None:
+            return embeddings.sparkSession.createDataFrame(
+                [], "id_a long, id_b long, cosine double"
+            )
+        dim = len(head[0])
     planes = _hyperplanes(dim, n_planes)
     vec_d = F.col(vec_col).cast("array<double>")
     b = embeddings.select(

@@ -10,12 +10,12 @@ failed day continues where it stopped.
 from __future__ import annotations
 
 import datetime
-import os
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from data_warehouse_nhom8_spark import schemas
+from data_warehouse_nhom8_spark.sources.snapshots import has_parquet, safe_overwrite
 from data_warehouse_nhom8_spark.pipeline.config import EngineConfig
 from data_warehouse_nhom8_spark.pipeline.datamart import rebuild_datamart
 from data_warehouse_nhom8_spark.pipeline.date_dim import build_date_dim
@@ -46,21 +46,25 @@ def run_daily_pipeline(
     silver = transform_raw_jobs(raw, dim)
     current = (
         spark.read.schema(schemas.STAGING_JOBS).parquet(cfg.staging_path)
-        if _has_parquet(cfg.staging_path)
+        if has_parquet(cfg.staging_path)
         else None
     )
     staged = upsert_staging(current, silver.select(*[f.name for f in schemas.STAGING_JOBS.fields]))
-    _overwrite(staged, cfg.staging_path, schemas.STAGING_JOBS)
+    safe_overwrite(staged, cfg.staging_path, schemas.STAGING_JOBS)
     staging_df = spark.read.schema(schemas.STAGING_JOBS).parquet(cfg.staging_path)
     report["staging_rows"] = staging_df.count()
 
-    # 3. warehouse SCD2 merge (ledger-gated)
+    # 3. warehouse SCD2 merge (ledger-gated; snapshot persisted BEFORE
+    # the Success row so a crash can't strand a done-but-unwritten day)
     warehouse = (
-        spark.read.parquet(cfg.warehouse_path) if _has_parquet(cfg.warehouse_path) else None
+        spark.read.parquet(cfg.warehouse_path) if has_parquet(cfg.warehouse_path) else None
     )
-    merged = load_day_to_warehouse(staging_df, warehouse, day, ledger=ledger)
-    if merged is not warehouse:  # gate may have skipped
-        _overwrite(merged, cfg.warehouse_path)
+
+    def persist(snapshot):
+        safe_overwrite(snapshot, cfg.warehouse_path)
+        return spark.read.parquet(cfg.warehouse_path)
+
+    load_day_to_warehouse(staging_df, warehouse, day, ledger=ledger, persist=persist)
     wh = spark.read.parquet(cfg.warehouse_path)
     report["warehouse_rows"] = wh.count()
 
@@ -75,18 +79,3 @@ def run_daily_pipeline(
     return report
 
 
-def _has_parquet(path: str) -> bool:
-    return os.path.exists(path) and any(
-        f.endswith(".parquet") for f in os.listdir(path)
-    )
-
-
-def _overwrite(df, path: str, schema=None) -> None:
-    """Materialize-then-overwrite: the snapshot being replaced is also
-    the plan's input, so collect before truncating. At scale, write to
-    a versioned directory and swap a pointer (or use a table format);
-    for the local engine the collect is bounded by the snapshot size."""
-    spark = df.sparkSession
-    rows = df.collect()
-    out = spark.createDataFrame(rows, schema or df.schema)
-    out.write.mode("overwrite").parquet(path)

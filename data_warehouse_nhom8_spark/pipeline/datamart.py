@@ -94,13 +94,35 @@ def rebuild_datamart(
 ) -> dict[str, int]:
     """Drop-and-recreate each aggregate table (S8: overwrite) and
     return row counts for the run ledger."""
-    tables = (
-        build_all_shared_scan(fact, specs)
-        if shared_scan
-        else {s.table_name: build_aggregate(fact, s) for s in specs}
-    )
+    spark = fact.sparkSession
+    if shared_scan:
+        # materialize the one Expand pass, then split the (tiny) wide
+        # result — without this each per-table filter re-runs the full
+        # fact scan, defeating the shared-scan design
+        keys = [s.group_by for s in specs]
+        sets = ", ".join(f"({k})" for k in keys)
+        fact.createOrReplaceTempView("__dm_fact")
+        spark.sql(
+            f"""
+            SELECT {', '.join(keys)}, GROUPING_ID({', '.join(keys)}) AS gid,
+                   COUNT(*) AS total
+            FROM __dm_fact GROUP BY GROUPING SETS ({sets})
+            """
+        ).write.mode("overwrite").parquet(f"{out_dir}/_shared_rollup")
+        wide = spark.read.parquet(f"{out_dir}/_shared_rollup")
+        n = len(keys)
+        tables = {}
+        for i, s in enumerate(specs):
+            gid = (2**n - 1) ^ (2 ** (n - 1 - i))
+            tables[s.table_name] = wide.filter(F.col("gid") == gid).select(
+                F.col(s.group_by), F.col("total").alias(s.count_alias)
+            )
+    else:
+        tables = {s.table_name: build_aggregate(fact, s) for s in specs}
+
     counts: dict[str, int] = {}
     for name, df in tables.items():
         df.write.mode("overwrite").parquet(f"{out_dir}/{name}")
-        counts[name] = df.count()
+        # count the written output (tiny) instead of re-running the plan
+        counts[name] = spark.read.parquet(f"{out_dir}/{name}").count()
     return counts

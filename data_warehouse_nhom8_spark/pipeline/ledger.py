@@ -173,13 +173,12 @@ class RunLedger:
         """Retention sweep — the 30-day log cleanup (reference
         extract/cleanup_old_logs.sh:11): rewrite the ledger keeping
         only rows newer than `keep_days`. Returns rows kept."""
+        from data_warehouse_nhom8_spark.sources.snapshots import safe_overwrite
+
         today = today or datetime.date.today()
         cutoff = today - datetime.timedelta(days=keep_days)
         kept = self._read().filter(F.col("run_date") >= F.lit(cutoff))
-        rows = kept.collect()
-        df = self.spark.createDataFrame(rows, schemas.RUN_LEDGER)
-        df.write.mode("overwrite").parquet(self.path)
-        return len(rows)
+        return safe_overwrite(kept, self.path, schemas.RUN_LEDGER)
 
     def runnable(self, enabled: DataFrame, run_date: datetime.date) -> DataFrame:
         """U2: enabled processes minus already-succeeded-today
@@ -193,10 +192,7 @@ class RunLedger:
         return enabled.join(done, on="process", how="left_anti")
 
 
-def _exists(path: str) -> bool:
-    return os.path.exists(path) and any(
-        f.endswith(".parquet") for f in os.listdir(path)
-    )
+from data_warehouse_nhom8_spark.sources.snapshots import has_parquet as _exists  # noqa: E402
 
 
 def _fill(r: dict) -> dict:

@@ -42,16 +42,27 @@ class ProcessLock:
         self.path = os.path.join(locks_path, f"{process}.lock")
 
     def acquire(self) -> None:
-        if os.path.exists(self.path):
+        # O_CREAT|O_EXCL makes creation atomic — a bare exists()+open()
+        # lets two simultaneous starters both "acquire" (the race the
+        # lock exists to prevent). One retry after breaking a stale lock.
+        for _attempt in range(2):
             try:
-                pid = int(open(self.path).read().strip())
-            except ValueError:
-                pid = -1
-            if pid > 0 and _alive(pid):
-                raise LockHeld(f"{self.path} held by live pid {pid}")
-            os.remove(self.path)  # stale lock: holder is dead — break it
-        with open(self.path, "w") as f:
-            f.write(str(os.getpid()))
+                fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, str(os.getpid()).encode())
+                os.close(fd)
+                return
+            except FileExistsError:
+                try:
+                    pid = int(open(self.path).read().strip())
+                except (ValueError, OSError):
+                    pid = -1
+                if pid > 0 and _alive(pid):
+                    raise LockHeld(f"{self.path} held by live pid {pid}")
+                try:
+                    os.remove(self.path)  # stale lock: holder is dead
+                except FileNotFoundError:
+                    pass
+        raise LockHeld(f"{self.path}: could not acquire after breaking stale lock")
 
     def release(self) -> None:
         if os.path.exists(self.path):

@@ -43,9 +43,16 @@ def load_day_to_warehouse(
     ledger: RunLedger | None = None,
     process: str = "load_to_wh",
     null_safe: bool = True,
+    persist=None,
 ) -> DataFrame:
     """Merge one day's staging increment into the SCD2 `job` table and
-    return the new snapshot. Skip-if-done honoured via the ledger."""
+    return the new snapshot. Skip-if-done honoured via the ledger.
+
+    `persist` (snapshot -> persisted snapshot) runs BEFORE the ledger's
+    Success row is written: a Success row for a snapshot that never hit
+    storage would make every rerun skip the day and lose the merge —
+    the write must commit first, exactly as the reference's SQL commits
+    before its log UPDATE (load_to_wh.sh:97-103)."""
     day = datetime.date.fromisoformat(day) if isinstance(day, str) else day
     if ledger is not None and ledger.is_done(process, day):
         return warehouse
@@ -62,6 +69,8 @@ def load_day_to_warehouse(
         effective_date=day.isoformat(),
         null_safe=null_safe,
     )
+    if persist is not None:
+        snapshot = persist(snapshot)
     if ledger is not None:
         m = merge_metrics(snapshot, day)
         ledger.close_run(

@@ -26,10 +26,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in schemas.TESTDATA_TABLES:
         raise KeyError(f"unknown testdata table: {name}")
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
-        )
+        # scope the legacy conf to this read: the scan captures it at
+        # analysis time, and leaving it set session-wide would silently
+        # change how OTHER nanos-timestamp parquet reads resolve
+        key = "spark.sql.legacy.parquet.nanosAsLong"
+        prev = spark.conf.get(key, None)
+        spark.conf.set(key, "true")
+        try:
+            df = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+            )
+        finally:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

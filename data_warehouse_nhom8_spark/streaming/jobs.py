@@ -129,23 +129,19 @@ def upsert_sink(
     """
 
     def merge(batch: DataFrame, epoch_id: int) -> None:
-        import os
+        from data_warehouse_nhom8_spark.sources.snapshots import (
+            has_parquet,
+            safe_overwrite,
+        )
 
         spark = batch.sparkSession
-        if os.path.exists(snapshot_path):
-            current = spark.read.parquet(snapshot_path)
-        else:
-            current = None
+        current = spark.read.parquet(snapshot_path) if has_parquet(snapshot_path) else None
         order_by = [F.desc(c) for c in order_by_cols]
         merged = upsert_last_writer_wins(current, batch, keys, order_by)
-        # rewrite via staging dir rename-free pattern: collect to a new
-        # snapshot version, then overwrite (parquet overwrite is atomic
-        # per-directory in the local committer; on object stores use a
-        # table format)
-        merged.cache()
-        merged.count()
-        merged.write.mode("overwrite").parquet(snapshot_path)
-        merged.unpersist()
+        # durable materialize-then-rewrite: cache()+overwrite would let
+        # an evicted block recompute from files the overwrite already
+        # deleted (snapshot loss) — see sources.snapshots
+        safe_overwrite(merged, snapshot_path)
 
     return (
         stream.writeStream.foreachBatch(merge)

@@ -31,7 +31,9 @@ def first_seen_filter(
     dedup). Within the first batch a key appears in, all its rows pass
     (downstream batch dedup can pick a winner); afterwards the key is
     suppressed forever (until state timeout, if configured)."""
-    schema = output_schema or stream.schema.simpleString().replace("struct<", "")[:-1].replace(":", " ")
+    # pass the StructType itself — string-mangling simpleString()
+    # corrupts nested struct columns
+    schema = output_schema or stream.schema
 
     def fn(
         key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState

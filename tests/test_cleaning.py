@@ -21,6 +21,8 @@ SALARY_CASES = [
     ("Tới 15 triệu", 0, 15 * M),
     ("Trên 20 triệu", 20 * M, 0),
     ("10 - 15 triệu", 10 * M, 15 * M),
+    ("10 đến 15 triệu", 10 * M, 15 * M),  # range wins over the 'đến' up-to marker
+    ("đến 15 triệu", 0, 15 * M),
     ("15 - 20 Triệu", 15 * M, 20 * M),
     ("1,200 - 1,800 USD", 1200 * M, 1800 * M),
     ("12 triệu", 12 * M, 12 * M),

@@ -37,12 +37,12 @@ def salary_spec(s: str | None) -> tuple[int | None, int | None]:
     nums = re.findall(r"\d+", txt)
     if "thỏa thuận" in txt or "thoả thuận" in txt:
         return 0, 0
+    if len(nums) >= 2:  # two numbers always mean a range ("10 đến 15")
+        return int(nums[0]) * M, int(nums[1]) * M
     if ("tới" in txt or "đến" in txt) and nums:
         return 0, int(nums[0]) * M
     if "trên" in txt and nums:
         return int(nums[0]) * M, 0
-    if len(nums) >= 2:
-        return int(nums[0]) * M, int(nums[1]) * M
     if len(nums) == 1:
         return int(nums[0]) * M, int(nums[0]) * M
     return None, None
@@ -74,6 +74,7 @@ salary_texts = st.one_of(
     st.builds(lambda n: f"Tới {n} triệu", st.integers(1, 999)),
     st.builds(lambda n: f"Trên {n} triệu", st.integers(1, 999)),
     st.builds(lambda a, b: f"{a} - {b} triệu", st.integers(1, 500), st.integers(1, 500)),
+    st.builds(lambda a, b: f"{a} đến {b} triệu", st.integers(1, 500), st.integers(1, 500)),
     st.builds(lambda a, b: f"{a:,} - {b:,} USD", st.integers(100, 9999), st.integers(100, 9999)),
     st.builds(lambda n: f"{n} triệu", st.integers(1, 99)),
     st.text(alphabet="abc 0123456789-", max_size=20),
