@@ -98,7 +98,20 @@ def posted_date_col(posted_time: Column | str, extract_date: Column | str) -> Co
 
 
 def normalize_text(c: Column | str) -> Column:
-    """Join/group key normalization for utf8mb4_unicode_ci parity
-    (lower + trim + collapse internal whitespace)."""
+    """Join/group key normalization, portable form (lower + trim +
+    collapse internal whitespace). Case-insensitive only — for full
+    utf8mb4_unicode_ci parity (accent-insensitivity) use
+    `collation_key`, which maps to Spark 4 native collations."""
     col = F.col(c) if isinstance(c, str) else c
     return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+
+
+def collation_key(c: Column | str, collation: str = "UNICODE_CI_AI") -> Column:
+    """utf8mb4_unicode_ci-equivalent comparison key via Spark 4 native
+    collations: UNICODE_CI_AI is case- AND accent-insensitive, so
+    'Hà Nội' == 'ha noi' in joins/group-bys — the exact semantics the
+    reference's tables declare (create_warehouse_db.sql:19) and its
+    SCD2 merge relies on (load_to_wh.sh:66-67). Whitespace is
+    collapsed first (collation doesn't cover it)."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.collate(F.regexp_replace(F.trim(col), r"\s+", " "), collation)

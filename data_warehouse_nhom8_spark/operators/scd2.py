@@ -31,7 +31,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from data_warehouse_nhom8_spark.functions.cleaning import normalize_text
+from data_warehouse_nhom8_spark.functions.cleaning import collation_key
 
 CURRENT_SENTINEL = "9999-12-31"
 
@@ -57,9 +57,11 @@ def scd2_merge(
     eff = F.lit(effective_date).cast("date")
 
     def with_norm(df: DataFrame) -> DataFrame:
+        # collation_key = native UNICODE_CI_AI (case+accent-insensitive,
+        # the utf8mb4_unicode_ci twin) — 'Hà Nội' and 'Ha Noi' are one key
         for k in natural_keys:
             df = df.withColumn(
-                f"__nk_{k}", normalize_text(k) if normalize_keys else F.col(k)
+                f"__nk_{k}", collation_key(k) if normalize_keys else F.col(k)
             )
         return df
 
@@ -158,7 +160,7 @@ def scd2_invariant_violations(snapshot: DataFrame, natural_keys: Sequence[str],
     as a FK-style validation, SURVEY §2c J7)."""
     sentinel = F.lit(CURRENT_SENTINEL).cast("date")
     live = snapshot.filter(F.col(expired_col) == sentinel)
-    keys = [normalize_text(k).alias(f"__nk_{k}") for k in natural_keys]
+    keys = [collation_key(k).alias(f"__nk_{k}") for k in natural_keys]
     return (
         live.select(*keys)
         .groupBy(*[f"__nk_{k}" for k in natural_keys])

@@ -141,6 +141,27 @@ def test_scd2_collation_insensitive_keys(spark):
     assert scd2_invariant_violations(snap2, ["job_title", "company_name"]).count() == 0
 
 
+def test_scd2_accent_insensitive_keys(spark):
+    """utf8mb4_unicode_ci is also ACCENT-insensitive: 'Công ty Hà Nội'
+    and 'Cong ty Ha Noi' are the same natural key (Spark 4 native
+    UNICODE_CI_AI collation)."""
+    inc1 = jobs_df(spark, [row("a", title="Kỹ sư", company="Công ty Hà Nội")])
+    snap = scd2_merge(None, inc1, ["job_title", "company_name"],
+                      ["salary", "location"], "2025-03-10")
+    # same key sans accents, same attrs -> no new version
+    inc2 = jobs_df(spark, [row("a", title="Ky su", company="Cong ty Ha Noi", d="2025-03-11")])
+    snap2 = scd2_merge(snap, inc2, ["job_title", "company_name"],
+                       ["salary", "location"], "2025-03-11")
+    assert snap2.count() == 1
+    # same key sans accents, CHANGED salary -> expire + new version
+    inc3 = jobs_df(spark, [row("a", title="KY SU", company="cong ty ha noi",
+                               salary="Trên 50 triệu", d="2025-03-12")])
+    snap3 = scd2_merge(snap2, inc3, ["job_title", "company_name"],
+                       ["salary", "location"], "2025-03-12")
+    assert snap3.count() == 2
+    assert scd2_invariant_violations(snap3, ["job_title", "company_name"]).count() == 0
+
+
 @pytest.mark.parametrize("null_safe,expect_versions", [(True, 2), (False, 1)])
 def test_scd2_null_semantics(spark, null_safe, expect_versions):
     """NULL→value: null-safe mode counts it as a change (2 versions of
