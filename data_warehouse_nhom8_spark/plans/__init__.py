@@ -6,8 +6,9 @@ from data_warehouse_nhom8_spark.plans.extensions import (
     EXTENSION_ORACLES,
     EXTENSION_QUERIES,
 )
+from data_warehouse_nhom8_spark.plans.tpch import TPCH_ORACLES, TPCH_QUERIES
 
-QUERIES = {**_CORE, **EXTENSION_QUERIES}
-ORACLES = {**_CORE_ORACLES, **EXTENSION_ORACLES}
+QUERIES = {**_CORE, **EXTENSION_QUERIES, **TPCH_QUERIES}
+ORACLES = {**_CORE_ORACLES, **EXTENSION_ORACLES, **TPCH_ORACLES}
 
 __all__ = ["QUERIES", "ORACLES"]

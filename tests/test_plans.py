@@ -62,6 +62,11 @@ def test_whole_stage_codegen_everywhere(spark):
         assert "*(" in plan, f"{q}: no codegen span in\n{plan[:500]}"
 
 
+def test_tpch_q5_shape_broadcasts_dims(spark):
+    p = plan_of(spark, "q48_local_supplier_volume")
+    assert p.count("BroadcastHashJoin") >= 2, "nation+region must broadcast"
+
+
 def test_no_python_udfs_in_declared_queries(spark):
     """Everything oracle-checked must stay JVM-side (q42's mapInPandas
     is the sanctioned Arrow path for multimodal, excluded here)."""
