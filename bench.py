@@ -47,7 +47,11 @@ def main() -> None:
     od = load_table(spark, sf_dir, "orders")
     li.count()
     li.join(od, li.l_orderkey == od.o_orderkey).count()
-    li.groupBy("l_returnflag").count().count()
+    li.groupBy("l_returnflag").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")),
+        F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")),
+        F.count(F.lit(1)),
+    ).count()
     od.select(F.row_number().over(Window.partitionBy("o_custkey").orderBy("o_orderkey"))).count()
     od.orderBy("o_totalprice").limit(10).toArrow()  # warm the Arrow collect path too
     load_table(spark, sf_dir, "events").count()
