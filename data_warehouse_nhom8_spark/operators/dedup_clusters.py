@@ -1,0 +1,92 @@
+"""Duplicate clustering + canonical selection (SURVEY.md §2k X2 —
+the final step of corpus near-dedup).
+
+Pair detectors (MinHash/SimHash/embedding) emit edges; dedup must
+drop *clusters*: if A~B and B~C, then {A,B,C} is one group even when
+A~C was never emitted. That's connected components, computed here by
+iterative min-label propagation in pure DataFrame ops:
+
+  label(v) ← min(label(v), min over neighbours(label(u)))
+
+repeated until no label changes. Each iteration is one join + one
+aggregate (shuffles on the vertex id); iterations needed = graph
+diameter (near-dup clusters are shallow — a handful of rounds). The
+driver-side loop only controls iteration count; all data stays
+distributed, and convergence is checked with a cheap count.
+
+`dedup_keep_canonical` then keeps the lowest-id member per cluster —
+deterministic, matching exact_dedup's min-id convention.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(id, component) for every vertex in `pairs`; component = min id
+    reachable. Deterministic for a given edge set."""
+    edges = (
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .unionByName(pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b")))
+        .distinct()
+        # materialize once: edges often sit on an expensive detector
+        # pipeline (MinHash etc.) that must not re-run every iteration
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+    )
+    for _ in range(max_iter):
+        neighbour_min = (
+            edges.join(labels, edges["b"] == labels["id"])
+            .groupBy(F.col("a").alias("id"))
+            .agg(F.min("component").alias("nmin"))
+        )
+        updated = (
+            labels.join(neighbour_min, on="id", how="left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
+                ).alias("component"),
+            )
+            # truncate lineage each round — without this the plan doubles
+            # per iteration; stays distributed (no driver collect)
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), on="id")
+            .filter(F.col("u.component") < F.col("l.component"))
+            .limit(1)
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_keep_canonical(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Drop every non-canonical member of each duplicate cluster:
+    keeps rows not in any pair, plus the min-id member per component."""
+    comp = connected_components(pairs, id_a, id_b)
+    losers = comp.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, on=id_col, how="left_anti")

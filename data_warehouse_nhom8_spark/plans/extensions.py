@@ -165,6 +165,21 @@ def q45_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q49_cluster_dedup_noracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 composite: MinHash pairs → connected components → canonical
+    dedup; reports corpus size before/after (the end-to-end near-dedup
+    pipeline an LLM corpus runs)."""
+    from data_warehouse_nhom8_spark.operators.dedup_clusters import dedup_keep_canonical
+
+    c = Catalog(spark, sf_dir)
+    docs = c.documents
+    pairs = neardup.minhash_neardup_pairs(docs, threshold=0.8, bands=8, shingle_w=5)
+    kept = dedup_keep_canonical(docs, pairs)
+    return spark.createDataFrame(
+        [(docs.count(), kept.count())], "n_docs long, n_kept long"
+    )
+
+
 def q43_approx_distinct_noracle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3 scale twin: approx_count_distinct (HLL, constant memory)
     beside the exact COUNT(DISTINCT) — at 100 TB the exact form
@@ -195,6 +210,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q43_approx_distinct_noracle": q43_approx_distinct_noracle,
     "q44_rollup": q44_rollup,
     "q45_percentiles": q45_percentiles,
+    "q49_cluster_dedup_noracle": q49_cluster_dedup_noracle,
 }
 
 EXTENSION_ORACLES: dict[str, str] = {
