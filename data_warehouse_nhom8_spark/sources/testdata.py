@@ -13,6 +13,14 @@ from pyspark.sql import functions as F
 from data_warehouse_nhom8_spark import schemas
 
 
+# Plan-reuse cache: repeated load_table calls in one session re-list
+# files and re-resolve schemas (~50-100 ms per table per query at the
+# bench's 49-query scale). DataFrames are immutable lazy plans, so
+# sharing one per (session, sf_dir, table) is safe. Keyed by the
+# session id so a driver-created session gets its own entries.
+_df_cache: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table as a DataFrame (lazy; no action).
 
@@ -25,6 +33,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in schemas.TESTDATA_TABLES:
         raise KeyError(f"unknown testdata table: {name}")
+    key = (id(spark), sf_dir, name)
+    cached = _df_cache.get(key)
+    if cached is not None:
+        return cached
+    df = _load_table_uncached(spark, sf_dir, name)
+    _df_cache[key] = df
+    return df
+
+
+def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # scope the legacy conf to this read: the scan captures it at
         # analysis time, and leaving it set session-wide would silently
