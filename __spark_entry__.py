@@ -17,7 +17,9 @@ from pyspark.sql import functions as F
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: pricing-summary rollup (TPC-H-Q1 shape — the densest
     aggregate the engine plans: scan → partial agg → shuffle → final
-    agg, money sums in DECIMAL so results are order-independent)."""
+    agg, money sums in DECIMAL internally so results are
+    order-independent; outputs DOUBLE per the no-DECIMAL-output
+    contract)."""
     from data_warehouse_nhom8_spark.sources import Catalog
 
     c = Catalog(spark, "/root/testdata/sf0.001")
@@ -25,11 +27,15 @@ def entry(spark: SparkSession) -> DataFrame:
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
-            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("sum_base_price"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_base_price"),
             F.sum(
                 (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
-            ).alias("sum_disc_price"),
+            )
+            .cast("double")
+            .alias("sum_disc_price"),
             F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
             F.count(F.lit(1)).alias("count_order"),
         )

@@ -11,7 +11,7 @@ from __future__ import annotations
 ORACLES: dict[str, str] = {
     "q01_scan_filter_sort": """
         SELECT o_orderkey, o_custkey, o_orderstatus,
-               CAST(o_totalprice AS DECIMAL(18,2)) AS price
+               o_totalprice AS price
         FROM orders WHERE o_orderstatus = 'F'
         ORDER BY o_orderkey NULLS FIRST LIMIT 1000
     """,
@@ -21,7 +21,7 @@ ORACLES: dict[str, str] = {
     """,
     "q03_partition_day_filter": """
         SELECT l_orderkey, l_linenumber,
-               CAST(l_extendedprice AS DECIMAL(18,2)) AS ep
+               l_extendedprice AS ep
         FROM lineitem WHERE date_trunc('day', l_shipdate) = DATE '1995-06-17'
         ORDER BY l_orderkey NULLS FIRST, l_linenumber NULLS FIRST
     """,

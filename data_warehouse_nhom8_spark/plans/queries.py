@@ -29,6 +29,10 @@ def q01_scan_filter_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference: staging loader CSV scan + projection
     (staging/staging_loader.py:55-84), point/status filters
     (topcv_scraper_v5.py:175).
+
+    Determinism: `price` is the raw DOUBLE passthrough — DECIMAL
+    output columns hash-mismatch in the driver gate (round-1 q01/q03/
+    q46/q48 post-mortem; see scripts/verify_oracle.py decimal guard).
     """
     c = Catalog(spark, sf_dir)
     return (
@@ -37,7 +41,7 @@ def q01_scan_filter_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey",
             "o_custkey",
             "o_orderstatus",
-            F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+            F.col("o_totalprice").alias("price"),
         )
         .orderBy("o_orderkey")
         .limit(1000)
@@ -60,14 +64,17 @@ def q02_project_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q03_partition_day_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P6/S9: date-function predicate = the mysqldump partition-day
-    filter (LoadToWH.java:160). On partitioned storage this prunes."""
+    filter (LoadToWH.java:160). On partitioned storage this prunes.
+
+    Determinism: `ep` is the raw DOUBLE passthrough (no DECIMAL output
+    columns — round-1 hash-gate post-mortem)."""
     c = Catalog(spark, sf_dir)
     return (
         c.lineitem.filter(F.to_date("l_shipdate") == F.lit("1995-06-17").cast("date"))
         .select(
             "l_orderkey",
             "l_linenumber",
-            F.col("l_extendedprice").cast("decimal(18,2)").alias("ep"),
+            F.col("l_extendedprice").alias("ep"),
         )
         .orderBy("l_orderkey", "l_linenumber")
     )

@@ -1,10 +1,22 @@
-"""Local mimic of the driver's correctness gate.
+"""Local mimic of the driver's correctness gate — STRICTER than the
+driver on purpose (round-1 post-mortem: the driver hash-failed four
+queries this mimic passed).
 
 Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin
 on DuckDB over the same parquet tables, then compares:
   1. row count
   2. column-name set
-  3. sorted, canonicalized cell values (order-insensitive)
+  3. canonicalized cell values, BOTH order-insensitive (sorted, the
+     driver's documented behavior) and in result order (stricter)
+  4. HARD FAIL if any Spark output column is DecimalType: the driver's
+     value hash treats `Decimal('1.50')` and a float `1.5` differently
+     even when numerically equal (q01/q03/q46/q48 failed round 1 with
+     rows+schema green), so oracled queries must emit DOUBLE — keep
+     DECIMAL internal to sums only.
+
+Canon is byte-strict: no Decimal.normalize(), type-prefixed, repr-level
+floats. A pass here can still theoretically diverge from the driver,
+but every class of divergence we have seen is now a local failure.
 
 Usage: python scripts/verify_oracle.py [sf_dir] [query ...]
 """
@@ -18,6 +30,7 @@ import sys
 import time
 
 import duckdb
+from pyspark.sql.types import DecimalType
 
 sys.path.insert(0, ".")
 
@@ -36,7 +49,7 @@ def canon(v):
             return "f:nan"
         return f"f:{v!r}"
     if isinstance(v, decimal.Decimal):
-        return f"d:{v.normalize()}"
+        return f"d:{v}"  # scale-preserving: 1.50 != 1.5 != float 1.5
     if isinstance(v, datetime.datetime):
         return f"ts:{v.isoformat()}"
     if isinstance(v, datetime.date):
@@ -67,10 +80,20 @@ def main():
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
+            dec_cols = [
+                f.name for f in sdf.schema.fields if isinstance(f.dataType, DecimalType)
+            ]
             srows = [tuple(canon(v) for v in row) for row in sdf.collect()]
         except Exception as e:
             failures.append(name)
             print(f"FAIL {name}: spark error: {e}")
+            continue
+        if dec_cols:
+            failures.append(name)
+            print(
+                f"FAIL {name}: DECIMAL output column(s) {dec_cols} — driver hash "
+                "risk; cast to double (keep decimal internal to sums)"
+            )
             continue
         if name not in sqls:
             print(f"SKIP {name}: no oracle (rows-only: {len(srows)} rows)")
@@ -90,15 +113,23 @@ def main():
         if sorted(scols) != sorted(dcols):
             problems.append(f"cols spark={sorted(scols)} duck={sorted(dcols)}")
         else:
-            # align column order by name, then sort rows
+            # align column order by name; compare sorted (driver behavior)
+            # AND in result order (stricter — catches engine order skew)
             sidx = [scols.index(c) for c in sorted(scols)]
             didx = [dcols.index(c) for c in sorted(dcols)]
-            ss = sorted(tuple(r[i] for i in sidx) for r in srows)
-            dd = sorted(tuple(r[i] for i in didx) for r in drows)
+            so = [tuple(r[i] for i in sidx) for r in srows]
+            do = [tuple(r[i] for i in didx) for r in drows]
+            ss, dd = sorted(so), sorted(do)
             if ss != dd:
                 diffs = [(a, b) for a, b in zip(ss, dd) if a != b][:3]
                 extra = abs(len(ss) - len(dd))
                 problems.append(f"values differ: first_diffs={diffs} len_delta={extra}")
+            elif so != do:
+                pos = next(i for i, (a, b) in enumerate(zip(so, do)) if a != b)
+                problems.append(
+                    f"order differs (values equal sorted): first at row {pos} "
+                    f"spark={so[pos]} duck={do[pos]}"
+                )
         dt = time.time() - t0
         if problems:
             failures.append(name)

@@ -67,6 +67,20 @@ def test_tpch_q5_shape_broadcasts_dims(spark):
     assert p.count("BroadcastHashJoin") >= 2, "nation+region must broadcast"
 
 
+def test_no_decimal_output_columns_in_declared_queries(spark):
+    """Round-1 post-mortem: the driver's value hash treats a Spark
+    Decimal and a numerically-equal DuckDB float as different (q01/q03/
+    q46/q48 hash-failed with rows+schema green). Contract: oracled
+    queries emit DOUBLE, never DECIMAL — decimal stays internal to the
+    sums for order-independence."""
+    from pyspark.sql.types import DecimalType
+
+    for name in QUERIES:
+        df = QUERIES[name](spark, SF_DIR)
+        dec = [f.name for f in df.schema.fields if isinstance(f.dataType, DecimalType)]
+        assert not dec, f"{name}: DECIMAL output column(s) {dec}"
+
+
 def test_no_python_udfs_in_declared_queries(spark):
     """Everything oracle-checked must stay JVM-side (q42's mapInPandas
     is the sanctioned Arrow path for multimodal, excluded here)."""
