@@ -15,7 +15,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from data_warehouse_nhom8_spark import schemas
-from data_warehouse_nhom8_spark.sources.snapshots import has_parquet, safe_overwrite
+from data_warehouse_nhom8_spark.sources.snapshots import snapshot_overwrite, snapshot_read
 from data_warehouse_nhom8_spark.pipeline.config import EngineConfig
 from data_warehouse_nhom8_spark.pipeline.datamart import rebuild_datamart
 from data_warehouse_nhom8_spark.pipeline.date_dim import build_date_dim
@@ -44,28 +44,22 @@ def run_daily_pipeline(
     dim = build_date_dim(spark, *date_dim_range)
     raw = read_day(spark, cfg.bronze_path, day)
     silver = transform_raw_jobs(raw, dim)
-    current = (
-        spark.read.schema(schemas.STAGING_JOBS).parquet(cfg.staging_path)
-        if has_parquet(cfg.staging_path)
-        else None
-    )
+    current = snapshot_read(spark, cfg.staging_path, schemas.STAGING_JOBS)
     staged = upsert_staging(current, silver.select(*[f.name for f in schemas.STAGING_JOBS.fields]))
-    safe_overwrite(staged, cfg.staging_path, schemas.STAGING_JOBS)
-    staging_df = spark.read.schema(schemas.STAGING_JOBS).parquet(cfg.staging_path)
+    snapshot_overwrite(staged, cfg.staging_path, schemas.STAGING_JOBS)
+    staging_df = snapshot_read(spark, cfg.staging_path, schemas.STAGING_JOBS)
     report["staging_rows"] = staging_df.count()
 
     # 3. warehouse SCD2 merge (ledger-gated; snapshot persisted BEFORE
     # the Success row so a crash can't strand a done-but-unwritten day)
-    warehouse = (
-        spark.read.parquet(cfg.warehouse_path) if has_parquet(cfg.warehouse_path) else None
-    )
+    warehouse = snapshot_read(spark, cfg.warehouse_path)
 
     def persist(snapshot):
-        safe_overwrite(snapshot, cfg.warehouse_path)
-        return spark.read.parquet(cfg.warehouse_path)
+        snapshot_overwrite(snapshot, cfg.warehouse_path)
+        return snapshot_read(spark, cfg.warehouse_path)
 
     load_day_to_warehouse(staging_df, warehouse, day, ledger=ledger, persist=persist)
-    wh = spark.read.parquet(cfg.warehouse_path)
+    wh = snapshot_read(spark, cfg.warehouse_path)
     report["warehouse_rows"] = wh.count()
 
     # 4. datamart over live rows

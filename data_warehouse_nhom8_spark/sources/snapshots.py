@@ -1,34 +1,143 @@
-"""Snapshot helpers shared by every read-modify-overwrite path
-(staging upsert, SCD2 warehouse, streaming upsert sink, ledger prune).
+"""Versioned snapshot tables — the atomic commit every
+read-modify-overwrite path shares (staging upsert, SCD2 warehouse,
+streaming upsert sink).
 
 The hazard they guard: the snapshot being replaced is also the plan's
-input, and `mode("overwrite")` deletes the input files before the job
-that still needs them finishes — or worse, a cached plan recomputes
-from already-deleted files after executor loss. The safe local
-pattern is materialize-then-rewrite; at real scale replace this with
-a versioned-directory swap or a table format's atomic commit (noted
-in SCALE_NOTES.md).
+input, and a plain ``mode("overwrite")`` deletes the input files
+before the job that still needs them finishes — or a cached plan
+recomputes from already-deleted files after executor loss. The
+reference gets this transactional merge from MySQL (the SCD2
+UPDATE/INSERT runs inside one mysql session — reference
+loadtowh/load_to_wh.sh:62-103); the engine's twin is a versioned
+directory with an atomically-swapped pointer:
+
+    {path}/
+      _CURRENT        # pointer file: name of the live version dir
+      v00000001/      # immutable parquet, written distributed
+      v00000002/
+
+Writes go to a NEW version directory with a normal distributed
+``df.write.parquet`` (the old version — the plan's input — stays
+intact, so there is no read-your-own-delete hazard and nothing is
+ever collected to the driver). The commit is a single atomic
+``os.replace`` of the pointer file; a crash at any earlier point
+leaves the previous version live and at most a partial next-version
+directory, which the next write overwrites. Old versions are garbage-
+collected after commit (keep=2 so an in-flight reader of the previous
+version never loses its files mid-scan).
+
+At 100 TB this is exactly the layout a table format (Iceberg/Delta)
+formalizes; the pointer swap is the commit, the version dirs are the
+snapshots. ``safe_overwrite`` (driver-side materialize-then-rewrite)
+remains ONLY for control-plane tables whose whole content is
+increment-scale (the run ledger).
 """
 
 from __future__ import annotations
 
 import os
+import re
+import shutil
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
+
+_POINTER = "_CURRENT"
+_VERSION_RE = re.compile(r"^v(\d{8})$")
 
 
 def has_parquet(path: str) -> bool:
+    """True if `path` is a plain (non-versioned) parquet dir."""
     return os.path.exists(path) and any(
         f.endswith(".parquet") for f in os.listdir(path)
     )
 
 
+def _current_version(path: str) -> int | None:
+    try:
+        with open(os.path.join(path, _POINTER)) as fh:
+            name = fh.read().strip()
+    except OSError:
+        return None
+    m = _VERSION_RE.match(name)
+    return int(m.group(1)) if m else None
+
+
+def snapshot_exists(path: str) -> bool:
+    """True if a committed snapshot version is live at `path`."""
+    v = _current_version(path)
+    return v is not None and os.path.isdir(os.path.join(path, f"v{v:08d}"))
+
+
+def snapshot_read(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame | None:
+    """DataFrame over the live committed version, or None if empty.
+
+    Also reads a legacy plain parquet dir (pre-versioned layout) so
+    existing tables keep working; their next write converts them.
+    """
+    v = _current_version(path)
+    if v is not None:
+        target = os.path.join(path, f"v{v:08d}")
+        r = spark.read.schema(schema) if schema is not None else spark.read
+        return r.parquet(target)
+    if has_parquet(path):  # legacy un-versioned layout
+        r = spark.read.schema(schema) if schema is not None else spark.read
+        return r.parquet(path)
+    return None
+
+
+def snapshot_overwrite(
+    df: DataFrame,
+    path: str,
+    schema: T.StructType | None = None,  # noqa: ARG001 — kept for call parity
+    keep: int = 2,
+) -> str:
+    """Distributed write of `df` as the next version, then atomic
+    pointer swap. Returns the committed version dir. Never collects:
+    the write streams executor→files while the old version (the
+    plan's input) stays intact until after commit.
+    """
+    os.makedirs(path, exist_ok=True)
+    cur = _current_version(path)
+    legacy = cur is None and has_parquet(path)
+    nxt = (cur or 0) + 1
+    vname = f"v{nxt:08d}"
+    vdir = os.path.join(path, vname)
+    # mode=overwrite clears a partial dir left by a crashed attempt of
+    # the SAME version (the pointer was never swapped to it)
+    df.write.mode("overwrite").parquet(vdir)
+
+    tmp = os.path.join(path, _POINTER + ".tmp")
+    with open(tmp, "w") as fh:
+        fh.write(vname)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, os.path.join(path, _POINTER))  # the commit
+
+    _gc_versions(path, nxt, keep)
+    if legacy:  # migrated a plain parquet dir: drop its root files
+        for name in os.listdir(path):
+            full = os.path.join(path, name)
+            if os.path.isfile(full) and name != _POINTER:
+                os.remove(full)
+    return vdir
+
+
+def _gc_versions(path: str, committed: int, keep: int) -> None:
+    for name in os.listdir(path):
+        m = _VERSION_RE.match(name)
+        if m and int(m.group(1)) <= committed - keep:
+            shutil.rmtree(os.path.join(path, name), ignore_errors=True)
+
+
 def safe_overwrite(df: DataFrame, path: str, schema: T.StructType | None = None) -> int:
-    """Durably materialize `df`, then overwrite `path`. Returns the row
-    count (free — the rows are in hand). collect() is bounded by the
-    snapshot size, which for the engine's control/snapshot tables is
-    the increment-scale working set, not the raw data."""
+    """CONTROL-PLANE ONLY (run ledger): materialize `df` on the
+    driver, then overwrite `path` in place as plain parquet. Bounded
+    by the ledger's increment-scale row count — never use for data
+    tables; those go through `snapshot_overwrite` (distributed,
+    atomic, no driver materialization)."""
     spark = df.sparkSession
     rows = df.collect()
     out = spark.createDataFrame(rows, schema or df.schema)

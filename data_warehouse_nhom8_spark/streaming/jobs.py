@@ -130,18 +130,19 @@ def upsert_sink(
 
     def merge(batch: DataFrame, epoch_id: int) -> None:
         from data_warehouse_nhom8_spark.sources.snapshots import (
-            has_parquet,
-            safe_overwrite,
+            snapshot_overwrite,
+            snapshot_read,
         )
 
         spark = batch.sparkSession
-        current = spark.read.parquet(snapshot_path) if has_parquet(snapshot_path) else None
+        current = snapshot_read(spark, snapshot_path)
         order_by = [F.desc(c) for c in order_by_cols]
         merged = upsert_last_writer_wins(current, batch, keys, order_by)
-        # durable materialize-then-rewrite: cache()+overwrite would let
-        # an evicted block recompute from files the overwrite already
-        # deleted (snapshot loss) — see sources.snapshots
-        safe_overwrite(merged, snapshot_path)
+        # distributed write to a fresh version dir + atomic pointer
+        # swap: the input version's files stay intact until after the
+        # commit, so there is no read-your-own-delete hazard and no
+        # driver materialization — see sources.snapshots
+        snapshot_overwrite(merged, snapshot_path)
 
     return (
         stream.writeStream.foreachBatch(merge)

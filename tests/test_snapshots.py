@@ -1,0 +1,99 @@
+"""Versioned snapshot table: atomic commit, GC, crash tolerance,
+legacy-layout migration, and the read-modify-overwrite hazard —
+all without any driver-side materialization (the reference's
+transactional merge, loadtowh/load_to_wh.sh:62-103, re-expressed as
+a pointer-swapped version directory)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from data_warehouse_nhom8_spark.sources.snapshots import (
+    snapshot_exists,
+    snapshot_overwrite,
+    snapshot_read,
+)
+
+
+def _df(spark, pairs):
+    return spark.createDataFrame(pairs, "k string, v long")
+
+
+def test_roundtrip_and_pointer(spark, tmp_path):
+    path = str(tmp_path / "t")
+    assert not snapshot_exists(path)
+    assert snapshot_read(spark, path) is None
+    snapshot_overwrite(_df(spark, [("a", 1)]), path)
+    assert snapshot_exists(path)
+    assert open(os.path.join(path, "_CURRENT")).read() == "v00000001"
+    assert [(r["k"], r["v"]) for r in snapshot_read(spark, path).collect()] == [("a", 1)]
+
+
+def test_versions_advance_and_gc(spark, tmp_path):
+    path = str(tmp_path / "t")
+    for i in range(1, 4):
+        snapshot_overwrite(_df(spark, [("a", i)]), path)
+    assert snapshot_read(spark, path).collect()[0]["v"] == 3
+    vdirs = sorted(d for d in os.listdir(path) if d.startswith("v"))
+    # keep=2: the live version plus its predecessor (in-flight readers)
+    assert vdirs == ["v00000002", "v00000003"]
+
+
+def test_read_modify_overwrite_hazard(spark, tmp_path):
+    """The exact pattern that loses data under plain mode('overwrite'):
+    the new snapshot's plan reads the old snapshot. The versioned
+    write never deletes its input before commit."""
+    path = str(tmp_path / "t")
+    snapshot_overwrite(_df(spark, [("a", 1), ("b", 2)]), path)
+    cur = snapshot_read(spark, path)
+    merged = cur.unionByName(_df(spark, [("c", 3)])).withColumn(
+        "v", F.col("v") + 10
+    )  # lazy plan over the live version's files
+    snapshot_overwrite(merged, path)
+    got = sorted((r["k"], r["v"]) for r in snapshot_read(spark, path).collect())
+    assert got == [("a", 11), ("b", 12), ("c", 13)]
+
+
+def test_crashed_partial_version_is_overwritten(spark, tmp_path):
+    """A version dir left by a crash (pointer never swapped) must not
+    poison the next write or the current read."""
+    path = str(tmp_path / "t")
+    snapshot_overwrite(_df(spark, [("a", 1)]), path)
+    junk = os.path.join(path, "v00000002")
+    os.makedirs(junk)
+    open(os.path.join(junk, "part-junk.parquet"), "w").write("not parquet")
+    # read still serves v1
+    assert snapshot_read(spark, path).collect()[0]["v"] == 1
+    # next write claims v2, clearing the junk
+    snapshot_overwrite(_df(spark, [("a", 2)]), path)
+    assert open(os.path.join(path, "_CURRENT")).read() == "v00000002"
+    assert snapshot_read(spark, path).collect()[0]["v"] == 2
+
+
+def test_legacy_plain_parquet_migrates(spark, tmp_path):
+    """A pre-versioned plain parquet dir stays readable, and the next
+    write converts it to the versioned layout."""
+    path = str(tmp_path / "t")
+    _df(spark, [("a", 1)]).write.parquet(path)
+    assert snapshot_read(spark, path).collect()[0]["v"] == 1  # legacy read
+    merged = snapshot_read(spark, path).withColumn("v", F.col("v") + 1)
+    snapshot_overwrite(merged, path)
+    assert snapshot_read(spark, path).collect()[0]["v"] == 2
+    # legacy root files are gone after the commit
+    assert not any(f.endswith(".parquet") for f in os.listdir(path))
+
+
+def test_no_driver_collect_in_data_snapshot_paths():
+    """Gate: the daily pipeline and the streaming sink must never
+    materialize a data table on the driver (round-1 verdict #2).
+    safe_overwrite (driver collect) is control-plane-only (ledger)."""
+    import data_warehouse_nhom8_spark.pipeline.daily as daily
+    import data_warehouse_nhom8_spark.streaming.jobs as sjobs
+    import inspect
+
+    for mod in (daily, sjobs):
+        src = inspect.getsource(mod)
+        assert "safe_overwrite" not in src, mod.__name__
+        assert ".collect()" not in src, mod.__name__

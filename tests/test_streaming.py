@@ -7,6 +7,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from data_warehouse_nhom8_spark.sources import load_table
+from data_warehouse_nhom8_spark.sources.snapshots import snapshot_read
 from data_warehouse_nhom8_spark.streaming import jobs
 from tests.conftest import SF_DIR
 
@@ -135,7 +136,7 @@ def test_foreachbatch_upsert_two_batches(spark, tmp_path):
         checkpoint=str(tmp_path / "ck"),
     )
     jobs.run_available_now(writer)
-    got1 = {r["job_id"]: r["salary"] for r in spark.read.parquet(snap).collect()}
+    got1 = {r["job_id"]: r["salary"] for r in snapshot_read(spark, snap).collect()}
     assert got1 == {"a": "old", "b": "keep"}
 
     b2 = spark.createDataFrame(
@@ -150,5 +151,5 @@ def test_foreachbatch_upsert_two_batches(spark, tmp_path):
         checkpoint=str(tmp_path / "ck"),  # same checkpoint: only f2 is new
     )
     jobs.run_available_now(writer)
-    got2 = {r["job_id"]: r["salary"] for r in spark.read.parquet(snap).collect()}
+    got2 = {r["job_id"]: r["salary"] for r in snapshot_read(spark, snap).collect()}
     assert got2 == {"a": "new", "b": "keep", "c": "fresh"}
