@@ -31,7 +31,14 @@ def connected_components(
     max_iter: int = 20,
 ) -> DataFrame:
     """(id, component) for every vertex in `pairs`; component = min id
-    reachable. Deterministic for a given edge set."""
+    reachable. Deterministic for a given edge set.
+
+    Raises RuntimeError if labels are still changing after `max_iter`
+    rounds (a component with diameter > max_iter would otherwise be
+    silently split and dedup would keep extra duplicates). Rounds
+    needed = graph diameter; near-dup clusters are shallow, so hitting
+    the cap means the edge set is not the graph you expected — raise
+    the cap explicitly rather than trusting a truncated answer."""
     edges = (
         pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
         .unionByName(pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b")))
@@ -45,6 +52,7 @@ def connected_components(
         .distinct()
         .withColumn("component", F.col("id"))
     )
+    converged = False
     for _ in range(max_iter):
         neighbour_min = (
             edges.join(labels, edges["b"] == labels["id"])
@@ -72,7 +80,13 @@ def connected_components(
         )
         labels = updated
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "a component has diameter > max_iter — raise max_iter"
+        )
     return labels
 
 

@@ -7,6 +7,8 @@ never pays inference and column pruning works from the first plan.
 
 from __future__ import annotations
 
+from weakref import WeakKeyDictionary
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -17,8 +19,11 @@ from data_warehouse_nhom8_spark import schemas
 # files and re-resolve schemas (~50-100 ms per table per query at the
 # bench's 49-query scale). DataFrames are immutable lazy plans, so
 # sharing one per (session, sf_dir, table) is safe. Keyed by the
-# session id so a driver-created session gets its own entries.
-_df_cache: dict[tuple[int, str, str], DataFrame] = {}
+# session OBJECT in a WeakKeyDictionary — id(spark) can be recycled
+# by CPython after GC, handing a new session DataFrames bound to a
+# stopped one; weak keys also let entries die with their session
+# instead of growing unbounded.
+_df_cache: WeakKeyDictionary = WeakKeyDictionary()
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -33,12 +38,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in schemas.TESTDATA_TABLES:
         raise KeyError(f"unknown testdata table: {name}")
-    key = (id(spark), sf_dir, name)
-    cached = _df_cache.get(key)
+    per_session = _df_cache.get(spark)
+    if per_session is None:
+        per_session = _df_cache[spark] = {}
+    key = (sf_dir, name)
+    cached = per_session.get(key)
     if cached is not None:
         return cached
     df = _load_table_uncached(spark, sf_dir, name)
-    _df_cache[key] = df
+    per_session[key] = df
     return df
 
 

@@ -28,6 +28,18 @@ def test_long_chain_converges(spark):
     assert set(comp.values()) == {0}
 
 
+def test_nonconvergence_raises(spark):
+    """A diameter-25 path cannot converge in 3 rounds — the operator
+    must refuse to return truncated (split) components silently."""
+    import pytest
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(25)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iter=3)
+
+
 def test_dedup_keep_canonical(spark):
     df = spark.createDataFrame([(i, f"d{i}") for i in range(6)], "doc_id long, text string")
     pairs = spark.createDataFrame([(1, 3), (3, 5)], "id_a long, id_b long")

@@ -82,9 +82,9 @@ def test_streaming_first_seen_dedup(spark, tmp_path):
 
 
 def test_approx_distinct_within_tolerance(spark):
-    from data_warehouse_nhom8_spark.plans.extensions import q43_approx_distinct_noracle
+    from data_warehouse_nhom8_spark.plans.extensions import approx_distinct_detail
 
-    rows = q43_approx_distinct_noracle(spark, SF_DIR).collect()
+    rows = approx_distinct_detail(spark, SF_DIR).collect()
     assert rows
     for r in rows:
         err = abs(r["approx_users"] - r["exact_users"]) / max(r["exact_users"], 1)
