@@ -25,17 +25,20 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from data_warehouse_nhom8_spark.functions.cleaning import collation_key
+
 
 def norm_key(col: Column | str) -> Column:
-    """Collation-normalized join/group key.
+    """Collation-normalized join/group key — delegates to
+    `functions.cleaning.collation_key` (Spark 4 native UNICODE_CI_AI:
+    case- AND accent-insensitive, the exact utf8mb4_unicode_ci twin
+    the reference's tables declare, create_warehouse_db.sql:19).
 
-    MySQL utf8mb4_unicode_ci compares case- and accent-insensitively;
-    Spark string equality is binary. `lower` + trim covers the case
-    dimension (accent folding would need ICU; lower/trim is the
-    documented engine contract for parity joins).
+    One normalization helper for the whole engine: SCD2 keys, generic
+    parity joins, and invariant checks all agree that
+    'Hà Nội' == 'ha noi'.
     """
-    c = F.col(col) if isinstance(col, str) else col
-    return F.lower(F.trim(c))
+    return collation_key(col)
 
 
 def broadcast_dim_join(
@@ -92,11 +95,17 @@ def salted_join(
     """Skew-mitigated equi-join: salt the big side, explode the other.
 
     For known-hot keys when AQE's runtime skew splitting isn't enough:
-    `big` gets a uniform random salt in [0, n_salts); `skewed` is
-    replicated n_salts times; the join key becomes (key, salt), so one
-    hot key spreads over n_salts reducers.
+    `big` gets a deterministic per-row salt in [0, n_salts); `skewed`
+    is replicated n_salts times; the join key becomes (key, salt), so
+    one hot key spreads over n_salts reducers.
+
+    The salt hashes the ROW (all columns), not the key alone (same-key
+    rows must fan out) and never uses monotonically_increasing_id
+    (partition-layout-dependent: retries/reruns would salt the same
+    row differently, violating the engine's determinism-under-replay
+    contract — see operators.scd2).
     """
-    salt = (F.crc32(F.col(key).cast("string")) + F.monotonically_increasing_id()) % n_salts
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts))
     big_s = big.withColumn("__salt", salt.cast("int"))
     rep = skewed.withColumn("__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)])))
     out = big_s.join(rep, on=[key, "__salt"], how=how)

@@ -46,12 +46,21 @@ def scd2_merge(
     expired_col: str = "expired",
     null_safe: bool = True,
     normalize_keys: bool = True,
+    collate_compare: bool = True,
 ) -> DataFrame:
     """Return the post-merge snapshot (history + current rows).
 
     `incoming` must carry the business columns (natural keys +
     compare_cols + any payload); `current` additionally carries
     `sk_col` and `expired_col`. First load: pass current=None.
+
+    `collate_compare` (default True = reference parity): STRING
+    compare columns are compared under UNICODE_CI_AI, matching the
+    reference's MySQL `<>` under utf8mb4_unicode_ci
+    (load_to_wh.sh:70-74) — a case- or accent-only difference in a
+    tracked attribute is NOT a change, so it must not spuriously
+    expire and re-insert a version. Non-string columns always compare
+    exactly. Pass False for binary comparison.
     """
     sentinel = F.lit(CURRENT_SENTINEL).cast("date")
     eff = F.lit(effective_date).cast("date")
@@ -95,8 +104,12 @@ def scd2_merge(
     )
     j = live.join(inc_cmp, on=nk, how="left")
 
+    string_cols = {f.name for f in incoming.schema.fields if f.dataType.simpleString() == "string"}
+
     def differs(c: str):
         a, b = F.col(c), F.col(f"__inc_{c}")
+        if collate_compare and c in string_cols:
+            a, b = collation_key(a), collation_key(b)
         return ~a.eqNullSafe(b) if null_safe else (a != b) & a.isNotNull() & b.isNotNull()
 
     change_cond = F.lit(False)
@@ -138,13 +151,45 @@ def _assign_sks(
     sk_col: str,
     natural_keys: Sequence[str],
 ) -> DataFrame:
-    """Deterministic surrogate keys: stable sort of the batch →
-    row_number + max(existing). Identical input ⇒ identical keys,
-    which is what makes reruns idempotent (AUTO_INCREMENT, reference
+    """Deterministic surrogate keys at any batch size: global rank of
+    each row in the total order by natural key, offset by
+    max(existing). Identical input ⇒ identical keys, which is what
+    makes reruns idempotent (AUTO_INCREMENT, reference
     create_warehouse_db.sql:7724, is NOT deterministic under replay —
-    this is deliberately stronger)."""
-    w = Window.orderBy(*[F.col(k) for k in natural_keys])
-    numbered = new_rows.withColumn(sk_col, F.row_number().over(w).cast("long"))
+    this is deliberately stronger).
+
+    Backfill-scale shape (round-1 verdict #8): instead of one global
+    `Window.orderBy` (which funnels the whole batch through a single
+    partition), the rank is computed as
+
+        repartitionByRange(keys) → row_number per range partition
+        + broadcast cumulative partition-count offsets
+
+    so the data path never leaves parallel execution. The only
+    single-partition step is the running sum over the per-partition
+    COUNTS (≤ shuffle-partition-count rows — control-plane sized).
+    Natural keys are unique within the batch (deduped upstream), so
+    the global rank is partition-boundary-independent: any range
+    partitioning yields the same total order, hence the same keys.
+    """
+    keys = [F.col(k) for k in natural_keys]
+    parted = new_rows.repartitionByRange(*keys).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w_local = Window.partitionBy("__pid").orderBy(*keys)
+    local = parted.withColumn("__rn", F.row_number().over(w_local).cast("long"))
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        parted.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .withColumn("__off", F.coalesce(F.sum("__n").over(w_off), F.lit(0)).cast("long"))
+        .select("__pid", "__off")
+    )
+    numbered = (
+        local.join(F.broadcast(offsets), on="__pid")
+        .withColumn(sk_col, (F.col("__rn") + F.col("__off")).cast("long"))
+        .drop("__pid", "__rn", "__off")
+    )
     if existing is None:
         return numbered
     base = existing.agg(F.coalesce(F.max(sk_col), F.lit(0)).alias("m"))

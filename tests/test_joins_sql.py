@@ -4,7 +4,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from data_warehouse_nhom8_spark.operators.joins import salted_join
+from data_warehouse_nhom8_spark.operators.joins import norm_key, salted_join
 from data_warehouse_nhom8_spark.sql_api import sql
 from tests.conftest import SF_DIR
 
@@ -47,6 +47,39 @@ def test_salted_join_left(spark):
         for r in salted_join(no_match, dim, "key", n_salts=4, how="left").collect()
     }
     assert salted == plain  # unmatched rows kept exactly once with NULL label
+
+
+def test_salted_join_deterministic_across_runs(spark):
+    """Same inputs ⇒ identical salted result twice in a row — the salt
+    must not depend on partition layout (round-1 verdict #6:
+    monotonically_increasing_id changed under retries/reruns)."""
+    big, dim = _skewed_fixture(spark)
+    run = lambda: sorted(
+        (r["key"], r["v"], r["label"])
+        for r in salted_join(big.repartition(7), dim, "key", n_salts=4).collect()
+    )
+    first = run()
+    second = run()
+    assert first == second
+    # and a different partitioning of the same data gives the same result
+    third = sorted(
+        (r["key"], r["v"], r["label"])
+        for r in salted_join(big.repartition(3), dim, "key", n_salts=4).collect()
+    )
+    assert first == third
+
+
+def test_norm_key_accent_and_case_insensitive(spark):
+    """The generic join-key normalizer carries full utf8mb4_unicode_ci
+    parity (case AND accents) — one helper, same semantics as SCD2."""
+    left = spark.createDataFrame([("Hà Nội", 1), ("Sài Gòn", 2)], "city string, a long")
+    right = spark.createDataFrame([("ha noi", "north"), ("SAI GON", "south")], "city string, side string")
+    j = (
+        left.select(norm_key("city").alias("k"), "a")
+        .join(right.select(norm_key("city").alias("k"), "side"), on="k")
+        .select("a", "side")
+    )
+    assert sorted((r["a"], r["side"]) for r in j.collect()) == [(1, "north"), (2, "south")]
 
 
 def test_sql_api(spark):

@@ -165,6 +165,42 @@ def _rowset(df):
     return sorted(df.collect(), key=lambda r: tuple(map(repr, r)))
 
 
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.text(st.characters(min_codepoint=48, max_codepoint=122), min_size=1, max_size=8),
+                min_size=1, max_size=30, unique=True))
+def test_sk_assignment_is_global_rank(spark, keys):
+    """The distributed SK assigner (repartitionByRange + per-partition
+    row_number + offset sums) must produce exactly the keys the naive
+    single-window global rank would — rank in the total order by
+    natural key, 1-based — independent of input partitioning."""
+    from data_warehouse_nhom8_spark.operators.scd2 import _assign_sks
+
+    df = spark.createDataFrame([(k,) for k in keys], "nk string").repartition(5)
+    got = {r["nk"]: r["sk"] for r in _assign_sks(df, None, "sk", ["nk"]).collect()}
+    expected = {k: i + 1 for i, k in enumerate(sorted(keys))}
+    assert got == expected
+
+
+def test_sk_assignment_data_path_stays_parallel(spark):
+    """Backfill-scale gate: the batch rows must not pass through a
+    single-partition exchange — only the per-partition COUNTS (one row
+    per range partition) may. The data-side row_number window
+    partitions by the range-partition id."""
+    from data_warehouse_nhom8_spark.operators.scd2 import _assign_sks
+
+    df = spark.range(10_000).selectExpr("CAST(id AS STRING) AS nk")
+    plan = (
+        _assign_sks(df, None, "sk", ["nk"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "REPARTITION_BY_" in plan or "rangepartitioning" in plan, plan[:800]
+    import re
+    windows = re.findall(r"Window \[[^\]]*row_number[^\]]*\], \[([^\]]*)\]", plan)
+    assert windows, plan[:800]
+    # every row_number window declares a partition spec (no global window)
+    assert all(spec.strip() for spec in windows), plan[:2000]
+
+
 @settings(max_examples=4, deadline=None)
 @given(scd2_days)
 def test_scd2_random_replays_keep_invariants(spark, days):

@@ -94,6 +94,30 @@ def test_scd2_first_load(spark):
     assert scd2_invariant_violations(snap, ["job_title", "company_name"]).count() == 0
 
 
+def test_scd2_collated_compare_ignores_case_accent_changes(spark):
+    """Reference parity: MySQL <> under utf8mb4_unicode_ci sees
+    'Hà Nội' → 'ha noi' as UNCHANGED — a case/accent-only difference
+    in a tracked attribute must not expire + re-insert a version
+    (ADVICE round 1). Binary mode (collate_compare=False) must still
+    detect it."""
+    inc2 = jobs_df(spark, [
+        row("a", title="Dev", company="ACME", location="hà nội", d="2025-03-11"),
+    ])
+    base = first_load(spark).withColumn("location", F.lit("Ha Noi"))
+    merged = scd2_merge(base, inc2, ["job_title", "company_name"],
+                        ["salary", "location"], "2025-03-11")
+    # collated (default): no new version for the Dev/ACME key
+    assert merged.count() == 2
+    assert merged.filter(F.col("expired") != CURRENT_SENTINEL).count() == 0
+
+    binary = scd2_merge(base, inc2, ["job_title", "company_name"],
+                        ["salary", "location"], "2025-03-11",
+                        collate_compare=False)
+    # binary: 'Ha Noi' != 'hà nội' ⇒ expire + new version
+    assert binary.count() == 3
+    assert binary.filter(F.col("expired") != CURRENT_SENTINEL).count() == 1
+
+
 def test_scd2_day2_changed_new_unchanged(spark):
     snap = first_load(spark)
     inc2 = jobs_df(spark, [
