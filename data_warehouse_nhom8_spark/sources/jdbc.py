@@ -4,15 +4,64 @@ datamart/load_to_dm.py:118-124, LoadToWH.java:115-125). The engine is
 parquet-native, but the connector surface exists so a reference user
 can point a job at their MySQL during migration.
 
-No JDBC driver jar ships in this environment, so these are thin,
-untested-against-a-live-DB wrappers; predicate pushdown, partitioned
-reads, and batched writes are configured the way a production job
-would.
+No JDBC driver jar ships in this environment, so no live-DB
+round-trip is possible; the option-building contract is factored into
+pure functions (`jdbc_read_options` / `jdbc_write_options`) that ARE
+unit-tested, and the wiring test drives `.load()` far enough to hit
+Spark's JDBC source (which validates the options before failing on
+the missing driver). Predicate pushdown, partitioned reads, and
+batched writes are configured the way a production job would.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+def jdbc_read_options(
+    url: str,
+    table: str,
+    user: str,
+    password: str,
+    partition_column: str | None = None,
+    num_partitions: int = 8,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+) -> dict[str, str]:
+    """Options for a parallel JDBC scan. With `partition_column`
+    (+bounds), Spark issues `num_partitions` range-partitioned queries
+    instead of one giant serial read — mandatory beyond toy sizes."""
+    opts = {
+        "url": url,
+        "dbtable": table,
+        "user": user,
+        "password": password,
+        "fetchsize": "10000",
+    }
+    if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            raise ValueError("partitioned JDBC read needs lower_bound/upper_bound")
+        opts.update(
+            partitionColumn=partition_column,
+            numPartitions=str(num_partitions),
+            lowerBound=str(lower_bound),
+            upperBound=str(upper_bound),
+        )
+    return opts
+
+
+def jdbc_write_options(
+    url: str, table: str, user: str, password: str, batchsize: int = 10000
+) -> dict[str, str]:
+    """Options for the batched JDBC sink (the executemany twin,
+    staging_loader.py:85)."""
+    return {
+        "url": url,
+        "dbtable": table,
+        "user": user,
+        "password": password,
+        "batchsize": str(batchsize),
+    }
 
 
 def read_jdbc(
@@ -26,27 +75,11 @@ def read_jdbc(
     lower_bound: int | None = None,
     upper_bound: int | None = None,
 ) -> DataFrame:
-    """Parallel JDBC scan. With `partition_column` (+bounds), Spark
-    issues `num_partitions` range-partitioned queries instead of one
-    giant serial read — mandatory beyond toy table sizes."""
-    r = (
-        spark.read.format("jdbc")
-        .option("url", url)
-        .option("dbtable", table)
-        .option("user", user)
-        .option("password", password)
-        .option("fetchsize", "10000")
+    opts = jdbc_read_options(
+        url, table, user, password, partition_column, num_partitions,
+        lower_bound, upper_bound,
     )
-    if partition_column is not None:
-        if lower_bound is None or upper_bound is None:
-            raise ValueError("partitioned JDBC read needs lower_bound/upper_bound")
-        r = (
-            r.option("partitionColumn", partition_column)
-            .option("numPartitions", str(num_partitions))
-            .option("lowerBound", str(lower_bound))
-            .option("upperBound", str(upper_bound))
-        )
-    return r.load()
+    return spark.read.format("jdbc").options(**opts).load()
 
 
 def write_jdbc(
@@ -58,14 +91,5 @@ def write_jdbc(
     mode: str = "append",
     batchsize: int = 10000,
 ) -> None:
-    """Batched JDBC sink (the executemany twin, staging_loader.py:85)."""
-    (
-        df.write.format("jdbc")
-        .option("url", url)
-        .option("dbtable", table)
-        .option("user", user)
-        .option("password", password)
-        .option("batchsize", str(batchsize))
-        .mode(mode)
-        .save()
-    )
+    opts = jdbc_write_options(url, table, user, password, batchsize)
+    df.write.format("jdbc").options(**opts).mode(mode).save()
