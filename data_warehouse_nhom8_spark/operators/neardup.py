@@ -199,6 +199,64 @@ def minhash_neardup_pairs(
     )
 
 
+def ngram_jaccard_pairs_exact(
+    df: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_w: int = 5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """EXACT n-gram Jaccard near-dup pairs via an inverted shingle
+    index — complete recall (a pair with J ≥ t > 0 shares ≥1 shingle,
+    so it appears in some posting list) without any all-pairs scan:
+
+      1. posting list: (shingle-hash, id), distinct per doc
+      2. intersection size per candidate pair = COUNT over the
+         posting-list self-join (group by pair)
+      3. |union| = |A| + |B| − |A∩B|  →  J = inter / union
+
+    Scale: the self-join shuffles 8-byte hashed shingles (not the
+    strings), and pair-aggregation work is Σ df(s)² over shingles —
+    bounded in real corpora because long-w shingles are rare;
+    `max_shingle_df` is the stop-shingle guard for boilerplate (drops
+    shingles appearing in more docs than the cap, making J "Jaccard
+    over non-stop shingles" — set None for strict exactness).
+    xxhash64 shingle collisions are possible in principle
+    (~#shingles²/2⁶⁴) and ignored, as in every hashed-shingle dedup.
+
+    Unlike `minhash_neardup_pairs` (probabilistic recall via LSH),
+    this is deterministic end-to-end and therefore driver-oracled
+    (q50): DuckDB computes the identical definition over raw strings.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(shingles_col(text_col, shingle_w))).alias("s"),
+    ).select("id", F.xxhash64("s").alias("h"))
+    if max_shingle_df is not None:
+        freq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("__df"))
+        sh = sh.join(freq.filter(F.col("__df") <= max_shingle_df), on="h").drop("__df")
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("__i"))
+    )
+    j = (
+        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("n").alias("__na")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("n").alias("__nb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("__i") / (F.col("__na") + F.col("__nb") - F.col("__i")), 6
+            ).cast("double").alias("jaccard"),
+        )
+    )
+    return j.filter(F.col("jaccard") >= threshold)
+
+
 def jaccard_bruteforce(
     df: DataFrame,
     threshold: float = 0.7,

@@ -251,6 +251,17 @@ def q43_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+def q50_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2: EXACT n-gram Jaccard near-dup pairs (inverted shingle
+    index — complete recall, no LSH approximation, no all-pairs scan).
+    Deterministic end-to-end, so fully driver-oracled: DuckDB computes
+    the identical shingle/Jaccard definition over raw strings."""
+    c = Catalog(spark, sf_dir)
+    return neardup.ngram_jaccard_pairs_exact(
+        c.documents, threshold=0.8, shingle_w=5
+    ).orderBy("id_a", "id_b")
+
+
 EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q33_exact_dedup_docs": q33_exact_dedup_docs,
     "q34_token_counts": q34_token_counts,
@@ -266,9 +277,37 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q44_rollup": q44_rollup,
     "q45_percentiles": q45_percentiles,
     "q49_cluster_dedup_noracle": q49_cluster_dedup_noracle,
+    "q50_ngram_jaccard": q50_ngram_jaccard,
 }
 
 EXTENSION_ORACLES: dict[str, str] = {
+    "q50_ngram_jaccard": """
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+          FROM documents
+        ),
+        sh AS (
+          SELECT DISTINCT doc_id, s
+          FROM toks,
+               UNNEST(list_transform(generate_series(1, greatest(len(t) - 4, 1)),
+                                     i -> array_to_string(t[i:i+4], ' '))) AS u(s)
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ),
+        jac AS (
+          SELECT id_a, id_b,
+                 ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+          FROM inter
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+        )
+        SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.8
+        ORDER BY id_a NULLS FIRST, id_b NULLS FIRST
+    """,
     "q40_cosine_topk": """
         SELECT vec_id, ROUND(cosine, 6) AS cosine FROM (
           SELECT e.vec_id AS vec_id,

@@ -62,6 +62,33 @@ def test_minhash_recall_vs_bruteforce(spark, docs):
     assert lsh == exact
 
 
+def test_ngram_jaccard_exact_equals_bruteforce(spark, docs):
+    """The inverted-index formulation must reproduce the O(n²)
+    brute-force pairs AND values exactly — it is the same definition,
+    just scalable (complete recall, no LSH)."""
+    for thr in (0.3, 0.6):
+        brute = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in neardup.jaccard_bruteforce(docs, threshold=thr, shingle_w=3).collect()
+        }
+        inv = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in neardup.ngram_jaccard_pairs_exact(
+                docs, threshold=thr, shingle_w=3
+            ).collect()
+        }
+        assert inv == brute
+
+
+def test_ngram_jaccard_stop_shingle_cap(spark, docs):
+    """max_shingle_df drops shingles present in more docs than the cap;
+    with cap=1 no shingle is shared, so no pairs survive."""
+    out = neardup.ngram_jaccard_pairs_exact(
+        docs, threshold=0.1, shingle_w=3, max_shingle_df=1
+    )
+    assert out.count() == 0
+
+
 def test_minhash_jaccard_values_exact(spark, docs):
     """The verify stage computes EXACT jaccard — spot-check one pair
     against a python set computation."""
