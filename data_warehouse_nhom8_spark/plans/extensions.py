@@ -108,9 +108,12 @@ def q36_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q37_lang_id_noracle(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X3: heuristic language-ID distribution (tested against labeled
-    fixtures in pytest; heuristic ≠ SQL-portable)."""
+def q37_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3: heuristic language-ID distribution. The heuristic (prefix
+    sample → CJK share → stopword-table argmax with fixed tie order)
+    is deterministic and SQL-portable, so it is driver-oracled:
+    DuckDB computes the identical definition. Accuracy itself is
+    additionally tested against labeled fixtures in pytest."""
     c = Catalog(spark, sf_dir)
     return (
         c.documents.select(lang_id_col("text").alias("lang_pred"))
@@ -267,7 +270,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q34_token_counts": q34_token_counts,
     "q35_quality_scores": q35_quality_scores,
     "q36_doc_fingerprint": q36_doc_fingerprint,
-    "q37_lang_id_noracle": q37_lang_id_noracle,
+    "q37_lang_id": q37_lang_id,
     "q38_minhash_neardup_noracle": q38_minhash_neardup_noracle,
     "q39_simhash_neardup_noracle": q39_simhash_neardup_noracle,
     "q40_cosine_topk": q40_cosine_topk,
@@ -281,6 +284,37 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 EXTENSION_ORACLES: dict[str, str] = {
+    "q37_lang_id": """
+        WITH s AS (
+          SELECT lower(substring(text, 1, 256)) AS t FROM documents
+        ),
+        w AS (
+          SELECT t, (string_split_regex(trim(t), '\\s+'))[1:64] AS words FROM s
+        ),
+        sc AS (
+          SELECT
+            length(t) - length(regexp_replace(t, '[\\x{4e00}-\\x{9fff}]', '', 'g')) AS cjk,
+            len(words) AS nw,
+            len(list_filter(words, x -> x IN ('the','and','is','of','to','that','with'))) AS s_en,
+            len(list_filter(words, x -> x IN ('el','la','los','las','que','es','una','por'))) AS s_es,
+            len(list_filter(words, x -> x IN ('le','la','les','des','est','une','dans','pour'))) AS s_fr,
+            len(list_filter(words, x -> x IN ('der','die','das','und','ist','ein','nicht','mit'))) AS s_de,
+            len(list_filter(words, x -> x IN ('của','và','là','các','cho','trong','một','được'))) AS s_vi
+          FROM w
+        ),
+        pred AS (
+          SELECT CASE WHEN cjk * 5 > nw THEN 'zh'
+                      WHEN greatest(s_en, s_es, s_fr, s_de, s_vi) = 0 THEN 'und'
+                      WHEN s_en = greatest(s_en, s_es, s_fr, s_de, s_vi) THEN 'en'
+                      WHEN s_es = greatest(s_en, s_es, s_fr, s_de, s_vi) THEN 'es'
+                      WHEN s_fr = greatest(s_en, s_es, s_fr, s_de, s_vi) THEN 'fr'
+                      WHEN s_de = greatest(s_en, s_es, s_fr, s_de, s_vi) THEN 'de'
+                      ELSE 'vi' END AS lang_pred
+          FROM sc
+        )
+        SELECT lang_pred, COUNT(*) AS n FROM pred
+        GROUP BY lang_pred ORDER BY lang_pred NULLS FIRST
+    """,
     "q50_ngram_jaccard": """
         WITH toks AS (
           SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t

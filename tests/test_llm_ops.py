@@ -117,6 +117,24 @@ def test_simhash_finds_near_dups(spark, docs):
     assert (0, 3) not in pairs  # different doc far away
 
 
+def test_simhash_agg_formulation_matches_fold(spark, docs):
+    """simhash_signatures (explode + bit-count sums, the fast path)
+    must be bit-identical to the reference simhash_col array-fold."""
+    hashed = docs.select(
+        F.col("doc_id").alias("id"),
+        F.transform(
+            F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), r"\s+")),
+            lambda w: F.xxhash64(w),
+        ).alias("__th"),
+    )
+    fold = {
+        r["id"]: r["sh"]
+        for r in hashed.select("id", neardup.simhash_col(F.col("__th")).alias("sh")).collect()
+    }
+    fast = {r["id"]: r["sh"] for r in neardup.simhash_signatures(docs).collect()}
+    assert fast == fold
+
+
 def test_cosine_topk_matches_numpy(spark):
     rng = np.random.default_rng(7)
     vecs = rng.normal(size=(200, 16)).astype("float32")
