@@ -21,7 +21,6 @@ from data_warehouse_nhom8_spark.operators.multimodal import extract_features
 from data_warehouse_nhom8_spark.operators.text import (
     exact_dedup,
     fingerprint_col,
-    lang_id_col,
     quality_cols,
     token_count_col,
 )
@@ -113,10 +112,17 @@ def q37_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample → CJK share → stopword-table argmax with fixed tie order)
     is deterministic and SQL-portable, so it is driver-oracled:
     DuckDB computes the identical definition. Accuracy itself is
-    additionally tested against labeled fixtures in pytest."""
+    additionally tested against labeled fixtures in pytest.
+
+    Uses the staged `add_lang_id` (named-column scores + struct
+    argmax) — identical predictions to `lang_id_col`, ~1.6x faster
+    (the Column form's when-chain duplicates score expressions
+    exponentially; see operators.text.add_lang_id)."""
+    from data_warehouse_nhom8_spark.operators.text import add_lang_id
+
     c = Catalog(spark, sf_dir)
     return (
-        c.documents.select(lang_id_col("text").alias("lang_pred"))
+        add_lang_id(c.documents.select("text"))
         .groupBy("lang_pred")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("lang_pred")

@@ -117,6 +117,28 @@ def test_simhash_finds_near_dups(spark, docs):
     assert (0, 3) not in pairs  # different doc far away
 
 
+def test_lang_id_staged_matches_column_form(spark):
+    """add_lang_id (staged, fast) must predict identically to
+    lang_id_col (Column form) — same heuristic, same tie-breaks."""
+    from data_warehouse_nhom8_spark.operators.text import add_lang_id, lang_id_col
+
+    rows = [
+        (0, "the cat and the dog is in the garden with food"),
+        (1, "el perro y la casa que es una maravilla por la noche"),
+        (2, "le chat est dans la maison pour les enfants des amis"),
+        (3, "der hund ist ein gutes tier und das ist nicht schlecht mit"),
+        (4, "con mèo của tôi và các bạn là trong một ngôi nhà được yêu"),
+        (5, "中文文本没有空格但是有很多汉字在这里出现了"),
+        (6, "zzz qqq xxx"),  # no markers -> und
+        (7, "la la la"),     # es/fr tie -> es (earlier in fixed order)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    col_form = {r["doc_id"]: r["l"] for r in df.select("doc_id", lang_id_col("text").alias("l")).collect()}
+    staged = {r["doc_id"]: r["lang_pred"] for r in add_lang_id(df).collect()}
+    assert staged == col_form
+    assert staged[6] == "und" and staged[7] == "es" and staged[5] == "zh"
+
+
 def test_simhash_agg_formulation_matches_fold(spark, docs):
     """simhash_signatures (explode + bit-count sums, the fast path)
     must be bit-identical to the reference simhash_col array-fold."""
