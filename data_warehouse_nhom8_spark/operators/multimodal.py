@@ -63,7 +63,15 @@ def _fake_decode_features(payload: bytes, n: int = 8) -> list[float]:
 
 
 def extract_features(df: DataFrame, batch_feature_dim: int = 8) -> DataFrame:
-    """Arrow-batched feature extraction over the binary column."""
+    """Arrow-batched feature extraction over the binary column.
+
+    Repartitions first: a codec is compute-per-byte-heavy, and the
+    scan's task count (bounded by file/row-group splits) would
+    otherwise cap how many Python workers run — one single-row-group
+    input file means ONE Arrow worker no matter the cluster size."""
+    from data_warehouse_nhom8_spark.session import repartition_for_compute
+
+    df = repartition_for_compute(df)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

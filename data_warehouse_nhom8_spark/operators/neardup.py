@@ -190,13 +190,83 @@ def minhash_neardup_pairs(
     max_bucket_size: int = 200,
 ) -> DataFrame:
     """Full near-dup pipeline: LSH candidates → exact-Jaccard verify →
-    pairs above threshold."""
-    cands = minhash_lsh_candidates(
-        df, id_col, text_col, k, bands, shingle_w, max_bucket_size
+    pairs above threshold.
+
+    Staging (measured at sf0.1): shingle construction is the dominant
+    cost (~3 s of string slicing/concat per pass) and the naive
+    compose runs it ~3× (signature build + both verify join sides).
+    Here the 64-bit hashed shingle sets are materialized ONCE
+    (`localCheckpoint` — distributed, lineage-truncating) and every
+    downstream stage — signatures, banding, verify — reads them.
+    Verify intersects the 64-bit hashes, not the shingle strings:
+    identical Jaccard absent xxhash64 collisions (~|set|²/2⁶⁴ per
+    pair, negligible; same contract as ngram_jaccard_pairs_exact).
+    The signature path additionally folds hashes into [0, 2³¹−1) for
+    the permutation family exactly as before, so signatures — and
+    therefore candidates — are unchanged."""
+    from data_warehouse_nhom8_spark.session import repartition_for_compute
+
+    df = repartition_for_compute(df)
+    sets = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            F.array_distinct(shingles_col(text_col, shingle_w)), lambda s: F.xxhash64(s)
+        ).alias("__h64"),
+    ).localCheckpoint(eager=True)
+
+    # signature path: same hash family as minhash_signatures
+    # (abs(xxhash64) % P), over the deduped set — array_min is
+    # duplicate-insensitive, so signatures equal the multiset form
+    hashed = sets.select(
+        "id", F.transform("__h64", lambda h: F.abs(h) % _P).alias("__hs")
     )
-    return jaccard_pairs(df, cands, id_col, text_col, shingle_w).filter(
-        F.col("jaccard") >= threshold
+    # checkpoint the signature table too (|docs| × k longs — tiny):
+    # it feeds THREE consumers (bucket-size histogram + both sides of
+    # the bucket self-join) and each would otherwise re-run the k
+    # permutation folds over the shingle arrays
+    with_sig = hashed.select(
+        "id", minhash_signature_col(F.col("__hs"), k).alias("sig")
+    ).localCheckpoint(eager=True)
+    r = k // bands
+    banded = with_sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(",", *[F.element_at("sig", b * r + j + 1).cast("string") for j in range(r)])
+                        ).alias("bhash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bhash")
+    bucket_sizes = banded.groupBy("band", "bhash").agg(F.count(F.lit(1)).alias("__bn"))
+    bounded = banded.join(
+        bucket_sizes.filter(F.col("__bn") <= max_bucket_size), on=["band", "bhash"]
+    ).drop("__bn")
+    a, b = bounded.alias("a"), bounded.alias("b")
+    cands = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bhash") == F.col("b.bhash")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
     )
+
+    # verify on the checkpointed hash sets
+    out = (
+        cands.join(sets.select(F.col("id").alias("id_a"), F.col("__h64").alias("__ha")), "id_a")
+        .join(sets.select(F.col("id").alias("id_b"), F.col("__h64").alias("__hb")), "id_b")
+    )
+    inter = F.size(F.array_intersect("__ha", "__hb"))
+    union = F.size(F.array_union("__ha", "__hb"))
+    return out.select(
+        "id_a",
+        "id_b",
+        F.round(inter / F.when(union > 0, union).otherwise(1), 6).cast("double").alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
 
 
 def ngram_jaccard_pairs_exact(
@@ -229,6 +299,9 @@ def ngram_jaccard_pairs_exact(
     this is deterministic end-to-end and therefore driver-oracled
     (q50): DuckDB computes the identical definition over raw strings.
     """
+    from data_warehouse_nhom8_spark.session import repartition_for_compute
+
+    df = repartition_for_compute(df)
     sh = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(shingles_col(text_col, shingle_w))).alias("s"),
@@ -313,7 +386,10 @@ def simhash_signatures(
     the token array; the agg makes one columnar pass in codegen) and
     bit-identical to it (regression-tested). Rows with NULL text get
     signature 0 (no token votes)."""
+    from data_warehouse_nhom8_spark.session import repartition_for_compute
+
     t = F.col(text_col)
+    df = repartition_for_compute(df)
     hashed = df.select(
         F.col(id_col).alias("id"),
         F.transform(

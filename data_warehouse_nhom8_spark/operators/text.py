@@ -149,6 +149,9 @@ def add_lang_id(
     argmax is one `greatest` over (score, -priority, lang) structs —
     every score referenced exactly once; lexicographic struct order
     gives the same earlier-language-wins tie-break."""
+    from data_warehouse_nhom8_spark.session import repartition_for_compute
+
+    df = repartition_for_compute(df)
     passthrough = [F.col(c) for c in df.columns]
     t = F.lower(F.substring(_c(text_col), 1, sample_chars))
     staged = df.select(

@@ -61,6 +61,23 @@ def auto_aqe(data_dir: str, threshold_bytes: int = 1 << 30) -> bool:
     return _dir_bytes(data_dir) > threshold_bytes
 
 
+def repartition_for_compute(df, partitions: int | None = None):
+    """Decouple compute parallelism from input-split parallelism.
+
+    A scan's task count is bounded by file/row-group structure (one
+    single-row-group parquet file ⇒ ONE task no matter how many cores
+    — the testdata files are exactly that), and Catalyst pushes
+    projections into the scan task, so expression-heavy per-row work
+    (shingling, signatures, language-ID, Arrow codecs) silently runs
+    single-threaded. One cheap shuffle of the raw rows buys full-core
+    parallelism for everything downstream. Use ONLY around
+    compute-per-byte-heavy operators: for ordinary scans the shuffle
+    costs more than it saves, and at 100 TB input splits already match
+    the cluster."""
+    n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n)
+
+
 def get_spark(
     app_name: str = "data_warehouse_nhom8_spark",
     master: str | None = None,
