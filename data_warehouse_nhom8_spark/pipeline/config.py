@@ -37,6 +37,7 @@ class EngineConfig:
     staging_path: str = "data/staging"
     warehouse_path: str = "data/warehouse"
     datamart_path: str = "data/datamart"
+    dashboard_path: str = ""  # optional: static HTML dashboard (S12)
     ledger_path: str = "data/ledger"
     locks_path: str = "data/locks"
     truncate_before_insert: bool = True
@@ -73,6 +74,7 @@ def load_config(xml_path: str) -> EngineConfig:
         staging_path=_text(root, "./paths/staging", "data/staging") or "data/staging",
         warehouse_path=_text(root, "./paths/warehouse", "data/warehouse") or "data/warehouse",
         datamart_path=_text(root, "./paths/datamart", "data/datamart") or "data/datamart",
+        dashboard_path=_text(root, "./paths/dashboard", "") or "",
         ledger_path=_text(root, "./paths/ledger", "data/ledger") or "data/ledger",
         locks_path=_text(root, "./paths/locks", "data/locks") or "data/locks",
         truncate_before_insert=(

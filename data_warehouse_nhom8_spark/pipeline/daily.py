@@ -70,6 +70,16 @@ def run_daily_pipeline(
         if specs
         else rebuild_datamart(live, cfg.datamart_path)
     )
+
+    # 5. optional dashboard refresh (S12) — the reference regenerates
+    # its dashboard data on the same cron as the datamart load
+    if cfg.dashboard_path:
+        from data_warehouse_nhom8_spark.pipeline.dashboard import render_dashboard
+        from data_warehouse_nhom8_spark.pipeline.datamart import DEFAULT_SPECS
+
+        report["dashboard"] = render_dashboard(
+            spark, cfg.datamart_path, cfg.dashboard_path, specs or DEFAULT_SPECS
+        )
     return report
 
 

@@ -33,6 +33,7 @@ def test_run_daily_pipeline_two_days(spark, tmp_path):
         staging_path=str(tmp_path / "staging"),
         warehouse_path=str(tmp_path / "warehouse"),
         datamart_path=str(tmp_path / "dm"),
+        dashboard_path=str(tmp_path / "dash.html"),
         ledger_path=str(tmp_path / "ledger"),
     )
     rows = {
@@ -50,6 +51,9 @@ def test_run_daily_pipeline_two_days(spark, tmp_path):
     assert r2["staging_rows"] == 3          # t1 updated, t9 new, g1 kept
     assert r2["warehouse_rows"] == 4        # + expired t1 version
     assert r2["datamart"]["agg_job_by_company"] == 2
+    # S12: the dashboard refreshed with the datamart on the same run
+    page = open(r2["dashboard"], encoding="utf-8").read()
+    assert "agg_job_by_company" in page and '<rect class="bar"' in page
 
     # rerun day 2: extract + warehouse both gate on the ledger; state unchanged
     r3 = run_daily_pipeline(spark, cfg, conns, D2)
