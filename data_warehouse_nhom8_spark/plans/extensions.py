@@ -42,12 +42,19 @@ def _memo(spark: SparkSession) -> dict:
     return memo
 
 
-def _shared_minhash_pairs(spark: SparkSession, sf_dir: str, docs: DataFrame) -> DataFrame:
-    key = ("minhash_pairs", sf_dir)
+def _shared_minhash_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    docs: DataFrame,
+    threshold: float = 0.8,
+    bands: int = 8,
+    shingle_w: int = 5,
+) -> DataFrame:
+    key = ("minhash_pairs", sf_dir, threshold, bands, shingle_w)
     memo = _memo(spark)
     if key not in memo:
         pairs = neardup.minhash_neardup_pairs(
-            docs, threshold=0.8, bands=8, shingle_w=5
+            docs, threshold=threshold, bands=bands, shingle_w=shingle_w
         ).persist(StorageLevel.MEMORY_AND_DISK)
         memo[key] = pairs
     return memo[key]
@@ -72,10 +79,18 @@ def q33_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q34_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X3: whitespace token counting (native split, no UDF)."""
+    """X3: token counting — whitespace tokens AND the BPE-ish sub-word
+    estimate (regex word pieces), both native expressions, both
+    oracle-checked against DuckDB's regexp functions."""
+    from data_warehouse_nhom8_spark.operators.text import bpe_ish_token_count
+
     c = Catalog(spark, sf_dir)
     return (
-        c.documents.select("doc_id", token_count_col("text").alias("n_tokens"))
+        c.documents.select(
+            "doc_id",
+            token_count_col("text").alias("n_tokens"),
+            bpe_ish_token_count("text").alias("n_bpe_ish"),
+        )
         .orderBy("doc_id")
         .limit(500)
     )
@@ -369,7 +384,8 @@ EXTENSION_ORACLES: dict[str, str] = {
     """,
     "q34_token_counts": """
         SELECT doc_id,
-               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+               CAST(len(regexp_extract_all(text, '([A-Za-z]{1,4}|\\d|[^\\sA-Za-z\\d])', 1)) AS BIGINT) AS n_bpe_ish
         FROM documents ORDER BY doc_id NULLS FIRST LIMIT 500
     """,
     "q35_quality_scores": """
