@@ -124,6 +124,207 @@ def cosine_topk_lsh(
     )
 
 
+# ------------------------------------------------------------- IVF (ANN)
+#
+# Inverted-file index: coarse k-means quantizer → assign every vector
+# to its nearest centroid → a query probes only the `n_probe` nearest
+# cells and reranks exactly inside them. The second scale path beside
+# hyperplane LSH: prefers clustered embedding spaces where sign-bit
+# buckets split true neighbourhoods.
+#
+# Scale shape: training touches the data only through per-iteration
+# (cluster, dim) averages — the driver only ever holds the k×d
+# centroid model (inherently driver-side between Lloyd's rounds, like
+# any iterative ML fit). At rest, write the table partitioned by
+# `cluster` so a probe is partition pruning, not a filter.
+
+
+def _sq_dist(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _nearest_centroid_col(vec: Column, centroids: list[list[float]]) -> Column:
+    """argmin_i ||vec - c_i||² as a native expression: array_min over
+    (distance, index) structs — struct ordering breaks ties on the
+    lower index. (Field aliases are normalized to col1/col2 inside an
+    array literal, hence the positional getField.)"""
+    cells = F.array(
+        *[
+            F.struct(
+                _sq_dist(vec, F.array(*[F.lit(float(x)) for x in c])),
+                F.lit(i),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return F.array_min(cells).getField("col2")
+
+
+def ivf_fit_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic distributed Lloyd's: init cell c = mean of rows
+    with pmod(xxhash64(id), k) == c (a fixed pseudo-random partition
+    — no RNG state, same model every run), then `iters` rounds of
+    assign → per-cell per-dimension mean. The driver collects only
+    the k×d model each round, never the data. Empty cells keep their
+    previous centroid.
+
+    The assignment inside the loop is the codegen shape, not the
+    per-row array fold: ||x−c||² = ||c||² − 2·x·c + ||x||² (the ||x||²
+    term is rank-invariant and dropped), with x·c computed by
+    posexplode → broadcast join against the (cell, dim, value)
+    centroid literals → partial-agg sum. Everything stays in
+    whole-stage codegen; the interpreted higher-order-function fold
+    was ~50× slower here. Per round this shuffles n·k dot partials
+    and n assignments — the standard IVF training cost."""
+    spark = embeddings.sparkSession
+    from data_warehouse_nhom8_spark.session import repartition_for_compute
+
+    vec_d = F.col(vec_col).cast("array<double>")
+    base = repartition_for_compute(
+        embeddings.select(F.col(id_col).alias("__id"), vec_d.alias("__v"))
+    ).localCheckpoint(eager=True)
+    ex = base.select("__id", F.posexplode("__v").alias("__p", "__x"))
+
+    def means_of(assign: DataFrame) -> dict[int, list[float]]:
+        rows = (
+            assign.join(ex, "__id")
+            .groupBy("__c", "__p")
+            .agg(F.avg("__x").alias("__m"))
+            .collect()
+        )
+        out: dict[int, dict[int, float]] = {}
+        for r in rows:
+            out.setdefault(r["__c"], {})[r["__p"]] = r["__m"]
+        return {c: [dims[p] for p in sorted(dims)] for c, dims in out.items()}
+
+    init = means_of(
+        base.select(
+            "__id",
+            F.pmod(F.xxhash64(F.col("__id").cast("string")), F.lit(n_centroids))
+            .cast("int")
+            .alias("__c"),
+        )
+    )
+    if not init:
+        return []
+    dim = len(next(iter(init.values())))
+    centroids = [init.get(c, [0.0] * dim) for c in range(n_centroids)]
+    for _ in range(iters):
+        cent_df = spark.createDataFrame(
+            [(c, p, float(v)) for c, vec in enumerate(centroids) for p, v in enumerate(vec)],
+            "__c int, __p int, __cv double",
+        )
+        cn2 = [sum(v * v for v in vec) for vec in centroids]
+        dots = (
+            ex.join(F.broadcast(cent_df), "__p")
+            .groupBy("__id", "__c")
+            .agg(F.sum(F.col("__x") * F.col("__cv")).alias("__dot"))
+        )
+        score = (
+            F.element_at(
+                F.array(*[F.lit(float(x)) for x in cn2]), F.col("__c") + 1
+            )
+            - 2 * F.col("__dot")
+        )
+        assign = dots.groupBy("__id").agg(
+            F.min_by("__c", F.struct(score.alias("s"), F.col("__c"))).alias("__c")
+        )
+        assigned = means_of(assign)
+        centroids = [assigned.get(c, centroids[c]) for c in range(n_centroids)]
+    return centroids
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, v, cluster) index table. At scale, persist partitioned by
+    `cluster` so probes prune partitions. Map-only: the per-row
+    argmin fold costs k·d interpreted steps per vector — fine for
+    index build (once per vector, carries the vector through), while
+    the fit loop uses the join formulation (see ivf_fit_centroids)."""
+    from data_warehouse_nhom8_spark.session import repartition_for_compute
+
+    embeddings = repartition_for_compute(embeddings)
+    vec_d = F.col(vec_col).cast("array<double>")
+    return embeddings.select(
+        F.col(id_col),
+        vec_d.alias("__v"),
+        _nearest_centroid_col(vec_d, centroids).alias("cluster"),
+    )
+
+
+def cosine_topk_ivf_probe(
+    index: DataFrame,
+    centroids: list[list[float]],
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "__v",
+) -> DataFrame:
+    """Probe a prebuilt IVF index (the fit-once-query-many hot path):
+    pick the `n_probe` cells whose centroids are nearest the query
+    (driver-side on the k×d model — no data touched), filter the
+    index to those cells (partition pruning when the index is stored
+    partitioned by `cluster`), exact cosine rerank inside."""
+    if not centroids:
+        return index.sparkSession.createDataFrame([], f"{id_col} long, cosine double")
+    ranked = sorted(
+        range(len(centroids)),
+        key=lambda c: (
+            sum((a - b) * (a - b) for a, b in zip(query_vec, centroids[c])),
+            c,
+        ),
+    )
+    probe = ranked[:n_probe]
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        index.filter(F.col("cluster").isin(probe))
+        .select(F.col(id_col), cosine_sim_col(F.col(vec_col), q).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def cosine_topk_ivf(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF ANN top-k from raw embeddings: fit (unless a prefit
+    `centroids` model is passed), assign, probe. Convenience wrapper
+    over ivf_fit_centroids + ivf_assign + cosine_topk_ivf_probe."""
+    if centroids is None:
+        centroids = ivf_fit_centroids(
+            embeddings, n_centroids, iters, id_col=id_col, vec_col=vec_col
+        )
+    if not centroids:
+        return embeddings.sparkSession.createDataFrame([], f"{id_col} long, cosine double")
+    indexed = ivf_assign(embeddings, centroids, id_col=id_col, vec_col=vec_col)
+    return cosine_topk_ivf_probe(
+        indexed, centroids, query_vec, k=k, n_probe=n_probe, id_col=id_col
+    )
+
+
 def embedding_neardup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,

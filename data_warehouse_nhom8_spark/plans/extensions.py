@@ -181,6 +181,50 @@ def q41_embedding_neardup_noracle(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def _shared_ivf_index(
+    spark: SparkSession, sf_dir: str, embeddings: DataFrame,
+    n_centroids: int = 16, iters: int = 3,
+) -> tuple[list[list[float]], DataFrame]:
+    """Fit-once-query-many: the IVF centroid model (k×d floats) AND
+    the assigned (id, vector, cluster) index are session-memoized per
+    (sf_dir, params), like the MinHash pairs — an IVF index is built
+    offline and probed many times; at rest it would be a table
+    partitioned by `cluster`."""
+    key = ("ivf_index", sf_dir, n_centroids, iters)
+    memo = _memo(spark)
+    if key not in memo:
+        model = similarity.ivf_fit_centroids(
+            embeddings, n_centroids=n_centroids, iters=iters
+        )
+        index = similarity.ivf_assign(embeddings, model).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        memo[key] = (model, index)
+    return memo[key]
+
+
+def q51_ivf_topk_noracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 scale path #2: IVF ANN top-10 for the vec_id=0 query vector
+    — coarse k-means cells (deterministic distributed Lloyd's), probe
+    the 4 nearest cells, exact cosine rerank inside. Approximate by
+    design, so rows-only for the driver; recall vs the brute-force
+    twin is pytest-gated (test_llm_ops)."""
+    c = Catalog(spark, sf_dir)
+    qvec = c.embeddings.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    model, index = _shared_ivf_index(spark, sf_dir, c.embeddings)
+    return (
+        similarity.cosine_topk_ivf_probe(
+            index.filter(F.col("vec_id") != 0),
+            model,
+            [float(x) for x in qvec],
+            k=10,
+            n_probe=4,
+        )
+        .withColumn("cosine", F.round("cosine", 6))
+        .orderBy(F.desc("cosine"), "vec_id")
+    )
+
+
 def q42_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4: multimodal plumbing end-to-end — documents cast to binary
     payloads, Arrow-batched mapInPandas feature extraction; n_bytes is
@@ -302,6 +346,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q45_percentiles": q45_percentiles,
     "q49_cluster_dedup_noracle": q49_cluster_dedup_noracle,
     "q50_ngram_jaccard": q50_ngram_jaccard,
+    "q51_ivf_topk_noracle": q51_ivf_topk_noracle,
 }
 
 EXTENSION_ORACLES: dict[str, str] = {

@@ -195,6 +195,52 @@ def test_lsh_ann_recall(spark):
     assert {0, 1, 2, 3, 4, 5} <= ann or len(ann & exact) >= 5
 
 
+def test_ivf_ann_recall_and_determinism(spark):
+    rng = np.random.default_rng(19)
+    vecs = rng.normal(size=(300, 16)).astype("float32")
+    # plant 5 close neighbours of vecs[0]
+    for i in range(1, 6):
+        vecs[i] = vecs[0] + rng.normal(scale=0.05, size=16).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    q = [float(x) for x in vecs[0]]
+    model = similarity.ivf_fit_centroids(df, n_centroids=8, iters=3)
+    assert len(model) == 8 and all(len(c) == 16 for c in model)
+    # same data -> same model, run to run (deterministic init + Lloyd's)
+    assert model == similarity.ivf_fit_centroids(df, n_centroids=8, iters=3)
+    exact = {r["vec_id"] for r in similarity.cosine_topk_bruteforce(df, q, k=6).collect()}
+    ann = {
+        r["vec_id"]
+        for r in similarity.cosine_topk_ivf(
+            df, q, k=6, n_probe=3, centroids=model
+        ).collect()
+    }
+    # the planted neighbours sit in the query's cell (or its probes)
+    assert {0, 1, 2, 3, 4, 5} <= ann or len(ann & exact) >= 5
+
+
+def test_ivf_assign_covers_all_cells_consistently(spark):
+    rng = np.random.default_rng(23)
+    vecs = rng.normal(size=(120, 8)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    model = similarity.ivf_fit_centroids(df, n_centroids=4, iters=2)
+    assigned = similarity.ivf_assign(df, model).collect()
+    assert len(assigned) == 120
+    clusters = {r["cluster"] for r in assigned}
+    assert clusters <= set(range(4))
+    # every vector's cluster is its true argmin centroid (numpy check)
+    cents = np.array(model)
+    v = np.array([[float(x) for x in row] for row in vecs], dtype="float64")
+    want = np.argmin(((v[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2), axis=1)
+    got = {r["vec_id"]: r["cluster"] for r in assigned}
+    assert all(got[i] == want[i] for i in range(120))
+
+
 def test_embedding_neardup_pairs(spark):
     rng = np.random.default_rng(3)
     vecs = rng.normal(size=(50, 16)).astype("float32")
