@@ -83,6 +83,21 @@ def main() -> None:
     warm_oracle = round(sum(v for k, v in warm.items() if k in ORACLES), 3)
     cold_oracle = round(sum(v for k, v in cold.items() if k in ORACLES), 3)
     warm_ext = round(sum(v for k, v in warm.items() if k not in ORACLES), 3)
+
+    # Supplementary throughput metric: the same warm oracled set
+    # submitted from concurrent client threads (Spark's scheduler
+    # interleaves jobs; local[32] has the cores). Sequential warm
+    # total ≈ Σ(per-query ~0.1–0.3 s scheduling floor + compute);
+    # concurrent wall-clock amortizes the floor across queries —
+    # the steady-state throughput of a query-serving driver. The
+    # headline stays the sequential number.
+    from concurrent.futures import ThreadPoolExecutor
+
+    oracle_fns = [(k, QUERIES[k]) for k in warm if k in ORACLES]
+    t0 = time.perf_counter()
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        list(pool.map(lambda kv: kv[1](spark, sf_dir).toArrow(), oracle_fns))
+    concurrent_wall = round(time.perf_counter() - t0, 3)
     print(
         json.dumps(
             {
@@ -94,6 +109,7 @@ def main() -> None:
                 "cold_total_sec": cold_oracle,
                 "queries_cold": cold,
                 "extensions_total_sec": warm_ext,
+                "concurrent_warm_wall_sec": concurrent_wall,
                 "aqe": aqe,
                 "n_queries": len(warm),
             }
