@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from data_warehouse_nhom8_spark.session import repartition_if_split_starved
 from data_warehouse_nhom8_spark.sources import Catalog
 
 
@@ -29,6 +30,14 @@ def q46_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     c = Catalog(spark, sf_dir)
     li = c.lineitem.filter(F.to_date("l_shipdate") <= F.lit("2000-06-01").cast("date"))
+    # the boxed-decimal partial agg is CPU-bound: don't let a
+    # 3-row-group local file cap it at 3 cores (no-op at scale)
+    li = repartition_if_split_starved(
+        li.select(
+            "l_returnflag", "l_linestatus", "l_quantity",
+            "l_extendedprice", "l_discount", "l_tax",
+        )
+    )
     dec2 = lambda col: F.col(col).cast("decimal(18,2)")
     disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
     charge = (

@@ -78,6 +78,25 @@ def repartition_for_compute(df, partitions: int | None = None):
     return df.repartition(n)
 
 
+def repartition_if_split_starved(df, min_fraction: float = 0.5):
+    """Input-split starvation guard for compute-heavy aggregations.
+
+    Scan-side partial aggregation runs on as many tasks as the file
+    layout yields — a 3-row-group parquet table caps a CPU-bound agg
+    (e.g. boxed wide-decimal sums) at 3 cores no matter the cluster.
+    If the plan's scan parallelism is below `min_fraction` of the
+    available cores, shuffle the (already filtered/pruned) rows to
+    full parallelism; otherwise return the plan UNCHANGED — on any
+    real multi-split input (every production table, 100 TB) this is
+    a no-op and no shuffle is added. Data-driven like
+    auto_shuffle_partitions/auto_aqe: the policy reads the actual
+    layout instead of hard-coding either choice."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= max(1, int(n * min_fraction)):
+        return df
+    return df.repartition(n)
+
+
 def get_spark(
     app_name: str = "data_warehouse_nhom8_spark",
     master: str | None = None,
