@@ -225,6 +225,51 @@ def q51_ivf_topk_noracle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LSH_DIM, _LSH_PLANES = 64, 12
+
+
+def q52_lsh_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2: hyperplane-LSH bucket occupancy histogram — puts the LSH
+    bucketing machinery (the deterministic core of q41's near-dup and
+    the ANN probe) under the driver's exact hash gate; the pair step
+    on top is approximate by design and stays rows-only. Bit parity
+    with the DuckDB oracle holds because both sides compute the same
+    md5-derived plane literals and a left-associative double dot
+    product (verified 0 mismatches at sf0.001/0.01/0.1)."""
+    c = Catalog(spark, sf_dir)
+    planes = similarity._hyperplanes(_LSH_DIM, _LSH_PLANES)
+    vec_d = F.col("embedding").cast("array<double>")
+    return (
+        c.embeddings.select(
+            similarity.hyperplane_bucket_col(vec_d, planes).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .orderBy("bucket")
+    )
+
+
+def _lsh_bucket_oracle_sql() -> str:
+    """Generated DuckDB twin of q52: explicit per-dimension products
+    summed left-to-right (same association order as the Spark fold,
+    so the doubles agree bitwise)."""
+    planes = similarity._hyperplanes(_LSH_DIM, _LSH_PLANES)
+    cases = []
+    for i, p in enumerate(planes):
+        dot = " + ".join(
+            f"(CAST(embedding[{d + 1}] AS DOUBLE) * {v!r})" for d, v in enumerate(p)
+        )
+        cases.append(f"CASE WHEN ({dot}) >= 0 THEN {1 << i} ELSE 0 END")
+    bucket = " + ".join(cases)
+    return f"""
+        SELECT CAST({bucket} AS BIGINT) AS bucket,
+               COUNT(*) AS n_vectors
+        FROM embeddings
+        GROUP BY 1
+        ORDER BY bucket
+    """
+
+
 def q42_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4: multimodal plumbing end-to-end — documents cast to binary
     payloads, Arrow-batched mapInPandas feature extraction; n_bytes is
@@ -347,6 +392,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q49_cluster_dedup_noracle": q49_cluster_dedup_noracle,
     "q50_ngram_jaccard": q50_ngram_jaccard,
     "q51_ivf_topk_noracle": q51_ivf_topk_noracle,
+    "q52_lsh_bucket_histogram": q52_lsh_bucket_histogram,
 }
 
 EXTENSION_ORACLES: dict[str, str] = {
@@ -468,4 +514,5 @@ EXTENSION_ORACLES: dict[str, str] = {
                ROUND(quantile_cont(o_totalprice, 0.9), 2) AS p90
         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus NULLS FIRST
     """,
+    "q52_lsh_bucket_histogram": _lsh_bucket_oracle_sql(),
 }
