@@ -68,6 +68,10 @@ def main() -> None:
     for t in schemas.TESTDATA_TABLES:
         load_table(spark, sf_dir, t).count()
     load_table(spark, sf_dir, "orders").orderBy("o_totalprice").limit(10).toArrow()
+    # spin up the Arrow/Python worker pool once — the mapInPandas
+    # query (q42) should pay plan compilation in its cold number, not
+    # interpreter spawn (workers are reused for the whole run)
+    spark.range(256).mapInPandas(lambda it: it, "id long").count()
 
     cold: dict[str, float] = {}
     warm: dict[str, float] = {}
