@@ -122,9 +122,28 @@ def minhash_lsh_candidates(
     what the cap drops is exactly the boilerplate-only collisions.
     This is the skew guard that keeps the shuffle bounded at 100 TB.
     """
-    r = k // bands
     with_sig = minhash_signatures(df, id_col, text_col, k, shingle_w)
-    banded = with_sig.select(
+    banded = _band_table(with_sig, k, bands)
+    bucket_sizes = banded.groupBy("band", "bhash").agg(F.count(F.lit(1)).alias("__bn"))
+    bounded = banded.join(
+        bucket_sizes.filter(F.col("__bn") <= max_bucket_size), on=["band", "bhash"]
+    ).drop("__bn")
+    a = bounded.alias("a")
+    b = bounded.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bhash") == F.col("b.bhash")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def _band_table(with_sig: DataFrame, k: int, bands: int) -> DataFrame:
+    """(id, band, bhash) from an (id, sig) signature table — each
+    band's r-element slice hashed to one 64-bit bucket key. Derivable
+    from stored signatures alone (no text), which is what makes the
+    incremental path cheap."""
+    r = k // bands
+    return with_sig.select(
         "id",
         F.explode(
             F.array(
@@ -140,17 +159,6 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bhash")
-    bucket_sizes = banded.groupBy("band", "bhash").agg(F.count(F.lit(1)).alias("__bn"))
-    bounded = banded.join(
-        bucket_sizes.filter(F.col("__bn") <= max_bucket_size), on=["band", "bhash"]
-    ).drop("__bn")
-    a = bounded.alias("a")
-    b = bounded.alias("b")
-    return (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bhash") == F.col("b.bhash")) & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
-    )
 
 
 def jaccard_pairs(
@@ -227,23 +235,7 @@ def minhash_neardup_pairs(
     with_sig = hashed.select(
         "id", minhash_signature_col(F.col("__hs"), k).alias("sig")
     ).localCheckpoint(eager=True)
-    r = k // bands
-    banded = with_sig.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(",", *[F.element_at("sig", b * r + j + 1).cast("string") for j in range(r)])
-                        ).alias("bhash"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", "bb.band", "bb.bhash")
+    banded = _band_table(with_sig, k, bands)
     bucket_sizes = banded.groupBy("band", "bhash").agg(F.count(F.lit(1)).alias("__bn"))
     bounded = banded.join(
         bucket_sizes.filter(F.col("__bn") <= max_bucket_size), on=["band", "bhash"]
@@ -256,6 +248,118 @@ def minhash_neardup_pairs(
     )
 
     # verify on the checkpointed hash sets
+    out = (
+        cands.join(sets.select(F.col("id").alias("id_a"), F.col("__h64").alias("__ha")), "id_a")
+        .join(sets.select(F.col("id").alias("id_b"), F.col("__h64").alias("__hb")), "id_b")
+    )
+    inter = F.size(F.array_intersect("__ha", "__hb"))
+    union = F.size(F.array_union("__ha", "__hb"))
+    return out.select(
+        "id_a",
+        "id_b",
+        F.round(inter / F.when(union > 0, union).otherwise(1), 6).cast("double").alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
+
+
+def minhash_incremental_pairs(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    corpus_sigs: DataFrame | None = None,
+    threshold: float = 0.7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 64,
+    bands: int = 16,
+    shingle_w: int = 3,
+    max_bucket_size: int = 200,
+) -> DataFrame:
+    """Daily-increment near-dup: pairs INVOLVING the new batch,
+    without re-signaturing the corpus.
+
+    The 100 TB motivation: re-running `minhash_neardup_pairs` on
+    corpus ∪ batch every day re-shingles and re-signatures the whole
+    corpus for a batch that is ~0.1% of it. Here only the batch is
+    shingled/signatured; the corpus contributes its PERSISTED
+    signature table (`corpus_sigs` — in production a parquet table
+    keyed by id; computed here once when not supplied), from which
+    band buckets are derived without touching text.
+
+    Result contract (pytest-gated, exact equality): identical to the
+    full detector on corpus ∪ batch restricted to pairs touching a
+    batch id — same hash family, same banding, bucket-size caps
+    computed over the UNION band histogram (so the skew guard sees
+    the same bucket sizes as a full run), and the same exact hash-set
+    Jaccard verify. Old docs' shingle sets are rebuilt only for
+    candidate ids (one corpus scan filtered by a semi-joinable
+    candidate list — sparse, shuffles only matched texts). To avoid
+    even that scan, a production store can persist the hash sets
+    beside the signatures and estimate Jaccard from signature
+    agreement instead; the exact-verify form is the default because
+    it keeps the driver-testable equality contract."""
+    from data_warehouse_nhom8_spark.session import repartition_for_compute
+
+    new_docs = repartition_for_compute(new_docs)
+    new_sets = new_docs.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            F.array_distinct(shingles_col(text_col, shingle_w)), lambda s: F.xxhash64(s)
+        ).alias("__h64"),
+    ).localCheckpoint(eager=True)
+    new_sigs = new_sets.select(
+        "id",
+        minhash_signature_col(
+            F.transform("__h64", lambda h: F.abs(h) % _P), k
+        ).alias("sig"),
+    ).localCheckpoint(eager=True)
+    if corpus_sigs is None:
+        corpus_sigs = minhash_signatures(
+            repartition_for_compute(corpus_docs), id_col, text_col, k, shingle_w
+        )
+
+    new_bands = _band_table(new_sigs, k, bands)
+    old_bands = _band_table(corpus_sigs, k, bands)
+    all_bands = new_bands.unionByName(old_bands)
+    sizes = all_bands.groupBy("band", "bhash").agg(F.count(F.lit(1)).alias("__bn"))
+    ok_buckets = sizes.filter(F.col("__bn") <= max_bucket_size).drop("__bn")
+    nb = new_bands.join(ok_buckets, on=["band", "bhash"])
+    ab = all_bands.join(ok_buckets, on=["band", "bhash"])
+    a, b = nb.alias("a"), ab.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bhash") == F.col("b.bhash"))
+            & (F.col("a.id") != F.col("b.id")),
+        )
+        .select(
+            F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
+            F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    # shingle sets for the candidate OLD docs only (sparse rebuild)
+    new_ids = new_sets.select("id")
+    cand_ids = (
+        cands.select(F.col("id_a").alias("id"))
+        .unionByName(cands.select(F.col("id_b").alias("id")))
+        .distinct()
+        .join(new_ids, "id", "left_anti")
+    )
+    old_sets = (
+        corpus_docs.join(
+            cand_ids, corpus_docs[id_col] == cand_ids["id"], "left_semi"
+        )
+        .select(
+            F.col(id_col).alias("id"),
+            F.transform(
+                F.array_distinct(shingles_col(text_col, shingle_w)),
+                lambda s: F.xxhash64(s),
+            ).alias("__h64"),
+        )
+    )
+    sets = new_sets.unionByName(old_sets).localCheckpoint(eager=True)
     out = (
         cands.join(sets.select(F.col("id").alias("id_a"), F.col("__h64").alias("__ha")), "id_a")
         .join(sets.select(F.col("id").alias("id_b"), F.col("__h64").alias("__hb")), "id_b")

@@ -225,6 +225,29 @@ def q51_ivf_topk_noracle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q53_incremental_neardup_noracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 daily-pipeline shape: incremental near-dup — the ~10% batch
+    (doc_id % 10 == 0) is shingled/signatured fresh, the corpus
+    contributes its session-memoized signature table (the persistent
+    signature store of a production daily run). Rows-only for the
+    driver (xxhash64 family); the exact-equality contract vs the full
+    detector is pytest-gated (test_minhash_incremental_matches_full_run)."""
+    c = Catalog(spark, sf_dir)
+    batch = c.documents.filter(F.col("doc_id") % 10 == 0)
+    corpus = c.documents.filter(F.col("doc_id") % 10 != 0)
+    key = ("corpus_sigs", sf_dir, 0.8, 8, 5)
+    memo = _memo(spark)
+    if key not in memo:
+        from data_warehouse_nhom8_spark.session import repartition_for_compute
+
+        memo[key] = neardup.minhash_signatures(
+            repartition_for_compute(corpus), shingle_w=5
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+    return neardup.minhash_incremental_pairs(
+        batch, corpus, corpus_sigs=memo[key], threshold=0.8, bands=8, shingle_w=5
+    ).orderBy("id_a", "id_b")
+
+
 _LSH_DIM, _LSH_PLANES = 64, 12
 
 
@@ -393,6 +416,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q50_ngram_jaccard": q50_ngram_jaccard,
     "q51_ivf_topk_noracle": q51_ivf_topk_noracle,
     "q52_lsh_bucket_histogram": q52_lsh_bucket_histogram,
+    "q53_incremental_neardup_noracle": q53_incremental_neardup_noracle,
 }
 
 EXTENSION_ORACLES: dict[str, str] = {

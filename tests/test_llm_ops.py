@@ -62,6 +62,36 @@ def test_minhash_recall_vs_bruteforce(spark, docs):
     assert lsh == exact
 
 
+def test_minhash_incremental_matches_full_run(spark, docs):
+    """The incremental detector's contract: identical to the full
+    detector on corpus ∪ batch, restricted to pairs touching a batch
+    id — including jaccard values."""
+    full = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in neardup.minhash_neardup_pairs(docs, threshold=0.5).collect()
+    }
+    new = docs.filter(F.col("doc_id").isin([1, 4, 5]))
+    corpus = docs.filter(~F.col("doc_id").isin([1, 4, 5]))
+    want = {(a, b, j) for (a, b, j) in full if {a, b} & {1, 4, 5}}
+    assert want  # fixture sanity: the split must cut across real pairs
+    got = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in neardup.minhash_incremental_pairs(
+            new, corpus, threshold=0.5
+        ).collect()
+    }
+    assert got == want
+    # store path: precomputed corpus signatures give the same result
+    sigs = neardup.minhash_signatures(corpus)
+    got2 = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in neardup.minhash_incremental_pairs(
+            new, corpus, corpus_sigs=sigs, threshold=0.5
+        ).collect()
+    }
+    assert got2 == want
+
+
 def test_ngram_jaccard_exact_equals_bruteforce(spark, docs):
     """The inverted-index formulation must reproduce the O(n²)
     brute-force pairs AND values exactly — it is the same definition,
