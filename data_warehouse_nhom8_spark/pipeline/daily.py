@@ -83,3 +83,26 @@ def run_daily_pipeline(
     return report
 
 
+def run_weekly_maintenance(
+    spark: SparkSession,
+    cfg: EngineConfig,
+    keep_days: int = 30,
+    today: datetime.date | None = None,
+) -> dict:
+    """The maintenance cron (reference: weekly Sunday cleanup +
+    30-day log retention, extract/cleanup_old_logs.sh:11): compact
+    the daily snapshot tables' small files and prune the run ledger.
+    Safe to run beside readers — the compaction commits through the
+    versioned pointer swap and keeps the previous version for
+    in-flight scans."""
+    from data_warehouse_nhom8_spark.sources.snapshots import snapshot_compact
+
+    report = {}
+    for name, path in (("staging", cfg.staging_path), ("warehouse", cfg.warehouse_path)):
+        out = snapshot_compact(spark, path)
+        report[f"compacted_{name}"] = bool(out)
+    ledger = RunLedger(spark, cfg.ledger_path)
+    report["ledger_rows_kept"] = ledger.prune(keep_days, today)
+    return report
+
+

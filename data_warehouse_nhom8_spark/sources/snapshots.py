@@ -125,6 +125,43 @@ def snapshot_overwrite(
     return vdir
 
 
+def snapshot_compact(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 << 20,
+    schema: T.StructType | None = None,
+) -> str | None:
+    """Small-files compaction: rewrite the live version into
+    ~target_file_bytes parquet files through the same atomic commit.
+
+    Daily upserts write one version per run whose file count tracks
+    the write parallelism, not the data size — at 100 TB a year of
+    daily snapshots degrades scans with thousands of kilobyte files
+    (the maintenance job every table format schedules; Iceberg
+    rewrite_data_files / Delta OPTIMIZE are the formalized twin).
+    Reads the live version, coalesces to ceil(bytes / target) output
+    files (coalesce, not repartition: no shuffle — file merging is
+    IO-bound), and commits as the next version; concurrent readers
+    keep the old version until their scan ends (keep=2 GC). No-op
+    (returns None) when the live version is already at or below the
+    target file count."""
+    df = snapshot_read(spark, path, schema)
+    if df is None:
+        return None
+    v = _current_version(path)
+    vdir = path if v is None else os.path.join(path, f"v{v:08d}")
+    files = [
+        os.path.join(vdir, f)
+        for f in os.listdir(vdir)
+        if f.endswith(".parquet")
+    ]
+    total = sum(os.path.getsize(f) for f in files)
+    n_target = max(1, -(-total // target_file_bytes))
+    if len(files) <= n_target:
+        return None
+    return snapshot_overwrite(df.coalesce(n_target), path, schema)
+
+
 def _gc_versions(path: str, committed: int, keep: int) -> None:
     for name in os.listdir(path):
         m = _VERSION_RE.match(name)

@@ -60,6 +60,20 @@ def test_run_daily_pipeline_two_days(spark, tmp_path):
     assert r3["extract"] == {}              # skip-if-done
     assert r3["warehouse_rows"] == 4
 
+    # weekly maintenance: compaction + retention; data unchanged
+    from data_warehouse_nhom8_spark.pipeline.daily import run_weekly_maintenance
+    from data_warehouse_nhom8_spark.sources.snapshots import snapshot_read
+
+    before = sorted(
+        tuple(r) for r in snapshot_read(spark, cfg.warehouse_path).collect()
+    )
+    m = run_weekly_maintenance(spark, cfg, keep_days=30, today=D2)
+    assert "compacted_warehouse" in m and m["ledger_rows_kept"] >= 1
+    after = sorted(
+        tuple(r) for r in snapshot_read(spark, cfg.warehouse_path).collect()
+    )
+    assert after == before
+
 
 def test_ledger_views_and_prune(spark, tmp_path):
     led = RunLedger(spark, str(tmp_path / "ledger"))

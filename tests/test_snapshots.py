@@ -11,6 +11,7 @@ import os
 from pyspark.sql import functions as F
 
 from data_warehouse_nhom8_spark.sources.snapshots import (
+    snapshot_compact,
     snapshot_exists,
     snapshot_overwrite,
     snapshot_read,
@@ -83,6 +84,24 @@ def test_legacy_plain_parquet_migrates(spark, tmp_path):
     assert snapshot_read(spark, path).collect()[0]["v"] == 2
     # legacy root files are gone after the commit
     assert not any(f.endswith(".parquet") for f in os.listdir(path))
+
+
+def test_compaction_merges_small_files(spark, tmp_path):
+    path = str(tmp_path / "t")
+    rows = [(f"k{i}", i) for i in range(100)]
+    # a fragmented write: one tiny file per partition
+    snapshot_overwrite(_df(spark, rows).repartition(16), path)
+    v1 = os.path.join(path, "v00000001")
+    assert sum(f.endswith(".parquet") for f in os.listdir(v1)) == 16
+    out = snapshot_compact(spark, path)
+    assert out is not None and out.endswith("v00000002")
+    v2_files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    assert len(v2_files) == 1  # 100 tiny rows << target_file_bytes
+    got = sorted((r["k"], r["v"]) for r in snapshot_read(spark, path).collect())
+    assert got == sorted(rows)
+    # already compact -> no-op, pointer unchanged
+    assert snapshot_compact(spark, path) is None
+    assert open(os.path.join(path, "_CURRENT")).read() == "v00000002"
 
 
 def test_no_driver_collect_in_data_snapshot_paths():
