@@ -266,6 +266,28 @@ def ivf_assign(
     )
 
 
+def ivf_write_index(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the IVF index partitioned by `cluster` — the at-rest
+    layout that turns a probe's cluster filter into PARTITION PRUNING
+    (only the probed cells' files are listed/read; plan-gated in
+    tests). Rebuild-on-refit: the index is derived data."""
+    ivf_assign(embeddings, centroids, id_col=id_col, vec_col=vec_col).withColumnRenamed(
+        "__v", "v"
+    ).write.mode("overwrite").partitionBy("cluster").parquet(path)
+
+
+def ivf_read_index(spark, path: str) -> DataFrame:
+    """(id, v, cluster) back from the partitioned store; cluster
+    filters prune partitions at the source."""
+    return spark.read.parquet(path).withColumnRenamed("v", "__v")
+
+
 def cosine_topk_ivf_probe(
     index: DataFrame,
     centroids: list[list[float]],

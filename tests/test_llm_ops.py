@@ -251,6 +251,40 @@ def test_ivf_ann_recall_and_determinism(spark):
     assert {0, 1, 2, 3, 4, 5} <= ann or len(ann & exact) >= 5
 
 
+def test_ivf_partitioned_index_probe_prunes_partitions(spark, tmp_path):
+    """The scale claim, verified in the plan: a probe against the
+    partitioned on-disk index reads only the probed cells —
+    PartitionFilters on `cluster`, not a post-scan filter."""
+    rng = np.random.default_rng(31)
+    vecs = rng.normal(size=(200, 8)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    model = similarity.ivf_fit_centroids(df, n_centroids=4, iters=2)
+    path = str(tmp_path / "ivf_index")
+    similarity.ivf_write_index(df, model, path)
+    index = similarity.ivf_read_index(spark, path)
+    q = [float(x) for x in vecs[0]]
+    got = similarity.cosine_topk_ivf_probe(index, model, q, k=5, n_probe=2)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cluster" in plan
+    # and the probe still returns the right neighbours within its cells
+    exact_in_cells = (
+        similarity.ivf_assign(df, model)
+        .filter(F.col("cluster").isin(
+            sorted(range(4), key=lambda c: (sum((a - b) ** 2 for a, b in zip(q, model[c])), c))[:2]
+        ))
+    )
+    want = {
+        r["vec_id"]
+        for r in similarity.cosine_topk_bruteforce(
+            exact_in_cells.withColumnRenamed("__v", "embedding"), q, k=5
+        ).collect()
+    }
+    assert {r["vec_id"] for r in got.collect()} == want
+
+
 def test_ivf_assign_covers_all_cells_consistently(spark):
     rng = np.random.default_rng(23)
     vecs = rng.normal(size=(120, 8)).astype("float32")
