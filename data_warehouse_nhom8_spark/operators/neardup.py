@@ -373,6 +373,102 @@ def minhash_incremental_pairs(
     ).filter(F.col("jaccard") >= threshold)
 
 
+def minhash_incremental_with_state(
+    new_docs: DataFrame,
+    store: DataFrame | None,
+    threshold: float = 0.7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 64,
+    bands: int = 16,
+    shingle_w: int = 3,
+    max_bucket_size: int = 200,
+) -> tuple[DataFrame, DataFrame]:
+    """Self-contained incremental near-dup against a dedup STATE table
+    — no corpus text needed, so it drives the streaming ingest sink.
+
+    `store` is (id, sig array<long>, h64 array<long>): signatures for
+    banding plus the deduped 64-bit shingle-hash sets for the exact
+    Jaccard verify (the state IS the corpus; ~tens of bytes per token
+    — the price of exact verification without re-reading text; pass
+    through `minhash_incremental_pairs` instead when corpus text is
+    reachable and state should stay signature-only). Returns
+    (pairs involving the batch, updated store). Pair semantics match
+    the full detector exactly (same family, banding, union-histogram
+    bucket caps, exact hash-set verify); feeding batches through this
+    one at a time yields precisely the full-run pair set, because
+    every pair is new×old-or-new exactly once — streaming-vs-batch
+    equality is pytest-gated. Replays converge: re-ingesting a batch
+    overwrites the same store rows and re-derives the same pairs
+    (upsert by (id_a, id_b) downstream)."""
+    from data_warehouse_nhom8_spark.session import repartition_for_compute
+
+    new_docs = repartition_for_compute(new_docs)
+    new_sets = new_docs.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            F.array_distinct(shingles_col(text_col, shingle_w)), lambda s: F.xxhash64(s)
+        ).alias("h64"),
+    ).localCheckpoint(eager=True)
+    new_full = new_sets.select(
+        "id",
+        minhash_signature_col(
+            F.transform("h64", lambda h: F.abs(h) % _P), k
+        ).alias("sig"),
+        "h64",
+    ).localCheckpoint(eager=True)
+    if store is None:
+        store = new_full.limit(0)
+    # last-write-wins on re-ingest: old store rows for batch ids drop
+    kept_old = store.join(new_full.select("id"), "id", "left_anti")
+    new_store = kept_old.unionByName(new_full)
+
+    new_bands = _band_table(new_full.select("id", "sig"), k, bands)
+    old_bands = _band_table(kept_old.select("id", "sig"), k, bands)
+    all_bands = new_bands.unionByName(old_bands)
+    sizes = all_bands.groupBy("band", "bhash").agg(F.count(F.lit(1)).alias("__bn"))
+    ok_buckets = sizes.filter(F.col("__bn") <= max_bucket_size).drop("__bn")
+    nb = new_bands.join(ok_buckets, on=["band", "bhash"])
+    ab = all_bands.join(ok_buckets, on=["band", "bhash"])
+    a, b = nb.alias("a"), ab.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bhash") == F.col("b.bhash"))
+            & (F.col("a.id") != F.col("b.id")),
+        )
+        .select(
+            F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
+            F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    cand_ids = (
+        cands.select(F.col("id_a").alias("id"))
+        .unionByName(cands.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    # verify from stored sets — sparse: only candidate ids shuffle
+    sets_needed = new_store.select("id", "h64").join(cand_ids, "id", "left_semi")
+    out = (
+        cands.join(
+            sets_needed.select(F.col("id").alias("id_a"), F.col("h64").alias("__ha")), "id_a"
+        ).join(
+            sets_needed.select(F.col("id").alias("id_b"), F.col("h64").alias("__hb")), "id_b"
+        )
+    )
+    inter = F.size(F.array_intersect("__ha", "__hb"))
+    union = F.size(F.array_union("__ha", "__hb"))
+    pairs = out.select(
+        "id_a",
+        "id_b",
+        F.round(inter / F.when(union > 0, union).otherwise(1), 6).cast("double").alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
+    return pairs, new_store
+
+
 def ngram_jaccard_pairs_exact(
     df: DataFrame,
     threshold: float = 0.8,

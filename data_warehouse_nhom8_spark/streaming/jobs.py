@@ -151,6 +151,67 @@ def upsert_sink(
     )
 
 
+def neardup_ingest_sink(
+    stream: DataFrame,
+    state_path: str,
+    pairs_path: str,
+    checkpoint: str,
+    threshold: float = 0.7,
+    k: int = 64,
+    bands: int = 16,
+    shingle_w: int = 3,
+    max_bucket_size: int = 200,
+) -> DataStreamWriter:
+    """Streaming near-dup ingest — the LLM-pipeline face of the
+    foreachBatch upsert: every micro-batch of documents is
+    incrementally deduped against the persisted (id, sig, h64)
+    signature state (operators.neardup.minhash_incremental_with_state
+    — only the batch is shingled/signatured), newly found pairs merge
+    into the pairs snapshot keyed by (id_a, id_b), and the state
+    advances atomically. Feeding batches one at a time produces
+    exactly the full batch detector's pair set (pytest-gated), and
+    replays converge: re-ingested batches overwrite the same state
+    rows and re-derive the same pairs. Assumes an append-only corpus
+    (the LLM-ingest shape): re-ingesting a CHANGED text under an
+    existing id updates its state row but does not retract pairs the
+    old text produced."""
+    from data_warehouse_nhom8_spark.operators.neardup import (
+        minhash_incremental_with_state,
+    )
+
+    def merge(batch: DataFrame, epoch_id: int) -> None:
+        from data_warehouse_nhom8_spark.sources.snapshots import (
+            snapshot_overwrite,
+            snapshot_read,
+        )
+
+        spark = batch.sparkSession
+        store = snapshot_read(spark, state_path)
+        pairs, new_store = minhash_incremental_with_state(
+            batch,
+            store,
+            threshold=threshold,
+            k=k,
+            bands=bands,
+            shingle_w=shingle_w,
+            max_bucket_size=max_bucket_size,
+        )
+        current_pairs = snapshot_read(spark, pairs_path)
+        merged = upsert_last_writer_wins(
+            current_pairs, pairs, ["id_a", "id_b"], [F.desc("jaccard")]
+        )
+        # state first: a crash between the two writes re-runs the
+        # micro-batch (at-least-once), and both merges are idempotent
+        snapshot_overwrite(new_store, state_path)
+        snapshot_overwrite(merged, pairs_path)
+
+    return (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+
+
 def run_available_now(writer: DataStreamWriter) -> None:
     """Drain everything currently in the source, then stop — the
     daily-cron micro-batch semantics (Trigger.AvailableNow)."""

@@ -153,3 +153,59 @@ def test_foreachbatch_upsert_two_batches(spark, tmp_path):
     jobs.run_available_now(writer)
     got2 = {r["job_id"]: r["salary"] for r in snapshot_read(spark, snap).collect()}
     assert got2 == {"a": "new", "b": "keep", "c": "fresh"}
+
+
+def test_streaming_neardup_ingest_equals_batch_detector(spark, tmp_path):
+    """The LLM-pipeline streaming composite: documents arriving in two
+    micro-batches, incrementally deduped against the persisted
+    signature state, must yield EXACTLY the full batch detector's
+    pairs over all documents — and re-ingesting everything under a
+    fresh checkpoint converges to the same state."""
+    from data_warehouse_nhom8_spark.operators import neardup
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat watches "
+        "from the warm windowsill and the birds sing in the garden outside"
+    )
+    rows1 = [(0, base), (1, base), (3, "unrelated text about catalyst plans and shuffles entirely")]
+    rows2 = [(2, base.replace("warm", "cold")), (4, base.replace("birds", "bees")), (5, "short text")]
+    all_docs = spark.createDataFrame(rows1 + rows2, "doc_id long, text string")
+    want = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in neardup.minhash_neardup_pairs(all_docs, threshold=0.5).collect()
+    }
+    assert want  # fixture sanity
+
+    src = tmp_path / "docs"
+    state = str(tmp_path / "state")
+    pairs = str(tmp_path / "pairs")
+    spark.createDataFrame(rows1, "doc_id long, text string").write.parquet(str(src / "b1"))
+
+    def drain(ck):
+        stream = jobs.stream_source(
+            spark, str(src / "*"), all_docs.schema, max_files_per_trigger=1
+        )
+        writer = jobs.neardup_ingest_sink(
+            stream, state, pairs, checkpoint=ck, threshold=0.5
+        )
+        jobs.run_available_now(writer)
+
+    drain(str(tmp_path / "ck"))
+    spark.createDataFrame(rows2, "doc_id long, text string").write.parquet(str(src / "b2"))
+    drain(str(tmp_path / "ck"))  # same checkpoint: only b2 is new
+
+    got = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in snapshot_read(spark, pairs).collect()
+    }
+    assert got == want
+    assert snapshot_read(spark, state).count() == 6
+
+    # replay everything under a FRESH checkpoint: state converges
+    drain(str(tmp_path / "ck2"))
+    got2 = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in snapshot_read(spark, pairs).collect()
+    }
+    assert got2 == want
+    assert snapshot_read(spark, state).count() == 6
