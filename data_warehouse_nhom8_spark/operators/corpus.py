@@ -1,0 +1,190 @@
+"""Corpus-preparation operators for LLM training-data pipelines
+(SURVEY.md §2k north-star extensions; no reference twin — the
+reference stops at warehouse queries, these are the ops a training
+corpus needs before the data ever reaches a tokenizer).
+
+All four are native Catalyst expressions (no Python UDFs) and all
+four are exactly SQL-expressible, so every derived query is fully
+driver-oracled against DuckDB:
+
+  hash_split_col     — deterministic train/val/test assignment
+  pii_redact_cols    — email/phone detection + redaction
+  chunk_documents    — sliding token-window chunking (map-only)
+  contamination_counts — n-gram overlap vs a benchmark set
+
+Scale notes (100 TB):
+  * hash_split_col and pii_redact_cols are pure per-row projections —
+    they run inside whole-stage codegen over the scan, zero shuffle.
+  * chunk_documents is scan + explode: output rows ≈ tokens/stride,
+    still shuffle-free; partition count follows the input splits.
+  * contamination_counts joins the corpus's exploded n-grams against
+    the benchmark gram set on a 128-bit digest. Benchmark suites are
+    tiny (thousands of docs) next to a 100 TB corpus → the gram set
+    broadcasts and the join is map-side; the corpus side never
+    shuffles. Grams travel as md5 digests, never raw strings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+# ------------------------------------------------------- hash split
+
+def hash_split_col(
+    key: Column | str,
+    train: float = 0.8,
+    val: float = 0.1,
+    buckets: int = 100,
+    salt: str = "split-v1",
+) -> tuple[Column, Column]:
+    """Deterministic (bucket, split) assignment from a stable key.
+
+    bucket = first 32 bits of md5(salt || key) mod `buckets` — the
+    same document lands in the same split on every run, machine, and
+    engine (DuckDB computes the identical expression, so the split is
+    portable across the whole stack). Changing `salt` re-draws the
+    assignment; keying on a content fingerprint instead of an id makes
+    the split leak-proof under exact duplicates."""
+    if not 0 < train < 1 or not 0 <= val < 1 or train + val >= 1:
+        raise ValueError("need 0<train, 0<=val, train+val<1")
+    h = F.conv(F.substring(F.md5(F.concat(F.lit(salt), _c(key).cast("string"))), 1, 8), 16, 10)
+    bucket = (h.cast("long") % buckets).alias("bucket")
+    t_hi = int(train * buckets)
+    v_hi = t_hi + int(val * buckets)
+    split = (
+        F.when(bucket < t_hi, F.lit("train"))
+        .when(bucket < v_hi, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split")
+    )
+    return bucket, split
+
+
+# ---------------------------------------------------- PII redaction
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?\d[\d .-]{7,}\d"
+
+# Both patterns live in the Java-regex ∩ RE2 common subset (no
+# backrefs, no lookaround) so Spark and DuckDB match identically.
+
+
+def pii_redact_cols(text: Column | str = "text") -> dict[str, Column]:
+    """Detection counts + redacted text: emails → <EMAIL>, then
+    phone-ish digit runs (>=9 chars of digits/space/dot/dash) →
+    <PHONE>. Email pass runs first so digits inside an address can't
+    half-match as a phone. Counts are computed on the ORIGINAL text;
+    one projection, codegen-resident."""
+    t = _c(text)
+    n_emails = F.size(F.regexp_extract_all(t, F.lit(f"({EMAIL_RE})"), 1)).cast("long")
+    n_phones = F.size(F.regexp_extract_all(t, F.lit(f"({PHONE_RE})"), 1)).cast("long")
+    redacted = F.regexp_replace(
+        F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    return {"n_emails": n_emails, "n_phones": n_phones, "redacted": redacted}
+
+
+# ---------------------------------------------------------- chunking
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 128,
+    stride: int = 64,
+) -> DataFrame:
+    """Sliding token-window chunking: windows of `chunk_tokens`
+    whitespace tokens starting every `stride` tokens (start positions
+    1, 1+stride, ... <= n_tokens, so every token is covered and the
+    tail chunk may be short). Output one row per (doc, chunk):
+    (id, chunk_id, n_tokens, chunk_fp) with chunk_fp = md5 of the
+    space-rejoined window.
+
+    Map-only: tokenize once per row (named column — Catalyst does not
+    CSE across branches), explode the start sequence, slice. No
+    shuffle; at 100 TB the output partitioning follows the scan."""
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    from data_warehouse_nhom8_spark.session import repartition_for_compute
+
+    toks = F.split(F.trim(_c(text_col)), r"\s+")
+    staged = repartition_for_compute(df).select(F.col(id_col), toks.alias("__tk"))
+    starts = F.sequence(F.lit(1), F.size("__tk"), F.lit(stride))
+    exploded = staged.select(
+        id_col, "__tk", F.explode(starts).alias("__s")
+    )
+    chunk = F.slice(F.col("__tk"), F.col("__s"), chunk_tokens)
+    return exploded.select(
+        F.col(id_col),
+        ((F.col("__s") - 1) / stride).cast("long").alias("chunk_id"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_fp"),
+    )
+
+
+# --------------------------------------------------- decontamination
+
+def _gram_digests(
+    df: DataFrame, id_col: str, text_col: str, gram_w: int
+) -> DataFrame:
+    """(id, gram) with gram = md5 digest of each distinct `gram_w`-token
+    window of the lowercased token stream. Digests, not strings, cross
+    the wire; md5 keeps DuckDB parity (xxhash64 has no DuckDB twin).
+
+    CPU-heavy per-row work (n_tokens md5s per doc) → repartitioned off
+    the input splits first (the local testdata is one row group; real
+    100 TB scans already have thousands of splits — no-op there)."""
+    from data_warehouse_nhom8_spark.session import repartition_for_compute
+
+    toks = F.split(F.lower(F.trim(_c(text_col))), r"\s+")
+    staged = repartition_for_compute(df).select(F.col(id_col).alias("id"), toks.alias("__tk"))
+    n = F.size("__tk")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - gram_w + 1, F.lit(1))),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("__tk"), i, gram_w))),
+    )
+    return staged.select("id", F.explode(F.array_distinct(grams)).alias("gram"))
+
+
+def contamination_counts(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gram_w: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: for every corpus doc, how many of
+    its distinct `gram_w`-token n-grams appear in ANY benchmark doc.
+    Returns (id, n_overlap, contaminated) for every corpus row —
+    zero-overlap docs included (left join), so the output is a total
+    decision table, not just the positives.
+
+    The benchmark gram set is deduped and broadcast (benchmark suites
+    are orders of magnitude smaller than the corpus); the corpus side
+    is scan + explode + map-side hash join + partial-agg — no
+    corpus-wide shuffle of raw text ever happens."""
+    bench_grams = F.broadcast(
+        _gram_digests(benchmark, id_col, text_col, gram_w)
+        .select("gram").distinct()
+    )
+    overlap = (
+        _gram_digests(corpus, id_col, text_col, gram_w)
+        .join(bench_grams, "gram", "left_semi")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        corpus.select(F.col(id_col).alias("id"))
+        .join(overlap, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+            (F.coalesce("n_overlap", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

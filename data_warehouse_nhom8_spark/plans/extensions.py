@@ -398,6 +398,71 @@ def q50_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def q54_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus prep: deterministic train/val/test split by content
+    fingerprint (leak-proof under exact duplicates — identical texts
+    always land in the same split). Pure projection; fully oracled:
+    DuckDB computes the identical md5-bucket expression."""
+    from data_warehouse_nhom8_spark.operators.corpus import hash_split_col
+
+    c = Catalog(spark, sf_dir)
+    bucket, split = hash_split_col(F.md5("text"))
+    return c.documents.select("doc_id", bucket, split).orderBy("doc_id")
+
+
+def q55_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus prep: email/phone detection + redaction. Output carries
+    the redacted-text md5 so any divergence in either engine's regex
+    pass flips the hash (the corpus itself is PII-free — the behavior
+    on positives is pytest-gated on a fixture with real shapes)."""
+    from data_warehouse_nhom8_spark.operators.corpus import pii_redact_cols
+
+    c = Catalog(spark, sf_dir)
+    p = pii_redact_cols("text")
+    return c.documents.select(
+        "doc_id",
+        p["n_emails"].alias("n_emails"),
+        p["n_phones"].alias("n_phones"),
+        F.md5(p["redacted"]).alias("redacted_fp"),
+    ).orderBy("doc_id")
+
+
+def q56_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus prep: sliding token-window chunking (128-token windows,
+    stride 64) — the map-only explode every tokenizer feed needs.
+    Aggregated per doc for a compact oracle surface; the per-chunk
+    fingerprints still pin every chunk's exact content via xor-agg."""
+    from data_warehouse_nhom8_spark.operators.corpus import chunk_documents
+
+    c = Catalog(spark, sf_dir)
+    chunks = chunk_documents(c.documents, chunk_tokens=128, stride=64)
+    return (
+        chunks.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.md5(F.concat_ws("", F.sort_array(F.collect_list("chunk_fp")))).alias(
+                "chunks_fp"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q57_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus prep: benchmark decontamination — 8-gram overlap of
+    every corpus doc against the benchmark subset (doc_id % 97 == 0),
+    benchmark grams broadcast. Total decision table (zeros included)."""
+    from data_warehouse_nhom8_spark.operators.corpus import contamination_counts
+
+    c = Catalog(spark, sf_dir)
+    docs = c.documents
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return contamination_counts(
+        docs.filter(F.col("doc_id") % 97 != 0), bench, gram_w=8
+    ).orderBy("doc_id")
+
+
 EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q33_exact_dedup_docs": q33_exact_dedup_docs,
     "q34_token_counts": q34_token_counts,
@@ -417,6 +482,10 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q51_ivf_topk_noracle": q51_ivf_topk_noracle,
     "q52_lsh_bucket_histogram": q52_lsh_bucket_histogram,
     "q53_incremental_neardup_noracle": q53_incremental_neardup_noracle,
+    "q54_train_split": q54_train_split,
+    "q55_pii_redaction": q55_pii_redaction,
+    "q56_doc_chunking": q56_doc_chunking,
+    "q57_decontamination": q57_decontamination,
 }
 
 EXTENSION_ORACLES: dict[str, str] = {
@@ -539,4 +608,67 @@ EXTENSION_ORACLES: dict[str, str] = {
         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus NULLS FIRST
     """,
     "q52_lsh_bucket_histogram": _lsh_bucket_oracle_sql(),
+    "q54_train_split": """
+        WITH b AS (
+          SELECT doc_id,
+                 CAST(CAST(('0x' || substring(md5('split-v1' || md5(text)), 1, 8)) AS UBIGINT) % 100 AS BIGINT) AS bucket
+          FROM documents
+        )
+        SELECT doc_id, bucket,
+               CASE WHEN bucket < 80 THEN 'train'
+                    WHEN bucket < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM b ORDER BY doc_id NULLS FIRST
+    """,
+    "q55_pii_redaction": """
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '([A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,})', 1)) AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(text, '(\\+?\\d[\\d .-]{7,}\\d)', 1)) AS BIGINT) AS n_phones,
+               md5(regexp_replace(
+                     regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                     '\\+?\\d[\\d .-]{7,}\\d', '<PHONE>', 'g')) AS redacted_fp
+        FROM documents ORDER BY doc_id NULLS FIRST
+    """,
+    "q56_doc_chunking": """
+        WITH t AS (
+          SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk FROM documents
+        ),
+        c AS (
+          SELECT doc_id,
+                 len(tk[s:s+127]) AS n_tokens,
+                 md5(array_to_string(tk[s:s+127], ' ')) AS chunk_fp
+          FROM t, UNNEST(generate_series(1, len(tk), 64)) AS u(s)
+        )
+        SELECT doc_id,
+               COUNT(*) AS n_chunks,
+               CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+               md5(string_agg(chunk_fp, '' ORDER BY chunk_fp)) AS chunks_fp
+        FROM c GROUP BY doc_id ORDER BY doc_id NULLS FIRST
+    """,
+    "q57_decontamination": """
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk
+          FROM documents
+        ),
+        grams AS (
+          SELECT DISTINCT doc_id,
+                 md5(array_to_string(tk[i:i+7], ' ')) AS gram
+          FROM toks, UNNEST(generate_series(1, greatest(len(tk) - 7, 1))) AS u(i)
+        ),
+        bench AS (
+          SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0
+        ),
+        overlap AS (
+          SELECT g.doc_id, COUNT(*) AS n_overlap
+          FROM grams g JOIN bench b ON g.gram = b.gram
+          WHERE g.doc_id % 97 <> 0
+          GROUP BY g.doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(o.n_overlap, 0) AS n_overlap,
+               COALESCE(o.n_overlap, 0) > 0 AS contaminated
+        FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+        LEFT JOIN overlap o ON o.doc_id = d.doc_id
+        ORDER BY d.doc_id NULLS FIRST
+    """,
 }

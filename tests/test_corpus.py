@@ -1,0 +1,117 @@
+"""Corpus-preparation operators (operators/corpus.py): hash split,
+PII redaction, chunking, decontamination — behavior on adversarial
+fixtures the synthetic corpus can't exercise (real PII shapes,
+planted contamination), plus the invariants the driver oracle can't
+see (split proportions, chunk coverage)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_warehouse_nhom8_spark.operators import corpus
+
+
+def test_hash_split_deterministic_and_leakproof(spark):
+    rows = [(i, f"document body {i % 50}") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    bucket, split = corpus.hash_split_col(F.md5("text"))
+    out = df.select("doc_id", "text", bucket, split)
+    a = {r["doc_id"]: (r["bucket"], r["split"]) for r in out.collect()}
+    b = {r["doc_id"]: (r["bucket"], r["split"]) for r in out.collect()}
+    assert a == b  # deterministic across runs
+    # leak-proof: identical text => identical split, regardless of id
+    by_text = {}
+    for r in df.join(out.drop("text"), "doc_id").collect():
+        by_text.setdefault(r["text"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_text.values())
+    assert 0 <= min(v[0] for v in a.values()) and max(v[0] for v in a.values()) < 100
+
+
+def test_hash_split_proportions(spark):
+    # unique texts so the split law of large numbers applies
+    df = spark.range(0, 5000).select(
+        F.col("id").alias("doc_id"), F.concat(F.lit("uniq-"), F.col("id")).alias("text")
+    )
+    bucket, split = corpus.hash_split_col(F.md5("text"))
+    counts = dict(
+        df.select(split).groupBy("split").count().rdd.map(tuple).collect()
+    )
+    n = sum(counts.values())
+    assert n == 5000
+    assert 0.74 < counts["train"] / n < 0.86
+    assert 0.06 < counts["val"] / n < 0.14
+    assert 0.06 < counts["test"] / n < 0.14
+
+
+def test_hash_split_validates_fractions():
+    import pytest
+
+    with pytest.raises(ValueError):
+        corpus.hash_split_col("text", train=0.9, val=0.2)
+
+
+def test_pii_redaction_positives(spark):
+    rows = [
+        (0, "contact me at jane.doe+spam@example.co.uk or at work"),
+        (1, "call +1-555-123-4567 or 0912 345 678 today"),
+        (2, "no pii here at all"),
+        (3, "mixed: bob@corp.io and 555-123-9876 x"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    p = corpus.pii_redact_cols("text")
+    got = {
+        r["doc_id"]: (r["n_emails"], r["n_phones"], r["redacted"])
+        for r in df.select("doc_id", p["n_emails"].alias("n_emails"),
+                           p["n_phones"].alias("n_phones"),
+                           p["redacted"].alias("redacted")).collect()
+    }
+    assert got[0][0] == 1 and "<EMAIL>" in got[0][2] and "jane" not in got[0][2]
+    assert got[1][1] == 2 and got[1][2].count("<PHONE>") == 2
+    assert got[2] == (0, 0, "no pii here at all")
+    assert got[3][0] == 1 and got[3][1] == 1
+
+
+def test_chunking_covers_every_token(spark):
+    text = " ".join(f"t{i}" for i in range(300))  # 300 tokens
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    chunks = corpus.chunk_documents(df, chunk_tokens=128, stride=64).collect()
+    # starts at 1, 65, 129, 193, 257 => 5 chunks; last has 300-256=44 tokens
+    assert [r["chunk_id"] for r in sorted(chunks, key=lambda r: r["chunk_id"])] == [0, 1, 2, 3, 4]
+    sizes = [r["n_tokens"] for r in sorted(chunks, key=lambda r: r["chunk_id"])]
+    assert sizes == [128, 128, 128, 108, 44]
+    # stride coverage: sum of fresh tokens per chunk == n_tokens
+    assert 64 * 4 + 44 == 300
+
+
+def test_chunking_short_doc_single_chunk(spark):
+    df = spark.createDataFrame([(1, "just five tiny tokens here")], "doc_id long, text string")
+    chunks = corpus.chunk_documents(df, chunk_tokens=128, stride=64).collect()
+    assert len(chunks) == 1 and chunks[0]["n_tokens"] == 5
+
+
+def test_contamination_planted(spark):
+    bench_text = " ".join(f"b{i}" for i in range(40))
+    clean = " ".join(f"c{i}" for i in range(40))
+    # contaminated doc: 20-token run copied from the benchmark
+    dirty = "x y z " + " ".join(f"b{i}" for i in range(10, 30)) + " q r s"
+    docs = spark.createDataFrame(
+        [(1, clean), (2, dirty)], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame([(97, bench_text)], "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_overlap"], r["contaminated"])
+        for r in corpus.contamination_counts(docs, bench, gram_w=8).collect()
+    }
+    # 20-token copied run => 20-8+1 = 13 overlapping 8-grams
+    assert got[2] == (13, True)
+    assert got[1] == (0, False)
+
+
+def test_contamination_total_table(spark):
+    docs = spark.createDataFrame(
+        [(i, f"totally unique text number {i} with no shared runs at all") for i in range(10)],
+        "doc_id long, text string",
+    )
+    bench = docs.limit(0)
+    out = corpus.contamination_counts(docs, bench).collect()
+    assert len(out) == 10 and all(r["n_overlap"] == 0 for r in out)

@@ -90,3 +90,12 @@ def test_no_python_udfs_in_declared_queries(spark):
         if name == "q42_multimodal_features":
             continue
         assert "EvalPython" not in plan_of(spark, name), name
+
+
+def test_decontamination_broadcasts_benchmark(spark):
+    """q57's benchmark gram set must broadcast (LeftSemi, BuildRight):
+    the corpus side may never shuffle its exploded gram stream into a
+    hash-partitioned join — at 100 TB that shuffle is the op's cost."""
+    p = plan_of(spark, "q57_decontamination")
+    assert "LeftSemi, BuildRight" in p, p[:800]
+    assert "SortMergeJoin" not in p, "gram join must not sort-merge"
