@@ -463,6 +463,46 @@ def q57_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q58_corpus_prep_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship corpus-prep composite: exact dedup → quality gate →
+    language ID → deterministic split → per-(split, lang) rollup.
+    One declarative plan end-to-end — Catalyst fuses the dedup
+    window, the quality/lang projections, and the rollup into three
+    stages. The quality gate compares INTEGERS (n_stop*100 >=
+    n_tokens ≡ stopword_ratio >= 1%) so the filter is bit-exact
+    across engines — no float-boundary flakes at the gate."""
+    from data_warehouse_nhom8_spark.operators.corpus import hash_split_col
+    from data_warehouse_nhom8_spark.operators.text import (
+        EN_STOPWORDS,
+        add_lang_id,
+        exact_dedup,
+        token_count_col,
+    )
+
+    c = Catalog(spark, sf_dir)
+    kept = exact_dedup(c.documents)
+    words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    scored = kept.select(
+        "doc_id",
+        "text",
+        token_count_col("text").alias("n_tokens"),
+        F.size(F.filter(words, lambda w: w.isin(*EN_STOPWORDS))).cast("long").alias("n_stop"),
+    )
+    filtered = scored.filter(
+        (F.col("n_tokens") >= 30) & (F.col("n_stop") * 100 >= F.col("n_tokens"))
+    )
+    bucket, split = hash_split_col(F.md5("text"))
+    langed = add_lang_id(filtered).select("doc_id", "n_tokens", "lang_pred", split)
+    return (
+        langed.groupBy("split", "lang_pred")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+        )
+        .orderBy("split", "lang_pred")
+    )
+
+
 EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q33_exact_dedup_docs": q33_exact_dedup_docs,
     "q34_token_counts": q34_token_counts,
@@ -486,6 +526,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q55_pii_redaction": q55_pii_redaction,
     "q56_doc_chunking": q56_doc_chunking,
     "q57_decontamination": q57_decontamination,
+    "q58_corpus_prep_summary": q58_corpus_prep_summary,
 }
 
 EXTENSION_ORACLES: dict[str, str] = {
@@ -670,5 +711,62 @@ EXTENSION_ORACLES: dict[str, str] = {
         FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
         LEFT JOIN overlap o ON o.doc_id = d.doc_id
         ORDER BY d.doc_id NULLS FIRST
+    """,
+    "q58_corpus_prep_summary": """
+        WITH kept AS (
+          SELECT doc_id, text FROM documents
+          WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY md5(text))
+        ),
+        scored AS (
+          SELECT doc_id, text,
+                 CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+                 CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                      x -> x IN ('the','and','of','to','a','in','is','it','that','for'))) AS BIGINT) AS n_stop
+          FROM kept
+        ),
+        filtered AS (
+          SELECT * FROM scored WHERE n_tokens >= 30 AND n_stop * 100 >= n_tokens
+        ),
+        lw AS (
+          SELECT doc_id, n_tokens, text,
+                 lower(substring(text, 1, 256)) AS t,
+                 (string_split_regex(trim(lower(substring(text, 1, 256))), '\\s+'))[1:64] AS words
+          FROM filtered
+        ),
+        sc AS (
+          SELECT doc_id, n_tokens, text,
+            length(t) - length(regexp_replace(t, '[\\x{4e00}-\\x{9fff}]', '', 'g')) AS cjk,
+            len(words) AS nw,
+            len(list_filter(words, x -> x IN ('the','and','is','of','to','that','with'))) AS s_en,
+            len(list_filter(words, x -> x IN ('el','la','los','las','que','es','una','por'))) AS s_es,
+            len(list_filter(words, x -> x IN ('le','la','les','des','est','une','dans','pour'))) AS s_fr,
+            len(list_filter(words, x -> x IN ('der','die','das','und','ist','ein','nicht','mit'))) AS s_de,
+            len(list_filter(words, x -> x IN ('của','và','là','các','cho','trong','một','được'))) AS s_vi
+          FROM lw
+        ),
+        pred AS (
+          SELECT doc_id, n_tokens, text,
+                 CASE WHEN cjk * 5 > nw THEN 'zh'
+                      WHEN greatest(s_en, s_es, s_fr, s_de, s_vi) = 0 THEN 'und'
+                      WHEN s_en = greatest(s_en, s_es, s_fr, s_de, s_vi) THEN 'en'
+                      WHEN s_es = greatest(s_en, s_es, s_fr, s_de, s_vi) THEN 'es'
+                      WHEN s_fr = greatest(s_en, s_es, s_fr, s_de, s_vi) THEN 'fr'
+                      WHEN s_de = greatest(s_en, s_es, s_fr, s_de, s_vi) THEN 'de'
+                      ELSE 'vi' END AS lang_pred
+          FROM sc
+        ),
+        sp AS (
+          SELECT doc_id, n_tokens, lang_pred,
+                 CAST(CAST(('0x' || substring(md5('split-v1' || md5(text)), 1, 8)) AS UBIGINT) % 100 AS BIGINT) AS bucket
+          FROM pred
+        )
+        SELECT CASE WHEN bucket < 80 THEN 'train'
+                    WHEN bucket < 90 THEN 'val'
+                    ELSE 'test' END AS split,
+               lang_pred,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+        FROM sp GROUP BY 1, 2
+        ORDER BY split NULLS FIRST, lang_pred NULLS FIRST
     """,
 }
