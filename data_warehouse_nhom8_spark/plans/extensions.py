@@ -425,10 +425,13 @@ def q55_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass flips the hash (the corpus itself is PII-free — the behavior
     on positives is pytest-gated on a fixture with real shapes)."""
     from data_warehouse_nhom8_spark.operators.corpus import pii_redact_cols
+    from data_warehouse_nhom8_spark.session import repartition_if_split_starved
 
     c = Catalog(spark, sf_dir)
     p = pii_redact_cols("text")
-    return c.documents.select(
+    # 4 regex passes per row: CPU-bound, so don't let the 1-row-group
+    # local file cap it at one core (no-op on real multi-split data)
+    return repartition_if_split_starved(c.documents).select(
         "doc_id",
         p["n_emails"].alias("n_emails"),
         p["n_phones"].alias("n_phones"),
