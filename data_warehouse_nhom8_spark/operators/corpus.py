@@ -128,6 +128,48 @@ def chunk_documents(
     )
 
 
+# ------------------------------------------------ stratified sampling
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    quotas: dict[str, int],
+    order_key: Column | str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic stratified sample: within each stratum, rank rows
+    by md5(order_key) (plus id tie-break) and keep the stratum's
+    quota. Hash-ordering makes the sample pseudo-random yet exactly
+    reproducible on any engine/cluster/run — no rand() seed plumbing,
+    no sampleBy approximation. Unknown strata get quota 0.
+
+    Scale: one window per stratum partition. Skew note — a stratum is
+    NOT a single task: rank-by-hash only needs the per-stratum TOP-k,
+    so Spark's WindowGroupLimit pushes the k-limit into the shuffle
+    map side (plan-gated in tests); only ~k rows per stratum reach the
+    reduce side, never the full 100 TB stratum."""
+    from pyspark.sql import Window
+
+    h = F.md5(_c(order_key).cast("string"))
+    w = Window.partitionBy(strata_col).orderBy(h, F.col(id_col))
+    quota = F.coalesce(
+        *[
+            F.when(F.col(strata_col) == k, F.lit(v))
+            for k, v in sorted(quotas.items())
+        ],
+        F.lit(0),
+    )
+    # literal max-quota bound first: WindowGroupLimit needs a LITERAL
+    # rank predicate to push the top-k into the shuffle map side; the
+    # exact per-stratum quota then refines on the survivors
+    hard_cap = max(quotas.values(), default=0)
+    return (
+        df.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= F.lit(hard_cap))
+        .filter(F.col("rk") <= quota)
+    )
+
+
 # --------------------------------------------------- decontamination
 
 def _gram_digests(

@@ -515,6 +515,28 @@ def q58_corpus_prep_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q59_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus prep: deterministic stratified sample manifest — 40
+    train / 10 val / 10 test docs per split assignment, ranked by
+    content hash (reproducible on any engine; no rand() seeds).
+    Fully oracled: DuckDB runs the identical window."""
+    from data_warehouse_nhom8_spark.operators.corpus import (
+        hash_split_col,
+        stratified_sample,
+    )
+
+    c = Catalog(spark, sf_dir)
+    bucket, split = hash_split_col(F.md5("text"))
+    assigned = c.documents.select("doc_id", "text", split)
+    return (
+        stratified_sample(
+            assigned, "split", {"train": 40, "val": 10, "test": 10}
+        )
+        .select("doc_id", "split", "rk")
+        .orderBy("split", "rk")
+    )
+
+
 EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q33_exact_dedup_docs": q33_exact_dedup_docs,
     "q34_token_counts": q34_token_counts,
@@ -539,6 +561,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q56_doc_chunking": q56_doc_chunking,
     "q57_decontamination": q57_decontamination,
     "q58_corpus_prep_summary": q58_corpus_prep_summary,
+    "q59_stratified_sample": q59_stratified_sample,
 }
 
 EXTENSION_ORACLES: dict[str, str] = {
@@ -780,5 +803,22 @@ EXTENSION_ORACLES: dict[str, str] = {
                CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
         FROM sp GROUP BY 1, 2
         ORDER BY split NULLS FIRST, lang_pred NULLS FIRST
+    """,
+    "q59_stratified_sample": """
+        WITH assigned AS (
+          SELECT doc_id, text,
+                 CASE WHEN CAST(('0x' || substring(md5('split-v1' || md5(text)), 1, 8)) AS UBIGINT) % 100 < 80 THEN 'train'
+                      WHEN CAST(('0x' || substring(md5('split-v1' || md5(text)), 1, 8)) AS UBIGINT) % 100 < 90 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM documents
+        ),
+        ranked AS (
+          SELECT doc_id, split,
+                 CAST(row_number() OVER (PARTITION BY split ORDER BY md5(text), doc_id) AS BIGINT) AS rk
+          FROM assigned
+        )
+        SELECT doc_id, split, rk FROM ranked
+        WHERE rk <= CASE split WHEN 'train' THEN 40 WHEN 'val' THEN 10 WHEN 'test' THEN 10 ELSE 0 END
+        ORDER BY split NULLS FIRST, rk NULLS FIRST
     """,
 }

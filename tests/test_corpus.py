@@ -115,3 +115,30 @@ def test_contamination_total_table(spark):
     bench = docs.limit(0)
     out = corpus.contamination_counts(docs, bench).collect()
     assert len(out) == 10 and all(r["n_overlap"] == 0 for r in out)
+
+
+def test_stratified_sample_quotas_and_determinism(spark):
+    df = spark.range(0, 300).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("doc-"), F.col("id")).alias("text"),
+        F.when(F.col("id") % 3 == 0, "a").when(F.col("id") % 3 == 1, "b").otherwise("c").alias("s"),
+    )
+    out = corpus.stratified_sample(df, "s", {"a": 5, "b": 2, "c": 0})
+    rows = out.collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r["s"], []).append(r["doc_id"])
+    assert len(by.get("a", [])) == 5 and len(by.get("b", [])) == 2 and "c" not in by
+    # deterministic across runs
+    rows2 = corpus.stratified_sample(df, "s", {"a": 5, "b": 2, "c": 0}).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+    # unknown stratum quota -> 0 rows
+    assert corpus.stratified_sample(df, "s", {"a": 1}).filter(F.col("s") != "a").count() == 0
+
+
+def test_stratified_sample_smaller_stratum_than_quota(spark):
+    df = spark.createDataFrame(
+        [(1, "x", "a"), (2, "y", "a"), (3, "z", "b")], "doc_id long, text string, s string"
+    )
+    out = corpus.stratified_sample(df, "s", {"a": 10, "b": 10}).collect()
+    assert len(out) == 3  # quotas above stratum size keep everything

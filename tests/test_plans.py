@@ -99,3 +99,11 @@ def test_decontamination_broadcasts_benchmark(spark):
     p = plan_of(spark, "q57_decontamination")
     assert "LeftSemi, BuildRight" in p, p[:800]
     assert "SortMergeJoin" not in p, "gram join must not sort-merge"
+
+
+def test_stratified_sample_pushes_window_group_limit(spark):
+    """q59's rank filter must push a map-side WindowGroupLimit
+    (Partial + Final): only ~quota rows per stratum may cross the
+    shuffle — a full-stratum sort at 100 TB is the failure mode."""
+    p = plan_of(spark, "q59_stratified_sample")
+    assert p.count("WindowGroupLimit") >= 2, p[:800]
