@@ -110,3 +110,70 @@ def salted_join(
     rep = skewed.withColumn("__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)])))
     out = big_s.join(rep, on=[key, "__salt"], how=how)
     return out.drop("__salt")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    left_time: str,
+    right_time: str,
+    payload_cols: Sequence[str],
+    prefix: str = "asof_",
+) -> DataFrame:
+    """As-of (event-time) join: every left row gets the payload of the
+    LATEST right row with right_time <= left_time in its key group —
+    the point-in-time lookup feature pipelines need (no Spark
+    built-in; DuckDB's native ASOF JOIN is the oracle twin).
+
+    Spark-first shape — union + running `last` window, ONE shuffle on
+    (keys) and zero range explosion:
+      * tag right rows 0 / left rows 1, union by name;
+      * window per key ordered by (time, tag): a running
+        last(non-null) of the right payload STRUCT carries the newest
+        at-or-before right row onto each left row (right sorts before
+        left at equal timestamps, so ties are inclusive);
+      * keep left rows, unpack the struct.
+    The payloads ride in ONE struct so a legitimately-NULL payload
+    column is carried as NULL (a bare per-column last(ignorenulls)
+    would skip past it to an older row).
+
+    Right rows must be unique per (keys, right_time) — pre-aggregate
+    if not; ties would otherwise be resolved by an unstable union
+    order. At 100 TB this is a single hash-partition by key with a
+    per-partition sort: the same cost class as any keyed window, and
+    far cheaper than the naive range-join (left x right per key)."""
+    keys = list(keys)
+    payload_cols = list(payload_cols)
+    l_tag = left.select(
+        *[F.col(k) for k in keys],
+        F.col(left_time).alias("__t"),
+        F.lit(1).alias("__is_l"),
+        F.lit(None).cast(
+            right.select(F.struct(*payload_cols).alias("s")).schema["s"].dataType
+        ).alias("__payload"),
+        F.struct(*left.columns).alias("__row"),
+    )
+    r_tag = right.select(
+        *[F.col(k) for k in keys],
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__is_l"),
+        F.struct(*payload_cols).alias("__payload"),
+        F.lit(None).cast(l_tag.schema["__row"].dataType).alias("__row"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__t"), F.col("__is_l"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = l_tag.unionByName(r_tag).select(
+        "__is_l",
+        "__row",
+        F.last("__payload", ignorenulls=True).over(w).alias("__p"),
+    )
+    out_cols = [F.col("__row")[c].alias(c) for c in left.columns] + [
+        F.col("__p")[c].alias(f"{prefix}{c}") for c in payload_cols
+    ]
+    return filled.filter(F.col("__is_l") == 1).select(*out_cols)

@@ -537,6 +537,37 @@ def q59_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q60_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators.joins.asof_join): every click event gets
+    the latest at-or-before 'view' event of the same user — the
+    point-in-time feature lookup. Oracle = DuckDB's NATIVE ASOF LEFT
+    JOIN, so Spark's union+window formulation is certified against a
+    real as-of implementation, nulls (no prior view) included."""
+    from data_warehouse_nhom8_spark.operators.joins import asof_join
+
+    c = Catalog(spark, sf_dir)
+    ev = c.events
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("v_value"), F.max("event_id").alias("v_event"))
+    )
+    j = asof_join(
+        clicks, views, ["user_id"], "ts", "ts", ["v_value", "v_event", "ts"]
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.round("asof_v_value", 2).alias("last_view_value"),
+        F.col("asof_v_event").alias("last_view_event"),
+        (F.unix_micros(F.col("ts").cast("timestamp"))
+         - F.unix_micros(F.col("asof_ts").cast("timestamp"))).alias("us_since"),
+    ).orderBy("event_id")
+
+
 EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q33_exact_dedup_docs": q33_exact_dedup_docs,
     "q34_token_counts": q34_token_counts,
@@ -562,6 +593,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q57_decontamination": q57_decontamination,
     "q58_corpus_prep_summary": q58_corpus_prep_summary,
     "q59_stratified_sample": q59_stratified_sample,
+    "q60_asof_join": q60_asof_join,
 }
 
 EXTENSION_ORACLES: dict[str, str] = {
@@ -820,5 +852,21 @@ EXTENSION_ORACLES: dict[str, str] = {
         SELECT doc_id, split, rk FROM ranked
         WHERE rk <= CASE split WHEN 'train' THEN 40 WHEN 'val' THEN 10 WHEN 'test' THEN 10 ELSE 0 END
         ORDER BY split NULLS FIRST, rk NULLS FIRST
+    """,
+    "q60_asof_join": """
+        WITH clicks AS (
+          SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'
+        ),
+        views AS (
+          SELECT user_id, ts, max(value) AS v_value, max(event_id) AS v_event
+          FROM events WHERE event_type = 'view' GROUP BY 1, 2
+        )
+        SELECT c.event_id, c.user_id,
+               ROUND(v.v_value, 2) AS last_view_value,
+               v.v_event AS last_view_event,
+               epoch_us(c.ts) - epoch_us(v.ts) AS us_since
+        FROM clicks c ASOF LEFT JOIN views v
+          ON c.user_id = v.user_id AND c.ts >= v.ts
+        ORDER BY c.event_id NULLS FIRST
     """,
 }

@@ -107,3 +107,27 @@ def test_sql_api_joins_all_tables(spark):
         """,
     )
     assert df.count() == 5  # all regions represented
+
+
+def test_asof_join_semantics(spark):
+    """Ties are inclusive (right at the same instant wins), missing
+    prior rows yield NULLs, and a legitimately-NULL payload column is
+    carried as NULL instead of skipped to an older row."""
+    from data_warehouse_nhom8_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (1, 5, "c"), (2, 7, "d")],
+        "k long, t long, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 15, None), (2, 99, 7.0)],
+        "k long, t long, v double",
+    )
+    out = {
+        r["tag"]: (r["asof_v"], r["asof_t"])
+        for r in asof_join(left, right, ["k"], "t", "t", ["v", "t"]).collect()
+    }
+    assert out["a"] == (100.0, 10)   # tie at t=10 included
+    assert out["b"] == (None, 15)    # newest prior row has NULL v — kept NULL
+    assert out["c"] == (None, None)  # nothing at-or-before t=5
+    assert out["d"] == (None, None)  # right exists only later
