@@ -177,3 +177,42 @@ def asof_join(
         F.col("__p")[c].alias(f"{prefix}{c}") for c in payload_cols
     ]
     return filled.filter(F.col("__is_l") == 1).select(*out_cols)
+
+
+def interval_range_join(
+    events: DataFrame,
+    intervals: DataFrame,
+    time_col: str,
+    start_col: str,
+    end_col: str,
+    bucket: Column | None = None,
+    bucket_us: int = 6 * 3600 * 1_000_000,
+) -> DataFrame:
+    """Range (interval-containment) join: event rows matched to every
+    interval with start <= t < end — without the cartesian product
+    Spark plans for a raw inequality join.
+
+    Scale shape: both sides map to fixed-width time buckets (each
+    interval EXPLODES into the buckets it overlaps — ceil(len/width)
+    rows, bounded and small when `bucket_us` ~ interval length), the
+    join runs as a plain HASH equi-join on the bucket, and the exact
+    range predicate filters residually inside matched buckets. An
+    event's timestamp lives in exactly one bucket, so no dedup pass
+    is needed. Pick `bucket_us` near the typical interval length:
+    wider buckets → fewer interval replicas but more false candidates
+    filtered residually; narrower → the reverse."""
+    t_us = F.unix_micros(F.col(time_col).cast("timestamp"))
+    s_us = F.unix_micros(F.col(start_col).cast("timestamp"))
+    e_us = F.unix_micros(F.col(end_col).cast("timestamp"))
+    ev = events.withColumn("__b", (t_us / bucket_us).cast("long"))
+    iv = intervals.withColumn(
+        "__b",
+        F.explode(
+            F.sequence(
+                (s_us / bucket_us).cast("long"),
+                ((e_us - 1) / bucket_us).cast("long"),
+            )
+        ),
+    )
+    joined = ev.join(iv, "__b")
+    return joined.filter((t_us >= s_us) & (t_us < e_us)).drop("__b")

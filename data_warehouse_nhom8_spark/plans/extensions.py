@@ -568,6 +568,38 @@ def q60_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+def q61_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed range join (operators.joins.interval_range_join):
+    events matched into 40 derived 6-hour maintenance windows (one
+    every 18 h) via bucket-equi-join + residual filter — never the
+    cartesian plan Spark gives a raw inequality join. Oracle = DuckDB
+    inequality join over the identical derived windows. Decimal-
+    internal sum keeps the per-window rollup order-independent."""
+    from data_warehouse_nhom8_spark.operators.joins import interval_range_join
+
+    c = Catalog(spark, sf_dir)
+    base_us = 1704067200 * 1_000_000  # 2024-01-01T00:00:00Z
+    h_us = 3600 * 1_000_000
+    windows = spark.range(40).select(
+        F.col("id").alias("w_id"),
+        F.timestamp_micros(F.lit(base_us) + F.col("id") * (18 * h_us)).alias("w_start"),
+        F.timestamp_micros(
+            F.lit(base_us) + F.col("id") * (18 * h_us) + 6 * h_us
+        ).alias("w_end"),
+    )
+    matched = interval_range_join(
+        c.events.select("event_id", "ts", "value"), windows, "ts", "w_start", "w_end"
+    )
+    return (
+        matched.groupBy("w_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .orderBy("w_id")
+    )
+
+
 EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q33_exact_dedup_docs": q33_exact_dedup_docs,
     "q34_token_counts": q34_token_counts,
@@ -594,6 +626,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q58_corpus_prep_summary": q58_corpus_prep_summary,
     "q59_stratified_sample": q59_stratified_sample,
     "q60_asof_join": q60_asof_join,
+    "q61_range_join": q61_range_join,
 }
 
 EXTENSION_ORACLES: dict[str, str] = {
@@ -868,5 +901,17 @@ EXTENSION_ORACLES: dict[str, str] = {
         FROM clicks c ASOF LEFT JOIN views v
           ON c.user_id = v.user_id AND c.ts >= v.ts
         ORDER BY c.event_id NULLS FIRST
+    """,
+    "q61_range_join": """
+        WITH w AS (
+          SELECT i AS w_id,
+                 TIMESTAMP '2024-01-01 00:00:00' + to_hours(18 * i) AS w_start,
+                 TIMESTAMP '2024-01-01 00:00:00' + to_hours(18 * i + 6) AS w_end
+          FROM generate_series(0, 39) AS g(i)
+        )
+        SELECT w.w_id, COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events ev JOIN w ON ev.ts >= w.w_start AND ev.ts < w.w_end
+        GROUP BY w.w_id ORDER BY w_id NULLS FIRST
     """,
 }

@@ -131,3 +131,26 @@ def test_asof_join_semantics(spark):
     assert out["b"] == (None, 15)    # newest prior row has NULL v — kept NULL
     assert out["c"] == (None, None)  # nothing at-or-before t=5
     assert out["d"] == (None, None)  # right exists only later
+
+
+def test_interval_range_join_boundaries(spark):
+    """[start, end) semantics across bucket boundaries: an interval
+    spanning multiple buckets matches events in each, end is
+    exclusive, start inclusive."""
+    from data_warehouse_nhom8_spark.operators.joins import interval_range_join
+
+    events = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00"), (2, "2024-01-01 05:59:59"),
+         (3, "2024-01-01 06:00:00"), (4, "2024-01-01 13:00:00")],
+        "event_id long, ts string",
+    ).select("event_id", F.col("ts").cast("timestamp").alias("ts"))
+    iv = spark.createDataFrame(
+        [(10, "2024-01-01 00:00:00", "2024-01-01 06:00:00"),   # 1 bucket
+         (11, "2024-01-01 05:00:00", "2024-01-01 14:00:00")],  # 3 buckets
+        "w_id long, s string, e string",
+    ).select("w_id", F.col("s").cast("timestamp").alias("s"), F.col("e").cast("timestamp").alias("e"))
+    got = {
+        (r["event_id"], r["w_id"])
+        for r in interval_range_join(events, iv, "ts", "s", "e").collect()
+    }
+    assert got == {(1, 10), (2, 10), (2, 11), (3, 11), (4, 11)}

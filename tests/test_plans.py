@@ -107,3 +107,11 @@ def test_stratified_sample_pushes_window_group_limit(spark):
     shuffle — a full-stratum sort at 100 TB is the failure mode."""
     p = plan_of(spark, "q59_stratified_sample")
     assert p.count("WindowGroupLimit") >= 2, p[:800]
+
+
+def test_range_join_is_hash_not_cartesian(spark):
+    """q61's interval join must run as a bucket equi-join: a raw
+    inequality join plans BroadcastNestedLoopJoin/CartesianProduct —
+    the O(|events| x |windows|) shape that dies at scale."""
+    p = plan_of(spark, "q61_range_join")
+    assert "CartesianProduct" not in p and "NestedLoop" not in p, p[:800]
