@@ -70,3 +70,33 @@ def grouping_sets_union(df: DataFrame, key_sets: list[list[str]], agg_cols: list
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def hll_sketch_rollup(
+    df: DataFrame,
+    fine_keys: list[str],
+    coarse_keys: list[str],
+    distinct_col: str,
+    est_name: str = "est_distinct",
+) -> tuple[DataFrame, DataFrame]:
+    """Mergeable count-distinct rollup: (fine-grain sketch table,
+    coarse re-aggregated estimates).
+
+    The 100 TB pattern exact COUNT(DISTINCT) cannot do: pre-aggregate
+    a constant-size HLL sketch per fine cell (e.g. event_type × day),
+    store it, and answer ANY coarser rollup by unioning sketches —
+    never rescanning the fact table, never shuffling the distinct
+    keys. Daily jobs append fine cells; monthly/level rollups are
+    sketch unions over the tiny cell table. Estimate error is the
+    standard HLL ±~1.6% (lgConfigK default 12); pytest pins tolerance
+    vs exact and union-vs-direct agreement."""
+    fine = df.groupBy(*fine_keys).agg(
+        F.hll_sketch_agg(distinct_col).alias("sketch"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    coarse = fine.groupBy(*coarse_keys).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias(est_name),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("n_rows").alias("n_rows"),
+    )
+    return fine, coarse

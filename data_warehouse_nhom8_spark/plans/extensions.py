@@ -600,6 +600,28 @@ def q61_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q62_hll_rollup_noracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup (operators.aggregates.hll_sketch_rollup):
+    per-(event_type, day) HLL user sketches unioned up to per-type
+    distinct-user estimates — the pre-aggregate-then-merge shape that
+    answers rollups at 100 TB without rescanning the fact table.
+    Sketch estimates are implementation-defined → rows-only for the
+    driver; tolerance vs exact and union-vs-direct agreement are
+    pytest-gated (test_llm_ops)."""
+    from data_warehouse_nhom8_spark.operators.aggregates import hll_sketch_rollup
+
+    c = Catalog(spark, sf_dir)
+    ev = c.events.select(
+        "event_type", F.to_date("ts").alias("day"), "user_id"
+    )
+    _fine, coarse = hll_sketch_rollup(
+        ev, ["event_type", "day"], ["event_type"], "user_id", est_name="est_users"
+    )
+    return coarse.select(
+        "event_type", "est_users", "n_cells", "n_rows"
+    ).orderBy("event_type")
+
+
 EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q33_exact_dedup_docs": q33_exact_dedup_docs,
     "q34_token_counts": q34_token_counts,
@@ -627,6 +649,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q59_stratified_sample": q59_stratified_sample,
     "q60_asof_join": q60_asof_join,
     "q61_range_join": q61_range_join,
+    "q62_hll_rollup_noracle": q62_hll_rollup_noracle,
 }
 
 EXTENSION_ORACLES: dict[str, str] = {

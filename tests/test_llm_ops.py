@@ -386,3 +386,38 @@ def test_metadata_profile_prunes_payload(spark, media, tmp_path):
     plan = prof._jdf.queryExecution().executedPlan().toString()
     assert "payload" not in plan.split("ReadSchema:")[1], plan
     assert {r["kind"] for r in prof.collect()} == {"image", "audio", "video"}
+
+
+def test_hll_rollup_union_matches_direct_and_exact(spark):
+    """Mergeable-sketch contract: unioning per-(type, day) sketches
+    must estimate within HLL tolerance of exact COUNT(DISTINCT), and
+    agree with a direct single-pass sketch over the same rows (the
+    union loses nothing for same-lgK sketches)."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_nhom8_spark.operators.aggregates import hll_sketch_rollup
+    from data_warehouse_nhom8_spark.sources import Catalog
+    from tests.conftest import SF_DIR
+
+    c = Catalog(spark, SF_DIR)
+    ev = c.events.select("event_type", F.to_date("ts").alias("day"), "user_id")
+    _fine, coarse = hll_sketch_rollup(
+        ev, ["event_type", "day"], ["event_type"], "user_id", est_name="est"
+    )
+    rolled = {r["event_type"]: r["est"] for r in coarse.collect()}
+    direct = {
+        r["event_type"]: r["est"]
+        for r in ev.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est"))
+        .collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(rolled) == set(exact)
+    for t, n in exact.items():
+        assert abs(rolled[t] - n) <= max(2, 0.05 * n), (t, rolled[t], n)
+        assert rolled[t] == direct[t], (t, rolled[t], direct[t])
