@@ -1,0 +1,124 @@
+"""Corpus preparation as a production pipeline job.
+
+The LLM-data twin of the daily warehouse run: the same operational
+contract the reference enforces with cron + control-DB logging
+(loadtowh/load_to_wh.sh + create_control_db_v5.sql) — ledger-gated
+skip-if-done, Running/Success/Failed rows, atomic versioned outputs —
+applied to the corpus-prep chain (dedup → quality gate → language ID
+→ split → chunk → summary, all from operators/corpus.py and
+operators/text.py, the same plans q54–q59 certify against DuckDB).
+
+Outputs under `out_root` (each a versioned snapshot table — atomic
+pointer swap, no partial state ever visible to readers):
+  corpus/   (doc_id, text, n_tokens, lang_pred, split) — the cleaned,
+            split-assigned corpus
+  chunks/   (doc_id, chunk_id, n_tokens, chunk_fp) — tokenizer feed
+  summary/  (split, lang_pred, n_docs, sum_tokens) — the q58 rollup
+
+Scale: one Catalyst plan start-to-finish per output; the corpus
+snapshot is written once and re-read for chunking (lineage cut at the
+stored table, the same pattern as staging → warehouse). A failed run
+leaves the previous versions live and a Failed ledger row; re-running
+the day is a no-op after Success.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_warehouse_nhom8_spark.operators.corpus import chunk_documents, hash_split_col
+from data_warehouse_nhom8_spark.operators.text import (
+    EN_STOPWORDS,
+    add_lang_id,
+    exact_dedup,
+    token_count_col,
+)
+from data_warehouse_nhom8_spark.pipeline.ledger import RunLedger
+from data_warehouse_nhom8_spark.sources.snapshots import snapshot_overwrite, snapshot_read
+
+PROCESS = "corpus_prep"
+
+
+def prepare_corpus_df(
+    docs: DataFrame,
+    min_tokens: int = 30,
+    min_stop_pct: int = 1,
+) -> DataFrame:
+    """The declarative corpus-prep plan (q58's chain, kept as one
+    reusable expression): exact dedup → integer quality gate
+    (n_stop * 100 >= n_tokens * min_stop_pct) → language ID → split."""
+    kept = exact_dedup(docs)
+    words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    scored = kept.select(
+        "doc_id",
+        "text",
+        token_count_col("text").alias("n_tokens"),
+        F.size(F.filter(words, lambda w: w.isin(*EN_STOPWORDS))).cast("long").alias("n_stop"),
+    )
+    filtered = scored.filter(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("n_stop") * 100 >= F.col("n_tokens") * min_stop_pct)
+    )
+    _bucket, split = hash_split_col(F.md5("text"))
+    return add_lang_id(filtered).select(
+        "doc_id", "text", "n_tokens", "lang_pred", split
+    )
+
+
+def run_corpus_prep(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_root: str,
+    run_date: datetime.date,
+    ledger: RunLedger | None = None,
+    min_tokens: int = 30,
+    chunk_tokens: int = 128,
+    stride: int = 64,
+) -> dict:
+    """One ledger-gated corpus-prep run. Returns per-stage counts;
+    {"skipped": True} when the day already succeeded."""
+    if ledger is not None and ledger.is_done(PROCESS, run_date):
+        return {"skipped": True}
+    start = datetime.datetime.now()
+    log_id = ledger.open_run(PROCESS, run_date) if ledger is not None else None
+    try:
+        corpus = prepare_corpus_df(docs, min_tokens=min_tokens)
+        snapshot_overwrite(corpus, f"{out_root}/corpus")
+        stored = snapshot_read(spark, f"{out_root}/corpus")
+
+        chunks = chunk_documents(
+            stored, chunk_tokens=chunk_tokens, stride=stride
+        )
+        snapshot_overwrite(chunks, f"{out_root}/chunks")
+
+        summary = (
+            stored.groupBy("split", "lang_pred")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_tokens").alias("sum_tokens"),
+            )
+        )
+        snapshot_overwrite(summary, f"{out_root}/summary")
+
+        report = {
+            "corpus_rows": stored.count(),
+            "chunk_rows": snapshot_read(spark, f"{out_root}/chunks").count(),
+            "summary_rows": snapshot_read(spark, f"{out_root}/summary").count(),
+        }
+        if ledger is not None:
+            ledger.close_run(
+                log_id, PROCESS, run_date, "Success",
+                rows_processed=report["corpus_rows"],
+                file_path=out_root, start_time=start,
+            )
+        return report
+    except Exception as e:  # ledger Failed row, previous versions stay live
+        if ledger is not None:
+            ledger.close_run(
+                log_id, PROCESS, run_date, "Failed",
+                error_message=str(e)[:500], start_time=start,
+            )
+        raise

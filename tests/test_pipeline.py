@@ -122,3 +122,51 @@ def test_ledger_skip_if_done_and_latest(spark, tmp_path):
     )
     todo = [r["process"] for r in led.runnable(enabled, d).collect()]
     assert todo == ["extract_jobsgo"]
+
+
+def test_corpus_prep_job_end_to_end(spark, tmp_path):
+    """The corpus-prep production job: atomic versioned outputs,
+    consistent cross-table counts, ledger skip-if-done on rerun, and
+    a Failed run leaving the previous outputs live."""
+    import datetime
+
+    from data_warehouse_nhom8_spark.pipeline import corpus_prep
+    from data_warehouse_nhom8_spark.pipeline.ledger import RunLedger
+    from data_warehouse_nhom8_spark.sources import Catalog
+    from data_warehouse_nhom8_spark.sources.snapshots import snapshot_read
+    from tests.conftest import SF_DIR
+
+    docs = Catalog(spark, SF_DIR).documents
+    out = str(tmp_path / "corpus_out")
+    ledger = RunLedger(spark, str(tmp_path / "ledger"))
+    day = datetime.date(2026, 1, 1)
+
+    report = corpus_prep.run_corpus_prep(spark, docs, out, day, ledger)
+    assert report["corpus_rows"] > 0
+    corpus = snapshot_read(spark, f"{out}/corpus")
+    chunks = snapshot_read(spark, f"{out}/chunks")
+    summary = snapshot_read(spark, f"{out}/summary")
+    assert corpus.count() == report["corpus_rows"]
+    # every corpus doc chunked at least once; chunk ids unique per doc
+    assert chunks.select("doc_id").distinct().count() == report["corpus_rows"]
+    assert chunks.groupBy("doc_id", "chunk_id").count().filter("count > 1").count() == 0
+    # summary totals reconcile with the corpus
+    from pyspark.sql import functions as F
+
+    agg = summary.agg(F.sum("n_docs"), F.sum("sum_tokens")).head()
+    cagg = corpus.agg(F.count(F.lit(1)), F.sum("n_tokens")).head()
+    assert (agg[0], agg[1]) == (cagg[0], cagg[1])
+    # rerun same day: ledger-gated no-op
+    assert corpus_prep.run_corpus_prep(spark, docs, out, day, ledger) == {"skipped": True}
+
+    # failed run on day 2 (poisoned input) leaves day-1 outputs live
+    day2 = datetime.date(2026, 1, 2)
+    poisoned = docs.select(F.col("doc_id"), F.col("doc_id").cast("string").alias("wrong"))
+    try:
+        corpus_prep.run_corpus_prep(spark, poisoned, out, day2, ledger)
+        raised = False
+    except Exception:
+        raised = True
+    assert raised
+    assert not ledger.is_done(corpus_prep.PROCESS, day2)
+    assert snapshot_read(spark, f"{out}/corpus").count() == report["corpus_rows"]
