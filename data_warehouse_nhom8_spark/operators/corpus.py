@@ -233,3 +233,32 @@ def contamination_counts(
             (F.coalesce("n_overlap", F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+def weighted_mixture(
+    df: DataFrame,
+    strata_col: str,
+    weights: dict[str, float],
+    total: int,
+    order_key: Column | str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic data-mixing manifest: sample ~`total` rows with
+    per-stratum counts proportional to `weights` (largest-remainder
+    rounding, so quotas sum exactly to `total`). Pure driver-side
+    arithmetic on the weights dict + one `stratified_sample` pass —
+    the certified q59 path does the distributed work. Strata absent
+    from `weights` contribute nothing; a stratum smaller than its
+    quota under-fills it (by design: no replacement)."""
+    if total < 0 or not weights or any(w < 0 for w in weights.values()):
+        raise ValueError("need total >= 0 and non-negative weights")
+    wsum = sum(weights.values())
+    if wsum <= 0:
+        raise ValueError("weights must sum > 0")
+    exact = {k: total * w / wsum for k, w in weights.items()}
+    quotas = {k: int(v) for k, v in exact.items()}
+    short = total - sum(quotas.values())
+    # largest remainder; stable key tie-break keeps it deterministic
+    for k in sorted(exact, key=lambda k: (-(exact[k] - quotas[k]), k))[:short]:
+        quotas[k] += 1
+    return stratified_sample(df, strata_col, quotas, order_key, id_col)

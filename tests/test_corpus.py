@@ -183,3 +183,24 @@ def test_chunking_roundtrip_property(spark):
         assert covered >= n
 
     check()
+
+
+def test_weighted_mixture_quotas(spark):
+    df = spark.range(0, 600).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("d-"), F.col("id")).alias("text"),
+        F.when(F.col("id") % 3 == 0, "web").when(F.col("id") % 3 == 1, "code").otherwise("books").alias("src"),
+    )
+    out = corpus.weighted_mixture(df, "src", {"web": 0.5, "code": 0.3, "books": 0.2}, total=101)
+    counts = {r["src"]: r["n"] for r in out.groupBy("src").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sum(counts.values()) == 101          # largest remainder: exact total
+    assert counts["web"] in (50, 51) and counts["code"] in (30, 31) and counts["books"] in (20, 21)
+    # deterministic
+    again = corpus.weighted_mixture(df, "src", {"web": 0.5, "code": 0.3, "books": 0.2}, total=101)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+    # zero-weight stratum absent; invalid weights raise
+    none = corpus.weighted_mixture(df, "src", {"web": 1.0}, total=10)
+    assert none.filter(F.col("src") != "web").count() == 0
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        corpus.weighted_mixture(df, "src", {"web": -1.0}, total=10)
