@@ -3,13 +3,15 @@
 reference stops at warehouse queries, these are the ops a training
 corpus needs before the data ever reaches a tokenizer).
 
-All four are native Catalyst expressions (no Python UDFs) and all
-four are exactly SQL-expressible, so every derived query is fully
-driver-oracled against DuckDB:
+Every operator is a native Catalyst expression (no Python UDFs), and
+every deterministic one is exactly SQL-expressible, so the derived
+queries (q54–q59) are fully driver-oracled against DuckDB:
 
   hash_split_col     — deterministic train/val/test assignment
   pii_redact_cols    — email/phone detection + redaction
   chunk_documents    — sliding token-window chunking (map-only)
+  stratified_sample  — per-stratum hash-ordered top-k manifest
+  weighted_mixture   — data-mixing quotas over stratified_sample
   contamination_counts — n-gram overlap vs a benchmark set
 
 Scale notes (100 TB):
@@ -17,6 +19,8 @@ Scale notes (100 TB):
     they run inside whole-stage codegen over the scan, zero shuffle.
   * chunk_documents is scan + explode: output rows ≈ tokens/stride,
     still shuffle-free; partition count follows the input splits.
+  * stratified_sample shuffles only ~quota rows per stratum (map-side
+    WindowGroupLimit, plan-gated), never the full stratum.
   * contamination_counts joins the corpus's exploded n-grams against
     the benchmark gram set on a 128-bit digest. Benchmark suites are
     tiny (thousands of docs) next to a 100 TB corpus → the gram set
