@@ -440,14 +440,18 @@ def q55_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q56_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus prep: sliding token-window chunking (128-token windows,
-    stride 64) — the map-only explode every tokenizer feed needs.
-    Aggregated per doc for a compact oracle surface; the per-chunk
-    fingerprints still pin every chunk's exact content via xor-agg."""
+    """Corpus prep: sliding token-window chunking — the map-only
+    explode every tokenizer feed needs. Declared with 32-token
+    windows / stride 16 because the synthetic docs are 10–100 tokens
+    (the production default 128/64 would make every doc one chunk and
+    the check degenerate); the operator itself is parameter-free of
+    this choice and its invariants are pytest-gated across widths.
+    Aggregated per doc for a compact oracle surface; the sorted
+    concat of per-chunk fingerprints pins every chunk's content."""
     from data_warehouse_nhom8_spark.operators.corpus import chunk_documents
 
     c = Catalog(spark, sf_dir)
-    chunks = chunk_documents(c.documents, chunk_tokens=128, stride=64)
+    chunks = chunk_documents(c.documents, chunk_tokens=32, stride=16)
     return (
         chunks.groupBy("doc_id")
         .agg(
@@ -462,16 +466,22 @@ def q56_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q57_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus prep: benchmark decontamination — 8-gram overlap of
+    """Corpus prep: benchmark decontamination — n-gram overlap of
     every corpus doc against the benchmark subset (doc_id % 97 == 0),
-    benchmark grams broadcast. Total decision table (zeros included)."""
+    benchmark grams broadcast. Total decision table (zeros included).
+    Declared at gram_w=4 — calibrated so the synthetic short-doc
+    corpus has LIVE positives at the gate scale (8 contaminated docs
+    at sf0.01; the production default 8 yields zero there, which
+    would leave the overlap-counting path hash-checked but never
+    exercised on a hit). Planted-contamination behavior at the
+    production width stays pytest-gated."""
     from data_warehouse_nhom8_spark.operators.corpus import contamination_counts
 
     c = Catalog(spark, sf_dir)
     docs = c.documents
     bench = docs.filter(F.col("doc_id") % 97 == 0)
     return contamination_counts(
-        docs.filter(F.col("doc_id") % 97 != 0), bench, gram_w=8
+        docs.filter(F.col("doc_id") % 97 != 0), bench, gram_w=4
     ).orderBy("doc_id")
 
 
@@ -799,9 +809,9 @@ EXTENSION_ORACLES: dict[str, str] = {
         ),
         c AS (
           SELECT doc_id,
-                 len(tk[s:s+127]) AS n_tokens,
-                 md5(array_to_string(tk[s:s+127], ' ')) AS chunk_fp
-          FROM t, UNNEST(generate_series(1, len(tk), 64)) AS u(s)
+                 len(tk[s:s+31]) AS n_tokens,
+                 md5(array_to_string(tk[s:s+31], ' ')) AS chunk_fp
+          FROM t, UNNEST(generate_series(1, len(tk), 16)) AS u(s)
         )
         SELECT doc_id,
                COUNT(*) AS n_chunks,
@@ -816,8 +826,8 @@ EXTENSION_ORACLES: dict[str, str] = {
         ),
         grams AS (
           SELECT DISTINCT doc_id,
-                 md5(array_to_string(tk[i:i+7], ' ')) AS gram
-          FROM toks, UNNEST(generate_series(1, greatest(len(tk) - 7, 1))) AS u(i)
+                 md5(array_to_string(tk[i:i+3], ' ')) AS gram
+          FROM toks, UNNEST(generate_series(1, greatest(len(tk) - 3, 1))) AS u(i)
         ),
         bench AS (
           SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0
