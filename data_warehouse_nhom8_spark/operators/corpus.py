@@ -115,7 +115,10 @@ def chunk_documents(
 
     Map-only: tokenize once per row (named column — Catalyst does not
     CSE across branches), explode the start sequence, slice. No
-    shuffle; at 100 TB the output partitioning follows the scan."""
+    shuffle; at 100 TB the output partitioning follows the scan.
+
+    NULL text yields no chunk rows (the explode drops the doc) —
+    run after the quality gate, which already excludes null docs."""
     if stride <= 0 or chunk_tokens <= 0:
         raise ValueError("chunk_tokens and stride must be positive")
     from data_warehouse_nhom8_spark.session import repartition_for_compute

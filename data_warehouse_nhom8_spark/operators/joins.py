@@ -140,7 +140,8 @@ def asof_join(
 
     Right rows must be unique per (keys, right_time) — pre-aggregate
     if not; ties would otherwise be resolved by an unstable union
-    order. At 100 TB this is a single hash-partition by key with a
+    order. Internal column names `__t`/`__is_l`/`__payload`/`__row`
+    are reserved: neither input may carry them. At 100 TB this is a single hash-partition by key with a
     per-partition sort: the same cost class as any keyed window, and
     far cheaper than the naive range-join (left x right per key)."""
     keys = list(keys)
@@ -200,7 +201,12 @@ def interval_range_join(
     event's timestamp lives in exactly one bucket, so no dedup pass
     is needed. Pick `bucket_us` near the typical interval length:
     wider buckets → fewer interval replicas but more false candidates
-    filtered residually; narrower → the reverse."""
+    filtered residually; narrower → the reverse.
+
+    Column names must be disjoint across the two inputs (besides the
+    internal `__b` bucket): the residual filter re-references
+    `time_col`/`start_col`/`end_col` by name after the join, so a
+    shared name would be ambiguous — rename before joining."""
     t_us = F.unix_micros(F.col(time_col).cast("timestamp"))
     s_us = F.unix_micros(F.col(start_col).cast("timestamp"))
     e_us = F.unix_micros(F.col(end_col).cast("timestamp"))
