@@ -76,25 +76,40 @@ def hash_split_col(
 # ---------------------------------------------------- PII redaction
 
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IP_RE = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
 PHONE_RE = r"\+?\d[\d .-]{7,}\d"
 
-# Both patterns live in the Java-regex ∩ RE2 common subset (no
+# All patterns live in the Java-regex ∩ RE2 common subset (no
 # backrefs, no lookaround) so Spark and DuckDB match identically.
 
 
 def pii_redact_cols(text: Column | str = "text") -> dict[str, Column]:
-    """Detection counts + redacted text: emails → <EMAIL>, then
-    phone-ish digit runs (>=9 chars of digits/space/dot/dash) →
-    <PHONE>. Email pass runs first so digits inside an address can't
-    half-match as a phone. Counts are computed on the ORIGINAL text;
-    one projection, codegen-resident."""
+    """Detection counts + redacted text: emails → <EMAIL>, then IPv4
+    → <IP>, then phone-ish digit runs (>=9 chars of digits/space/
+    dot/dash) → <PHONE>. Order matters: emails first so address
+    digits can't half-match as phones, IPs before phones so a dotted
+    quad ("192.168.100.200" satisfies the phone shape) is labeled
+    <IP>, not <PHONE>. Counts are computed independently on the
+    ORIGINAL text (a dotted quad counts under n_ips AND n_phones —
+    counts are per-pattern detectors, the redaction is what's
+    mutually exclusive). One projection, codegen-resident."""
     t = _c(text)
     n_emails = F.size(F.regexp_extract_all(t, F.lit(f"({EMAIL_RE})"), 1)).cast("long")
+    n_ips = F.size(F.regexp_extract_all(t, F.lit(f"({IP_RE})"), 1)).cast("long")
     n_phones = F.size(F.regexp_extract_all(t, F.lit(f"({PHONE_RE})"), 1)).cast("long")
     redacted = F.regexp_replace(
-        F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+        F.regexp_replace(
+            F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), IP_RE, "<IP>"
+        ),
+        PHONE_RE,
+        "<PHONE>",
     )
-    return {"n_emails": n_emails, "n_phones": n_phones, "redacted": redacted}
+    return {
+        "n_emails": n_emails,
+        "n_ips": n_ips,
+        "n_phones": n_phones,
+        "redacted": redacted,
+    }
 
 
 # ---------------------------------------------------------- chunking

@@ -429,11 +429,12 @@ def q55_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     c = Catalog(spark, sf_dir)
     p = pii_redact_cols("text")
-    # 4 regex passes per row: CPU-bound, so don't let the 1-row-group
+    # 6 regex passes per row: CPU-bound, so don't let the 1-row-group
     # local file cap it at one core (no-op on real multi-split data)
     return repartition_if_split_starved(c.documents).select(
         "doc_id",
         p["n_emails"].alias("n_emails"),
+        p["n_ips"].alias("n_ips"),
         p["n_phones"].alias("n_phones"),
         F.md5(p["redacted"]).alias("redacted_fp"),
     ).orderBy("doc_id")
@@ -797,9 +798,12 @@ EXTENSION_ORACLES: dict[str, str] = {
     "q55_pii_redaction": """
         SELECT doc_id,
                CAST(len(regexp_extract_all(text, '([A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,})', 1)) AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(text, '(\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b)', 1)) AS BIGINT) AS n_ips,
                CAST(len(regexp_extract_all(text, '(\\+?\\d[\\d .-]{7,}\\d)', 1)) AS BIGINT) AS n_phones,
                md5(regexp_replace(
-                     regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                     regexp_replace(
+                       regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                       '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g'),
                      '\\+?\\d[\\d .-]{7,}\\d', '<PHONE>', 'g')) AS redacted_fp
         FROM documents ORDER BY doc_id NULLS FIRST
     """,

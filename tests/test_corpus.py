@@ -56,6 +56,7 @@ def test_pii_redaction_positives(spark):
         (1, "call +1-555-123-4567 or 0912 345 678 today"),
         (2, "no pii here at all"),
         (3, "mixed: bob@corp.io and 555-123-9876 x"),
+        (4, "server 192.168.100.200 answered"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     p = corpus.pii_redact_cols("text")
@@ -69,6 +70,11 @@ def test_pii_redaction_positives(spark):
     assert got[1][1] == 2 and got[1][2].count("<PHONE>") == 2
     assert got[2] == (0, 0, "no pii here at all")
     assert got[3][0] == 1 and got[3][1] == 1
+    # a dotted quad satisfies the phone shape too — IP pass runs
+    # first, so it must surface as <IP>, never <PHONE>
+    assert got[4][2] == "server <IP> answered"
+    n_ips = {r["doc_id"]: r["n"] for r in df.select("doc_id", p["n_ips"].alias("n")).collect()}
+    assert n_ips[4] == 1 and n_ips[2] == 0
 
 
 def test_chunking_covers_every_token(spark):
