@@ -217,3 +217,60 @@ def run_available_now(writer: DataStreamWriter) -> None:
     daily-cron micro-batch semantics (Trigger.AvailableNow)."""
     q = writer.trigger(availableNow=True).start()
     q.awaitTermination()
+
+
+def corpus_ingest_sink(
+    stream: DataFrame,
+    corpus_path: str,
+    chunks_path: str,
+    checkpoint: str,
+    min_tokens: int = 30,
+    chunk_tokens: int = 128,
+    stride: int = 64,
+) -> DataStreamWriter:
+    """Streaming corpus prep — the streaming face of
+    `pipeline.corpus_prep`: each micro-batch of raw documents runs
+    the SAME certified plan (quality gate → lang-ID → split, the
+    q58 chain) and merges by doc_id (last-writer-wins) into the
+    corpus snapshot; the batch's chunks merge by (doc_id, chunk_id)
+    into the chunks snapshot. Replays converge: both merges are
+    keyed and idempotent, so the at-least-once file source is
+    effectively exactly-once here.
+
+    Dedup semantics: exact dedup runs WITHIN each micro-batch plus
+    id-keyed last-writer-wins ACROSS batches. Cross-batch
+    content-level dedup (same text, different ids) is a composition,
+    not a re-implementation: pipe the stream through
+    `streaming.stateful.first_seen_filter` keyed on
+    `text.fingerprint_col` before this sink."""
+    from data_warehouse_nhom8_spark.operators.corpus import chunk_documents
+    from data_warehouse_nhom8_spark.pipeline.corpus_prep import prepare_corpus_df
+
+    def merge(batch: DataFrame, epoch_id: int) -> None:
+        from data_warehouse_nhom8_spark.sources.snapshots import (
+            snapshot_overwrite,
+            snapshot_read,
+        )
+
+        spark = batch.sparkSession
+        prepped = prepare_corpus_df(batch, min_tokens=min_tokens)
+        current = snapshot_read(spark, corpus_path)
+        merged = upsert_last_writer_wins(
+            current, prepped, ["doc_id"], [F.desc("n_tokens")]
+        )
+        snapshot_overwrite(merged, corpus_path)
+
+        new_chunks = chunk_documents(
+            prepped, chunk_tokens=chunk_tokens, stride=stride
+        )
+        cur_chunks = snapshot_read(spark, chunks_path)
+        merged_chunks = upsert_last_writer_wins(
+            cur_chunks, new_chunks, ["doc_id", "chunk_id"], [F.desc("chunk_fp")]
+        )
+        snapshot_overwrite(merged_chunks, chunks_path)
+
+    return (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )

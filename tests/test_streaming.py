@@ -209,3 +209,55 @@ def test_streaming_neardup_ingest_equals_batch_detector(spark, tmp_path):
     }
     assert got2 == want
     assert snapshot_read(spark, state).count() == 6
+
+
+def test_streaming_corpus_ingest_equals_batch_job(spark, tmp_path):
+    """Streaming corpus prep over two micro-batches must equal the
+    batch corpus_prep job on the union — same corpus table, same
+    chunks — and draining again (replay) converges."""
+    import datetime
+
+    from data_warehouse_nhom8_spark.pipeline import corpus_prep
+
+    texts = [
+        (i, "the quick brown fox " + " ".join(f"w{i}t{j}" for j in range(40)) + " of a day")
+        for i in range(8)
+    ]
+    all_docs = spark.createDataFrame(texts, "doc_id long, text string")
+
+    # batch reference
+    ref_out = str(tmp_path / "batch")
+    corpus_prep.run_corpus_prep(
+        spark, all_docs, ref_out, datetime.date(2026, 1, 1),
+        chunk_tokens=16, stride=8,
+    )
+    want_corpus = {tuple(r) for r in snapshot_read(spark, f"{ref_out}/corpus").collect()}
+    want_chunks = {tuple(r) for r in snapshot_read(spark, f"{ref_out}/chunks").collect()}
+    assert want_corpus and want_chunks
+
+    # streaming: two file batches through the sink
+    src = tmp_path / "docs"
+    spark.createDataFrame(texts[:5], "doc_id long, text string").write.parquet(str(src / "b1"))
+    corpus_path = str(tmp_path / "corpus")
+    chunks_path = str(tmp_path / "chunks")
+
+    def drain():
+        stream = jobs.stream_source(
+            spark, str(src / "*"), all_docs.schema, max_files_per_trigger=1
+        )
+        writer = jobs.corpus_ingest_sink(
+            stream, corpus_path, chunks_path,
+            checkpoint=str(tmp_path / "ck"), chunk_tokens=16, stride=8,
+        )
+        jobs.run_available_now(writer)
+
+    drain()
+    spark.createDataFrame(texts[5:], "doc_id long, text string").write.parquet(str(src / "b2"))
+    drain()
+    got_corpus = {tuple(r) for r in snapshot_read(spark, corpus_path).collect()}
+    got_chunks = {tuple(r) for r in snapshot_read(spark, chunks_path).collect()}
+    assert got_corpus == want_corpus
+    assert got_chunks == want_chunks
+
+    drain()  # replay: nothing new, state unchanged
+    assert {tuple(r) for r in snapshot_read(spark, corpus_path).collect()} == want_corpus
