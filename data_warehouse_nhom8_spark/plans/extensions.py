@@ -633,6 +633,43 @@ def q62_hll_rollup_noracle(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q63_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-day event counts widened to one column per event
+    type — `groupBy(day).pivot(type, EXPLICIT values)`. The explicit
+    value list is the determinism contract (schema independent of
+    data order) AND the scale contract: without it Spark runs an
+    extra distinct-collect job over the fact table just to discover
+    the columns. Oracle = DuckDB conditional aggregation (identical
+    semantics, no PIVOT dialect dependence)."""
+    c = Catalog(spark, sf_dir)
+    return (
+        c.events.select(F.to_date("ts").alias("day"), "event_type")
+        .groupBy("day")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .count()
+        .select(
+            "day",
+            *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t) for t in _EVENT_TYPES],
+        )
+        .orderBy("day")
+    )
+
+
+def q64_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt: the wide per-day table back to long form —
+    `DataFrame.unpivot` with explicit value columns, zeros included
+    (the round-trip of q63, which a groupBy long form would lose).
+    Oracle = DuckDB UNPIVOT over the identical wide CTE."""
+    wide = q63_pivot(spark, sf_dir)
+    return (
+        wide.unpivot("day", list(_EVENT_TYPES), "event_type", "n")
+        .orderBy("day", "event_type")
+    )
+
+
 EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q33_exact_dedup_docs": q33_exact_dedup_docs,
     "q34_token_counts": q34_token_counts,
@@ -661,6 +698,8 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q60_asof_join": q60_asof_join,
     "q61_range_join": q61_range_join,
     "q62_hll_rollup_noracle": q62_hll_rollup_noracle,
+    "q63_pivot": q63_pivot,
+    "q64_unpivot": q64_unpivot,
 }
 
 EXTENSION_ORACLES: dict[str, str] = {
@@ -806,6 +845,29 @@ EXTENSION_ORACLES: dict[str, str] = {
                        '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g'),
                      '\\+?\\d[\\d .-]{7,}\\d', '<PHONE>', 'g')) AS redacted_fp
         FROM documents ORDER BY doc_id NULLS FIRST
+    """,
+    "q63_pivot": """
+        SELECT CAST(ts AS DATE) AS day,
+               COUNT(*) FILTER (event_type = 'click') AS click,
+               COUNT(*) FILTER (event_type = 'error') AS error,
+               COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+               COUNT(*) FILTER (event_type = 'signup') AS signup,
+               COUNT(*) FILTER (event_type = 'view') AS view
+        FROM events GROUP BY 1 ORDER BY day NULLS FIRST
+    """,
+    "q64_unpivot": """
+        WITH p AS (
+          SELECT CAST(ts AS DATE) AS day,
+                 COUNT(*) FILTER (event_type = 'click') AS click,
+                 COUNT(*) FILTER (event_type = 'error') AS error,
+                 COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+                 COUNT(*) FILTER (event_type = 'signup') AS signup,
+                 COUNT(*) FILTER (event_type = 'view') AS view
+          FROM events GROUP BY 1
+        )
+        SELECT day, event_type, n
+        FROM p UNPIVOT (n FOR event_type IN (click, error, purchase, signup, view))
+        ORDER BY day NULLS FIRST, event_type NULLS FIRST
     """,
     "q56_doc_chunking": """
         WITH t AS (
