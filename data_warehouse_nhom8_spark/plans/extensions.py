@@ -611,14 +611,21 @@ def q61_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q62_hll_rollup_noracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q62_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch rollup (operators.aggregates.hll_sketch_rollup):
     per-(event_type, day) HLL user sketches unioned up to per-type
     distinct-user estimates — the pre-aggregate-then-merge shape that
     answers rollups at 100 TB without rescanning the fact table.
-    Sketch estimates are implementation-defined → rows-only for the
-    driver; tolerance vs exact and union-vs-direct agreement are
-    pytest-gated (test_llm_ops)."""
+
+    Driver-oracled tolerance twin: the deterministic columns
+    (exact_users / n_cells / n_rows) hash-match DuckDB exactly, and the
+    implementation-defined sketch estimate is folded into `est_in_tol`
+    (|est - exact| / exact <= 5%), which the oracle expects TRUE — so
+    sketch drift fails the gate without requiring DuckDB to reproduce
+    Spark's HLL registers. The exact COUNT(DISTINCT) scan exists only
+    for certification; the production rollup path is the sketch union
+    (reference anchor: A3 count-distinct,
+    extract/create_control_db_v5.sql:151-161)."""
     from data_warehouse_nhom8_spark.operators.aggregates import hll_sketch_rollup
 
     c = Catalog(spark, sf_dir)
@@ -628,9 +635,24 @@ def q62_hll_rollup_noracle(spark: SparkSession, sf_dir: str) -> DataFrame:
     _fine, coarse = hll_sketch_rollup(
         ev, ["event_type", "day"], ["event_type"], "user_id", est_name="est_users"
     )
-    return coarse.select(
-        "event_type", "est_users", "n_cells", "n_rows"
-    ).orderBy("event_type")
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return (
+        coarse.join(exact, "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            "n_cells",
+            "n_rows",
+            (
+                F.abs(F.col("est_users") - F.col("exact_users"))
+                / F.col("exact_users")
+                <= F.lit(0.05)
+            ).alias("est_in_tol"),
+        )
+        .orderBy("event_type")
+    )
 
 
 _EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
@@ -697,7 +719,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q59_stratified_sample": q59_stratified_sample,
     "q60_asof_join": q60_asof_join,
     "q61_range_join": q61_range_join,
-    "q62_hll_rollup_noracle": q62_hll_rollup_noracle,
+    "q62_hll_rollup": q62_hll_rollup,
     "q63_pivot": q63_pivot,
     "q64_unpivot": q64_unpivot,
 }
@@ -1012,5 +1034,14 @@ EXTENSION_ORACLES: dict[str, str] = {
                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         FROM events ev JOIN w ON ev.ts >= w.w_start AND ev.ts < w.w_end
         GROUP BY w.w_id ORDER BY w_id NULLS FIRST
+    """,
+    "q62_hll_rollup": """
+        SELECT event_type,
+               COUNT(DISTINCT user_id) AS exact_users,
+               COUNT(DISTINCT CAST(ts AS DATE)) AS n_cells,
+               COUNT(*) AS n_rows,
+               TRUE AS est_in_tol
+        FROM events
+        GROUP BY event_type ORDER BY event_type NULLS FIRST
     """,
 }
