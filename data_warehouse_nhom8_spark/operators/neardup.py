@@ -475,7 +475,7 @@ def ngram_jaccard_pairs_exact(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_w: int = 5,
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = 1000,
 ) -> DataFrame:
     """EXACT n-gram Jaccard near-dup pairs via an inverted shingle
     index — complete recall (a pair with J ≥ t > 0 shares ≥1 shingle,
@@ -491,7 +491,15 @@ def ngram_jaccard_pairs_exact(
     bounded in real corpora because long-w shingles are rare;
     `max_shingle_df` is the stop-shingle guard for boilerplate (drops
     shingles appearing in more docs than the cap, making J "Jaccard
-    over non-stop shingles" — set None for strict exactness).
+    over non-stop shingles").  The guard is the PRODUCTION DEFAULT:
+    with it off, one boilerplate shingle shared by g docs contributes
+    g² candidate pairs, which is unbounded at corpus scale.  The
+    default cap bounds the per-shingle pair work at 10⁶ while being
+    far above any real shingle's df in a deduplicated corpus — true
+    near-dup pairs share many RARE shingles, so recall is unaffected
+    (asserted by the planted-duplicate pytest).  Pass None only for
+    strict-exact semantics on bounded inputs (the q50 oracle does,
+    because DuckDB computes the unguarded definition).
     xxhash64 shingle collisions are possible in principle
     (~#shingles²/2⁶⁴) and ignored, as in every hashed-shingle dedup.
 

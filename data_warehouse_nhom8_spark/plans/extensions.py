@@ -400,10 +400,14 @@ def q50_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2: EXACT n-gram Jaccard near-dup pairs (inverted shingle
     index — complete recall, no LSH approximation, no all-pairs scan).
     Deterministic end-to-end, so fully driver-oracled: DuckDB computes
-    the identical shingle/Jaccard definition over raw strings."""
+    the identical shingle/Jaccard definition over raw strings.
+    ``max_shingle_df=None`` (strict-exact, no stop-shingle guard) is
+    deliberate and oracle-only: the DuckDB twin computes the unguarded
+    definition.  Production callers keep the operator's guarded
+    default."""
     c = Catalog(spark, sf_dir)
     return neardup.ngram_jaccard_pairs_exact(
-        c.documents, threshold=0.8, shingle_w=5
+        c.documents, threshold=0.8, shingle_w=5, max_shingle_df=None
     ).orderBy("id_a", "id_b")
 
 
