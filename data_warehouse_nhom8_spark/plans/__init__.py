@@ -3,10 +3,10 @@
 Registry ordering is part of the verification contract: the per-round driver
 records correctness rows for EXACTLY the first 50 of ``queries()`` in dict
 order (r1: all 49 then-declared; r2 and r3: exactly 50 of 64 — the cap is a
-hard 50).  With 57 oracled queries, no single round can certify them all, so
+hard 50).  With 58 oracled queries, no single round can certify them all, so
 the ordering policy is a ROTATION: each round puts the oracled queries that
 missed the previous round's window first, so the union of any two consecutive
-rounds' CORRECTNESS files covers all 57.  ``_noracle`` rows-only queries sit
+rounds' CORRECTNESS files covers all 58.  ``_noracle`` rows-only queries sit
 last — they only get the weaker check anyway, so they belong outside the
 certification window (each has an exact-twin pytest instead).
 
@@ -14,7 +14,11 @@ Certification ledger:
   r2 window: q01–q45 range (incl. the 6 noracle) — q46-48/q54-64 missing.
   r3 window: q46-48, q54-64 first, then q01–q36 — q37/q40/q42-45/q50/q52
              (oracled) + noracle missing.
-  r4 order (this file): those 8 first → r3 ∪ r4 covers every oracled query.
+  r4 window: those 8 first; 7 went green, but a testdata-regeneration bug in
+             the events loader (fixed in sources/testdata.py) failed every
+             events-table query: q16/q18/q19/q27/q28/q29/q30/q43.
+  r5 order (this file): those 8 first → r4 ∪ r5 covers every oracled query,
+             and q43_approx_distinct gets its first-ever green row.
 """
 
 from data_warehouse_nhom8_spark.plans.queries import QUERIES as _CORE
@@ -28,17 +32,28 @@ from data_warehouse_nhom8_spark.plans.tpch import TPCH_ORACLES, TPCH_QUERIES
 _ALL_QUERIES = {**_CORE, **EXTENSION_QUERIES, **TPCH_QUERIES}
 ORACLES = {**_CORE_ORACLES, **EXTENSION_ORACLES, **TPCH_ORACLES}
 
-# Oracled queries that fell outside the round-3 window (everything else
-# oracled has a green CORRECTNESS_r03 row) — front of the round-4 order.
+# Oracled queries with no green round-4 row: the 8 events-table queries
+# that hit the loader bug (q43 additionally has never had a green row),
+# plus q57–q64 which sat outside r4's 50-row window (green in r3).
+# Fronting all 16 makes r4 ∪ r5 cover every oracled query; the 8 that
+# fall out of r5's window (q46-48/q50/q52/q54-56) are all green in r4.
 _MISSED_LAST_ROUND = [
-    "q37_lang_id",
-    "q40_cosine_topk",
-    "q42_multimodal_features",
     "q43_approx_distinct",
-    "q44_rollup",
-    "q45_percentiles",
-    "q50_ngram_jaccard",
-    "q52_lsh_bucket_histogram",
+    "q16_daily_rollup",
+    "q18_latest_per_key",
+    "q19_topk",
+    "q27_props_extract",
+    "q28_tumbling_daily_window",
+    "q29_session_gap",
+    "q30_keyed_upsert",
+    "q57_decontamination",
+    "q58_corpus_prep_summary",
+    "q59_stratified_sample",
+    "q60_asof_join",
+    "q61_range_join",
+    "q62_hll_rollup",
+    "q63_pivot",
+    "q64_unpivot",
 ]
 
 

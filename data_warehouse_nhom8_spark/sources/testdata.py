@@ -11,6 +11,7 @@ from weakref import WeakKeyDictionary
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 from data_warehouse_nhom8_spark import schemas
 
@@ -29,12 +30,13 @@ _df_cache: WeakKeyDictionary = WeakKeyDictionary()
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table as a DataFrame (lazy; no action).
 
-    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects ([PARQUET_TYPE_ILLEGAL]); we read it as
-    nanos-since-epoch (legacy long mode) and convert to microsecond
-    TIMESTAMP_NTZ — the same truncation DuckDB applies, so oracle
-    comparisons agree. The other tables' ms timestamps arrive as
-    TIMESTAMP_NTZ natively.
+    ``events.ts`` has shipped in two vintages: parquet TIMESTAMP(NANOS)
+    (which Spark's vectorized reader rejects — [PARQUET_TYPE_ILLEGAL] —
+    so we read it as nanos-since-epoch under the legacy long mode and
+    truncate to microseconds, matching DuckDB) and, since the testdata
+    regeneration, plain TIMESTAMP(MICROS). The loader inspects the
+    resolved type and handles either, normalizing to TIMESTAMP_NTZ.
+    The other tables' ms timestamps arrive as TIMESTAMP_NTZ natively.
     """
     if name not in schemas.TESTDATA_TABLES:
         raise KeyError(f"unknown testdata table: {name}")
@@ -54,14 +56,23 @@ def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFra
     if name == "events":
         # scope the legacy conf to this read: the scan captures it at
         # analysis time, and leaving it set session-wide would silently
-        # change how OTHER nanos-timestamp parquet reads resolve
+        # change how OTHER nanos-timestamp parquet reads resolve. The
+        # conf is a no-op for a TIMESTAMP(MICROS) file, so setting it
+        # unconditionally is safe; the resolved type tells us which
+        # vintage we actually got.
         key = "spark.sql.legacy.parquet.nanosAsLong"
         prev = spark.conf.get(key, None)
         spark.conf.set(key, "true")
         try:
-            df = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
-                "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
-            )
+            df = spark.read.parquet(f"{sf_dir}/events.parquet")
+            if isinstance(df.schema["ts"].dataType, LongType):
+                # legacy vintage: raw nanos-since-epoch long -> truncate
+                # to micros (same truncation DuckDB applies)
+                ts = F.timestamp_micros(F.expr("ts div 1000"))
+            else:
+                # current vintage: already a timestamp; just normalize
+                ts = F.col("ts")
+            df = df.withColumn("ts", ts.cast("timestamp_ntz"))
         finally:
             if prev is None:
                 spark.conf.unset(key)
