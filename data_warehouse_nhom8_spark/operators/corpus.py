@@ -219,12 +219,37 @@ def _gram_digests(
     return staged.select("id", F.explode(F.array_distinct(grams)).alias("gram"))
 
 
-def contamination_counts(
-    corpus: DataFrame,
+def benchmark_gram_store(
     benchmark: DataFrame,
+    path: str,
     id_col: str = "doc_id",
     text_col: str = "text",
     gram_w: int = 8,
+) -> None:
+    """Materialize a benchmark's deduped gram digests to `path`.
+
+    Benchmark suites change rarely while the corpus is re-scanned
+    daily, so the daily decontamination job should NOT re-tokenize
+    and re-digest the benchmark every run — same memoization shape as
+    the incremental near-dup signature store (neardup). Write once
+    when the suite changes; pass ``spark.read.parquet(path)`` to
+    `contamination_counts(bench_grams=...)` thereafter."""
+    (
+        _gram_digests(benchmark, id_col, text_col, gram_w)
+        .select("gram")
+        .distinct()
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def contamination_counts(
+    corpus: DataFrame,
+    benchmark: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gram_w: int = 8,
+    bench_grams: DataFrame | None = None,
 ) -> DataFrame:
     """Benchmark decontamination: for every corpus doc, how many of
     its distinct `gram_w`-token n-grams appear in ANY benchmark doc.
@@ -235,11 +260,18 @@ def contamination_counts(
     The benchmark gram set is deduped and broadcast (benchmark suites
     are orders of magnitude smaller than the corpus); the corpus side
     is scan + explode + map-side hash join + partial-agg — no
-    corpus-wide shuffle of raw text ever happens."""
-    bench_grams = F.broadcast(
-        _gram_digests(benchmark, id_col, text_col, gram_w)
-        .select("gram").distinct()
-    )
+    corpus-wide shuffle of raw text ever happens. Pass `bench_grams`
+    (a (gram) DataFrame, e.g. from `benchmark_gram_store`) to skip
+    re-digesting an unchanged benchmark suite; `gram_w` must then
+    match the width the store was built with."""
+    if (benchmark is None) == (bench_grams is None):
+        raise ValueError("pass exactly one of benchmark / bench_grams")
+    if bench_grams is None:
+        bench_grams = (
+            _gram_digests(benchmark, id_col, text_col, gram_w)
+            .select("gram").distinct()
+        )
+    bench_grams = F.broadcast(bench_grams.select("gram"))
     overlap = (
         _gram_digests(corpus, id_col, text_col, gram_w)
         .join(bench_grams, "gram", "left_semi")

@@ -123,6 +123,41 @@ def test_contamination_total_table(spark):
     assert len(out) == 10 and all(r["n_overlap"] == 0 for r in out)
 
 
+def test_contamination_gram_store_matches_inline(spark, tmp_path):
+    """The persisted gram store (daily-job memoization: digest the
+    benchmark once, reuse every run) must give identical decisions to
+    inline digestion; the exactly-one-source contract is enforced."""
+    bench_text = " ".join(f"b{i}" for i in range(40))
+    dirty = "x y z " + " ".join(f"b{i}" for i in range(10, 30)) + " q r s"
+    docs = spark.createDataFrame(
+        [(1, "nothing shared here at all times ten tokens"), (2, dirty)],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(97, bench_text)], "doc_id long, text string")
+    path = str(tmp_path / "bench_grams")
+    corpus.benchmark_gram_store(bench, path, gram_w=8)
+    inline = sorted(
+        map(tuple, corpus.contamination_counts(docs, bench, gram_w=8).collect())
+    )
+    stored = sorted(
+        map(
+            tuple,
+            corpus.contamination_counts(
+                docs, bench_grams=spark.read.parquet(path), gram_w=8
+            ).collect(),
+        )
+    )
+    assert inline == stored
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        corpus.contamination_counts(docs)
+    with _pytest.raises(ValueError):
+        corpus.contamination_counts(
+            docs, bench, bench_grams=spark.read.parquet(path)
+        )
+
+
 def test_stratified_sample_quotas_and_determinism(spark):
     df = spark.range(0, 300).select(
         F.col("id").alias("doc_id"),

@@ -376,6 +376,93 @@ def test_frame_sampling(spark, media):
     assert got == [0, 1000, 2000]  # video duration 2500ms
 
 
+def _make_ppm(w, h):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    return arr, b"P6\n# a comment\n%d %d\n255\n" % (w, h) + arr.tobytes()
+
+
+def _make_bmp(w, h, arr):
+    """24-bit bottom-up uncompressed BMP of the same pixels."""
+    stride = (w * 3 + 3) & ~3
+    rows = []
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = bytearray()
+        for x in range(w):
+            r, g, b = arr[y, x]
+            row += bytes((b, g, r))
+        row += b"\x00" * (stride - len(row))
+        rows.append(bytes(row))
+    pixels = b"".join(rows)
+    header = (
+        b"BM"
+        + (54 + len(pixels)).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little")
+        + h.to_bytes(4, "little")
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(pixels).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    return header + pixels
+
+
+def test_image_codec_roundtrip():
+    """PPM and BMP decode to the same pixels; PPM encode roundtrips."""
+    import numpy as np
+
+    from data_warehouse_nhom8_spark.operators.multimodal import (
+        _decode_image,
+        _encode_ppm,
+    )
+
+    arr, ppm = _make_ppm(5, 3)
+    assert np.array_equal(_decode_image(ppm), arr)
+    assert np.array_equal(_decode_image(_make_bmp(5, 3, arr)), arr)
+    assert np.array_equal(_decode_image(_encode_ppm(arr)), arr)
+    with pytest.raises(NotImplementedError):
+        _decode_image(b"\x89PNG compressed")
+
+
+def test_resize_images_distributed(spark):
+    """resize_images: images shrink to the target dims with updated
+    meta; non-image and null-payload rows pass through untouched."""
+    from data_warehouse_nhom8_spark.operators.multimodal import (
+        _decode_image,
+        resize_images,
+    )
+
+    arr, ppm = _make_ppm(8, 6)
+    rows = [
+        (1, "image", ppm, ("image/x-portable-pixmap", 8, 6, None, "s3://x/1")),
+        (2, "image", _make_bmp(8, 6, arr), ("image/bmp", 8, 6, None, "s3://x/2")),
+        (3, "audio", b"RIFF not an image", ("audio/wav", None, None, 900, "s3://x/3")),
+        (4, "image", None, ("image/png", 1, 1, None, "s3://x/4")),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in resize_images(df, 4, 3).collect()}
+    for mid in (1, 2):
+        got = _decode_image(bytes(out[mid]["payload"]))
+        assert got.shape == (3, 4, 3)
+        assert out[mid]["meta"]["width"] == 4 and out[mid]["meta"]["height"] == 3
+        assert out[mid]["meta"]["mime"] == "image/x-portable-pixmap"
+    # nearest-neighbor of a 2x shrink picks the same pixels from both encodings
+    import numpy as np
+
+    assert np.array_equal(
+        _decode_image(bytes(out[1]["payload"])), _decode_image(bytes(out[2]["payload"]))
+    )
+    assert bytes(out[3]["payload"]) == b"RIFF not an image"
+    assert out[3]["meta"]["duration_ms"] == 900
+    assert out[4]["payload"] is None
+
+
 def test_metadata_profile_prunes_payload(spark, media, tmp_path):
     """Metadata rollups must not read the binary column — check the
     parquet scan's ReadSchema."""
