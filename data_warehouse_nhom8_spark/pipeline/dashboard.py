@@ -43,7 +43,12 @@ _LABEL_W = 260
 
 
 def _svg_barchart(labels: list[str], counts: list[int]) -> str:
-    """Horizontal bar chart as inline SVG (labels HTML-escaped)."""
+    """Horizontal bar chart as inline SVG (labels HTML-escaped).
+
+    Hover parity with the reference's Plotly bars (datamart/app.py:
+    px.bar → hover shows group + value) comes from a `<title>` child
+    on each bar — the SVG-native tooltip, rendered by every browser
+    with no script or library — plus the existing :hover fill."""
     if not counts:
         return "<p>(empty)</p>"
     peak = max(counts) or 1
@@ -54,7 +59,8 @@ def _svg_barchart(labels: list[str], counts: list[int]) -> str:
         lab = html.escape(str(lab) if lab is not None else "(null)")
         rows.append(
             f'<text x="{_LABEL_W - 6}" y="{y + 15}" text-anchor="end">{lab}</text>'
-            f'<rect class="bar" x="{_LABEL_W}" y="{y + 3}" width="{max(w, 1)}" height="{_BAR_H - 6}"/>'
+            f'<rect class="bar" x="{_LABEL_W}" y="{y + 3}" width="{max(w, 1)}" height="{_BAR_H - 6}">'
+            f"<title>{lab}: {n}</title></rect>"
             f'<text class="count" x="{_LABEL_W + max(w, 1) + 6}" y="{y + 15}">{n}</text>'
         )
     height = len(counts) * _BAR_H + 4

@@ -4,13 +4,15 @@ datamart/load_to_dm.py:118-124, LoadToWH.java:115-125). The engine is
 parquet-native, but the connector surface exists so a reference user
 can point a job at their MySQL during migration.
 
-No JDBC driver jar ships in this environment, so no live-DB
-round-trip is possible; the option-building contract is factored into
-pure functions (`jdbc_read_options` / `jdbc_write_options`) that ARE
-unit-tested, and the wiring test drives `.load()` far enough to hit
-Spark's JDBC source (which validates the options before failing on
-the missing driver). Predicate pushdown, partitioned reads, and
-batched writes are configured the way a production job would.
+The execution path is live-tested against embedded Derby (the JDBC
+driver every Spark distribution ships for its Hive metastore):
+batched writes, overwrite/append modes, range-partitioned parallel
+reads, and predicate pushdown into the database (plan-gated on
+PushedFilters) all run for real in tests/test_jdbc.py — a reference
+user swaps in their MySQL URL with no code change. The
+option-building contract is additionally factored into pure
+functions (`jdbc_read_options` / `jdbc_write_options`) so a
+misconfigured job fails fast python-side.
 """
 
 from __future__ import annotations

@@ -38,6 +38,10 @@ def test_render_dashboard(spark, tmp_path):
     # labels are HTML-escaped (no raw script injection from data)
     assert "<script>" not in page
     assert "Beta&lt;script&gt;" in page
+    # hover tooltips: every bar carries an SVG-native <title> with
+    # "label: value" (Plotly-hover parity, still zero dependencies)
+    assert page.count("<title>") == 5 + 1  # 5 bars + the page <title>
+    assert "<title>ACME: 5</title>" in page
 
 
 def test_render_dashboard_before_build(spark, tmp_path):
