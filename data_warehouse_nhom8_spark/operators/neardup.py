@@ -476,6 +476,7 @@ def ngram_jaccard_pairs_exact(
     text_col: str = "text",
     shingle_w: int = 5,
     max_shingle_df: int | None = 1000,
+    materialize_postings: bool = True,
 ) -> DataFrame:
     """EXACT n-gram Jaccard near-dup pairs via an inverted shingle
     index — complete recall (a pair with J ≥ t > 0 shares ≥1 shingle,
@@ -506,6 +507,17 @@ def ngram_jaccard_pairs_exact(
     Unlike `minhash_neardup_pairs` (probabilistic recall via LSH),
     this is deterministic end-to-end and therefore driver-oracled
     (q50): DuckDB computes the identical definition over raw strings.
+
+    `materialize_postings` (default on) checkpoints the posting list
+    before fan-out: the tokenize→shingle→hash subtree feeds BOTH
+    sides of the self-join plus the doc-size agg (and the df-guard),
+    and Catalyst does not share a subtree across a self-join — so the
+    lazy plan re-shingles the corpus 3-4×. Materializing computes it
+    once (measured 0.6× warm / 0.4× cold at sf0.1). The local
+    checkpoint truncates lineage, so a lost executor fails the job
+    instead of recomputing; on a large shared cluster where that
+    matters more than the re-shingling, pass False to keep the pure
+    lazy plan (results are identical either way).
     """
     from data_warehouse_nhom8_spark.session import repartition_for_compute
 
@@ -514,9 +526,15 @@ def ngram_jaccard_pairs_exact(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(shingles_col(text_col, shingle_w))).alias("s"),
     ).select("id", F.xxhash64("s").alias("h"))
+    if materialize_postings:
+        sh = sh.localCheckpoint(eager=True)
     if max_shingle_df is not None:
         freq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("__df"))
         sh = sh.join(freq.filter(F.col("__df") <= max_shingle_df), on="h").drop("__df")
+        if materialize_postings:
+            # the guarded list ALSO fans out 3 ways; re-materialize so
+            # the guard join runs once (reads the first checkpoint)
+            sh = sh.localCheckpoint(eager=True)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
