@@ -11,6 +11,10 @@ Operators:
   bpe_ish_token_count — sub-word-ish token estimate (regex word pieces)
   quality_cols        — length / punctuation / stopword-ratio scores
   lang_id_col         — n-gram/stopword heuristic language ID
+  repetition_stats    — Gopher-style repetition signals (dup fraction,
+                        top token frequency) per doc
+  token_topk          — corpus vocabulary head (top-k tokens)
+  bigram_topk         — top-k adjacent-token bigrams
   fingerprint_col     — normalized rolling fingerprint (md5 of
                         canonicalized shingle stream)
 """
@@ -188,6 +192,83 @@ def add_lang_id(
         F.when(best.getField("s") > 0, best.getField("l")).otherwise(F.lit("und"))
     )
     return scored.select(*passthrough, pred.alias(out_col))
+
+
+# ----------------------------------------------------- repetition quality
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition signals per doc: token count, distinct
+    token count, the most-frequent token's count, and dup_fraction =
+    1 − distinct/total (ROUND 4). High dup_fraction / top_freq flags
+    boilerplate and degenerate generations — the standard repetition
+    gate in LLM corpus filtering.
+
+    Shape: explode → two-level agg — the canonical word-count plan
+    with map-side partial aggregation at both levels; shuffle carries
+    (id, token) pairs, never documents. Docs whose text trims to
+    empty still count the single empty token, matching the engine-
+    wide token_count convention edge (synthetic corpora have none).
+    """
+    words = F.explode(F.split(F.lower(F.trim(_c(text_col))), r"\s+")).alias("w")
+    per_word = (
+        df.select(F.col(id_col).alias("__id"), words)
+        .groupBy("__id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return per_word.groupBy("__id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.max("c").cast("long").alias("top_freq"),
+        F.round(F.lit(1.0) - F.count(F.lit(1)) / F.sum("c").cast("double"), 4)
+        .cast("double")
+        .alias("dup_fraction"),
+    ).withColumnRenamed("__id", id_col)
+
+
+def token_topk(df: DataFrame, k: int = 20, text_col: str = "text") -> DataFrame:
+    """Corpus vocabulary head: top-k tokens by total frequency, ties
+    broken by token — the first step of vocabulary/BPE construction.
+
+    explode → groupBy(token) with map-side combine, then the ordered
+    LIMIT compiles to TakeOrderedAndProject: each partition keeps only
+    its local top-k and the driver merges k·partitions rows — no
+    global sort of the vocabulary ever materializes."""
+    w = df.select(
+        F.explode(F.split(F.lower(F.trim(_c(text_col))), r"\s+")).alias("token")
+    )
+    return (
+        w.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(k)
+    )
+
+
+def bigram_topk(df: DataFrame, k: int = 20, text_col: str = "text") -> DataFrame:
+    """Top-k adjacent token bigrams, ties broken by bigram — the
+    n-gram statistics pass of corpus analysis (collocations, common
+    boilerplate phrases). Same TakeOrderedAndProject top-k shape as
+    `token_topk`; the bigram build is a per-row array transform
+    (map-only, no extra shuffle beyond the count)."""
+    wcol = F.split(F.lower(F.trim(_c(text_col))), r"\s+")
+    bigrams = F.when(
+        F.size(wcol) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(wcol) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(wcol, i), F.element_at(wcol, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    b = df.select(F.explode(bigrams).alias("bigram"))
+    return (
+        b.groupBy("bigram")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(k)
+    )
 
 
 # ------------------------------------------------------------- fingerprint

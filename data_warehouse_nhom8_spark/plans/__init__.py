@@ -3,10 +3,10 @@
 Registry ordering is part of the verification contract: the per-round driver
 records correctness rows for EXACTLY the first 50 of ``queries()`` in dict
 order (r1: all 49 then-declared; r2 and r3: exactly 50 of 64 — the cap is a
-hard 50).  With 58 oracled queries, no single round can certify them all, so
+hard 50).  With 61 oracled queries, no single round can certify them all, so
 the ordering policy is a ROTATION: each round puts the oracled queries that
 missed the previous round's window first, so the union of any two consecutive
-rounds' CORRECTNESS files covers all 58.  ``_noracle`` rows-only queries sit
+rounds' CORRECTNESS files covers all 61.  ``_noracle`` rows-only queries sit
 last — they only get the weaker check anyway, so they belong outside the
 certification window (each has an exact-twin pytest instead).
 
@@ -17,8 +17,9 @@ Certification ledger:
   r4 window: those 8 first; 7 went green, but a testdata-regeneration bug in
              the events loader (fixed in sources/testdata.py) failed every
              events-table query: q16/q18/q19/q27/q28/q29/q30/q43.
-  r5 order (this file): those 8 first → r4 ∪ r5 covers every oracled query,
-             and q43_approx_distinct gets its first-ever green row.
+  r5 order (this file): the 16 uncovered + the 3 new (q65–q67) first →
+             r4 ∪ r5 covers every oracled query, and q43_approx_distinct
+             gets its first-ever green row.
 """
 
 from data_warehouse_nhom8_spark.plans.queries import QUERIES as _CORE
@@ -34,9 +35,11 @@ ORACLES = {**_CORE_ORACLES, **EXTENSION_ORACLES, **TPCH_ORACLES}
 
 # Oracled queries with no green round-4 row: the 8 events-table queries
 # that hit the loader bug (q43 additionally has never had a green row),
-# plus q57–q64 which sat outside r4's 50-row window (green in r3).
-# Fronting all 16 makes r4 ∪ r5 cover every oracled query; the 8 that
-# fall out of r5's window (q46-48/q50/q52/q54-56) are all green in r4.
+# q57–q64 which sat outside r4's 50-row window (green in r3), and the
+# three round-5-new text-analysis queries (q65–q67, first appearance).
+# Fronting all 19 makes r4 ∪ r5 cover every oracled query; the 11 that
+# fall out of r5's window (q42/q44-48/q50/q52/q54-56) are all green in
+# r4.
 _MISSED_LAST_ROUND = [
     "q43_approx_distinct",
     "q16_daily_rollup",
@@ -54,6 +57,9 @@ _MISSED_LAST_ROUND = [
     "q62_hll_rollup",
     "q63_pivot",
     "q64_unpivot",
+    "q65_repetition_quality",
+    "q66_vocab_topk",
+    "q67_bigram_topk",
 ]
 
 

@@ -696,6 +696,35 @@ def q64_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q65_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3: Gopher-style repetition gate inputs — per-doc token totals,
+    distinct counts, most-frequent-token count, and dup_fraction.
+    The LLM-corpus boilerplate/degeneration filter; explode + two-
+    level partial agg (see operators.text.repetition_stats)."""
+    from data_warehouse_nhom8_spark.operators.text import repetition_stats
+
+    c = Catalog(spark, sf_dir)
+    return repetition_stats(c.documents).orderBy("doc_id").limit(500)
+
+
+def q66_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3: corpus vocabulary head — top-20 tokens by frequency, ties
+    by token. TakeOrderedAndProject top-k (no global sort)."""
+    from data_warehouse_nhom8_spark.operators.text import token_topk
+
+    c = Catalog(spark, sf_dir)
+    return token_topk(c.documents, k=20)
+
+
+def q67_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3: top-20 adjacent-token bigrams (collocation / boilerplate-
+    phrase statistics). Map-only bigram build + top-k agg."""
+    from data_warehouse_nhom8_spark.operators.text import bigram_topk
+
+    c = Catalog(spark, sf_dir)
+    return bigram_topk(c.documents, k=20)
+
+
 EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q33_exact_dedup_docs": q33_exact_dedup_docs,
     "q34_token_counts": q34_token_counts,
@@ -726,6 +755,9 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q62_hll_rollup": q62_hll_rollup,
     "q63_pivot": q63_pivot,
     "q64_unpivot": q64_unpivot,
+    "q65_repetition_quality": q65_repetition_quality,
+    "q66_vocab_topk": q66_vocab_topk,
+    "q67_bigram_topk": q67_bigram_topk,
 }
 
 EXTENSION_ORACLES: dict[str, str] = {
@@ -1047,5 +1079,39 @@ EXTENSION_ORACLES: dict[str, str] = {
                TRUE AS est_in_tol
         FROM events
         GROUP BY event_type ORDER BY event_type NULLS FIRST
+    """,
+    "q65_repetition_quality": """
+        WITH w AS (
+          SELECT doc_id,
+                 unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+          FROM documents
+        ),
+        g AS (SELECT doc_id, w, COUNT(*) AS c FROM w GROUP BY doc_id, w)
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct,
+               CAST(MAX(c) AS BIGINT) AS top_freq,
+               ROUND(1 - COUNT(*) / CAST(SUM(c) AS DOUBLE), 4) AS dup_fraction
+        FROM g GROUP BY doc_id ORDER BY doc_id NULLS FIRST LIMIT 500
+    """,
+    "q66_vocab_topk": """
+        WITH w AS (
+          SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+          FROM documents
+        )
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+        FROM w GROUP BY token ORDER BY n DESC, token LIMIT 20
+    """,
+    "q67_bigram_topk": """
+        WITH d AS (
+          SELECT string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents
+        ),
+        b AS (
+          SELECT unnest([list_element(w, i) || ' ' || list_element(w, i + 1)
+                         for i in generate_series(1, len(w) - 1)]) AS bigram
+          FROM d WHERE len(w) >= 2
+        )
+        SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+        FROM b GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
     """,
 }

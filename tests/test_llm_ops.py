@@ -348,6 +348,44 @@ def test_lang_id_fixtures(spark):
         assert got[i] == want, f"{t!r}: got {got[i]}, want {want}"
 
 
+# ---------------------------------------------------- repetition / n-grams
+
+def test_repetition_stats_labeled(spark):
+    from data_warehouse_nhom8_spark.operators.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a"),            # fully repetitive
+            (2, "w x y z"),            # fully distinct
+            (3, "spam spam ham Spam"), # case-folds: spam x3, ham x1
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert (got[1]["n_tokens"], got[1]["n_distinct"], got[1]["top_freq"]) == (4, 1, 4)
+    assert got[1]["dup_fraction"] == 0.75
+    assert (got[2]["n_distinct"], got[2]["dup_fraction"]) == (4, 0.0)
+    assert (got[3]["n_distinct"], got[3]["top_freq"]) == (2, 3)
+
+
+def test_token_and_bigram_topk(spark):
+    from data_warehouse_nhom8_spark.operators.text import bigram_topk, token_topk
+
+    df = spark.createDataFrame(
+        [(1, "b a b c"), (2, "a b C c"), (3, "one")],
+        "doc_id long, text string",
+    )
+    # freq: a=2 b=3 c=3 one=1 — ties (b,c) break alphabetically
+    toks = [(r["token"], r["n"]) for r in token_topk(df, k=3).collect()]
+    assert toks == [("b", 3), ("c", 3), ("a", 2)]
+    # bigrams: doc1 {b a, a b, b c}, doc2 {a b, b c, c c}; doc3 has
+    # one token -> contributes nothing (the size>=2 guard)
+    bgs = dict(
+        (r["bigram"], r["n"]) for r in bigram_topk(df, k=10).collect()
+    )
+    assert bgs == {"a b": 2, "b c": 2, "b a": 1, "c c": 1}
+
+
 # ------------------------------------------------------------- multimodal
 
 @pytest.fixture(scope="module")
