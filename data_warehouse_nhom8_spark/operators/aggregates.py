@@ -100,3 +100,70 @@ def hll_sketch_rollup(
         F.sum("n_rows").alias("n_rows"),
     )
     return fine, coarse
+
+
+def kll_quantile_rollup(
+    df: DataFrame,
+    fine_keys: list[str],
+    coarse_keys: list[str],
+    value_col: str,
+    quantiles: tuple[float, ...] = (0.5, 0.95),
+) -> tuple[DataFrame, DataFrame]:
+    """Mergeable quantile rollup — the KLL twin of `hll_sketch_rollup`.
+
+    Exact percentiles need the full value multiset per group (a sort
+    or full collection — unbounded state at 100 TB). A KLL sketch is
+    constant-size with a guaranteed rank error (~1.65% at the default
+    k=200), and sketches MERGE: pre-aggregate one per fine cell, then
+    answer any coarser rollup by merging cell sketches — no fact
+    rescan, no value shuffle. Fine table: (fine_keys, sketch, n_rows);
+    coarse table: (coarse_keys, q_<pct> estimates, n_cells, n_rows).
+    Tolerance vs exact percentiles is pinned in pytest and in q68's
+    driver oracle (rank-of-estimate within 5% of target)."""
+    fine = df.groupBy(*fine_keys).agg(
+        F.expr(f"kll_sketch_agg_double({value_col})").alias("sketch"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    ests = [
+        F.expr(f"kll_sketch_get_quantile_double(kll_merge_agg_double(sketch), {q})")
+        .alias(f"q_{int(q * 100)}")
+        for q in quantiles
+    ]
+    coarse = fine.groupBy(*coarse_keys).agg(
+        *ests,
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("n_rows").alias("n_rows"),
+    )
+    return fine, coarse
+
+
+def theta_user_overlap(
+    df: DataFrame,
+    entity_col: str,
+    cohort_col: str,
+    cohort_a: str,
+    cohort_b: str,
+) -> DataFrame:
+    """Distinct-entity set algebra via theta sketches: |A|, |B|,
+    |A ∩ B|, |A ∪ B| estimates for two cohorts (e.g. retention =
+    users who did BOTH event types) in ONE scan.
+
+    Exact set intersection needs the distinct entity sets themselves
+    (INTERSECT = two shuffles of every key). Theta sketches are
+    constant-size, mergeable, and support intersection/difference —
+    at 100 TB the per-cohort sketches come from the same pre-
+    aggregated cell store as the HLL rollup, and any cohort-pair
+    overlap is answered sketch-side. Single-row output with rounded
+    estimates."""
+    a = f"theta_sketch_agg({entity_col}) FILTER (WHERE {cohort_col} = '{cohort_a}')"
+    b = f"theta_sketch_agg({entity_col}) FILTER (WHERE {cohort_col} = '{cohort_b}')"
+    return df.agg(
+        F.expr(f"round(theta_sketch_estimate({a}))").cast("long").alias("est_a"),
+        F.expr(f"round(theta_sketch_estimate({b}))").cast("long").alias("est_b"),
+        F.expr(f"round(theta_sketch_estimate(theta_intersection({a}, {b})))")
+        .cast("long")
+        .alias("est_both"),
+        F.expr(f"round(theta_sketch_estimate(theta_union({a}, {b})))")
+        .cast("long")
+        .alias("est_either"),
+    )

@@ -3,10 +3,10 @@
 Registry ordering is part of the verification contract: the per-round driver
 records correctness rows for EXACTLY the first 50 of ``queries()`` in dict
 order (r1: all 49 then-declared; r2 and r3: exactly 50 of 64 — the cap is a
-hard 50).  With 61 oracled queries, no single round can certify them all, so
+hard 50).  With 63 oracled queries, no single round can certify them all, so
 the ordering policy is a ROTATION: each round puts the oracled queries that
 missed the previous round's window first, so the union of any two consecutive
-rounds' CORRECTNESS files covers all 61.  ``_noracle`` rows-only queries sit
+rounds' CORRECTNESS files covers all 63.  ``_noracle`` rows-only queries sit
 last — they only get the weaker check anyway, so they belong outside the
 certification window (each has an exact-twin pytest instead).
 
@@ -36,10 +36,9 @@ ORACLES = {**_CORE_ORACLES, **EXTENSION_ORACLES, **TPCH_ORACLES}
 # Oracled queries with no green round-4 row: the 8 events-table queries
 # that hit the loader bug (q43 additionally has never had a green row),
 # q57–q64 which sat outside r4's 50-row window (green in r3), and the
-# three round-5-new text-analysis queries (q65–q67, first appearance).
-# Fronting all 19 makes r4 ∪ r5 cover every oracled query; the 11 that
-# fall out of r5's window (q42/q44-48/q50/q52/q54-56) are all green in
-# r4.
+# five round-5-new queries (q65–q69, first appearance). Fronting all
+# 21 makes r4 ∪ r5 cover every oracled query; the 13 that fall out of
+# r5's window (q37/q40/q42/q44-48/q50/q52/q54-56) are all green in r4.
 _MISSED_LAST_ROUND = [
     "q43_approx_distinct",
     "q16_daily_rollup",
@@ -60,6 +59,8 @@ _MISSED_LAST_ROUND = [
     "q65_repetition_quality",
     "q66_vocab_topk",
     "q67_bigram_topk",
+    "q68_kll_quantile_rollup",
+    "q69_theta_retention",
 ]
 
 

@@ -725,6 +725,101 @@ def q67_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_topk(c.documents, k=20)
 
 
+def q68_kll_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-quantile rollup (operators.aggregates.
+    kll_quantile_rollup): per-(event_type, day) KLL value sketches
+    merged to per-type p50/p95 — order statistics at 100 TB without a
+    fact rescan or value shuffle, the quantile twin of q62's HLL
+    pattern.
+
+    Same tolerance-twin oracle shape as q62: exact percentiles and
+    counts hash-match DuckDB; the sketch estimates fold into
+    p50_in_tol / p95_in_tol (exact rank of the estimate within 5% of
+    the target rank), which the oracle expects TRUE — KLL's default-k
+    guarantee is ~1.65%, so a drifting sketch fails the gate."""
+    from data_warehouse_nhom8_spark.operators.aggregates import kll_quantile_rollup
+
+    c = Catalog(spark, sf_dir)
+    ev = c.events.select("event_type", F.to_date("ts").alias("day"), "value")
+    _fine, coarse = kll_quantile_rollup(
+        ev, ["event_type", "day"], ["event_type"], "value", quantiles=(0.5, 0.95)
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 2).alias("exact_p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 2).alias("exact_p95"),
+    )
+    ranks = (
+        ev.join(
+            coarse.select("event_type", "q_50", "q_95"), "event_type"
+        )
+        .groupBy("event_type")
+        .agg(
+            F.avg((F.col("value") <= F.col("q_50")).cast("double")).alias("__r50"),
+            F.avg((F.col("value") <= F.col("q_95")).cast("double")).alias("__r95"),
+        )
+    )
+    return (
+        coarse.join(exact, "event_type")
+        .join(ranks, "event_type")
+        .select(
+            "event_type",
+            "n_cells",
+            "n_rows",
+            "exact_p50",
+            "exact_p95",
+            (F.abs(F.col("__r50") - 0.5) <= 0.05).alias("p50_in_tol"),
+            (F.abs(F.col("__r95") - 0.95) <= 0.05).alias("p95_in_tol"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q69_theta_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-user set algebra via theta sketches (operators.
+    aggregates.theta_user_overlap): click∩purchase retention and
+    click∪purchase reach in one scan — set intersection without
+    shuffling the distinct user sets, which INTERSECT-based exact
+    retention must do at every scale.
+
+    Tolerance twin: exact INTERSECT/UNION counts hash-match DuckDB;
+    sketch estimates fold into *_in_tol booleans (5%), expected TRUE."""
+    from data_warehouse_nhom8_spark.operators.aggregates import theta_user_overlap
+
+    c = Catalog(spark, sf_dir)
+    ev = c.events.select("event_type", "user_id")
+    est = theta_user_overlap(ev, "user_id", "event_type", "click", "purchase")
+    # exact side in ONE distributed plan: per-user membership flags,
+    # then a single global agg — no INTERSECT (two extra shuffles of
+    # the distinct sets) and no driver-side counting
+    flags = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.max((F.col("event_type") == "click").cast("int")).alias("__c"),
+            F.max((F.col("event_type") == "purchase").cast("int")).alias("__p"),
+        )
+    )
+    exact = flags.agg(
+        F.sum("__c").cast("long").alias("exact_click"),
+        F.sum("__p").cast("long").alias("exact_purchase"),
+        F.sum(F.col("__c") * F.col("__p")).cast("long").alias("exact_both"),
+        F.count(F.lit(1)).cast("long").alias("exact_either"),
+    )
+    tol = lambda e, x: (  # noqa: E731
+        F.abs(F.col(e) - F.col(x)) / F.greatest(F.col(x), F.lit(1)) <= 0.05
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        "exact_click",
+        "exact_purchase",
+        "exact_both",
+        "exact_either",
+        tol("est_a", "exact_click").alias("click_in_tol"),
+        tol("est_b", "exact_purchase").alias("purchase_in_tol"),
+        tol("est_both", "exact_both").alias("both_in_tol"),
+        tol("est_either", "exact_either").alias("either_in_tol"),
+    )
+
+
 EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q33_exact_dedup_docs": q33_exact_dedup_docs,
     "q34_token_counts": q34_token_counts,
@@ -758,6 +853,8 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q65_repetition_quality": q65_repetition_quality,
     "q66_vocab_topk": q66_vocab_topk,
     "q67_bigram_topk": q67_bigram_topk,
+    "q68_kll_quantile_rollup": q68_kll_quantile_rollup,
+    "q69_theta_retention": q69_theta_retention,
 }
 
 EXTENSION_ORACLES: dict[str, str] = {
@@ -1113,5 +1210,35 @@ EXTENSION_ORACLES: dict[str, str] = {
         )
         SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
         FROM b GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
+    """,
+    "q68_kll_quantile_rollup": """
+        SELECT event_type,
+               CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_cells,
+               COUNT(*) AS n_rows,
+               ROUND(quantile_cont(value, 0.5), 2) AS exact_p50,
+               ROUND(quantile_cont(value, 0.95), 2) AS exact_p95,
+               TRUE AS p50_in_tol,
+               TRUE AS p95_in_tol
+        FROM events
+        GROUP BY event_type ORDER BY event_type NULLS FIRST
+    """,
+    "q69_theta_retention": """
+        WITH f AS (
+          SELECT user_id,
+                 MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c,
+                 MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+          FROM events
+          WHERE event_type IN ('click', 'purchase')
+          GROUP BY user_id
+        )
+        SELECT CAST(SUM(c) AS BIGINT) AS exact_click,
+               CAST(SUM(p) AS BIGINT) AS exact_purchase,
+               CAST(SUM(c * p) AS BIGINT) AS exact_both,
+               CAST(COUNT(*) AS BIGINT) AS exact_either,
+               TRUE AS click_in_tol,
+               TRUE AS purchase_in_tol,
+               TRUE AS both_in_tol,
+               TRUE AS either_in_tol
+        FROM f
     """,
 }

@@ -546,3 +546,72 @@ def test_hll_rollup_union_matches_direct_and_exact(spark):
     for t, n in exact.items():
         assert abs(rolled[t] - n) <= max(2, 0.05 * n), (t, rolled[t], n)
         assert rolled[t] == direct[t], (t, rolled[t], direct[t])
+
+
+def test_kll_rollup_merge_matches_direct_and_exact(spark):
+    """Mergeable-quantile contract: merging per-(type, day) KLL
+    sketches AND a direct single-pass sketch must both estimate each
+    quantile within rank tolerance of exact. (Unlike HLL union, KLL
+    merge is not bit-identical to the single-pass sketch — compaction
+    retains different samples — so the contract is the rank guarantee,
+    not estimator equality.)"""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_nhom8_spark.operators.aggregates import kll_quantile_rollup
+    from data_warehouse_nhom8_spark.sources import Catalog
+    from tests.conftest import SF_DIR
+
+    c = Catalog(spark, SF_DIR)
+    ev = c.events.select("event_type", F.to_date("ts").alias("day"), "value")
+    _fine, coarse = kll_quantile_rollup(
+        ev, ["event_type", "day"], ["event_type"], "value", quantiles=(0.5, 0.95)
+    )
+    rolled = {r["event_type"]: (r["q_50"], r["q_95"]) for r in coarse.collect()}
+    direct = {
+        r["event_type"]: (r["d50"], r["d95"])
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.expr(
+                "kll_sketch_get_quantile_double(kll_sketch_agg_double(value), 0.5)"
+            ).alias("d50"),
+            F.expr(
+                "kll_sketch_get_quantile_double(kll_sketch_agg_double(value), 0.95)"
+            ).alias("d95"),
+        )
+        .collect()
+    }
+    # rank-of-estimate check: fraction of values <= estimate must sit
+    # within 5% of the target rank (KLL guarantees ~1.65% at default k)
+    vals = {
+        t: sorted(
+            r["value"]
+            for r in ev.filter(F.col("event_type") == t).select("value").collect()
+        )
+        for t in rolled
+    }
+    import bisect
+
+    for t in rolled:
+        n = len(vals[t])
+        for (e50, e95), src in ((rolled[t], "merged"), (direct[t], "direct")):
+            assert abs(bisect.bisect_right(vals[t], e50) / n - 0.5) <= 0.05, (t, src)
+            assert abs(bisect.bisect_right(vals[t], e95) / n - 0.95) <= 0.05, (t, src)
+
+
+def test_theta_overlap_matches_exact(spark):
+    """Theta set-algebra contract on a planted overlap: cohort A =
+    users 0-99, cohort B = users 50-149 → |A∩B| = 50, |A∪B| = 150.
+    Small enough that theta mode is exact."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_nhom8_spark.operators.aggregates import theta_user_overlap
+
+    rows = [(u, "a") for u in range(100)] + [(u, "b") for u in range(50, 150)]
+    df = spark.createDataFrame(rows, "user_id long, cohort string")
+    r = theta_user_overlap(df, "user_id", "cohort", "a", "b").collect()[0]
+    assert (r["est_a"], r["est_b"], r["est_both"], r["est_either"]) == (
+        100,
+        100,
+        50,
+        150,
+    )
