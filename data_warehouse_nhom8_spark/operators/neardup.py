@@ -46,14 +46,23 @@ def _coeff(i: int, salt: str) -> int:
 def shingles_col(text: Column | str = "text", w: int = 3) -> Column:
     """w-token shingles (array<string>) from the canonicalized token
     stream; documents shorter than w tokens get their whole text as
-    the single shingle."""
+    the single shingle.
+
+    The token array is bound as a lambda VARIABLE (via a one-element
+    transform) before the per-shingle slice loop references it:
+    higher-order functions are interpreted (CodegenFallback), so an
+    inline split expression in the lambda body would re-tokenize the
+    whole document once per shingle — O(tokens²), measured 6× slower
+    at sf0.1. A lambda-variable reference is an O(1) lookup, and the
+    wrapper keeps this a pure Column usable in any projection."""
     t = F.col(text) if isinstance(text, str) else text
     toks = F.split(F.lower(F.trim(t)), r"\s+")
-    n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - (w - 1), F.lit(1)))
-    return F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(toks, i, w))
-    )
+
+    def build(tk: Column) -> Column:
+        idx = F.sequence(F.lit(1), F.greatest(F.size(tk) - (w - 1), F.lit(1)))
+        return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tk, i, w)))
+
+    return F.transform(F.array(toks), build)[0]
 
 
 def _perm(a: int, b: int):

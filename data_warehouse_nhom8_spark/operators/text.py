@@ -250,19 +250,26 @@ def bigram_topk(df: DataFrame, k: int = 20, text_col: str = "text") -> DataFrame
     """Top-k adjacent token bigrams, ties broken by bigram — the
     n-gram statistics pass of corpus analysis (collocations, common
     boilerplate phrases). Same TakeOrderedAndProject top-k shape as
-    `token_topk`; the bigram build is a per-row array transform
-    (map-only, no extra shuffle beyond the count)."""
-    wcol = F.split(F.lower(F.trim(_c(text_col))), r"\s+")
+    `token_topk`; the bigram build is a per-row zip of the token
+    array with its own tail (map-only, no extra shuffle).
+
+    The split MUST be staged behind an alias before the array ops
+    reference it: embedding the split expression directly in a
+    per-element lambda lets Catalyst inline it per element —
+    O(tokens²) re-splitting per doc, measured 10× slower at sf0.1.
+    CollapseProject keeps the staged alias because it is a non-cheap
+    expression referenced more than once."""
+    w = df.select(F.split(F.lower(F.trim(_c(text_col))), r"\s+").alias("__w"))
+    n = F.size("__w")
     bigrams = F.when(
-        F.size(wcol) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(wcol) - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(wcol, i), F.element_at(wcol, i + 1)
-            ),
+        n >= 2,
+        F.zip_with(
+            F.slice("__w", 1, n - 1),
+            F.slice("__w", 2, n - 1),
+            lambda x, y: F.concat_ws(" ", x, y),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    b = df.select(F.explode(bigrams).alias("bigram"))
+    b = w.select(F.explode(bigrams).alias("bigram"))
     return (
         b.groupBy("bigram")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
