@@ -212,6 +212,72 @@ def neardup_ingest_sink(
     )
 
 
+def sketch_rollup_sink(
+    stream: DataFrame,
+    store_path: str,
+    fine_keys: Sequence[str],
+    distinct_col: str,
+    checkpoint: str,
+) -> DataStreamWriter:
+    """Streaming maintenance of the mergeable HLL sketch store — the
+    incremental face of `aggregates.hll_sketch_rollup`: each
+    micro-batch pre-aggregates one sketch row per (fine cell, epoch)
+    and merges it into the persisted cell store. Coarse rollups read
+    the store with `read_sketch_rollup` and never touch the fact
+    stream.
+
+    Replay idempotence comes from the epoch key: a re-run micro-batch
+    REPLACES its own (cell, epoch) rows rather than unioning twice,
+    so both the distinct estimates and n_rows stay exact under the
+    file source's at-least-once delivery. The store grows one row per
+    cell per epoch (constant-size sketches); `read_sketch_rollup`
+    unions across epochs at query time, and a periodic compaction can
+    re-group epochs without changing any estimate (sketch union is
+    associative)."""
+
+    def merge(batch: DataFrame, epoch_id: int) -> None:
+        from data_warehouse_nhom8_spark.sources.snapshots import (
+            snapshot_overwrite,
+            snapshot_read,
+        )
+
+        spark = batch.sparkSession
+        cells = batch.groupBy(*fine_keys).agg(
+            F.hll_sketch_agg(distinct_col).alias("sketch"),
+            F.count(F.lit(1)).alias("n_rows"),
+        ).withColumn("epoch", F.lit(epoch_id).cast("long"))
+        current = snapshot_read(spark, store_path)
+        if current is not None:
+            merged = current.filter(F.col("epoch") != epoch_id).unionByName(cells)
+        else:
+            merged = cells
+        snapshot_overwrite(merged, store_path)
+
+    return (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+
+
+def read_sketch_rollup(
+    spark: SparkSession,
+    store_path: str,
+    coarse_keys: Sequence[str],
+    est_name: str = "est_distinct",
+) -> DataFrame:
+    """Answer a coarse distinct rollup from the streaming sketch store
+    alone: union the per-(cell, epoch) sketches up to `coarse_keys`.
+    Same output shape as `hll_sketch_rollup`'s coarse table."""
+    from data_warehouse_nhom8_spark.sources.snapshots import snapshot_read
+
+    store = snapshot_read(spark, store_path)
+    return store.groupBy(*coarse_keys).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias(est_name),
+        F.sum("n_rows").alias("n_rows"),
+    )
+
+
 def run_available_now(writer: DataStreamWriter) -> None:
     """Drain everything currently in the source, then stop — the
     daily-cron micro-batch semantics (Trigger.AvailableNow)."""

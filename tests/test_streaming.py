@@ -261,3 +261,50 @@ def test_streaming_corpus_ingest_equals_batch_job(spark, tmp_path):
 
     drain()  # replay: nothing new, state unchanged
     assert {tuple(r) for r in snapshot_read(spark, corpus_path).collect()} == want_corpus
+
+
+def test_streaming_sketch_rollup_equals_batch(spark, events_dir, events_schema, tmp_path):
+    """Streaming sketch-store maintenance: events arriving in
+    micro-batches must yield the same per-type distinct-user
+    estimates and EXACT n_rows as the one-shot batch rollup, and a
+    drained re-run (same checkpoint, nothing new) must not change the
+    store."""
+    store = str(tmp_path / "sketch_store")
+    ck = str(tmp_path / "ck")
+
+    stream = jobs.stream_source(
+        spark, events_dir, events_schema, max_files_per_trigger=1
+    )
+    writer = jobs.sketch_rollup_sink(
+        stream, store, fine_keys=["event_type"], distinct_col="user_id",
+        checkpoint=ck,
+    )
+    jobs.run_available_now(writer)
+
+    got = {
+        r["event_type"]: (r["est_distinct"], r["n_rows"])
+        for r in jobs.read_sketch_rollup(spark, store, ["event_type"]).collect()
+    }
+    ev = spark.read.parquet(events_dir)
+    exact = {
+        r["event_type"]: (r["n"], r["rows"])
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"), F.count(F.lit(1)).alias("rows"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for t, (n, rows) in exact.items():
+        est, got_rows = got[t]
+        assert got_rows == rows, (t, got_rows, rows)  # n_rows exactly-once
+        assert abs(est - n) <= max(2, 0.05 * n), (t, est, n)
+
+    before = {tuple(r) for r in snapshot_read(spark, store).collect()}
+    jobs.run_available_now(
+        jobs.sketch_rollup_sink(
+            jobs.stream_source(spark, events_dir, events_schema),
+            store, fine_keys=["event_type"], distinct_col="user_id",
+            checkpoint=ck,
+        )
+    )
+    after = {tuple(r) for r in snapshot_read(spark, store).collect()}
+    assert before == after
