@@ -104,9 +104,16 @@ def cosine_topk_lsh(
     partition pruning, not a filter."""
     dim = len(query_vec)
     planes = _hyperplanes(dim, n_planes)
-    vec_d = F.col(vec_col).cast("array<double>")
-    with_bucket = embeddings.select(
-        F.col(id_col), vec_d.alias("__v"), hyperplane_bucket_col(vec_d, planes).alias("__bucket")
+    # stage the double-cast before bucketing: the per-plane dots are
+    # interpreted higher-order folds, and an inline cast would re-run
+    # once per plane (see q52's staging note)
+    staged = embeddings.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    )
+    with_bucket = staged.select(
+        F.col(id_col),
+        "__v",
+        hyperplane_bucket_col(F.col("__v"), planes).alias("__bucket"),
     )
     qbucket = sum(
         (1 << i)
