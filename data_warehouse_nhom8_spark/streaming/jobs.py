@@ -278,6 +278,35 @@ def read_sketch_rollup(
     )
 
 
+def compact_sketch_store(
+    spark: SparkSession, store_path: str, fine_keys: Sequence[str]
+) -> None:
+    """Fold all epochs of the sketch store into one row per cell:
+    sketch union is associative, so every rollup estimate is unchanged
+    and n_rows sums exactly; the store shrinks from cells × epochs to
+    cells rows.
+
+    Run OFFLINE, with the stream stopped at a committed checkpoint:
+    replay idempotence relies on a micro-batch replacing its own
+    epoch's rows, and compaction folds historical epochs into one
+    `epoch = -1` row that a replayed batch would no longer replace.
+    After a clean stop there is no uncommitted batch to replay, and
+    the restarted stream's new epochs never collide with -1."""
+    from data_warehouse_nhom8_spark.sources.snapshots import (
+        snapshot_overwrite,
+        snapshot_read,
+    )
+
+    store = snapshot_read(spark, store_path)
+    if store is None:
+        return
+    compacted = store.groupBy(*fine_keys).agg(
+        F.hll_union_agg("sketch").alias("sketch"),
+        F.sum("n_rows").alias("n_rows"),
+    ).withColumn("epoch", F.lit(-1).cast("long"))
+    snapshot_overwrite(compacted, store_path)
+
+
 def run_available_now(writer: DataStreamWriter) -> None:
     """Drain everything currently in the source, then stop — the
     daily-cron micro-batch semantics (Trigger.AvailableNow)."""

@@ -308,3 +308,33 @@ def test_streaming_sketch_rollup_equals_batch(spark, events_dir, events_schema, 
     )
     after = {tuple(r) for r in snapshot_read(spark, store).collect()}
     assert before == after
+
+
+def test_sketch_store_compaction_preserves_rollups(spark, events_dir, events_schema, tmp_path):
+    """Compaction must shrink the store to one row per cell while
+    leaving every rollup estimate and exact n_rows unchanged (sketch
+    union associativity)."""
+    store = str(tmp_path / "store")
+    jobs.run_available_now(
+        jobs.sketch_rollup_sink(
+            jobs.stream_source(spark, events_dir, events_schema, max_files_per_trigger=1),
+            store, fine_keys=["event_type"], distinct_col="user_id",
+            checkpoint=str(tmp_path / "ck"),
+        )
+    )
+    before = {
+        r["event_type"]: (r["est_distinct"], r["n_rows"])
+        for r in jobs.read_sketch_rollup(spark, store, ["event_type"]).collect()
+    }
+    n_cells_before = snapshot_read(spark, store).count()
+
+    jobs.compact_sketch_store(spark, store, ["event_type"])
+
+    after = {
+        r["event_type"]: (r["est_distinct"], r["n_rows"])
+        for r in jobs.read_sketch_rollup(spark, store, ["event_type"]).collect()
+    }
+    compacted = snapshot_read(spark, store)
+    assert after == before
+    assert compacted.count() == len(before) <= n_cells_before
+    assert {r["epoch"] for r in compacted.collect()} == {-1}
