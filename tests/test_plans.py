@@ -146,3 +146,22 @@ def test_rotation_keeps_consecutive_round_coverage():
         f"{os.path.basename(files[-1])}: {uncovered} — front them in "
         "plans/__init__.py::_MISSED_LAST_ROUND"
     )
+
+
+def test_frequency_topk_is_take_ordered(spark):
+    """Vocab/bigram heads must compile to TakeOrderedAndProject over a
+    partially-aggregated count — each partition contributes its local
+    top-k, no global sort of the vocabulary."""
+    for q in ("q66_vocab_topk", "q67_bigram_topk"):
+        p = plan_of(spark, q)
+        assert "TakeOrderedAndProject" in p, q
+        assert "partial_count" in p, q
+        assert p.count("FileScan parquet") == 1, (q, "single scan of documents")
+
+
+def test_repetition_stats_two_level_partial_agg(spark):
+    """q65's word-count shape: both aggregation levels must map-side
+    combine before their shuffles."""
+    p = plan_of(spark, "q65_repetition_quality")
+    assert p.count("partial_count") >= 1 and "partial_sum" in p
+    assert p.count("FileScan parquet") == 1
