@@ -126,7 +126,8 @@ def kll_quantile_rollup(
     )
     ests = [
         F.expr(f"kll_sketch_get_quantile_double(kll_merge_agg_double(sketch), {q})")
-        .alias(f"q_{int(q * 100)}")
+        # round before int(): 0.29 * 100 float-truncates to 28
+        .alias(f"q_{int(round(q * 100))}")
         for q in quantiles
     ]
     coarse = fine.groupBy(*coarse_keys).agg(
@@ -154,16 +155,30 @@ def theta_user_overlap(
     at 100 TB the per-cohort sketches come from the same pre-
     aggregated cell store as the HLL rollup, and any cohort-pair
     overlap is answered sketch-side. Single-row output with rounded
-    estimates."""
-    a = f"theta_sketch_agg({entity_col}) FILTER (WHERE {cohort_col} = '{cohort_a}')"
-    b = f"theta_sketch_agg({entity_col}) FILTER (WHERE {cohort_col} = '{cohort_b}')"
-    return df.agg(
-        F.expr(f"round(theta_sketch_estimate({a}))").cast("long").alias("est_a"),
-        F.expr(f"round(theta_sketch_estimate({b}))").cast("long").alias("est_b"),
-        F.expr(f"round(theta_sketch_estimate(theta_intersection({a}, {b})))")
-        .cast("long")
-        .alias("est_both"),
-        F.expr(f"round(theta_sketch_estimate(theta_union({a}, {b})))")
-        .cast("long")
-        .alias("est_either"),
+    estimates.
+
+    Cohort values are injected as proper literals (a conditional
+    projection the aggregate sees as its input), never spliced into
+    SQL text — a cohort name containing a quote is data, not syntax.
+    """
+    # theta_sketch_agg ignores nulls, so a when() with no otherwise
+    # restricts each sketch to its cohort's entities
+    in_a = F.when(F.col(cohort_col) == F.lit(cohort_a), F.col(entity_col))
+    in_b = F.when(F.col(cohort_col) == F.lit(cohort_b), F.col(entity_col))
+
+    def est(expr: str) -> Column:
+        return F.expr(f"round(theta_sketch_estimate({expr}))").cast("long")
+
+    return (
+        df.select(in_a.alias("__ca"), in_b.alias("__cb"))
+        .agg(
+            F.expr("theta_sketch_agg(__ca)").alias("__sa"),
+            F.expr("theta_sketch_agg(__cb)").alias("__sb"),
+        )
+        .select(
+            est("__sa").alias("est_a"),
+            est("__sb").alias("est_b"),
+            est("theta_intersection(__sa, __sb)").alias("est_both"),
+            est("theta_union(__sa, __sb)").alias("est_either"),
+        )
     )

@@ -526,7 +526,12 @@ def ngram_jaccard_pairs_exact(
     checkpoint truncates lineage, so a lost executor fails the job
     instead of recomputing; on a large shared cluster where that
     matters more than the re-shingling, pass False to keep the pure
-    lazy plan (results are identical either way).
+    lazy plan (results are identical either way). Note the eager
+    checkpoint runs Spark jobs at CALL time (building the DataFrame
+    is no longer free), and its storage blocks live until the
+    returned DataFrame is garbage-collected — a long-lived session
+    rebuilding this plan in a loop should hold the result briefly or
+    pass False.
     """
     from data_warehouse_nhom8_spark.session import repartition_for_compute
 

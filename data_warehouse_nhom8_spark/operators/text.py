@@ -207,9 +207,11 @@ def repetition_stats(
 
     Shape: explode → two-level agg — the canonical word-count plan
     with map-side partial aggregation at both levels; shuffle carries
-    (id, token) pairs, never documents. Docs whose text trims to
-    empty still count the single empty token, matching the engine-
-    wide token_count convention edge (synthetic corpora have none).
+    (id, token) pairs, never documents. Edge note: a doc whose text
+    trims to empty yields n_tokens=1 here (split's single empty
+    token, and what the DuckDB q65 oracle computes) — this DIFFERS
+    from `token_count_col`, which maps empty-trim to 0; don't join
+    the two totals without reconciling that edge.
     """
     words = F.explode(F.split(F.lower(F.trim(_c(text_col))), r"\s+")).alias("w")
     per_word = (

@@ -17,9 +17,9 @@ Certification ledger:
   r4 window: those 8 first; 7 went green, but a testdata-regeneration bug in
              the events loader (fixed in sources/testdata.py) failed every
              events-table query: q16/q18/q19/q27/q28/q29/q30/q43.
-  r5 order (this file): the 16 uncovered + the 3 new (q65–q67) first →
-             r4 ∪ r5 covers every oracled query, and q43_approx_distinct
-             gets its first-ever green row.
+  r5 order (this file): the 16 uncovered + the 5 new (q65–q69) = 21
+             fronted → r4 ∪ r5 covers every oracled query, and
+             q43_approx_distinct gets its first-ever green row.
 """
 
 from data_warehouse_nhom8_spark.plans.queries import QUERIES as _CORE

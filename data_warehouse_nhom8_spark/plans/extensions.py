@@ -751,23 +751,36 @@ def q68_kll_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     _fine, coarse = kll_quantile_rollup(
         ev, ["event_type", "day"], ["event_type"], "value", quantiles=(0.5, 0.95)
     )
+    # the coarse sketch table feeds BOTH the rank-check join and the
+    # final output, and Catalyst would compute the two-level sketch agg
+    # twice (no subtree sharing across joins); it is one tiny row per
+    # event_type, so checkpoint it
+    coarse = coarse.localCheckpoint(eager=True)
     exact = ev.groupBy("event_type").agg(
         F.round(F.expr("percentile(value, 0.5)"), 2).alias("exact_p50"),
         F.round(F.expr("percentile(value, 0.95)"), 2).alias("exact_p95"),
     )
+
+    # null-safe equi-joins throughout: the oracle's GROUP BY keeps a
+    # NULL event_type group (ORDER BY ... NULLS FIRST), and a plain
+    # join would silently drop it — latent until testdata ships nulls
+    def nsjoin(left: DataFrame, right: DataFrame, how: str = "inner") -> DataFrame:
+        r = right.withColumnRenamed("event_type", "__et")
+        return left.join(
+            r, F.col("event_type").eqNullSafe(F.col("__et")), how
+        ).drop("__et")
+
     ranks = (
-        ev.join(
-            coarse.select("event_type", "q_50", "q_95"), "event_type"
-        )
+        nsjoin(ev, F.broadcast(coarse.select("event_type", "q_50", "q_95")))
         .groupBy("event_type")
         .agg(
             F.avg((F.col("value") <= F.col("q_50")).cast("double")).alias("__r50"),
             F.avg((F.col("value") <= F.col("q_95")).cast("double")).alias("__r95"),
         )
     )
+
     return (
-        coarse.join(exact, "event_type")
-        .join(ranks, "event_type")
+        nsjoin(nsjoin(coarse, exact), ranks)
         .select(
             "event_type",
             "n_cells",
@@ -1220,7 +1233,11 @@ EXTENSION_ORACLES: dict[str, str] = {
     """,
     "q68_kll_quantile_rollup": """
         SELECT event_type,
-               CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_cells,
+               -- a NULL ts day is still a fine cell Spark-side, but
+               -- COUNT(DISTINCT) excludes NULL; add it back explicitly
+               CAST(COUNT(DISTINCT CAST(ts AS DATE))
+                    + MAX(CASE WHEN ts IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_cells,
                COUNT(*) AS n_rows,
                ROUND(quantile_cont(value, 0.5), 2) AS exact_p50,
                ROUND(quantile_cont(value, 0.95), 2) AS exact_p95,

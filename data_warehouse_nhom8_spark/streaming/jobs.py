@@ -272,6 +272,11 @@ def read_sketch_rollup(
     from data_warehouse_nhom8_spark.sources.snapshots import snapshot_read
 
     store = snapshot_read(spark, store_path)
+    if store is None:
+        raise FileNotFoundError(
+            f"no committed sketch store at {store_path}; run sketch_rollup_sink "
+            "through at least one micro-batch first"
+        )
     return store.groupBy(*coarse_keys).agg(
         F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias(est_name),
         F.sum("n_rows").alias("n_rows"),

@@ -43,11 +43,15 @@ def test_all_tables_load_and_events_ts_is_timestamp_ntz(spark, sf_dir):
 def test_events_ts_values_resolve(spark):
     # one real row through the conversion path — catches an analysis-
     # time-valid but execution-time-broken conversion expression
+    if not SF_DIRS:
+        pytest.skip("no testdata on this machine")
     row = load_table(spark, SF_DIRS[0], "events").select("ts").take(1)
     assert row and row[0]["ts"] is not None
 
 
 def test_key_dtypes_stable(spark):
+    if not SF_DIRS:
+        pytest.skip("no testdata on this machine")
     sf_dir = SF_DIRS[0]
     expect = {
         ("orders", "o_orderkey"): T.LongType,
