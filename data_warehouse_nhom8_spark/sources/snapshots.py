@@ -69,14 +69,48 @@ def snapshot_exists(path: str) -> bool:
     return v is not None and os.path.isdir(os.path.join(path, f"v{v:08d}"))
 
 
+def snapshot_versions(path: str) -> list[int]:
+    """Retained, committed version numbers (ascending): version dirs
+    on disk at or below the live pointer. Uncommitted next-version
+    dirs (a crashed write) are excluded — they are not readable
+    history, just debris the next write overwrites."""
+    cur = _current_version(path)
+    if cur is None:
+        return []
+    out = []
+    for name in os.listdir(path):
+        m = _VERSION_RE.match(name)
+        if m and int(m.group(1)) <= cur:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
 def snapshot_read(
-    spark: SparkSession, path: str, schema: T.StructType | None = None
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    version: int | None = None,
 ) -> DataFrame | None:
     """DataFrame over the live committed version, or None if empty.
+
+    Pass `version` to time-travel to a retained older version
+    (`snapshot_versions` lists them; retention is `snapshot_overwrite`'s
+    `keep`). A GC'd or never-committed version raises FileNotFoundError
+    rather than silently reading the wrong data.
 
     Also reads a legacy plain parquet dir (pre-versioned layout) so
     existing tables keep working; their next write converts them.
     """
+    if version is not None:
+        if version not in snapshot_versions(path):
+            raise FileNotFoundError(
+                f"version {version} of {path} is not retained "
+                f"(have {snapshot_versions(path)}); raise `keep` on the "
+                "writer to retain more history"
+            )
+        target = os.path.join(path, f"v{version:08d}")
+        r = spark.read.schema(schema) if schema is not None else spark.read
+        return r.parquet(target)
     v = _current_version(path)
     if v is not None:
         target = os.path.join(path, f"v{v:08d}")
@@ -86,6 +120,28 @@ def snapshot_read(
         r = spark.read.schema(schema) if schema is not None else spark.read
         return r.parquet(path)
     return None
+
+
+def snapshot_rollback(path: str, version: int) -> None:
+    """Instant write-free rollback: atomically re-point the live
+    pointer at a retained older version — the engine's twin of the
+    reference's restore-from-backup after a bad load
+    (loadtowh/load_to_wh.sh's backup step), but O(1) because old
+    versions are already on disk. The next `snapshot_overwrite` still
+    writes version max+1 (its version counter follows the pointer and
+    `mode=overwrite` clears the abandoned newer dir), so history stays
+    linear after a rollback."""
+    if version not in snapshot_versions(path):
+        raise FileNotFoundError(
+            f"version {version} of {path} is not retained "
+            f"(have {snapshot_versions(path)})"
+        )
+    tmp = os.path.join(path, _POINTER + ".tmp")
+    with open(tmp, "w") as fh:
+        fh.write(f"v{version:08d}")
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, os.path.join(path, _POINTER))
 
 
 def snapshot_overwrite(

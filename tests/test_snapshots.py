@@ -116,3 +116,44 @@ def test_no_driver_collect_in_data_snapshot_paths():
         src = inspect.getsource(mod)
         assert "safe_overwrite" not in src, mod.__name__
         assert ".collect()" not in src, mod.__name__
+
+
+def test_time_travel_and_versions_listing(spark, tmp_path):
+    from data_warehouse_nhom8_spark.sources.snapshots import snapshot_versions
+
+    path = str(tmp_path / "t")
+    for i in range(1, 4):
+        snapshot_overwrite(_df(spark, [("a", i)]), path, keep=3)
+    assert snapshot_versions(path) == [1, 2, 3]
+    # pinned-version reads see history; default read sees head
+    assert snapshot_read(spark, path, version=1).collect()[0]["v"] == 1
+    assert snapshot_read(spark, path, version=2).collect()[0]["v"] == 2
+    assert snapshot_read(spark, path).collect()[0]["v"] == 3
+
+
+def test_time_travel_gcd_version_raises(spark, tmp_path):
+    import pytest
+
+    path = str(tmp_path / "t")
+    for i in range(1, 4):
+        snapshot_overwrite(_df(spark, [("a", i)]), path, keep=2)  # GCs v1
+    with pytest.raises(FileNotFoundError, match="not retained"):
+        snapshot_read(spark, path, version=1)
+
+
+def test_rollback_restores_and_history_stays_linear(spark, tmp_path):
+    from data_warehouse_nhom8_spark.sources.snapshots import (
+        snapshot_rollback,
+        snapshot_versions,
+    )
+
+    path = str(tmp_path / "t")
+    snapshot_overwrite(_df(spark, [("a", 1)]), path, keep=3)
+    snapshot_overwrite(_df(spark, [("a", 2)]), path, keep=3)  # the bad load
+    snapshot_rollback(path, 1)
+    assert snapshot_read(spark, path).collect()[0]["v"] == 1
+    # next write proceeds from the pointer: v2 is overwritten as the
+    # new head, and reads see it
+    snapshot_overwrite(_df(spark, [("a", 9)]), path, keep=3)
+    assert snapshot_read(spark, path).collect()[0]["v"] == 9
+    assert max(snapshot_versions(path)) == 2
