@@ -40,6 +40,7 @@ import re
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 _POINTER = "_CURRENT"
@@ -120,6 +121,67 @@ def snapshot_read(
         r = spark.read.schema(schema) if schema is not None else spark.read
         return r.parquet(path)
     return None
+
+
+def snapshot_diff(
+    spark: SparkSession,
+    path: str,
+    v_from: int,
+    v_to: int,
+    keys: list[str],
+) -> DataFrame:
+    """Change feed between two retained versions — the engine's twin
+    of a table format's CDC/change-data-feed: one row per key whose
+    presence or payload differs, tagged `_change` ∈ {insert, delete,
+    update}, carrying the v_to payload for insert/update and the
+    v_from payload for delete.
+
+    Built on pinned time-travel reads + a single null-safe full outer
+    join on `keys`; payload comparison uses a canonical struct
+    equality over the non-key columns, so any column-value change is
+    an update. Downstream incremental consumers apply the feed
+    instead of re-reading the whole snapshot — at 100 TB the diff
+    shuffles only the two versions' key/payload columns, and unchanged
+    keys are dropped before anything else happens."""
+    old = snapshot_read(spark, path, version=v_from)
+    new = snapshot_read(spark, path, version=v_to)
+    payload = [c for c in new.columns if c not in keys]
+    # a keys-only table still needs a non-null presence marker per side
+    pstruct = F.struct(*payload) if payload else F.struct(F.lit(1).alias("__one"))
+    o = old.select(
+        *[F.col(k).alias(f"__ko_{k}") for k in keys],
+        pstruct.alias("__po"),
+    )
+    n = new.select(
+        *[F.col(k).alias(f"__kn_{k}") for k in keys],
+        pstruct.alias("__pn"),
+    )
+    cond = None
+    for k in keys:
+        c = F.col(f"__ko_{k}").eqNullSafe(F.col(f"__kn_{k}"))
+        cond = c if cond is None else (cond & c)
+    j = o.join(n, cond, "full_outer")
+    in_old = F.col("__po").isNotNull()
+    in_new = F.col("__pn").isNotNull()
+    change = (
+        F.when(~in_old, F.lit("insert"))
+        .when(~in_new, F.lit("delete"))
+        .when(~F.col("__po").eqNullSafe(F.col("__pn")), F.lit("update"))
+    )
+    out_keys = [
+        F.coalesce(F.col(f"__kn_{k}"), F.col(f"__ko_{k}")).alias(k) for k in keys
+    ]
+    out_payload = [
+        F.when(in_new, F.col("__pn").getField(c))
+        .otherwise(F.col("__po").getField(c))
+        .alias(c)
+        for c in payload
+    ]
+    return (
+        j.withColumn("_change", change)
+        .filter(F.col("_change").isNotNull())
+        .select(*out_keys, *out_payload, "_change")
+    )
 
 
 def snapshot_rollback(path: str, version: int) -> None:

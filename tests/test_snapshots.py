@@ -157,3 +157,31 @@ def test_rollback_restores_and_history_stays_linear(spark, tmp_path):
     snapshot_overwrite(_df(spark, [("a", 9)]), path, keep=3)
     assert snapshot_read(spark, path).collect()[0]["v"] == 9
     assert max(snapshot_versions(path)) == 2
+
+
+def test_snapshot_diff_change_feed(spark, tmp_path):
+    from data_warehouse_nhom8_spark.sources.snapshots import snapshot_diff
+
+    path = str(tmp_path / "t")
+    snapshot_overwrite(
+        _df(spark, [("a", 1), ("b", 2), ("c", 3)]), path, keep=3
+    )
+    snapshot_overwrite(
+        _df(spark, [("a", 1), ("b", 20), ("d", 4)]), path, keep=3
+    )
+    feed = {
+        r["k"]: (r["v"], r["_change"])
+        for r in snapshot_diff(spark, path, 1, 2, keys=["k"]).collect()
+    }
+    # a unchanged -> absent; b updated (new payload); c deleted (old
+    # payload); d inserted (new payload)
+    assert feed == {"b": (20, "update"), "c": (3, "delete"), "d": (4, "insert")}
+
+
+def test_snapshot_diff_empty_for_identical_versions(spark, tmp_path):
+    from data_warehouse_nhom8_spark.sources.snapshots import snapshot_diff
+
+    path = str(tmp_path / "t")
+    snapshot_overwrite(_df(spark, [("a", 1)]), path, keep=3)
+    snapshot_overwrite(_df(spark, [("a", 1)]), path, keep=3)
+    assert snapshot_diff(spark, path, 1, 2, keys=["k"]).count() == 0
