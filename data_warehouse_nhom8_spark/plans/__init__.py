@@ -3,12 +3,20 @@
 Registry ordering is part of the verification contract: the per-round driver
 records correctness rows for EXACTLY the first 50 of ``queries()`` in dict
 order (r1: all 49 then-declared; r2 and r3: exactly 50 of 64 — the cap is a
-hard 50).  With 63 oracled queries, no single round can certify them all, so
-the ordering policy is a ROTATION: each round puts the oracled queries that
-missed the previous round's window first, so the union of any two consecutive
-rounds' CORRECTNESS files covers all 63.  ``_noracle`` rows-only queries sit
-last — they only get the weaker check anyway, so they belong outside the
-certification window (each has an exact-twin pytest instead).
+hard 50).  With more oracled queries than window rows, no single round can
+certify them all, so the ordering policy is a ROTATION: each round puts the
+oracled queries that missed the previous round's window first, so the union
+of any two consecutive rounds' CORRECTNESS files covers every oracled query.
+``_noracle`` rows-only queries sit last — they only get the weaker check
+anyway, so they belong outside the certification window (each has an
+exact-twin pytest instead).
+
+Since round 6 the front list is SELF-MAINTAINING: at import time we read the
+newest ``CORRECTNESS_r*.json`` in the repo root and front every oracled query
+without a green row in it (never-certified queries — e.g. ones added this
+round — have no row at all and therefore front automatically).  The static
+``_BOOTSTRAP_FRONT`` below is only the round-1 fallback when no driver file
+exists yet.
 
 Certification ledger:
   r2 window: q01–q45 range (incl. the 6 noracle) — q46-48/q54-64 missing.
@@ -17,10 +25,16 @@ Certification ledger:
   r4 window: those 8 first; 7 went green, but a testdata-regeneration bug in
              the events loader (fixed in sources/testdata.py) failed every
              events-table query: q16/q18/q19/q27/q28/q29/q30/q43.
-  r5 order (this file): the 16 uncovered + the 5 new (q65–q69) = 21
-             fronted → r4 ∪ r5 covers every oracled query, and
-             q43_approx_distinct gets its first-ever green row.
+  r5 window: the 16 uncovered + the 5 new (q65–q69) fronted → 50/50 green;
+             r4 ∪ r5 covers every oracled query.
+  r6+ window: derived — ORACLES minus green(newest CORRECTNESS file), so the
+             two-round union stays complete by construction
+             (tests/test_plans.py::test_rotation_keeps_consecutive_round_coverage).
 """
+
+import glob
+import json
+import os
 
 from data_warehouse_nhom8_spark.plans.queries import QUERIES as _CORE
 from data_warehouse_nhom8_spark.plans.oracles import ORACLES as _CORE_ORACLES
@@ -33,21 +47,10 @@ from data_warehouse_nhom8_spark.plans.tpch import TPCH_ORACLES, TPCH_QUERIES
 _ALL_QUERIES = {**_CORE, **EXTENSION_QUERIES, **TPCH_QUERIES}
 ORACLES = {**_CORE_ORACLES, **EXTENSION_ORACLES, **TPCH_ORACLES}
 
-# Oracled queries with no green round-4 row: the 8 events-table queries
-# that hit the loader bug (q43 additionally has never had a green row),
-# q57–q64 which sat outside r4's 50-row window (green in r3), and the
-# five round-5-new queries (q65–q69, first appearance). Fronting all
-# 21 makes r4 ∪ r5 cover every oracled query; the 13 that fall out of
-# r5's window (q37/q40/q42/q44-48/q50/q52/q54-56) are all green in r4.
-_MISSED_LAST_ROUND = [
+# Round-1 fallback only: with no CORRECTNESS file on disk there is nothing to
+# rotate against, so front the queries that would otherwise sort last.
+_BOOTSTRAP_FRONT = [
     "q43_approx_distinct",
-    "q16_daily_rollup",
-    "q18_latest_per_key",
-    "q19_topk",
-    "q27_props_extract",
-    "q28_tumbling_daily_window",
-    "q29_session_gap",
-    "q30_keyed_upsert",
     "q57_decontamination",
     "q58_corpus_prep_summary",
     "q59_stratified_sample",
@@ -61,7 +64,47 @@ _MISSED_LAST_ROUND = [
     "q67_bigram_topk",
     "q68_kll_quantile_rollup",
     "q69_theta_retention",
+    "q70_sliding_rollup",
 ]
+
+
+def _repo_root() -> str:
+    return os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def latest_correctness_green(root: str | None = None):
+    """(filename, green-query-set) of the newest CORRECTNESS_r*.json, or
+    (None, None) when no driver file exists yet (round 1)."""
+    files = sorted(glob.glob(os.path.join(root or _repo_root(), "CORRECTNESS_r*.json")))
+    if not files:
+        return None, None
+    try:
+        with open(files[-1]) as fh:
+            rows = json.load(fh)
+    except (OSError, ValueError):
+        return None, None
+    green = {
+        q
+        for q, r in rows.items()
+        if isinstance(r, dict)
+        and r.get("rows_match")
+        and r.get("schema_match")
+        and r.get("hash_match")
+    }
+    return os.path.basename(files[-1]), green
+
+
+def _compute_front(names) -> list:
+    """Oracled queries lacking a green row in the newest CORRECTNESS file,
+    in stable sorted order.  These MUST head the registry so the driver's
+    50-row window certifies them this round."""
+    _, green = latest_correctness_green()
+    if green is None:
+        return [n for n in _BOOTSTRAP_FRONT if n in names]
+    return [n for n in sorted(names) if n in ORACLES and n not in green]
+
+
+_MISSED_LAST_ROUND = _compute_front(_ALL_QUERIES)
 
 
 def _registry_order(names):
@@ -73,4 +116,4 @@ def _registry_order(names):
 
 QUERIES = {name: _ALL_QUERIES[name] for name in _registry_order(_ALL_QUERIES)}
 
-__all__ = ["QUERIES", "ORACLES"]
+__all__ = ["QUERIES", "ORACLES", "latest_correctness_green"]

@@ -118,33 +118,59 @@ def test_range_join_is_hash_not_cartesian(spark):
 
 
 def test_rotation_keeps_consecutive_round_coverage():
-    """Certification-rotation gate: the driver records CORRECTNESS
-    rows for exactly the first 50 registry queries, so every oracled
-    query OUTSIDE this round's window must already have a green row
-    in the latest CORRECTNESS_r*.json — otherwise it risks the
-    'never certified' state q43 sat in for two rounds."""
+    """Certification-rotation gate, two parts:
+
+    1. BACKWARD (the actual contract): the union of the two most recent
+       CORRECTNESS files' green rows must cover every oracled query the
+       driver has ever seen — a query missing from both was uncertified
+       for two consecutive rounds (the state q43 sat in for r3+r4).
+       Queries new this round (no row in either file) are exempt here;
+       part 2 guarantees they sit inside the upcoming window.
+    2. FORWARD (self-maintaining since r6): every oracled query outside
+       this round's 50-row window must be green in the LATEST file, so
+       that after the next driver run the two-file union is complete by
+       construction."""
     import glob
     import json
     import os
 
     from data_warehouse_nhom8_spark.plans import ORACLES, QUERIES
 
+    def green_of(path):
+        rows = json.load(open(path))
+        return set(rows), {
+            q
+            for q, r in rows.items()
+            if r.get("rows_match") and r.get("schema_match") and r.get("hash_match")
+        }
+
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     files = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
     if not files:
         pytest.skip("no driver correctness file yet (round 1)")
-    latest = json.load(open(files[-1]))
-    green = {
-        q
-        for q, r in latest.items()
-        if r.get("rows_match") and r.get("schema_match") and r.get("hash_match")
-    }
+
+    seen_latest, green_latest = green_of(files[-1])
+    seen_prev, green_prev = green_of(files[-2]) if len(files) > 1 else (set(), set())
+    seen, union_green = seen_latest | seen_prev, green_latest | green_prev
+
+    stale = [q for q in ORACLES if q in seen and q not in union_green]
+    assert not stale, (
+        f"oracled queries with no green row in either of the two most recent "
+        f"CORRECTNESS files: {stale} — certification union is broken"
+    )
+
     window = set(list(QUERIES)[:50])
-    uncovered = [q for q in ORACLES if q not in window and q not in green]
+    uncovered = [q for q in ORACLES if q not in window and q not in green_latest]
     assert not uncovered, (
         f"oracled queries outside the 50-row window lack a green row in "
-        f"{os.path.basename(files[-1])}: {uncovered} — front them in "
-        "plans/__init__.py::_MISSED_LAST_ROUND"
+        f"{os.path.basename(files[-1])}: {uncovered} — the derived front "
+        "list in plans/__init__.py should have caught this"
+    )
+
+    front = [q for q in ORACLES if q not in green_latest]
+    assert len(front) <= 50, (
+        f"{len(front)} oracled queries need certification this round but the "
+        "driver window is 50 — too many new/failed queries at once"
     )
 
 
