@@ -73,12 +73,22 @@ def main() -> None:
     # interpreter spawn (workers are reused for the whole run)
     spark.range(256).mapInPandas(lambda it: it, "id long").count()
 
+    def pass_warmup() -> None:
+        # Untimed sacrificial query before each timing pass: the first
+        # registry entry otherwise absorbs residual session warm-up
+        # (JIT/GC after the preceding pass) — r5 recorded its fronted
+        # q43 at 2.56 s warm vs ~0.7 s isolated. A shuffle+agg+Arrow
+        # shape flushes that without touching any registry plan.
+        load_table(spark, sf_dir, "orders").groupBy("o_orderstatus").count().toArrow()
+
     cold: dict[str, float] = {}
     warm: dict[str, float] = {}
+    pass_warmup()
     for name, fn in QUERIES.items():
         t0 = time.perf_counter()
         fn(spark, sf_dir).toArrow()
         cold[name] = round(time.perf_counter() - t0, 3)
+    pass_warmup()
     for name, fn in QUERIES.items():
         t0 = time.perf_counter()
         fn(spark, sf_dir).toArrow()
