@@ -5,8 +5,8 @@ metadata struct; compute-heavy per-item work (decode, resize,
 feature-extract, frame-sample) runs as Arrow-batched `mapInPandas`
 over the binary column. `resize_images` carries a real pure-python
 codec for the formats decodable without external libraries (binary
-PPM, uncompressed BMP); compressed formats raise until PIL/opencv is
-plugged into `_decode_image`. The featurizer and frame sampler use
+PPM, uncompressed BMP, and 8-bit non-interlaced PNG via stdlib zlib);
+JPEG raises until PIL/opencv is plugged into `_decode_image`. The featurizer and frame sampler use
 deterministic fakes (clearly marked below) since no audio/video
 codec exists in this environment — the distributed pipeline (schema
 in → batches → schema out) is fully real and tested either way.
@@ -94,16 +94,138 @@ def extract_features(df: DataFrame, batch_feature_dim: int = 8) -> DataFrame:
     return df.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
-def _decode_image(payload: bytes):
-    """Decode an uncompressed image payload to an (h, w, 3) uint8 array.
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
-    Pure-Python/numpy codec for the two formats decodable without an
-    external image library: binary PPM (P6) and 24/32-bit uncompressed
-    BMP. Compressed formats (PNG/JPEG/...) need a real codec (PIL /
-    opencv) and raise NotImplementedError — the distributed shape
-    around this function does not change when one is plugged in."""
+
+def _decode_png(payload: bytes):
+    """Pure-stdlib PNG decode → (h, w, 3) uint8 RGB.
+
+    Supports the dominant real-world cases: 8-bit depth, color types
+    0 (grayscale, broadcast to RGB), 2 (RGB) and 6 (RGBA, alpha
+    dropped), non-interlaced, zlib-inflated IDAT with all five
+    scanline filters (None/Sub/Up/Average/Paeth) unfiltered per the
+    PNG spec. Palette/16-bit/interlaced images raise
+    NotImplementedError."""
+    import zlib
+
     import numpy as np
 
+    pos, ihdr, idat = len(_PNG_MAGIC), None, []
+    while pos + 8 <= len(payload):
+        ln = int.from_bytes(payload[pos : pos + 4], "big")
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln  # length + type + data + crc
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("malformed PNG: missing IHDR/IDAT")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, color, interlace = ihdr[8], ihdr[9], ihdr[12]
+    channels = {0: 1, 2: 3, 6: 4}.get(color)
+    if depth != 8 or channels is None or interlace != 0:
+        raise NotImplementedError(
+            f"PNG depth={depth} color_type={color} interlace={interlace}; "
+            "only 8-bit gray/RGB/RGBA non-interlaced supported"
+        )
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    if len(raw) != h * (1 + stride):
+        raise ValueError("PNG data length does not match dimensions")
+    raw = np.frombuffer(raw, np.uint8).reshape(h, 1 + stride)
+    filters, lines = raw[:, 0], raw[:, 1:]
+    out = np.zeros((h, stride), np.uint16)
+    bpp = channels
+    for y in range(h):
+        f, line = filters[y], lines[y].astype(np.uint16)
+        prior = out[y - 1] if y else np.zeros(stride, np.uint16)
+        if f == 0:
+            out[y] = line
+        elif f == 1:  # Sub: cumsum per residue class mod bpp (mod-256 safe)
+            out[y] = np.cumsum(line.reshape(-1, bpp), axis=0).reshape(-1) & 0xFF
+        elif f == 2:  # Up
+            out[y] = (line + prior) & 0xFF
+        elif f == 3:  # Average — sequential in x, vectorized over channels
+            row = out[y]
+            for x in range(0, stride, bpp):
+                left = row[x - bpp : x] if x else np.zeros(bpp, np.uint16)
+                row[x : x + bpp] = (
+                    line[x : x + bpp] + ((left + prior[x : x + bpp]) >> 1)
+                ) & 0xFF
+        elif f == 4:  # Paeth — sequential in x, vectorized over channels
+            row = out[y]
+            zero = np.zeros(bpp, np.uint16)
+            for x in range(0, stride, bpp):
+                a = row[x - bpp : x] if x else zero
+                b = prior[x : x + bpp]
+                c = prior[x - bpp : x] if x else zero
+                ai, bi, ci = (v.astype(np.int32) for v in (a, b, c))
+                p = ai + bi - ci
+                pa, pb, pc = np.abs(p - ai), np.abs(p - bi), np.abs(p - ci)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
+                )
+                row[x : x + bpp] = (line[x : x + bpp] + pred) & 0xFF
+        else:
+            raise ValueError(f"PNG filter type {f}")
+    px = out.astype(np.uint8).reshape(h, w, channels)
+    if channels == 1:
+        return np.repeat(px, 3, axis=2)
+    return px[:, :, :3]
+
+
+def _encode_png(arr) -> bytes:
+    """Minimal PNG encoder (8-bit RGB, filter 0, one zlib IDAT) — the
+    roundtrip twin of `_decode_png`, and enough to emit valid PNGs
+    from the resize pipeline when PNG output is wanted."""
+    import zlib
+
+    import numpy as np
+
+    arr = np.ascontiguousarray(arr, np.uint8)
+    h, w = arr.shape[:2]
+    scan = np.concatenate(
+        [np.zeros((h, 1), np.uint8), arr.reshape(h, w * 3)], axis=1
+    ).tobytes()
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            len(data).to_bytes(4, "big")
+            + typ
+            + data
+            + zlib.crc32(typ + data).to_bytes(4, "big")
+        )
+
+    ihdr = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 2, 0, 0, 0])
+    )
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(scan))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _decode_image(payload: bytes):
+    """Decode an image payload to an (h, w, 3) uint8 array.
+
+    Pure-Python/numpy codec for the formats decodable without an
+    external image library: binary PPM (P6), 24/32-bit uncompressed
+    BMP, and 8-bit non-interlaced PNG (gray/RGB/RGBA — stdlib zlib
+    inflate + full filter unfiltering, see `_decode_png`). JPEG and
+    the exotic PNG variants need a real codec (PIL / opencv) and
+    raise NotImplementedError — the distributed shape around this
+    function does not change when one is plugged in."""
+    import numpy as np
+
+    if payload.startswith(_PNG_MAGIC):
+        return _decode_png(payload)
     if payload.startswith(b"P6"):
         # P6 header: magic, whitespace-separated width/height/maxval
         # with optional '#' comment lines, then a single whitespace
