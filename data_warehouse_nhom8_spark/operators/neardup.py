@@ -281,6 +281,8 @@ def minhash_incremental_pairs(
     bands: int = 16,
     shingle_w: int = 3,
     max_bucket_size: int = 200,
+    corpus_bands: DataFrame | None = None,
+    corpus_band_sizes: DataFrame | None = None,
 ) -> DataFrame:
     """Daily-increment near-dup: pairs INVOLVING the new batch,
     without re-signaturing the corpus.
@@ -304,31 +306,69 @@ def minhash_incremental_pairs(
     even that scan, a production store can persist the hash sets
     beside the signatures and estimate Jaccard from signature
     agreement instead; the exact-verify form is the default because
-    it keeps the driver-testable equality contract."""
+    it keeps the driver-testable equality contract.
+
+    `corpus_bands` / `corpus_band_sizes` are the second tier of the
+    persisted store: the corpus band table and its per-bucket count
+    histogram are STATIC between corpus compactions, so a daily run
+    should pass the persisted tables instead of re-deriving them from
+    `corpus_sigs` every batch (band explode + histogram over the full
+    corpus is the dominant steady-state cost otherwise). The union
+    histogram the skew guard needs is then corpus counts + batch
+    counts — identical numbers to a from-scratch run (pytest-gated)."""
     from data_warehouse_nhom8_spark.session import repartition_for_compute
 
     new_docs = repartition_for_compute(new_docs)
-    new_sets = new_docs.select(
-        F.col(id_col).alias("id"),
-        F.transform(
-            F.array_distinct(shingles_col(text_col, shingle_w)), lambda s: F.xxhash64(s)
-        ).alias("__h64"),
-    ).localCheckpoint(eager=True)
-    new_sigs = new_sets.select(
-        "id",
-        minhash_signature_col(
-            F.transform("__h64", lambda h: F.abs(h) % _P), k
-        ).alias("sig"),
-    ).localCheckpoint(eager=True)
+    # ONE eager job materializes both batch artifacts (hash sets for
+    # the verify step, signatures for banding): shingling runs once
+    # and the per-call barrier count drops — each localCheckpoint is a
+    # full job round-trip, and on a ~1k-doc daily batch the barriers
+    # cost as much as the compute. The folded hash array is staged as
+    # a NAMED column before the k permutation mins fan out (staging
+    # rule from minhash_signature_col's docstring).
+    staged = (
+        new_docs.select(
+            F.col(id_col).alias("id"),
+            F.transform(
+                F.array_distinct(shingles_col(text_col, shingle_w)),
+                lambda s: F.xxhash64(s),
+            ).alias("__h64"),
+        )
+        .select("id", "__h64", F.transform("__h64", lambda h: F.abs(h) % _P).alias("__hs"))
+        .select("id", "__h64", minhash_signature_col(F.col("__hs"), k).alias("sig"))
+        .localCheckpoint(eager=True)
+    )
+    new_sets = staged.select("id", "__h64")
+    new_sigs = staged.select("id", "sig")
     if corpus_sigs is None:
         corpus_sigs = minhash_signatures(
             repartition_for_compute(corpus_docs), id_col, text_col, k, shingle_w
         )
 
     new_bands = _band_table(new_sigs, k, bands)
-    old_bands = _band_table(corpus_sigs, k, bands)
+    old_bands = (
+        corpus_bands if corpus_bands is not None else _band_table(corpus_sigs, k, bands)
+    )
     all_bands = new_bands.unionByName(old_bands)
-    sizes = all_bands.groupBy("band", "bhash").agg(F.count(F.lit(1)).alias("__bn"))
+    if corpus_band_sizes is not None:
+        # union histogram = static corpus counts + this batch's counts
+        batch_sizes = new_bands.groupBy("band", "bhash").agg(
+            F.count(F.lit(1)).alias("__bn_new")
+        )
+        sizes = (
+            corpus_band_sizes.withColumnRenamed("__bn", "__bn_old")
+            .join(batch_sizes, ["band", "bhash"], "full_outer")
+            .select(
+                "band",
+                "bhash",
+                (
+                    F.coalesce(F.col("__bn_old"), F.lit(0))
+                    + F.coalesce(F.col("__bn_new"), F.lit(0))
+                ).alias("__bn"),
+            )
+        )
+    else:
+        sizes = all_bands.groupBy("band", "bhash").agg(F.count(F.lit(1)).alias("__bn"))
     ok_buckets = sizes.filter(F.col("__bn") <= max_bucket_size).drop("__bn")
     nb = new_bands.join(ok_buckets, on=["band", "bhash"])
     ab = all_bands.join(ok_buckets, on=["band", "bhash"])

@@ -244,16 +244,35 @@ def q53_incremental_neardup_noracle(spark: SparkSession, sf_dir: str) -> DataFra
     c = Catalog(spark, sf_dir)
     batch = c.documents.filter(F.col("doc_id") % 10 == 0)
     corpus = c.documents.filter(F.col("doc_id") % 10 != 0)
-    key = ("corpus_sigs", sf_dir, 0.8, 8, 5)
+    key = ("corpus_sig_store", sf_dir, 0.8, 8, 5)
     memo = _memo(spark)
     if key not in memo:
         from data_warehouse_nhom8_spark.session import repartition_for_compute
 
-        memo[key] = neardup.minhash_signatures(
+        sigs = neardup.minhash_signatures(
             repartition_for_compute(corpus), shingle_w=5
         ).persist(StorageLevel.MEMORY_AND_DISK)
+        # second store tier: band table + per-bucket histogram are
+        # static between corpus compactions — persist them beside the
+        # signatures so the daily batch derives neither (see
+        # minhash_incremental_pairs docstring)
+        bands_df = neardup._band_table(sigs, 64, 8).persist(StorageLevel.MEMORY_AND_DISK)
+        sizes_df = (
+            bands_df.groupBy("band", "bhash")
+            .agg(F.count(F.lit(1)).alias("__bn"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        memo[key] = (sigs, bands_df, sizes_df)
+    sigs, bands_df, sizes_df = memo[key]
     return neardup.minhash_incremental_pairs(
-        batch, corpus, corpus_sigs=memo[key], threshold=0.8, bands=8, shingle_w=5
+        batch,
+        corpus,
+        corpus_sigs=sigs,
+        threshold=0.8,
+        bands=8,
+        shingle_w=5,
+        corpus_bands=bands_df,
+        corpus_band_sizes=sizes_df,
     ).orderBy("id_a", "id_b")
 
 

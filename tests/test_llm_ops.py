@@ -90,6 +90,22 @@ def test_minhash_incremental_matches_full_run(spark, docs):
         ).collect()
     }
     assert got2 == want
+    # full store path: persisted band table + bucket histogram
+    # (static between compactions) give the same result too
+    bands_df = neardup._band_table(sigs, 64, 16)
+    sizes_df = bands_df.groupBy("band", "bhash").agg(F.count(F.lit(1)).alias("__bn"))
+    got3 = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in neardup.minhash_incremental_pairs(
+            new,
+            corpus,
+            corpus_sigs=sigs,
+            threshold=0.5,
+            corpus_bands=bands_df,
+            corpus_band_sizes=sizes_df,
+        ).collect()
+    }
+    assert got3 == want
 
 
 def test_ngram_jaccard_exact_equals_bruteforce(spark, docs):
