@@ -859,6 +859,25 @@ def q69_theta_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q70_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2h sliding-window rollup, run through the ACTUAL
+    streaming operator (streaming.jobs.sliding_rollup — F.window with
+    a slide; the watermark is a no-op in batch mode), so the one
+    streaming operator that previously had only a pytest joins the
+    oracled set. 6-hour windows every 90 minutes: each event lands in
+    exactly window/slide = 4 overlapping epoch-aligned windows, which
+    the DuckDB twin enumerates with explicit epoch arithmetic
+    (floor(epoch/5400) − k for k in 0..3)."""
+    from data_warehouse_nhom8_spark.streaming import jobs
+
+    c = Catalog(spark, sf_dir)
+    return (
+        jobs.sliding_rollup(c.events, window="6 hours", slide="90 minutes")
+        .withColumn("n", F.col("n").cast("long"))
+        .orderBy("w_start")
+    )
+
+
 EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q33_exact_dedup_docs": q33_exact_dedup_docs,
     "q34_token_counts": q34_token_counts,
@@ -894,6 +913,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q67_bigram_topk": q67_bigram_topk,
     "q68_kll_quantile_rollup": q68_kll_quantile_rollup,
     "q69_theta_retention": q69_theta_retention,
+    "q70_sliding_rollup": q70_sliding_rollup,
 }
 
 EXTENSION_ORACLES: dict[str, str] = {
@@ -1283,5 +1303,21 @@ EXTENSION_ORACLES: dict[str, str] = {
                TRUE AS both_in_tol,
                TRUE AS either_in_tol
         FROM f
+    """,
+    # Overlapping sliding windows by explicit enumeration: every event
+    # belongs to the 4 epoch-aligned 90-minute grid points covering it
+    # (6h window / 90m slide). Naive-timestamp arithmetic throughout —
+    # no time_bucket origin or session-timezone dependence.
+    "q70_sliding_rollup": """
+        SELECT TIMESTAMP '1970-01-01 00:00:00'
+                 + to_seconds((CAST(FLOOR(epoch(ts) / 5400) AS BIGINT) - k) * 5400)
+                 AS w_start,
+               TIMESTAMP '1970-01-01 00:00:00'
+                 + to_seconds((CAST(FLOOR(epoch(ts) / 5400) AS BIGINT) - k) * 5400 + 21600)
+                 AS w_end,
+               COUNT(*) AS n
+        FROM events CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS k) grid
+        GROUP BY 1, 2
+        ORDER BY w_start
     """,
 }
