@@ -44,6 +44,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 _POINTER = "_CURRENT"
+_COMPLETE = "_COMPLETE"  # marker inside a version dir: write finished
 _VERSION_RE = re.compile(r"^v(\d{8})$")
 
 
@@ -71,17 +72,26 @@ def snapshot_exists(path: str) -> bool:
 
 
 def snapshot_versions(path: str) -> list[int]:
-    """Retained, committed version numbers (ascending): version dirs
-    on disk at or below the live pointer. Uncommitted next-version
-    dirs (a crashed write) are excluded — they are not readable
-    history, just debris the next write overwrites."""
+    """Retained, readable version numbers (ascending).
+
+    Readable = at or below the live pointer (every such dir was once
+    committed), OR above it but carrying the `_COMPLETE` marker — a
+    fully-written version the pointer moved off (a rollback) or never
+    reached (crash between write and commit). Listing complete newer
+    dirs is what makes `snapshot_rollback` reversible: after rolling
+    v5→v3, v4/v5 stay time-travel-readable (and roll-FORWARD-able)
+    until GC, the Iceberg/Delta RESTORE semantics. A crashed PARTIAL
+    write (no marker) is still excluded — debris, not history."""
     cur = _current_version(path)
     if cur is None:
         return []
     out = []
     for name in os.listdir(path):
         m = _VERSION_RE.match(name)
-        if m and int(m.group(1)) <= cur:
+        if m and (
+            int(m.group(1)) <= cur
+            or os.path.exists(os.path.join(path, name, _COMPLETE))
+        ):
             out.append(int(m.group(1)))
     return sorted(out)
 
@@ -145,6 +155,18 @@ def snapshot_diff(
     keys are dropped before anything else happens."""
     old = snapshot_read(spark, path, version=v_from)
     new = snapshot_read(spark, path, version=v_to)
+    if set(old.columns) != set(new.columns):
+        only_old = sorted(set(old.columns) - set(new.columns))
+        only_new = sorted(set(new.columns) - set(old.columns))
+        raise ValueError(
+            f"snapshot_diff: column sets differ between v{v_from} and "
+            f"v{v_to} (only in v{v_from}: {only_old}; only in v{v_to}: "
+            f"{only_new}) — schema evolution is not supported by the "
+            "change feed; diff within one schema generation"
+        )
+    missing = [k for k in keys if k not in new.columns]
+    if missing:
+        raise ValueError(f"snapshot_diff: key column(s) {missing} not in table")
     payload = [c for c in new.columns if c not in keys]
     # a keys-only table still needs a non-null presence marker per side
     pstruct = F.struct(*payload) if payload else F.struct(F.lit(1).alias("__one"))
@@ -186,13 +208,16 @@ def snapshot_diff(
 
 def snapshot_rollback(path: str, version: int) -> None:
     """Instant write-free rollback: atomically re-point the live
-    pointer at a retained older version — the engine's twin of the
+    pointer at a retained version — the engine's twin of the
     reference's restore-from-backup after a bad load
-    (loadtowh/load_to_wh.sh's backup step), but O(1) because old
-    versions are already on disk. The next `snapshot_overwrite` still
-    writes version max+1 (its version counter follows the pointer and
-    `mode=overwrite` clears the abandoned newer dir), so history stays
-    linear after a rollback."""
+    (loadtowh/load_to_wh.sh's backup step), but O(1) because the
+    versions are already on disk. REVERSIBLE until GC: versions above
+    the pointer keep their `_COMPLETE` marker, stay listed by
+    `snapshot_versions`, and can be rolled forward to by calling this
+    again with the newer version (Iceberg/Delta RESTORE semantics).
+    The next `snapshot_overwrite` writes max(readable)+1, so a
+    mistaken rollback never causes the next write to clobber the
+    newer data."""
     if version not in snapshot_versions(path):
         raise FileNotFoundError(
             f"version {version} of {path} is not retained "
@@ -220,12 +245,20 @@ def snapshot_overwrite(
     os.makedirs(path, exist_ok=True)
     cur = _current_version(path)
     legacy = cur is None and has_parquet(path)
-    nxt = (cur or 0) + 1
+    # version counter follows the highest READABLE version, not the
+    # pointer: after a rollback v5→v3 the next write becomes v6 and
+    # the abandoned-but-complete v4/v5 stay time-travel-readable
+    # until GC instead of being clobbered
+    nxt = max([cur or 0, *snapshot_versions(path)]) + 1
     vname = f"v{nxt:08d}"
     vdir = os.path.join(path, vname)
     # mode=overwrite clears a partial dir left by a crashed attempt of
     # the SAME version (the pointer was never swapped to it)
     df.write.mode("overwrite").parquet(vdir)
+    # completion marker (before the commit): distinguishes a fully
+    # written version from crash debris, independent of the pointer
+    with open(os.path.join(vdir, _COMPLETE), "w") as fh:
+        fh.write(vname)
 
     tmp = os.path.join(path, _POINTER + ".tmp")
     with open(tmp, "w") as fh:

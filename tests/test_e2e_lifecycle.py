@@ -51,16 +51,28 @@ def connector_for(day_rows):
 
 
 def test_two_day_lifecycle(spark, tmp_path):
+    from data_warehouse_nhom8_spark.sources.snapshots import (
+        snapshot_diff,
+        snapshot_overwrite,
+        snapshot_read,
+    )
+
     bronze = str(tmp_path / "bronze")
+    whpath = str(tmp_path / "warehouse_job")
     led = RunLedger(spark, str(tmp_path / "ledger"))
     dim = build_date_dim(spark, "2025-03-01", "2025-03-31")
+
+    def persist(snap):
+        # the production write path: versioned atomic snapshot commit,
+        # then read back the committed files (write/read cycle)
+        snapshot_overwrite(snap, whpath, keep=3)
+        return snapshot_read(spark, whpath)
 
     # ---- day 1
     day1 = [("t1", "Dev", "ACME", "10 - 15 triệu"), ("g1", "QA", "Beta", "Tới 20 triệu")]
     run_all_sources(spark, {"topcv_jobs": connector_for(day1)}, D1, bronze, led)
     stg = upsert_staging(None, transform_raw_jobs(read_day(spark, bronze, D1), dim))
-    wh = load_day_to_warehouse(stg, None, D1, ledger=led)
-    wh = spark.createDataFrame(wh.collect(), wh.schema)  # materialize (write/read cycle)
+    wh = load_day_to_warehouse(stg, None, D1, ledger=led, persist=persist)
     m1 = merge_metrics(wh, D1)
     assert m1 == {"expired_today": 0, "inserted_today": 2, "live_total": 2}
 
@@ -68,11 +80,29 @@ def test_two_day_lifecycle(spark, tmp_path):
     day2 = [("t1", "Dev", "ACME", "Trên 25 triệu"), ("t9", "Intern", "ACME", "Thỏa thuận")]
     run_all_sources(spark, {"topcv_jobs": connector_for(day2)}, D2, bronze, led)
     stg = upsert_staging(stg, transform_raw_jobs(read_day(spark, bronze, D2), dim))
-    wh = load_day_to_warehouse(stg, wh, D2, ledger=led)
-    wh = spark.createDataFrame(wh.collect(), wh.schema)
+    wh = load_day_to_warehouse(stg, wh, D2, ledger=led, persist=persist)
     m2 = merge_metrics(wh, D2)
     assert m2 == {"expired_today": 1, "inserted_today": 2, "live_total": 3}
     assert scd2_invariant_violations(wh, ["job_title", "company_name"]).count() == 0
+
+    # ---- CDC contract: the v1→v2 change feed is exactly {the expired
+    # row as an update, the inserted rows} — what a downstream
+    # incremental consumer of the reference's SCD2 nightly merge
+    # (loadtowh/load_to_wh.sh:62-87) would apply instead of re-reading
+    # the snapshot. SCD2 rows are immutable except for the expired
+    # flip, so keyed by job_sk the feed can contain no other shapes.
+    feed = {
+        (r["job_title"], str(r["expired"]), r["_change"])
+        for r in snapshot_diff(spark, whpath, 1, 2, keys=["job_sk"]).collect()
+    }
+    assert feed == {
+        ("Dev", str(D2), "update"),  # t1's day-1 version expired today
+        ("Dev", "9999-12-31", "insert"),  # t1's new live version
+        ("Intern", "9999-12-31", "insert"),  # t9 brand-new
+    }
+    # counts tie out with the ledger metrics for the day
+    assert sum(1 for *_, c in feed if c == "insert") == m2["inserted_today"]
+    assert sum(1 for *_, c in feed if c == "update") == m2["expired_today"]
 
     # ledger shows every stage Success
     statuses = {

@@ -141,7 +141,10 @@ def test_time_travel_gcd_version_raises(spark, tmp_path):
         snapshot_read(spark, path, version=1)
 
 
-def test_rollback_restores_and_history_stays_linear(spark, tmp_path):
+def test_rollback_restores_and_is_reversible(spark, tmp_path):
+    """RESTORE semantics: rolling back re-points the head but keeps
+    newer complete versions readable (and roll-forward-able), and the
+    next write claims max(readable)+1 instead of clobbering them."""
     from data_warehouse_nhom8_spark.sources.snapshots import (
         snapshot_rollback,
         snapshot_versions,
@@ -152,11 +155,36 @@ def test_rollback_restores_and_history_stays_linear(spark, tmp_path):
     snapshot_overwrite(_df(spark, [("a", 2)]), path, keep=3)  # the bad load
     snapshot_rollback(path, 1)
     assert snapshot_read(spark, path).collect()[0]["v"] == 1
-    # next write proceeds from the pointer: v2 is overwritten as the
-    # new head, and reads see it
+    # the rolled-off version is still listed, time-travel-readable,
+    # and a mistaken rollback can roll FORWARD to it
+    assert snapshot_versions(path) == [1, 2]
+    assert snapshot_read(spark, path, version=2).collect()[0]["v"] == 2
+    snapshot_rollback(path, 2)
+    assert snapshot_read(spark, path).collect()[0]["v"] == 2
+    # back to v1, then a new write: claims v3, never clobbers v2
+    snapshot_rollback(path, 1)
     snapshot_overwrite(_df(spark, [("a", 9)]), path, keep=3)
     assert snapshot_read(spark, path).collect()[0]["v"] == 9
-    assert max(snapshot_versions(path)) == 2
+    assert snapshot_versions(path) == [1, 2, 3]
+    assert snapshot_read(spark, path, version=2).collect()[0]["v"] == 2
+
+
+def test_snapshot_diff_rejects_schema_mismatch(spark, tmp_path):
+    """Column-set drift between versions must fail loudly — a diff
+    that silently ignores an old-only column reports rows differing
+    only in that column as unchanged."""
+    import pytest
+
+    from data_warehouse_nhom8_spark.sources.snapshots import snapshot_diff
+
+    path = str(tmp_path / "t")
+    snapshot_overwrite(_df(spark, [("a", 1)]), path, keep=3)
+    wider = _df(spark, [("a", 1)]).withColumn("extra", F.lit("x"))
+    snapshot_overwrite(wider, path, keep=3)
+    with pytest.raises(ValueError, match="column sets differ"):
+        snapshot_diff(spark, path, 1, 2, keys=["k"])
+    with pytest.raises(ValueError, match="key column"):
+        snapshot_diff(spark, path, 2, 2, keys=["nope"])
 
 
 def test_snapshot_diff_change_feed(spark, tmp_path):
