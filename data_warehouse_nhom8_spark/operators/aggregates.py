@@ -120,6 +120,15 @@ def kll_quantile_rollup(
     coarse table: (coarse_keys, q_<pct> estimates, n_cells, n_rows).
     Tolerance vs exact percentiles is pinned in pytest and in q68's
     driver oracle (rank-of-estimate within 5% of target)."""
+    aliases = [f"q_{int(round(q * 100))}" for q in quantiles]
+    if len(set(aliases)) != len(aliases):
+        # e.g. 0.50 and 0.504 both round to q_50 — the duplicate name
+        # breaks every downstream select-by-name silently
+        raise ValueError(
+            f"quantiles {quantiles} collide after integer-percent "
+            f"naming ({aliases}); space them at least one percent "
+            "apart or query the fine sketches directly"
+        )
     fine = df.groupBy(*fine_keys).agg(
         F.expr(f"kll_sketch_agg_double({value_col})").alias("sketch"),
         F.count(F.lit(1)).alias("n_rows"),
@@ -127,8 +136,8 @@ def kll_quantile_rollup(
     ests = [
         F.expr(f"kll_sketch_get_quantile_double(kll_merge_agg_double(sketch), {q})")
         # round before int(): 0.29 * 100 float-truncates to 28
-        .alias(f"q_{int(round(q * 100))}")
-        for q in quantiles
+        .alias(alias)
+        for q, alias in zip(quantiles, aliases)
     ]
     coarse = fine.groupBy(*coarse_keys).agg(
         *ests,

@@ -30,6 +30,8 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -232,8 +234,15 @@ def benchmark_gram_store(
     daily, so the daily decontamination job should NOT re-tokenize
     and re-digest the benchmark every run — same memoization shape as
     the incremental near-dup signature store (neardup). Write once
-    when the suite changes; pass ``spark.read.parquet(path)`` to
-    `contamination_counts(bench_grams=...)` thereafter."""
+    when the suite changes; pass the PATH to
+    `contamination_counts(bench_grams=path)` thereafter — the path
+    form validates that the store's gram width matches the query's
+    (a silent mismatch returns all-zero overlaps, i.e. contaminated
+    docs sail through decontamination).
+
+    The store carries its build parameters in a `_meta` sidecar
+    (underscore-prefixed → invisible to a plain parquet read of
+    `path`)."""
     (
         _gram_digests(benchmark, id_col, text_col, gram_w)
         .select("gram")
@@ -241,6 +250,38 @@ def benchmark_gram_store(
         .write.mode("overwrite")
         .parquet(path)
     )
+    spark = benchmark.sparkSession
+    spark.createDataFrame(
+        [(int(gram_w), _TOKENIZER_TAG)], "gram_w int, tokenizer string"
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "_meta"))
+
+
+# Bump when _gram_digests' tokenization/digest scheme changes: stores
+# built under a different scheme are incompatible even at equal gram_w.
+_TOKENIZER_TAG = "ws-lower-md5-v1"
+
+
+def read_benchmark_gram_store(spark, path: str, gram_w: int) -> DataFrame:
+    """Open a `benchmark_gram_store` output, failing fast unless its
+    recorded gram width and tokenizer scheme match what the caller is
+    about to use on the corpus side."""
+    meta_path = os.path.join(path, "_meta")
+    try:
+        meta = spark.read.parquet(meta_path).collect()
+    except Exception as e:  # AnalysisException: path missing
+        raise ValueError(
+            f"{path} has no _meta sidecar — not a benchmark_gram_store "
+            "output (or built by a pre-meta version; rebuild the store)"
+        ) from e
+    got_w, got_tok = meta[0]["gram_w"], meta[0]["tokenizer"]
+    if got_w != gram_w or got_tok != _TOKENIZER_TAG:
+        raise ValueError(
+            f"gram store at {path} was built with gram_w={got_w}, "
+            f"tokenizer={got_tok!r} but the query uses gram_w={gram_w}, "
+            f"tokenizer={_TOKENIZER_TAG!r} — a mismatched store would "
+            "silently report zero overlap; rebuild it"
+        )
+    return spark.read.parquet(path)
 
 
 def contamination_counts(
@@ -249,7 +290,7 @@ def contamination_counts(
     id_col: str = "doc_id",
     text_col: str = "text",
     gram_w: int = 8,
-    bench_grams: DataFrame | None = None,
+    bench_grams: DataFrame | str | None = None,
 ) -> DataFrame:
     """Benchmark decontamination: for every corpus doc, how many of
     its distinct `gram_w`-token n-grams appear in ANY benchmark doc.
@@ -261,11 +302,17 @@ def contamination_counts(
     are orders of magnitude smaller than the corpus); the corpus side
     is scan + explode + map-side hash join + partial-agg — no
     corpus-wide shuffle of raw text ever happens. Pass `bench_grams`
-    (a (gram) DataFrame, e.g. from `benchmark_gram_store`) to skip
-    re-digesting an unchanged benchmark suite; `gram_w` must then
-    match the width the store was built with."""
+    to skip re-digesting an unchanged benchmark suite: a PATH string
+    (a `benchmark_gram_store` output) is opened through
+    `read_benchmark_gram_store`, which fails fast unless the store's
+    recorded gram_w/tokenizer match this call's; a raw (gram)
+    DataFrame is trusted as-is (the caller owns the match)."""
     if (benchmark is None) == (bench_grams is None):
         raise ValueError("pass exactly one of benchmark / bench_grams")
+    if isinstance(bench_grams, str):
+        bench_grams = read_benchmark_gram_store(
+            corpus.sparkSession, bench_grams, gram_w
+        )
     if bench_grams is None:
         bench_grams = (
             _gram_digests(benchmark, id_col, text_col, gram_w)

@@ -148,6 +148,14 @@ def test_contamination_gram_store_matches_inline(spark, tmp_path):
         )
     )
     assert inline == stored
+    # path form: opened through the validating reader
+    by_path = sorted(
+        map(
+            tuple,
+            corpus.contamination_counts(docs, bench_grams=path, gram_w=8).collect(),
+        )
+    )
+    assert by_path == inline
     import pytest as _pytest
 
     with _pytest.raises(ValueError):
@@ -156,6 +164,16 @@ def test_contamination_gram_store_matches_inline(spark, tmp_path):
         corpus.contamination_counts(
             docs, bench, bench_grams=spark.read.parquet(path)
         )
+    # gram-width mismatch vs the store's recorded build params must
+    # fail fast — silently it would return all-zero overlap and let
+    # contaminated docs through
+    with _pytest.raises(ValueError, match="gram_w=8"):
+        corpus.contamination_counts(docs, bench_grams=path, gram_w=4)
+    # a bare parquet dir (no _meta sidecar) is rejected as a store
+    bare = str(tmp_path / "bare")
+    spark.read.parquet(path).write.parquet(bare)
+    with _pytest.raises(ValueError, match="_meta"):
+        corpus.contamination_counts(docs, bench_grams=bare, gram_w=8)
 
 
 def test_stratified_sample_quotas_and_determinism(spark):

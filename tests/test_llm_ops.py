@@ -690,6 +690,12 @@ def test_kll_rollup_merge_matches_direct_and_exact(spark):
 
     c = Catalog(spark, SF_DIR)
     ev = c.events.select("event_type", F.to_date("ts").alias("day"), "value")
+    # quantiles that collide after integer-percent naming must raise,
+    # not emit duplicate column names
+    with pytest.raises(ValueError, match="collide"):
+        kll_quantile_rollup(
+            ev, ["event_type"], ["event_type"], "value", quantiles=(0.5, 0.504)
+        )
     _fine, coarse = kll_quantile_rollup(
         ev, ["event_type", "day"], ["event_type"], "value", quantiles=(0.5, 0.95)
     )
