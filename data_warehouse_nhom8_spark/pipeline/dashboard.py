@@ -69,6 +69,99 @@ def _svg_barchart(labels: list[str], counts: list[int]) -> str:
     )
 
 
+# categorical palette for stacked series (cycled when > 6 sources)
+_SERIES_COLORS = ("#4472c4", "#ed7d31", "#70ad47", "#ffc000", "#7030a0", "#2aa6a6")
+
+
+def _svg_stacked_barchart(labels: list[str], series: dict[str, list[int]]) -> str:
+    """Horizontal STACKED bar chart: one row per label, one colored
+    segment per series key, with a legend and per-segment SVG-native
+    tooltips — the per-source breakdown view of the reference's
+    status dashboard (extract/check_scraper_status.sh's per-src_id
+    queries), rendered the same zero-dependency way as the plain
+    bars."""
+    if not labels or not series:
+        return "<p>(empty)</p>"
+    keys = sorted(series)
+    colors = {k: _SERIES_COLORS[i % len(_SERIES_COLORS)] for i, k in enumerate(keys)}
+    totals = [sum(series[k][i] for k in keys) for i in range(len(labels))]
+    peak = max(totals) or 1
+    span = _CHART_W - _LABEL_W - 70
+    legend = "".join(
+        f'<span style="color:{colors[k]}">&#9632;</span> {html.escape(k)} &nbsp; '
+        for k in keys
+    )
+    rows = []
+    for i, lab in enumerate(labels):
+        y = i * _BAR_H
+        lab_esc = html.escape(str(lab) if lab is not None else "(null)")
+        rows.append(
+            f'<text x="{_LABEL_W - 6}" y="{y + 15}" text-anchor="end">{lab_esc}</text>'
+        )
+        x = _LABEL_W
+        for k in keys:
+            n = series[k][i]
+            if n <= 0:
+                continue
+            w = max(int(span * n / peak), 1)
+            k_esc = html.escape(k)
+            rows.append(
+                f'<rect x="{x}" y="{y + 3}" width="{w}" height="{_BAR_H - 6}" '
+                f'fill="{colors[k]}"><title>{lab_esc} / {k_esc}: {n}</title></rect>'
+            )
+            x += w
+        rows.append(
+            f'<text class="count" x="{x + 6}" y="{y + 15}">{totals[i]}</text>'
+        )
+    height = len(labels) * _BAR_H + 4
+    return (
+        f"<p>{legend}</p>"
+        f'<svg width="{_CHART_W}" height="{height}" role="img">' + "".join(rows) + "</svg>"
+    )
+
+
+def _ledger_sections(ledger) -> list[str]:
+    """Extract-status sections from the run ledger — the engine twin
+    of check_scraper_status.sh's per-source breakdown: rows extracted
+    per day STACKED by source, plus the per-source health table
+    (reference STATISTICS query / v_scraper_stats)."""
+    import pandas as pd  # noqa: F401  (toPandas dependency, tiny tables)
+
+    ok = (
+        ledger.latest_status()
+        .filter("status = 'Success' AND rows_processed IS NOT NULL")
+        .select("run_date", "process", "rows_processed")
+        .toPandas()
+    )
+    sections = []
+    if len(ok):
+        days = sorted({str(d) for d in ok["run_date"]})
+        procs = sorted(set(ok["process"]))
+        cell = {
+            (str(r.run_date), r.process): int(r.rows_processed)
+            for r in ok.itertuples()
+        }
+        series = {p: [cell.get((d, p), 0) for d in days] for p in procs}
+        sections.append(
+            "<h2>rows processed by day &amp; source</h2>\n"
+            + _svg_stacked_barchart(days, series)
+        )
+    stats = ledger.success_rate_view().toPandas()
+    if len(stats):
+        head = "".join(f"<th>{html.escape(c)}</th>" for c in stats.columns)
+        body = "".join(
+            "<tr>"
+            + "".join(f"<td>{html.escape(str(v))}</td>" for v in row)
+            + "</tr>"
+            for row in stats.itertuples(index=False)
+        )
+        sections.append(
+            "<h2>source health</h2>\n"
+            f'<table border="1" cellpadding="4"><tr>{head}</tr>{body}</table>'
+        )
+    return sections
+
+
 def render_dashboard(
     spark,
     dm_dir: str,
@@ -76,11 +169,14 @@ def render_dashboard(
     specs: tuple[AggSpec, ...] = DEFAULT_SPECS,
     top_n: int = 20,
     title: str = "Job market datamart",
+    ledger=None,
 ) -> str:
     """Render every datamart aggregate as a bar-chart section into one
     static HTML file; returns the path. Tables not built yet render as
     a placeholder (the reference dashboard shows empty charts the same
-    way before the first datamart load)."""
+    way before the first datamart load). Pass a `RunLedger` to append
+    the per-source extract-status sections (stacked daily rows +
+    health table)."""
     frames = serve_datamart(spark, dm_dir, specs)
     sections = []
     for s in specs:
@@ -93,6 +189,8 @@ def render_dashboard(
                 list(head[s.group_by]), [int(x) for x in head[s.count_alias]]
             )
         sections.append(f"<h2>{html.escape(s.table_name)}</h2>\n{body}")
+    if ledger is not None:
+        sections.extend(_ledger_sections(ledger))
     page = _PAGE.format(title=html.escape(title), sections="\n".join(sections))
     os.makedirs(os.path.dirname(html_path) or ".", exist_ok=True)
     with open(html_path, "w", encoding="utf-8") as fh:
