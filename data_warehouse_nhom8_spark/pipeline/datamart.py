@@ -68,6 +68,51 @@ def build_all_shared_scan(fact: DataFrame, specs: tuple[AggSpec, ...] = DEFAULT_
     return out
 
 
+def apply_change_feed(
+    prev_agg: DataFrame, feed: DataFrame, spec: AggSpec
+) -> DataFrame:
+    """Incremental datamart maintenance from a snapshot change feed —
+    the CDC consumer the reference's nightly drop-and-recreate never
+    had: instead of rescanning the fact table (S8), fold the day's
+    `snapshot_diff(..., emit_update_preimage=True)` feed into the
+    existing aggregate. insert/update_postimage rows add one to their
+    group; delete/update_preimage rows subtract one from theirs.
+    Groups that reach zero are dropped (drop-and-recreate parity:
+    a vanished group has no row, not a 0 row).
+
+    At 100 TB this is the difference between a full fact scan per
+    aggregate per day and a shuffle of just the changed rows — the
+    feed is increment-sized by construction. Equality with a from-
+    scratch rebuild is pytest-gated; requires the preimage feed shape
+    (a plain 'update' row cannot decrement the group the key left)."""
+    # misuse guard (bounded: LIMIT 1 over the increment-sized feed)
+    if feed.filter(F.col("_change") == "update").limit(1).count() > 0:
+        raise ValueError(
+            "apply_change_feed needs emit_update_preimage=True feeds; "
+            "a collapsed 'update' row cannot decrement the group the "
+            "key moved out of"
+        )
+    sign = F.when(F.col("_change").isin("insert", "update_postimage"), 1).otherwise(
+        -1
+    )
+    delta = (
+        feed.select(F.col(spec.group_by), sign.alias("__d"))
+        .groupBy(spec.group_by)
+        .agg(F.sum("__d").alias("__delta"))
+    )
+    return (
+        prev_agg.join(delta, on=spec.group_by, how="full_outer")
+        .select(
+            F.col(spec.group_by),
+            (
+                F.coalesce(F.col(spec.count_alias), F.lit(0))
+                + F.coalesce(F.col("__delta"), F.lit(0))
+            ).alias(spec.count_alias),
+        )
+        .filter(F.col(spec.count_alias) > 0)
+    )
+
+
 def serve_datamart(spark, out_dir: str, specs: tuple[AggSpec, ...] = DEFAULT_SPECS) -> dict:
     """Serving read path (S12): the reference's Flask dashboard reads
     each agg table and renders bar charts (datamart/app.py:36-66). The

@@ -139,6 +139,7 @@ def snapshot_diff(
     v_from: int,
     v_to: int,
     keys: list[str],
+    emit_update_preimage: bool = False,
 ) -> DataFrame:
     """Change feed between two retained versions — the engine's twin
     of a table format's CDC/change-data-feed: one row per key whose
@@ -152,7 +153,16 @@ def snapshot_diff(
     an update. Downstream incremental consumers apply the feed
     instead of re-reading the whole snapshot — at 100 TB the diff
     shuffles only the two versions' key/payload columns, and unchanged
-    keys are dropped before anything else happens."""
+    keys are dropped before anything else happens.
+
+    `emit_update_preimage=True` switches to the Delta-CDF row shape:
+    an updated key yields TWO rows, `_change='update_preimage'` with
+    the v_from payload and `'update_postimage'` with the v_to payload.
+    That is the shape aggregate maintenance needs — a count/sum
+    consumer subtracts the preimage and adds the postimage (see
+    `pipeline.datamart.apply_change_feed`); the default single
+    `'update'` row only carries where the key landed, not where it
+    left."""
     old = snapshot_read(spark, path, version=v_from)
     new = snapshot_read(spark, path, version=v_to)
     if set(old.columns) != set(new.columns):
@@ -185,24 +195,31 @@ def snapshot_diff(
     j = o.join(n, cond, "full_outer")
     in_old = F.col("__po").isNotNull()
     in_new = F.col("__pn").isNotNull()
-    change = (
-        F.when(~in_old, F.lit("insert"))
-        .when(~in_new, F.lit("delete"))
-        .when(~F.col("__po").eqNullSafe(F.col("__pn")), F.lit("update"))
+    changed = ~F.col("__po").eqNullSafe(F.col("__pn"))
+
+    def variant(tag: str, p: str):
+        return F.struct(F.lit(tag).alias("c"), F.col(p).alias("p"))
+
+    update_arr = (
+        F.array(
+            variant("update_preimage", "__po"), variant("update_postimage", "__pn")
+        )
+        if emit_update_preimage
+        else F.array(variant("update", "__pn"))
+    )
+    # one array of (change, payload) variants per joined key; explode
+    # drops unchanged keys (NULL array) with no separate filter
+    variants = (
+        F.when(~in_old, F.array(variant("insert", "__pn")))
+        .when(~in_new, F.array(variant("delete", "__po")))
+        .when(changed, update_arr)
     )
     out_keys = [
         F.coalesce(F.col(f"__kn_{k}"), F.col(f"__ko_{k}")).alias(k) for k in keys
     ]
-    out_payload = [
-        F.when(in_new, F.col("__pn").getField(c))
-        .otherwise(F.col("__po").getField(c))
-        .alias(c)
-        for c in payload
-    ]
-    return (
-        j.withColumn("_change", change)
-        .filter(F.col("_change").isNotNull())
-        .select(*out_keys, *out_payload, "_change")
+    out_payload = [F.col("__v.p").getField(c).alias(c) for c in payload]
+    return j.select(*out_keys, F.explode(variants).alias("__v")).select(
+        *keys, *out_payload, F.col("__v.c").alias("_change")
     )
 
 

@@ -213,3 +213,63 @@ def test_snapshot_diff_empty_for_identical_versions(spark, tmp_path):
     snapshot_overwrite(_df(spark, [("a", 1)]), path, keep=3)
     snapshot_overwrite(_df(spark, [("a", 1)]), path, keep=3)
     assert snapshot_diff(spark, path, 1, 2, keys=["k"]).count() == 0
+
+
+def test_snapshot_diff_update_preimage_rows(spark, tmp_path):
+    """Delta-CDF shape: an updated key yields a preimage row (old
+    payload) AND a postimage row (new payload); insert/delete are
+    unchanged."""
+    from data_warehouse_nhom8_spark.sources.snapshots import snapshot_diff
+
+    path = str(tmp_path / "t")
+    snapshot_overwrite(_df(spark, [("a", 1), ("b", 2), ("c", 3)]), path, keep=3)
+    snapshot_overwrite(_df(spark, [("a", 1), ("b", 20), ("d", 4)]), path, keep=3)
+    feed = {
+        (r["k"], r["v"], r["_change"])
+        for r in snapshot_diff(
+            spark, path, 1, 2, keys=["k"], emit_update_preimage=True
+        ).collect()
+    }
+    assert feed == {
+        ("b", 2, "update_preimage"),
+        ("b", 20, "update_postimage"),
+        ("c", 3, "delete"),
+        ("d", 4, "insert"),
+    }
+
+
+def test_incremental_datamart_equals_rebuild(spark, tmp_path):
+    """CDC consumer: folding the preimage change feed into yesterday's
+    aggregate must equal a from-scratch rebuild over today's snapshot —
+    including groups that vanish (dropped, not zero-rowed)."""
+    import pytest
+
+    from data_warehouse_nhom8_spark.pipeline.datamart import (
+        AggSpec,
+        apply_change_feed,
+        build_aggregate,
+    )
+    from data_warehouse_nhom8_spark.sources.snapshots import snapshot_diff
+
+    spec = AggSpec("agg_by_grp", "grp", "n")
+    path = str(tmp_path / "t")
+    day1 = [(1, "x"), (2, "x"), (3, "y"), (4, "z")]
+    # day 2: id2 moves x->y (update), id4/z deleted, id5/y inserted
+    day2 = [(1, "x"), (2, "y"), (3, "y"), (5, "y")]
+    mk = lambda rows: spark.createDataFrame(rows, "id long, grp string")  # noqa: E731
+    snapshot_overwrite(mk(day1), path, keep=3)
+    snapshot_overwrite(mk(day2), path, keep=3)
+
+    agg1 = build_aggregate(mk(day1), spec)
+    feed = snapshot_diff(spark, path, 1, 2, keys=["id"], emit_update_preimage=True)
+    got = {
+        (r["grp"], r["n"]) for r in apply_change_feed(agg1, feed, spec).collect()
+    }
+    want = {(r["grp"], r["n"]) for r in build_aggregate(mk(day2), spec).collect()}
+    assert got == want == {("x", 1), ("y", 3)}  # z vanished entirely
+
+    # collapsed 'update' feeds are rejected — they cannot decrement
+    # the group a key moved out of
+    plain = snapshot_diff(spark, path, 1, 2, keys=["id"])
+    with pytest.raises(ValueError, match="preimage"):
+        apply_change_feed(agg1, plain, spec)
