@@ -298,6 +298,7 @@ def snapshot_compact(
     path: str,
     target_file_bytes: int = 128 << 20,
     schema: T.StructType | None = None,
+    zorder_by: list[str] | None = None,
 ) -> str | None:
     """Small-files compaction: rewrite the live version into
     ~target_file_bytes parquet files through the same atomic commit.
@@ -312,7 +313,14 @@ def snapshot_compact(
     IO-bound), and commits as the next version; concurrent readers
     keep the old version until their scan ends (keep=2 GC). No-op
     (returns None) when the live version is already at or below the
-    target file count."""
+    target file count.
+
+    `zorder_by=[cols]` additionally re-CLUSTERS the rewrite (see
+    `sources.layout`): files then cover hyper-rectangles of the named
+    columns' key space, so selective filters on any of them prune at
+    the file level. Costs a shuffle (inherent to re-clustering — the
+    OPTIMIZE ZORDER cost), and runs even when the file count is
+    already at target: clustering, not just merging, is the point."""
     df = snapshot_read(spark, path, schema)
     if df is None:
         return None
@@ -325,6 +333,12 @@ def snapshot_compact(
     ]
     total = sum(os.path.getsize(f) for f in files)
     n_target = max(1, -(-total // target_file_bytes))
+    if zorder_by:
+        from data_warehouse_nhom8_spark.sources.layout import cluster_by_zorder
+
+        return snapshot_overwrite(
+            cluster_by_zorder(df, zorder_by, n_target), path, schema
+        )
     if len(files) <= n_target:
         return None
     return snapshot_overwrite(df.coalesce(n_target), path, schema)

@@ -1,0 +1,100 @@
+"""Z-order clustering (sources.layout): file-level min-max locality
+on EVERY clustered column — the property parquet stats pruning needs.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_warehouse_nhom8_spark.sources.layout import (
+    cluster_by_zorder,
+    zorder_value_col,
+)
+
+
+def _grid(spark, n=64):
+    """n x n grid of (x, y) — two independent uniform dimensions."""
+    return (
+        spark.range(n * n)
+        .select(
+            (F.col("id") % n).cast("double").alias("x"),
+            (F.col("id") / n).cast("long").cast("double").alias("y"),
+        )
+    )
+
+
+def _mean_file_span(spark, path, col, n_files):
+    per_file = (
+        spark.read.parquet(path)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg((F.max(col) - F.min(col)).alias("span"))
+        .collect()
+    )
+    assert len(per_file) == n_files
+    return sum(r["span"] for r in per_file) / len(per_file)
+
+
+def test_zorder_files_cover_hyper_rectangles(spark, tmp_path):
+    """Z-clustered files must have small spans in BOTH dimensions;
+    a plain single-column sort leaves the other dimension at full
+    span in every file (the failure z-order exists to fix)."""
+    df = _grid(spark)
+    n_files = 16
+    zpath = str(tmp_path / "z")
+    cluster_by_zorder(df, ["x", "y"], n_files).write.parquet(zpath)
+    xpath = str(tmp_path / "xsort")
+    df.repartitionByRange(n_files, "x").sortWithinPartitions("x").write.parquet(xpath)
+
+    full = 63.0
+    zx, zy = (_mean_file_span(spark, zpath, c, n_files) for c in ("x", "y"))
+    sx, sy = (_mean_file_span(spark, xpath, c, n_files) for c in ("x", "y"))
+    # both dims localized under z-order (16 files over a 64x64 grid →
+    # ideal spans ~1/4 of full); generous 0.5 bound for range-splits
+    assert zx <= 0.5 * full and zy <= 0.5 * full, (zx, zy)
+    # the x-sorted layout localizes x but leaves y at ~full span
+    assert sx <= 0.2 * full
+    assert sy >= 0.9 * full
+
+
+def test_zorder_value_properties(spark):
+    df = _grid(spark, 16)
+    z = df.select(zorder_value_col(df, ["x", "y"], bits=8).alias("z"))
+    vals = [r["z"] for r in z.collect()]
+    # deterministic, non-negative, within 2*bits interleave width
+    assert min(vals) >= 0 and max(vals) < (1 << 16)
+    assert len(set(vals)) > 200  # distinct cells map to distinct z's
+
+
+def test_zorder_rejects_bad_inputs(spark):
+    df = _grid(spark).withColumn("s", F.lit("str"))
+    with pytest.raises(ValueError, match="range-comparable"):
+        zorder_value_col(df, ["s"], bits=8)
+    with pytest.raises(ValueError, match="signed long"):
+        zorder_value_col(df, ["x", "y"], bits=32)
+    with pytest.raises(ValueError, match="at least one"):
+        zorder_value_col(df, [], bits=8)
+
+
+def test_compact_with_zorder_recluster(spark, tmp_path):
+    """snapshot_compact(zorder_by=...) rewrites the live version
+    z-clustered through the same atomic commit."""
+    from data_warehouse_nhom8_spark.sources.snapshots import (
+        snapshot_compact,
+        snapshot_read,
+        snapshot_overwrite,
+    )
+
+    path = str(tmp_path / "t")
+    df = _grid(spark, 32)
+    snapshot_overwrite(df.repartition(8), path)
+    out = snapshot_compact(
+        spark, path, target_file_bytes=16 << 10, zorder_by=["x", "y"]
+    )
+    assert out is not None and out.endswith("v00000002")
+    got = snapshot_read(spark, path)
+    assert got.count() == 32 * 32
+    # same rows, new layout
+    assert got.agg(F.sum("x"), F.sum("y")).collect() == df.agg(
+        F.sum("x"), F.sum("y")
+    ).collect()
