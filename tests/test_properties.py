@@ -227,3 +227,59 @@ def test_scd2_random_replays_keep_invariants(spark, days):
         # rerun same day: identical snapshot
         again = scd2_merge(snap, inc, ["job_title"], ["salary"], d)
         assert _rowset(again) == sorted(rows, key=lambda r: tuple(map(repr, r)))
+
+
+# ------------------------------------------- change feed / CDC consumer
+
+# two random keyed tables: dict key -> group label; overlapping key
+# spaces so every change shape (insert/delete/group-move update)
+# occurs across examples
+_tbl = st.dictionaries(
+    st.integers(min_value=0, max_value=24),
+    st.sampled_from(["g1", "g2", "g3"]),
+    max_size=20,
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(_tbl, _tbl)
+def test_change_feed_and_incremental_agg_match_rebuild(spark, tmp_path_factory, t1, t2):
+    """Random version pairs: (a) the preimage feed replays v1 into v2
+    exactly; (b) folding the feed into v1's aggregate equals a
+    from-scratch rebuild over v2."""
+    from data_warehouse_nhom8_spark.pipeline.datamart import (
+        AggSpec,
+        apply_change_feed,
+        build_aggregate,
+    )
+    from data_warehouse_nhom8_spark.sources.snapshots import (
+        snapshot_diff,
+        snapshot_overwrite,
+    )
+
+    path = str(tmp_path_factory.mktemp("cdc") / "t")
+    mk = lambda t: spark.createDataFrame(  # noqa: E731
+        list(t.items()) or [(None, None)], "id long, grp string"
+    ).filter(F.col("id").isNotNull())
+    snapshot_overwrite(mk(t1), path, keep=3)
+    snapshot_overwrite(mk(t2), path, keep=3)
+    feed = snapshot_diff(spark, path, 1, 2, keys=["id"], emit_update_preimage=True)
+    rows = feed.collect()
+
+    # (a) replay: v1 + feed == v2
+    state = dict(t1)
+    for r in sorted(rows, key=lambda r: r["_change"] != "update_preimage"):
+        if r["_change"] in ("delete", "update_preimage"):
+            assert state.pop(r["id"]) == r["grp"]
+        else:  # insert / update_postimage
+            state[r["id"]] = r["grp"]
+    assert state == t2
+
+    # (b) incremental aggregate == rebuild
+    spec = AggSpec("agg", "grp", "n")
+    got = {
+        (r["grp"], r["n"])
+        for r in apply_change_feed(build_aggregate(mk(t1), spec), feed, spec).collect()
+    }
+    want = {(r["grp"], r["n"]) for r in build_aggregate(mk(t2), spec).collect()}
+    assert got == want
