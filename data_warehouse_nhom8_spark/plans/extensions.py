@@ -294,8 +294,13 @@ def q52_lsh_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cast expression would re-convert the 128-float array once per
     # plane; the staged attribute is referenced 16× so CollapseProject
     # keeps it (~20% faster, bit-identical)
-    staged = c.embeddings.select(
-        F.col("embedding").cast("array<double>").alias("__v")
+    from data_warehouse_nhom8_spark.session import repartition_if_split_starved
+
+    # the 12 per-plane interpreted folds are CPU-bound: a single-file
+    # local scan would cap them at one core (no-op on multi-split data;
+    # bucket is per-row and the agg is a count, so order-independent)
+    staged = repartition_if_split_starved(
+        c.embeddings.select(F.col("embedding").cast("array<double>").alias("__v"))
     )
     return (
         staged.select(
