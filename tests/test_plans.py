@@ -191,3 +191,45 @@ def test_repetition_stats_two_level_partial_agg(spark):
     p = plan_of(spark, "q65_repetition_quality")
     assert p.count("partial_count") >= 1 and "partial_sum" in p
     assert p.count("FileScan parquet") == 1
+
+
+def test_q71_semi_join_with_residual(spark):
+    """Q4 shape: the EXISTS compiles to a LEFT SEMI join (never a
+    count-and-filter subquery rewrite) with the date filters pushed to
+    the orders scan."""
+    p = plan_of(spark, "q71_late_shipment_priority")
+    assert "LeftSemi" in p
+    assert "GreaterThanOrEqual(o_orderdate" in p, "orders window must push to scan"
+
+
+def test_q73_aggregates_before_joining(spark):
+    """Q18 shape: the HAVING sum(qty)>300 must run on the groupBy
+    OUTPUT before either join (join inputs are qualifying orders only),
+    and the top-100 must be TakeOrderedAndProject."""
+    p = plan_of(spark, "q73_large_volume_customer")
+    assert "TakeOrderedAndProject" in p
+    assert "(sum_qty" in p and "> 300.0" in p, "agg-filter must precede the joins"
+
+
+def test_q74_single_fact_scan(spark):
+    """Q15 shape: the MAX-revenue scalar must come from a window over
+    the agg output, not a second scan of lineitem."""
+    p = plan_of(spark, "q74_top_supplier")
+    assert p.count("lineitem.parquet") == 1, "fact must be scanned once"
+    assert "Window" in p
+
+
+def test_q77_broadcasts_nation_and_takes_top20(spark):
+    p = plan_of(spark, "q77_returned_item_revenue")
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p
+    assert "EqualTo(l_returnflag,R)" in p, "returnflag filter must push to scan"
+
+
+def test_q76_window_is_bounded_frame(spark):
+    """The moving average must be a bounded ROWS frame (sliding, O(1)
+    state per row) — not an unbounded running frame."""
+    p = plan_of(spark, "q76_moving_avg_order_value")
+    assert "specifiedwindowframe(RowFrame, -2, currentrow$())" in p
+    assert "unboundedpreceding" not in p.lower()
+    assert "CartesianProduct" not in p
