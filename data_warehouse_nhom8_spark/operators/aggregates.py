@@ -147,6 +147,57 @@ def kll_quantile_rollup(
     return fine, coarse
 
 
+def freq_candidate_rollup(
+    df: DataFrame,
+    fine_keys: list[str],
+    coarse_keys: list[str],
+    item_col: str,
+    m: int = 100,
+    k: int = 5,
+) -> tuple[DataFrame, DataFrame]:
+    """Mergeable heavy-hitter rollup — the frequency member of the
+    sketch-store family (HLL=distinct, KLL=quantiles, theta=sets,
+    this=frequent items).
+
+    Per fine cell, keep the exact local top-``m`` (item, count) pairs —
+    a bounded candidate list, the SpaceSaving/Misra-Gries store shape.
+    Any coarser rollup sums the stored candidate counts per item and
+    takes its top-``k``; the fact table is never rescanned.
+
+    Guarantees (pinned in tests/test_tables_stateful.py):
+    - stored counts are exact per cell, so the merged count is a LOWER
+      BOUND on the true count, short by at most the item's mass in
+      cells where it fell outside the local top-m — bounded by
+      Σ_cells floor(N_cell / (m+1));
+    - every item with true coarse count > Σ_cells N_cell/(m+1) appears
+      in the merged head (it cannot be truncated everywhere);
+    - when m ≥ per-cell item cardinality nothing truncates and the
+      rollup is bit-exact (the certification setting for q78).
+
+    Scale notes: the (cell, item) count partial-aggregates map-side;
+    the local top-m compiles to WindowGroupLimit (each task prunes to
+    m before the shuffle); the merge shuffles only the ≤ m×cells
+    candidate rows. No global frequency sort ever happens.
+    """
+    from pyspark.sql.window import Window
+
+    counts = df.groupBy(*fine_keys, item_col).agg(F.count(F.lit(1)).alias("cnt"))
+    w_fine = Window.partitionBy(*fine_keys).orderBy(F.desc("cnt"), F.col(item_col))
+    fine = (
+        counts.withColumn("__rk", F.row_number().over(w_fine))
+        .filter(F.col("__rk") <= m)
+        .drop("__rk")
+    )
+    merged = fine.groupBy(*coarse_keys, item_col).agg(F.sum("cnt").alias("lb_count"))
+    w_coarse = Window.partitionBy(*coarse_keys).orderBy(
+        F.desc("lb_count"), F.col(item_col)
+    )
+    head = merged.withColumn("rank", F.row_number().over(w_coarse)).filter(
+        F.col("rank") <= k
+    )
+    return fine, head
+
+
 def theta_user_overlap(
     df: DataFrame,
     entity_col: str,

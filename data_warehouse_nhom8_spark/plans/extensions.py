@@ -883,6 +883,68 @@ def q70_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q78_freq_head_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable heavy-hitter rollup (aggregates.freq_candidate_rollup):
+    per-(event_type, day) bounded candidate lists of the most active
+    users, merged up to per-type top-5 — the frequency member of the
+    sketch-store family (q62=HLL distinct, q68=KLL quantiles,
+    q69=theta sets).
+
+    Certified exactly: at the driver's gate m=200 exceeds per-cell user
+    cardinality, so nothing truncates and the merged counts equal the
+    exact per-type counts the DuckDB twin computes in one GROUP BY.
+    The truncating (approximate) regime and its lower-bound/coverage
+    guarantees are pinned separately on a planted-skew fixture in
+    tests/test_tables_stateful.py."""
+    from data_warehouse_nhom8_spark.operators.aggregates import freq_candidate_rollup
+
+    c = Catalog(spark, sf_dir)
+    ev = c.events.select("event_type", F.to_date("ts").alias("day"), "user_id")
+    _fine, head = freq_candidate_rollup(
+        ev, ["event_type", "day"], ["event_type"], "user_id", m=200, k=5
+    )
+    return head.select(
+        "event_type",
+        "user_id",
+        F.col("lb_count").alias("n_events"),
+        F.col("rank").cast("long").alias("rank"),
+    ).orderBy("event_type", "rank")
+
+
+def q79_order_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE decile segmentation of orders by value — the ranking-
+    window complement of q45's approximate percentiles: assign each
+    order to a value decile (total order: price desc, orderkey asc, so
+    tie placement is engine-independent), then aggregate per decile.
+
+    Scale notes: ntile over an unpartitioned window is a single-
+    partition sort of (price, orderkey) pairs — for true 100 TB use
+    the KLL boundaries (q68) instead; this query exists to certify
+    the ranking-window surface itself. The per-decile rollup
+    partial-aggregates as usual."""
+    from pyspark.sql.window import Window
+
+    c = Catalog(spark, sf_dir)
+    w = Window.orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        c.orders.select(
+            "o_orderkey",
+            "o_totalprice",
+            F.ntile(10).over(w).cast("long").alias("decile"),
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+            F.min("o_totalprice").alias("min_value"),
+            F.max("o_totalprice").alias("max_value"),
+        )
+        .orderBy("decile")
+    )
+
+
 EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q33_exact_dedup_docs": q33_exact_dedup_docs,
     "q34_token_counts": q34_token_counts,
@@ -919,6 +981,8 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q68_kll_quantile_rollup": q68_kll_quantile_rollup,
     "q69_theta_retention": q69_theta_retention,
     "q70_sliding_rollup": q70_sliding_rollup,
+    "q78_freq_head_rollup": q78_freq_head_rollup,
+    "q79_order_value_deciles": q79_order_value_deciles,
 }
 
 EXTENSION_ORACLES: dict[str, str] = {
@@ -1324,5 +1388,31 @@ EXTENSION_ORACLES: dict[str, str] = {
         FROM events CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS k) grid
         GROUP BY 1, 2
         ORDER BY w_start
+    """,
+    "q78_freq_head_rollup": """
+        WITH c AS (
+          SELECT event_type, user_id, COUNT(*) AS n_events
+          FROM events GROUP BY event_type, user_id
+        ), r AS (
+          SELECT event_type, user_id, n_events,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY n_events DESC, user_id) AS rank
+          FROM c
+        )
+        SELECT event_type, user_id, n_events, rank
+        FROM r WHERE rank <= 5
+        ORDER BY event_type, rank
+    """,
+    "q79_order_value_deciles": """
+        WITH d AS (
+          SELECT o_orderkey, o_totalprice,
+                 NTILE(10) OVER (ORDER BY o_totalprice DESC, o_orderkey) AS decile
+          FROM orders
+        )
+        SELECT decile, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+               MIN(o_totalprice) AS min_value,
+               MAX(o_totalprice) AS max_value
+        FROM d GROUP BY decile ORDER BY decile
     """,
 }

@@ -233,3 +233,12 @@ def test_q76_window_is_bounded_frame(spark):
     assert "specifiedwindowframe(RowFrame, -2, currentrow$())" in p
     assert "unboundedpreceding" not in p.lower()
     assert "CartesianProduct" not in p
+
+
+def test_q78_local_topm_prunes_map_side(spark):
+    """The per-cell candidate list must prune to m via WindowGroupLimit
+    (each task keeps its local top-m before the shuffle) — never a full
+    (cell, item) sort."""
+    p = plan_of(spark, "q78_freq_head_rollup")
+    assert "WindowGroupLimit" in p
+    assert "partial_count" in p, "the (cell,item) count must map-side combine"

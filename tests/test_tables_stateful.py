@@ -89,3 +89,72 @@ def test_approx_distinct_within_tolerance(spark):
     for r in rows:
         err = abs(r["approx_users"] - r["exact_users"]) / max(r["exact_users"], 1)
         assert err <= 0.05, f"{r['event_type']}: {r['approx_users']} vs {r['exact_users']}"
+
+
+def test_freq_candidate_rollup_exact_when_m_covers(spark):
+    """m ≥ per-cell cardinality ⇒ nothing truncates and the merged
+    head equals the exact per-coarse-key counts (q78's certification
+    regime)."""
+    from data_warehouse_nhom8_spark.operators.aggregates import freq_candidate_rollup
+    from data_warehouse_nhom8_spark.sources import load_table
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_type", F.to_date("ts").alias("day"), "user_id"
+    )
+    _fine, head = freq_candidate_rollup(
+        ev, ["event_type", "day"], ["event_type"], "user_id", m=10_000, k=3
+    )
+    got = {
+        (r.event_type, r.user_id): r.lb_count
+        for r in head.collect()
+    }
+    exact = {
+        (r.event_type, r.user_id): r.n
+        for r in ev.groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got, "head must be non-empty"
+    for key, lb in got.items():
+        assert lb == exact[key], f"{key}: merged {lb} != exact {exact[key]}"
+
+
+def test_freq_candidate_rollup_truncation_guarantees(spark):
+    """Planted-skew fixture in the truncating regime (m=2): the heavy
+    hitter survives the per-cell truncation, its merged count is a
+    lower bound on the true count, and the shortfall stays within the
+    Misra-Gries bound Σ_cells floor(N_cell/(m+1))."""
+    from data_warehouse_nhom8_spark.operators.aggregates import freq_candidate_rollup
+
+    rows = []
+    # 6 cells; in each: heavy item 'hh' 5×, then 4 tail items 1-3× —
+    # tail items rotate per cell so no tail item accumulates globally
+    for cell in range(6):
+        rows += [("g", cell, "hh")] * 5
+        for t in range(4):
+            rows += [("g", cell, f"t{cell}_{t}")] * (1 + (cell + t) % 3)
+    df = spark.createDataFrame(rows, "grp string, cell int, item string")
+    m = 2
+    fine, head = freq_candidate_rollup(
+        df, ["grp", "cell"], ["grp"], "item", m=m, k=3
+    )
+    # per-cell candidate lists are bounded by m
+    fine_counts = fine.groupBy("grp", "cell").count().collect()
+    assert all(r["count"] <= m for r in fine_counts)
+
+    exact = {
+        r.item: r.n
+        for r in df.groupBy("item").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    cell_sizes = [r["count"] for r in df.groupBy("cell").count().collect()]
+    slack = sum(n // (m + 1) for n in cell_sizes)
+
+    got = {r.item: r.lb_count for r in head.collect()}
+    assert "hh" in got, "heavy hitter must survive truncation"
+    for item, lb in got.items():
+        assert lb <= exact[item], "merged count must be a lower bound"
+        assert exact[item] - lb <= slack, (
+            f"{item}: shortfall {exact[item] - lb} exceeds MG bound {slack}"
+        )
+    # the heavy hitter is in every cell's top-m, so its bound is exact
+    assert got["hh"] == exact["hh"]
