@@ -121,6 +121,12 @@ def get_spark(
         .config("spark.sql.session.timeZone", session_tz)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # write timestamps as TIMESTAMP_MICROS, not the legacy INT96:
+        # INT96 columns carry NO parquet min/max statistics, which
+        # silently disables row-group pushdown AND the engine's
+        # file-level stats manifest (sources.layout) on every time
+        # column — the most common prune dimension at 100 TB
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

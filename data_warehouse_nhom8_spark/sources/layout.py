@@ -102,3 +102,134 @@ def cluster_by_zorder(
         .sortWithinPartitions("__z")
         .drop("__z")
     )
+
+
+# --------------------------------------------------------------------------
+# File-level data skipping: a min/max stats manifest over a version dir —
+# the read-side payoff of z-clustering. Table formats keep exactly this in
+# their metadata layer (Iceberg manifest files' lower_bounds/upper_bounds,
+# Delta's stats JSON in the transaction log); on plain parquet Spark can
+# only prune ROW GROUPS after opening every footer, so at 100 TB a
+# selective query still pays one footer round-trip per file. The manifest
+# collapses that to one control-plane read, and lets the planner drop
+# files before the scan is even constructed.
+
+_MANIFEST = "_STATS.json"
+
+
+def _stat_to_jsonable(v):
+    """Parquet footer stats → comparable JSON scalar. Timestamps/dates
+    become epoch micros/days so comparison is numeric and timezone-free;
+    bytes (undecodable) are rejected → the column gets no stats and its
+    files are never skipped (fail-open)."""
+    import datetime
+
+    if isinstance(v, datetime.datetime):
+        epoch = datetime.datetime(1970, 1, 1, tzinfo=v.tzinfo)
+        return (v - epoch) // datetime.timedelta(microseconds=1)
+    if isinstance(v, datetime.date):
+        return (v - datetime.date(1970, 1, 1)).days
+    if isinstance(v, (int, float, str)):
+        return v
+    raise TypeError(type(v))
+
+
+def _bound_to_comparable(v):
+    """User-supplied predicate bound → the same comparable space as
+    `_stat_to_jsonable` (datetime/date converted identically)."""
+    return _stat_to_jsonable(v)
+
+
+def write_stats_manifest(vdir: str, cols: list[str]) -> dict:
+    """Collect per-file min/max for `cols` from parquet FOOTERS (no data
+    is read — the stats were already computed by the writing executors)
+    and persist them atomically as `_STATS.json` in the version dir.
+
+    Driver cost is O(files × cols) scalars — control-plane sized, the
+    same budget as a table format's manifest. Columns whose stats are
+    absent or non-serializable are recorded as null (those files are
+    kept by the pruner: data skipping must fail open)."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    manifest: dict[str, dict] = {}
+    for name in sorted(os.listdir(vdir)):
+        if not name.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(vdir, name)).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        per_col: dict[str, list | None] = {}
+        for c in cols:
+            if c not in idx:
+                per_col[c] = None
+                continue
+            mn = mx = None
+            ok = True
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx[c]).statistics
+                if st is None or not st.has_min_max:
+                    ok = False
+                    break
+                try:
+                    lo, hi = _stat_to_jsonable(st.min), _stat_to_jsonable(st.max)
+                except TypeError:
+                    ok = False
+                    break
+                mn = lo if mn is None or lo < mn else mn
+                mx = hi if mx is None or hi > mx else mx
+            per_col[c] = [mn, mx] if ok and mn is not None else None
+        manifest[name] = per_col
+    payload = {"columns": cols, "files": manifest}
+    tmp = os.path.join(vdir, _MANIFEST + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump(payload, fh)
+    os.replace(tmp, os.path.join(vdir, _MANIFEST))
+    return payload
+
+
+def read_stats_manifest(vdir: str) -> dict | None:
+    import json
+    import os
+
+    try:
+        with open(os.path.join(vdir, _MANIFEST)) as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        return None
+
+
+def prune_files(vdir: str, ranges: dict) -> tuple[list[str], int]:
+    """File paths whose stats MAY satisfy every range in `ranges`
+    ({col: (lo, hi)}, either bound None for open), plus the total file
+    count. Files without usable stats for a predicate column are kept
+    (fail-open). With no manifest, everything is kept — the result is
+    always a superset of the matching files, so a residual filter on
+    the returned scan yields exactly the full-scan answer."""
+    import os
+
+    all_files = sorted(
+        os.path.join(vdir, f) for f in os.listdir(vdir) if f.endswith(".parquet")
+    )
+    manifest = read_stats_manifest(vdir)
+    if manifest is None or not ranges:
+        return all_files, len(all_files)
+    kept = []
+    for path in all_files:
+        stats = manifest["files"].get(os.path.basename(path), {})
+        keep = True
+        for col, (lo, hi) in ranges.items():
+            s = stats.get(col)
+            if s is None:
+                continue  # no stats for this column in this file: keep
+            mn, mx = s
+            if lo is not None and mx < _bound_to_comparable(lo):
+                keep = False
+                break
+            if hi is not None and mn > _bound_to_comparable(hi):
+                keep = False
+                break
+        if keep:
+            kept.append(path)
+    return kept, len(all_files)

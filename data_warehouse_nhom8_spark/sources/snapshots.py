@@ -299,6 +299,7 @@ def snapshot_compact(
     target_file_bytes: int = 128 << 20,
     schema: T.StructType | None = None,
     zorder_by: list[str] | None = None,
+    stats_cols: list[str] | None = None,
 ) -> str | None:
     """Small-files compaction: rewrite the live version into
     ~target_file_bytes parquet files through the same atomic commit.
@@ -320,7 +321,13 @@ def snapshot_compact(
     columns' key space, so selective filters on any of them prune at
     the file level. Costs a shuffle (inherent to re-clustering — the
     OPTIMIZE ZORDER cost), and runs even when the file count is
-    already at target: clustering, not just merging, is the point."""
+    already at target: clustering, not just merging, is the point.
+
+    `stats_cols=[cols]` writes a `_STATS.json` min/max manifest over
+    the rewritten files (footer-derived, no data read) so
+    `snapshot_scan` can skip files entirely — the read-side payoff of
+    the z-clustering, and the metadata layer a table format would
+    maintain per commit."""
     df = snapshot_read(spark, path, schema)
     if df is None:
         return None
@@ -333,15 +340,61 @@ def snapshot_compact(
     ]
     total = sum(os.path.getsize(f) for f in files)
     n_target = max(1, -(-total // target_file_bytes))
+    out = None
     if zorder_by:
         from data_warehouse_nhom8_spark.sources.layout import cluster_by_zorder
 
-        return snapshot_overwrite(
+        out = snapshot_overwrite(
             cluster_by_zorder(df, zorder_by, n_target), path, schema
         )
-    if len(files) <= n_target:
-        return None
-    return snapshot_overwrite(df.coalesce(n_target), path, schema)
+    elif len(files) > n_target:
+        out = snapshot_overwrite(df.coalesce(n_target), path, schema)
+    if stats_cols:
+        from data_warehouse_nhom8_spark.sources.layout import write_stats_manifest
+
+        # a no-op compaction still refreshes the manifest over the live
+        # version — footer-only, so stats stay available either way
+        write_stats_manifest(out if out is not None else vdir, stats_cols)
+    return out
+
+
+def snapshot_scan(
+    spark: SparkSession,
+    path: str,
+    ranges: dict,
+    schema: T.StructType | None = None,
+    version: int | None = None,
+) -> tuple[DataFrame | None, int, int]:
+    """Stats-pruned scan of a snapshot version: consult the version's
+    `_STATS.json` manifest (written by `snapshot_compact(stats_cols=)`)
+    and build the DataFrame over ONLY the files whose min/max ranges
+    may satisfy `ranges` ({col: (lo, hi)}).
+
+    Returns (df_or_None, files_selected, files_total). The caller MUST
+    still apply the exact predicate — pruning is a superset guarantee,
+    not a filter (identical to how a table format's planner uses its
+    manifest: skip what provably can't match, scan the rest, filter
+    row-wise). With no manifest the scan falls back to every file, so
+    correctness never depends on maintenance having run. An empty
+    selection returns (None, 0, total) — no empty-relation scan to
+    plan."""
+    if version is None:
+        version = _current_version(path)
+        if version is None:
+            return None, 0, 0
+    elif version not in snapshot_versions(path):
+        raise FileNotFoundError(
+            f"version {version} of {path} is not retained "
+            f"(have {snapshot_versions(path)})"
+        )
+    from data_warehouse_nhom8_spark.sources.layout import prune_files
+
+    vdir = os.path.join(path, f"v{version:08d}")
+    files, total = prune_files(vdir, ranges)
+    if not files:
+        return None, 0, total
+    r = spark.read.schema(schema) if schema is not None else spark.read
+    return r.parquet(*files), len(files), total
 
 
 def _gc_versions(path: str, committed: int, keep: int) -> None:

@@ -98,3 +98,98 @@ def test_compact_with_zorder_recluster(spark, tmp_path):
     assert got.agg(F.sum("x"), F.sum("y")).collect() == df.agg(
         F.sum("x"), F.sum("y")
     ).collect()
+
+
+def test_stats_manifest_prunes_files_and_preserves_results(spark, tmp_path):
+    """The read-side payoff chain: z-cluster → footer stats manifest →
+    snapshot_scan prunes most files for a selective 2-D range — and the
+    pruned scan + residual filter equals the full-scan answer exactly."""
+    from data_warehouse_nhom8_spark.sources.snapshots import (
+        snapshot_compact,
+        snapshot_overwrite,
+        snapshot_read,
+        snapshot_scan,
+    )
+
+    path = str(tmp_path / "t")
+    snapshot_overwrite(_grid(spark, 64).repartition(8), path)
+    out = snapshot_compact(
+        spark,
+        path,
+        target_file_bytes=2 << 10,
+        zorder_by=["x", "y"],
+        stats_cols=["x", "y"],
+    )
+    assert out is not None
+
+    pred = (F.col("x") >= 8) & (F.col("x") <= 15) & (F.col("y") >= 8) & (F.col("y") <= 15)
+    ranges = {"x": (8, 15), "y": (8, 15)}
+    df, n_sel, n_total = snapshot_scan(spark, path, ranges)
+    assert n_total > 4, "compaction should have produced several files"
+    assert n_sel < n_total, "a selective 2-D range must skip files"
+
+    got = sorted((r.x, r.y) for r in df.filter(pred).collect())
+    want = sorted(
+        (r.x, r.y) for r in snapshot_read(spark, path).filter(pred).collect()
+    )
+    assert got == want and len(want) == 64
+
+
+def test_stats_scan_fails_open_without_manifest(spark, tmp_path):
+    """No manifest ⇒ every file is scanned (correctness never depends
+    on maintenance having run)."""
+    from data_warehouse_nhom8_spark.sources.snapshots import (
+        snapshot_overwrite,
+        snapshot_scan,
+    )
+
+    path = str(tmp_path / "t")
+    snapshot_overwrite(_grid(spark, 16).repartition(4), path)
+    df, n_sel, n_total = snapshot_scan(spark, path, {"x": (0, 1)})
+    assert n_sel == n_total > 0
+    assert df.count() == 16 * 16
+
+
+def test_stats_scan_empty_selection(spark, tmp_path):
+    """A range wholly outside the data returns (None, 0, total)."""
+    from data_warehouse_nhom8_spark.sources.snapshots import (
+        snapshot_compact,
+        snapshot_overwrite,
+        snapshot_scan,
+    )
+
+    path = str(tmp_path / "t")
+    snapshot_overwrite(_grid(spark, 16).repartition(4), path)
+    snapshot_compact(
+        spark, path, target_file_bytes=16 << 10, zorder_by=["x"], stats_cols=["x"]
+    )
+    df, n_sel, n_total = snapshot_scan(spark, path, {"x": (1000, 2000)})
+    assert df is None and n_sel == 0 and n_total > 0
+
+
+def test_stats_manifest_timestamp_columns(spark, tmp_path):
+    """Timestamp stats round through epoch-micros; datetime bounds
+    prune correctly."""
+    import datetime
+
+    from data_warehouse_nhom8_spark.sources.layout import (
+        prune_files,
+        write_stats_manifest,
+    )
+
+    df = spark.range(1000).select(
+        (F.lit("2024-01-01 00:00:00").cast("timestamp")
+         + F.make_interval(hours=F.col("id"))).alias("ts"),
+        F.col("id"),
+    )
+    vdir = str(tmp_path / "v")
+    df.repartitionByRange(8, "ts").sortWithinPartitions("ts").write.parquet(vdir)
+    write_stats_manifest(vdir, ["ts"])
+    lo = datetime.datetime(2024, 1, 1, 0)
+    hi = datetime.datetime(2024, 1, 2, 0)
+    kept, total = prune_files(vdir, {"ts": (lo, hi)})
+    assert total == 8 and 0 < len(kept) < total
+    got = spark.read.parquet(*kept).filter(
+        (F.col("ts") >= F.lit(lo)) & (F.col("ts") <= F.lit(hi))
+    ).count()
+    assert got == 25  # hours 0..24 inclusive
