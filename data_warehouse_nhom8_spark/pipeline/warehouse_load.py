@@ -84,6 +84,26 @@ def load_day_to_warehouse(
     return snapshot
 
 
+def staging_day_scan(spark, staging_path: str, day: datetime.date | str):
+    """Stats-pruned read of one day's staging increment — the S9
+    `--where DATE(...)` dump filter, answered from the snapshot's
+    `_STATS.json` manifest when table maintenance has written one
+    (`snapshot_compact(stats_cols=["extracted_date"])`): files whose
+    extracted_date range excludes the day are never opened. Falls back
+    to the full file list with the same row-level filter when no
+    manifest exists — identical results either way (the manifest is a
+    superset guarantee, the exact filter always applies)."""
+    from data_warehouse_nhom8_spark.sources.snapshots import snapshot_scan
+
+    day = datetime.date.fromisoformat(day) if isinstance(day, str) else day
+    df, _sel, _total = snapshot_scan(
+        spark, staging_path, {"extracted_date": (day, day)}
+    )
+    if df is None:
+        return None
+    return df.filter(F.col("extracted_date") == F.lit(day))
+
+
 def merge_metrics(snapshot: DataFrame, day: datetime.date) -> dict[str, int]:
     """The ROW_COUNT() accounting (A5): how many rows this day's merge
     expired vs inserted, plus the live total — one aggregate pass."""

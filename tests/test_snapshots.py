@@ -273,3 +273,54 @@ def test_incremental_datamart_equals_rebuild(spark, tmp_path):
     plain = snapshot_diff(spark, path, 1, 2, keys=["id"])
     with pytest.raises(ValueError, match="preimage"):
         apply_change_feed(agg1, plain, spec)
+
+
+def test_staging_day_scan_prunes_by_manifest(spark, tmp_path):
+    """The S9 day-filter read path consumes the stats manifest: after a
+    date-clustered compaction only the day's files are opened, and the
+    result equals the plain filtered read exactly (fail-open without a
+    manifest is covered in test_layout)."""
+    import datetime
+
+    from data_warehouse_nhom8_spark.pipeline.warehouse_load import staging_day_scan
+    from data_warehouse_nhom8_spark.sources.snapshots import (
+        snapshot_compact,
+        snapshot_overwrite,
+        snapshot_read,
+    )
+
+    path = str(tmp_path / "staging")
+    days = 16
+    df = spark.range(days * 50).select(
+        F.col("id").alias("job_id"),
+        F.date_add(
+            F.lit("2024-01-01").cast("date"), (F.col("id") % days).cast("int")
+        ).alias("extracted_date"),
+        (F.col("id") * 2).cast("double").alias("salary"),
+    )
+    snapshot_overwrite(df.repartition(8), path)
+    snapshot_compact(
+        spark,
+        path,
+        target_file_bytes=2 << 10,
+        zorder_by=["extracted_date"],
+        stats_cols=["extracted_date"],
+    )
+
+    day = datetime.date(2024, 1, 5)
+    got = staging_day_scan(spark, path, day)
+    want = snapshot_read(spark, path).filter(
+        F.col("extracted_date") == F.lit(day)
+    )
+    assert sorted(r.job_id for r in got.collect()) == sorted(
+        r.job_id for r in want.collect()
+    )
+    assert want.count() == 50
+
+    # the pruned plan reads fewer files than the version holds
+    from data_warehouse_nhom8_spark.sources.snapshots import snapshot_scan
+
+    _df, n_sel, n_total = snapshot_scan(
+        spark, path, {"extracted_date": (day, day)}
+    )
+    assert 0 < n_sel < n_total
