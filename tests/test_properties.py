@@ -283,3 +283,40 @@ def test_change_feed_and_incremental_agg_match_rebuild(spark, tmp_path_factory, 
     }
     want = {(r["grp"], r["n"]) for r in build_aggregate(mk(t2), spec).collect()}
     assert got == want
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    files=st.lists(
+        st.tuples(st.integers(-50, 50), st.integers(0, 30)), min_size=1, max_size=12
+    ),
+    lo=st.one_of(st.none(), st.integers(-60, 60)),
+    hi=st.one_of(st.none(), st.integers(-60, 60)),
+)
+def test_prune_files_is_superset_of_matching(tmp_path_factory, files, lo, hi):
+    """Data-skipping safety: for ANY per-file [min,max] layout and ANY
+    query range, the pruned file set contains every file whose interval
+    overlaps the range — pruning may over-keep, never over-drop."""
+    import json
+    import os
+
+    from data_warehouse_nhom8_spark.sources.layout import _MANIFEST, prune_files
+
+    vdir = str(tmp_path_factory.mktemp("v"))
+    manifest = {"columns": ["x"], "files": {}}
+    intervals = {}
+    for i, (mn, width) in enumerate(files):
+        name = f"part-{i:05d}.parquet"
+        open(os.path.join(vdir, name), "w").close()  # listing only
+        intervals[name] = (mn, mn + width)
+        manifest["files"][name] = {"x": [mn, mn + width]}
+    with open(os.path.join(vdir, _MANIFEST), "w") as fh:
+        json.dump(manifest, fh)
+
+    kept, total = prune_files(vdir, {"x": (lo, hi)})
+    assert total == len(files)
+    kept_names = {os.path.basename(p) for p in kept}
+    for name, (mn, mx) in intervals.items():
+        overlaps = (lo is None or mx >= lo) and (hi is None or mn <= hi)
+        if overlaps:
+            assert name in kept_names, (name, (mn, mx), (lo, hi))
