@@ -374,3 +374,83 @@ def corpus_ingest_sink(
         .option("checkpointLocation", checkpoint)
         .outputMode("update")
     )
+
+
+def freq_head_sink(
+    stream: DataFrame,
+    store_path: str,
+    fine_keys: Sequence[str],
+    item_col: str,
+    checkpoint: str,
+    m: int = 100,
+) -> DataStreamWriter:
+    """Streaming maintenance of the heavy-hitter candidate store — the
+    incremental face of `aggregates.freq_candidate_rollup`: each
+    micro-batch counts its (fine cell, item) pairs, keeps the local
+    top-m per cell, and merges them into the persisted store keyed by
+    (cell, item, epoch). Replay-idempotent the same way as
+    `sketch_rollup_sink`: a re-run batch REPLACES its own epoch's rows.
+
+    The per-(cell, epoch) truncation composes with the batch
+    operator's bound — each epoch acts as one more "cell" in the
+    Misra-Gries shortfall Σ floor(N/(m+1)); when m covers the
+    per-batch cardinality nothing truncates and `read_freq_head`
+    equals the exact batch answer (pinned in test_streaming)."""
+    from pyspark.sql.window import Window
+
+    def merge(batch: DataFrame, epoch_id: int) -> None:
+        from data_warehouse_nhom8_spark.sources.snapshots import (
+            snapshot_overwrite,
+            snapshot_read,
+        )
+
+        spark = batch.sparkSession
+        counts = batch.groupBy(*fine_keys, item_col).agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        w = Window.partitionBy(*fine_keys).orderBy(F.desc("cnt"), F.col(item_col))
+        cells = (
+            counts.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= m)
+            .drop("__rk")
+            .withColumn("epoch", F.lit(epoch_id).cast("long"))
+        )
+        current = snapshot_read(spark, store_path)
+        if current is not None:
+            merged = current.filter(F.col("epoch") != epoch_id).unionByName(cells)
+        else:
+            merged = cells
+        snapshot_overwrite(merged, store_path)
+
+    return (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+
+
+def read_freq_head(
+    spark: SparkSession,
+    store_path: str,
+    coarse_keys: Sequence[str],
+    item_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Answer a coarse top-k from the candidate store alone: sum the
+    stored per-(cell, item, epoch) counts up to (coarse, item), rank,
+    keep k. Same output shape as `freq_candidate_rollup`'s head."""
+    from pyspark.sql.window import Window
+
+    from data_warehouse_nhom8_spark.sources.snapshots import snapshot_read
+
+    store = snapshot_read(spark, store_path)
+    if store is None:
+        raise FileNotFoundError(
+            f"no committed candidate store at {store_path}; run freq_head_sink "
+            "through at least one micro-batch first"
+        )
+    merged = store.groupBy(*coarse_keys, item_col).agg(
+        F.sum("cnt").alias("lb_count")
+    )
+    w = Window.partitionBy(*coarse_keys).orderBy(F.desc("lb_count"), F.col(item_col))
+    return merged.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

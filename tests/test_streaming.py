@@ -338,3 +338,51 @@ def test_sketch_store_compaction_preserves_rollups(spark, events_dir, events_sch
     assert after == before
     assert compacted.count() == len(before) <= n_cells_before
     assert {r["epoch"] for r in compacted.collect()} == {-1}
+
+
+def test_streaming_freq_head_equals_batch(spark, events_dir, events_schema, tmp_path):
+    """Streaming heavy-hitter maintenance: micro-batched arrival must
+    yield the same per-type top-5 users (items AND counts) as the
+    one-shot batch operator in the non-truncating regime, and a
+    drained re-run must not change the store."""
+    from data_warehouse_nhom8_spark.operators.aggregates import freq_candidate_rollup
+    from data_warehouse_nhom8_spark.sources.snapshots import snapshot_read
+
+    store = str(tmp_path / "freq_store")
+    ck = str(tmp_path / "ck")
+
+    jobs.run_available_now(
+        jobs.freq_head_sink(
+            jobs.stream_source(spark, events_dir, events_schema, max_files_per_trigger=1),
+            store, fine_keys=["event_type"], item_col="user_id",
+            checkpoint=ck, m=100_000,
+        )
+    )
+    got = {
+        (r["event_type"], r["rank"]): (r["user_id"], r["lb_count"])
+        for r in jobs.read_freq_head(
+            spark, store, ["event_type"], "user_id", k=5
+        ).collect()
+    }
+
+    ev = spark.read.parquet(events_dir)
+    _fine, head = freq_candidate_rollup(
+        ev.select("event_type", "user_id"),
+        ["event_type"], ["event_type"], "user_id", m=100_000, k=5,
+    )
+    want = {
+        (r["event_type"], r["rank"]): (r["user_id"], r["lb_count"])
+        for r in head.collect()
+    }
+    assert got == want and len(want) > 0
+
+    before = {tuple(r) for r in snapshot_read(spark, store).collect()}
+    jobs.run_available_now(
+        jobs.freq_head_sink(
+            jobs.stream_source(spark, events_dir, events_schema),
+            store, fine_keys=["event_type"], item_col="user_id",
+            checkpoint=ck, m=100_000,
+        )
+    )
+    after = {tuple(r) for r in snapshot_read(spark, store).collect()}
+    assert before == after
