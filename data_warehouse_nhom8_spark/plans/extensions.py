@@ -945,6 +945,72 @@ def q79_order_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q80_cube_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 hierarchy completion: CUBE over (returnflag, linestatus) —
+    all four grouping combinations (detail, two one-way subtotals,
+    grand total) in a single Expand pass; q44's ROLLUP covers only the
+    prefix hierarchy. Exact decimal sum output as double."""
+    c = Catalog(spark, sf_dir)
+    return (
+        c.lineitem.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q81_grouped_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MySQL GROUP_CONCAT parity (the reference's reporting SQL dialect
+    aggregates names this way): per-region ordered comma-join of
+    nation names. Deterministic by explicit in-group sort —
+    collect_list order is partition-dependent, array_sort fixes it;
+    the DuckDB twin orders inside string_agg."""
+    c = Catalog(spark, sf_dir)
+    return (
+        c.nation.join(
+            F.broadcast(c.region), c.nation["n_regionkey"] == c.region["r_regionkey"]
+        )
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+        .orderBy("r_name")
+    )
+
+
+def q82_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-total window over an aggregate: per-nation revenue and
+    its fraction of the grand total. The window SUM runs over the
+    DECIMAL aggregate (exact, order-independent — a double window sum
+    would be ULP-sensitive to row order), cast once before the single
+    IEEE division, so both engines produce bit-identical shares.
+    Scale notes: the unpartitioned window sees one row per nation —
+    dim-sized, like q74's max."""
+    from pyspark.sql.window import Window
+
+    c = Catalog(spark, sf_dir)
+    rev_dec = F.sum(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    )
+    per_nation = (
+        c.lineitem.join(c.supplier, F.col("l_suppkey") == c.supplier["s_suppkey"])
+        .join(F.broadcast(c.nation), F.col("s_nationkey") == c.nation["n_nationkey"])
+        .groupBy("n_name")
+        .agg(rev_dec.alias("__rd"))
+    )
+    total = F.sum("__rd").over(Window.partitionBy())
+    return per_nation.select(
+        "n_name",
+        F.col("__rd").cast("double").alias("revenue"),
+        (F.col("__rd").cast("double") / total.cast("double")).alias("share"),
+    ).orderBy("n_name")
+
+
 EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q33_exact_dedup_docs": q33_exact_dedup_docs,
     "q34_token_counts": q34_token_counts,
@@ -983,6 +1049,9 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q70_sliding_rollup": q70_sliding_rollup,
     "q78_freq_head_rollup": q78_freq_head_rollup,
     "q79_order_value_deciles": q79_order_value_deciles,
+    "q80_cube_summary": q80_cube_summary,
+    "q81_grouped_concat": q81_grouped_concat,
+    "q82_revenue_share": q82_revenue_share,
 }
 
 EXTENSION_ORACLES: dict[str, str] = {
@@ -1402,6 +1471,36 @@ EXTENSION_ORACLES: dict[str, str] = {
         SELECT event_type, user_id, n_events, rank
         FROM r WHERE rank <= 5
         ORDER BY event_type, rank
+    """,
+    "q80_cube_summary": """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    "q81_grouped_concat": """
+        SELECT r.r_name,
+               string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations,
+               COUNT(*) AS n_nations
+        FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
+        ORDER BY r.r_name NULLS FIRST
+    """,
+    "q82_revenue_share": """
+        WITH per_nation AS (
+          SELECT n.n_name,
+                 SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS rd
+          FROM lineitem l
+          JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          JOIN nation n ON s.s_nationkey = n.n_nationkey
+          GROUP BY n.n_name
+        )
+        SELECT n_name,
+               CAST(rd AS DOUBLE) AS revenue,
+               CAST(rd AS DOUBLE) / CAST(SUM(rd) OVER () AS DOUBLE) AS share
+        FROM per_nation
+        ORDER BY n_name NULLS FIRST
     """,
     "q79_order_value_deciles": """
         WITH d AS (
