@@ -242,3 +242,28 @@ def test_q78_local_topm_prunes_map_side(spark):
     p = plan_of(spark, "q78_freq_head_rollup")
     assert "WindowGroupLimit" in p
     assert "partial_count" in p, "the (cell,item) count must map-side combine"
+
+
+def test_q80_cube_is_single_scan_expand(spark):
+    """CUBE must compile to ONE fact scan + Expand (4 grouping sets),
+    never one aggregate pass per combination."""
+    p = plan_of(spark, "q80_cube_summary")
+    assert "Expand" in p
+    assert p.count("lineitem.parquet") == 1
+    assert "partial_count" in p
+
+
+def test_q81_group_concat_aggregates_partial(spark):
+    """collect_list runs as a two-level ObjectHashAggregate (partial
+    before the shuffle) with the region dim broadcast."""
+    p = plan_of(spark, "q81_grouped_concat")
+    assert "ObjectHashAggregate" in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_q82_share_window_over_agg_output(spark):
+    """The share-of-total window must run over the per-nation AGG
+    output (single fact scan) — not a second scan for the total."""
+    p = plan_of(spark, "q82_revenue_share")
+    assert p.count("lineitem.parquet") == 1
+    assert "Window" in p
