@@ -454,3 +454,38 @@ def read_freq_head(
     )
     w = Window.partitionBy(*coarse_keys).orderBy(F.desc("lb_count"), F.col(item_col))
     return merged.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def compact_freq_store(
+    spark: SparkSession,
+    store_path: str,
+    fine_keys: Sequence[str],
+    item_col: str,
+    m: int = 100,
+) -> None:
+    """Fold all epochs of the heavy-hitter candidate store into one
+    row per (cell, item), re-truncated to the per-cell top-m: candidate
+    counts are summable, and re-truncating a candidate list yields a
+    candidate list (merged counts stay lower bounds; the shortfall
+    bound composes like one more truncation level). Same offline
+    contract as `compact_sketch_store` — run with the stream stopped
+    at a committed checkpoint; folded rows take `epoch = -1`."""
+    from pyspark.sql.window import Window
+
+    from data_warehouse_nhom8_spark.sources.snapshots import (
+        snapshot_overwrite,
+        snapshot_read,
+    )
+
+    store = snapshot_read(spark, store_path)
+    if store is None:
+        return
+    merged = store.groupBy(*fine_keys, item_col).agg(F.sum("cnt").alias("cnt"))
+    w = Window.partitionBy(*fine_keys).orderBy(F.desc("cnt"), F.col(item_col))
+    compacted = (
+        merged.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= m)
+        .drop("__rk")
+        .withColumn("epoch", F.lit(-1).cast("long"))
+    )
+    snapshot_overwrite(compacted, store_path)

@@ -386,3 +386,32 @@ def test_streaming_freq_head_equals_batch(spark, events_dir, events_schema, tmp_
     )
     after = {tuple(r) for r in snapshot_read(spark, store).collect()}
     assert before == after
+
+
+def test_freq_store_compaction_preserves_heads(spark, events_dir, events_schema, tmp_path):
+    """Compaction folds epochs into one row per (cell, item) and the
+    coarse top-k is unchanged in the non-truncating regime."""
+    from data_warehouse_nhom8_spark.sources.snapshots import snapshot_read
+
+    store = str(tmp_path / "store")
+    jobs.run_available_now(
+        jobs.freq_head_sink(
+            jobs.stream_source(spark, events_dir, events_schema, max_files_per_trigger=1),
+            store, fine_keys=["event_type"], item_col="user_id",
+            checkpoint=str(tmp_path / "ck"), m=100_000,
+        )
+    )
+    before = {
+        (r["event_type"], r["rank"]): (r["user_id"], r["lb_count"])
+        for r in jobs.read_freq_head(spark, store, ["event_type"], "user_id", k=5).collect()
+    }
+    n_before = snapshot_read(spark, store).count()
+    jobs.compact_freq_store(spark, store, ["event_type"], "user_id", m=100_000)
+    after = {
+        (r["event_type"], r["rank"]): (r["user_id"], r["lb_count"])
+        for r in jobs.read_freq_head(spark, store, ["event_type"], "user_id", k=5).collect()
+    }
+    n_after = snapshot_read(spark, store).count()
+    assert after == before
+    assert n_after <= n_before
+    assert {r["epoch"] for r in snapshot_read(spark, store).collect()} == {-1}
