@@ -56,3 +56,50 @@ def read_partitioned_csv(
     if date is not None:
         df = df.filter(df["date"] == date)
     return df
+
+
+def read_csv_with_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+) -> tuple[DataFrame, DataFrame]:
+    """Scraped-CSV ingest with a malformed-row quarantine — the
+    robust face of S3 for raw-zone data the engine doesn't control
+    (the reference's own docs ship a "Check CSV Structure" test for
+    exactly this; a 100 TB raw zone always contains rows a schema
+    rejects).
+
+    PERMISSIVE parse with a corrupt-record capture column: rows that
+    fail the schema land in the quarantine frame with their ORIGINAL
+    text intact (for replay after a parser fix), valid rows come back
+    typed. Neither frame silently drops data — valid ∪ quarantine
+    covers every input row.
+
+    Spark caveat handled here: filtering on the corrupt-record column
+    of a lazily-parsed CSV raises AnalysisException unless the parsed
+    frame is cached first (the parser prunes the raw-text column away
+    otherwise) — so the split persists the parsed frame; callers
+    should `unpersist()` the returned frames' common parent when done
+    or let it age out. At scale, run quarantine splits inside the
+    bounded daily ingest increment, never over the whole raw zone.
+    """
+    from pyspark.sql import functions as F
+
+    corrupt = "_corrupt_record"
+    full = T.StructType(
+        [*schema.fields, T.StructField(corrupt, T.StringType(), True)]
+    )
+    parsed = (
+        spark.read.schema(full)
+        .option("header", "true")
+        .option("encoding", "UTF-8")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt)
+        .csv(path)
+        .cache()
+    )
+    valid = parsed.filter(F.col(corrupt).isNull()).drop(corrupt)
+    quarantine = parsed.filter(F.col(corrupt).isNotNull()).select(
+        F.col(corrupt).alias("raw_line")
+    )
+    return valid, quarantine

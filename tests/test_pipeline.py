@@ -170,3 +170,40 @@ def test_corpus_prep_job_end_to_end(spark, tmp_path):
     assert raised
     assert not ledger.is_done(corpus_prep.PROCESS, day2)
     assert snapshot_read(spark, f"{out}/corpus").count() == report["corpus_rows"]
+
+
+def test_csv_quarantine_splits_malformed_rows(spark, tmp_path):
+    """PERMISSIVE ingest: schema-valid rows come back typed, malformed
+    rows land in quarantine with their original text, and no input row
+    is lost (valid + quarantine == input lines)."""
+    from pyspark.sql import types as T
+
+    from data_warehouse_nhom8_spark.sources.csv_partitioned import (
+        read_csv_with_quarantine,
+    )
+
+    p = tmp_path / "raw"
+    p.mkdir()
+    lines = [
+        "job_id,salary,posted",
+        "1,1000.5,2024-01-01",
+        "2,not_a_number,2024-01-02",      # salary fails DoubleType
+        "3,300.25,2024-01-03",
+        "4,42.0,definitely-not-a-date",   # posted fails DateType
+    ]
+    (p / "part.csv").write_text("\n".join(lines) + "\n")
+    schema = T.StructType(
+        [
+            T.StructField("job_id", T.LongType()),
+            T.StructField("salary", T.DoubleType()),
+            T.StructField("posted", T.DateType()),
+        ]
+    )
+    valid, quarantine = read_csv_with_quarantine(spark, str(p), schema)
+    v = {r.job_id for r in valid.collect()}
+    q = [r.raw_line for r in quarantine.collect()]
+    assert v == {1, 3}
+    assert len(q) == 2
+    assert any("not_a_number" in line for line in q)
+    assert any("definitely-not-a-date" in line for line in q)
+    assert valid.count() + quarantine.count() == 4
