@@ -113,3 +113,21 @@ def read_day(spark: SparkSession, bronze_path: str, run_date: datetime.date) -> 
     return read_partitioned_csv(
         spark, bronze_path, schemas.RAW_JOBS_CSV, date=run_date.isoformat()
     )
+
+
+def read_day_with_quarantine(
+    spark: SparkSession, bronze_path: str, run_date: datetime.date
+):
+    """`read_day` with the malformed-row quarantine split (the
+    reference doc's "Check CSV Structure" test, made a pipeline
+    primitive): returns (valid_typed_rows, quarantine_raw_lines) over
+    the day's partition only — bounded to the daily increment, never
+    the whole raw zone. Writing quarantine lines next to the ledger
+    (and alerting on a nonzero count) is the production wiring; both
+    frames together cover every input row."""
+    from data_warehouse_nhom8_spark.sources.csv_partitioned import (
+        read_csv_with_quarantine,
+    )
+
+    day_glob = f"{bronze_path}/source=*/date={run_date.isoformat()}/*.csv"
+    return read_csv_with_quarantine(spark, day_glob, schemas.RAW_JOBS_CSV)

@@ -207,3 +207,33 @@ def test_csv_quarantine_splits_malformed_rows(spark, tmp_path):
     assert any("not_a_number" in line for line in q)
     assert any("definitely-not-a-date" in line for line in q)
     assert valid.count() + quarantine.count() == 4
+
+
+def test_read_day_with_quarantine_on_bronze(spark, raw_dir):
+    """The day-increment quarantine read over the real bronze layout:
+    a structurally-broken line (wrong column count — the exact check
+    the reference's CSV-structure test performs) lands in quarantine;
+    every well-formed row comes back valid."""
+    import datetime
+    import glob as _glob
+
+    from data_warehouse_nhom8_spark.pipeline.extract import read_day_with_quarantine
+
+    # drop a structurally-broken file into the day's partition (a new
+    # file, not an append — Spark's local writes carry .crc sidecars)
+    import os
+
+    day_dirs = _glob.glob(f"{raw_dir}/source=*/date=2025-03-10")
+    assert day_dirs
+    with open(os.path.join(day_dirs[0], "scraper-broken.csv"), "w") as fh:
+        fh.write("source_id,job_id,job_title,company_name,salary,location,"
+                 "experience_required,job_type,posted_time,tags,job_url,"
+                 "company_logo,extracted_date,extracted_timestamp\n")
+        fh.write("brk,only,three\n")
+
+    valid, quarantine = read_day_with_quarantine(
+        spark, raw_dir, datetime.date(2025, 3, 10)
+    )
+    q = [r.raw_line for r in quarantine.collect()]
+    assert len(q) == 1 and "brk,only,three" in q[0]
+    assert valid.filter(F.col("job_id").isNotNull()).count() == 3
