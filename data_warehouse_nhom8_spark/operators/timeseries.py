@@ -1,0 +1,82 @@
+"""Time-series re-densification (date-spine gap filling).
+
+Day-grained rollups of sparse activity have holes — a day with no
+rows simply isn't there, which breaks window arithmetic (LAG over a
+gap compares non-adjacent days), chart axes, and day-over-day joins
+downstream. The warehouse fix is a DATE SPINE: enumerate the full
+key × day grid and left-join the sparse rollup onto it, filling
+misses with an identity value.
+
+Reference anchor: the reference's datamart charts daily counts per
+source (datamart/app.py) straight off GROUP BY extracted_date — days
+a scraper was down vanish from the axis; the spine is what makes
+"zero that day" distinguishable from "day missing".
+
+Scale notes: the spine is |distinct keys| × |days| rows — dim-sized
+in both factors (the fact table never re-enters). The bounds agg is
+one scalar row broadcast into the cross join; the final join shuffles
+on (key, day) like any rollup join. `sequence()` + `explode` is pure
+codegen — no driver-side date loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def gap_filled_daily(
+    rollup: DataFrame,
+    key_cols: list[str],
+    day_col: str,
+    value_cols: dict[str, Column | int | float] | None = None,
+    materialize: bool = True,
+) -> DataFrame:
+    """Re-densify a day-grained rollup over the full per-key date
+    range: every (key, day) cell between the GLOBAL min and max day
+    appears exactly once; days absent from `rollup` carry the fill
+    value from `value_cols` ({column: fill}).
+
+    `rollup` must be unique per (key_cols, day_col) — it is the OUTPUT
+    of a groupBy, not raw facts. Fill defaults to 0 for every non-key
+    column when `value_cols` is None.
+
+    The rollup subtree feeds THREE branches (bounds, distinct keys,
+    the join) and Catalyst does not share subtrees, so the lazy plan
+    would re-run the upstream aggregation 3× — `materialize=True`
+    (default) localCheckpoints the rollup so the fact is aggregated
+    once (the q50 posting-list pattern); pass False to keep the pure
+    plan when lineage matters more than the extra scans.
+    """
+    if materialize:
+        rollup = rollup.localCheckpoint(eager=False)
+    if value_cols is None:
+        value_cols = {
+            c: 0 for c in rollup.columns if c not in key_cols and c != day_col
+        }
+    bounds = rollup.agg(
+        F.min(day_col).alias("__mn"), F.max(day_col).alias("__mx")
+    )
+    keys = rollup.select(*key_cols).distinct()
+    spine = (
+        keys.join(F.broadcast(bounds))
+        .select(
+            *key_cols,
+            F.explode(
+                F.sequence(F.col("__mn"), F.col("__mx"), F.expr("interval 1 day"))
+            ).alias(day_col),
+        )
+    )
+    joined = spine.join(rollup, on=[*key_cols, day_col], how="left")
+    filled = [
+        F.coalesce(
+            F.col(c),
+            fill if isinstance(fill, Column) else F.lit(fill),
+        ).alias(c)
+        for c, fill in value_cols.items()
+    ]
+    passthrough = [
+        c for c in rollup.columns
+        if c not in value_cols and c not in key_cols and c != day_col
+    ]
+    return joined.select(*key_cols, day_col, *filled, *passthrough)

@@ -1011,6 +1011,30 @@ def q82_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("n_name")
 
 
+def q83_gap_filled_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-spine gap filling (operators.timeseries.gap_filled_daily):
+    a deliberately-sparse daily rollup (every third calendar day
+    removed) re-densified over the full key × day grid — absent days
+    come back as explicit zeros, which is what makes "scraper down"
+    distinguishable from "day missing" in the reference's daily charts
+    (datamart/app.py). The spine is dim-sized (types × days); the fact
+    table is scanned once for the rollup and never again."""
+    from data_warehouse_nhom8_spark.operators.timeseries import gap_filled_daily
+
+    c = Catalog(spark, sf_dir)
+    sparse = (
+        c.events.select("event_type", F.to_date("ts").alias("day"))
+        .filter(F.dayofmonth("day") % 3 != 0)
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        gap_filled_daily(sparse, ["event_type"], "day")
+        .withColumn("n", F.col("n").cast("long"))
+        .orderBy("event_type", "day")
+    )
+
+
 EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q33_exact_dedup_docs": q33_exact_dedup_docs,
     "q34_token_counts": q34_token_counts,
@@ -1052,6 +1076,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q80_cube_summary": q80_cube_summary,
     "q81_grouped_concat": q81_grouped_concat,
     "q82_revenue_share": q82_revenue_share,
+    "q83_gap_filled_daily": q83_gap_filled_daily,
 }
 
 EXTENSION_ORACLES: dict[str, str] = {
@@ -1471,6 +1496,28 @@ EXTENSION_ORACLES: dict[str, str] = {
         SELECT event_type, user_id, n_events, rank
         FROM r WHERE rank <= 5
         ORDER BY event_type, rank
+    """,
+    "q83_gap_filled_daily": """
+        WITH agg AS (
+          SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day, COUNT(*) AS n
+          FROM events
+          WHERE day(ts) % 3 <> 0
+          GROUP BY event_type, CAST(date_trunc('day', ts) AS DATE)
+        ), b AS (
+          SELECT MIN(day) AS mn, MAX(day) AS mx FROM agg
+        ), spine AS (
+          SELECT e.event_type, CAST(gs.d AS DATE) AS day
+          FROM (SELECT DISTINCT event_type FROM agg) e
+          CROSS JOIN (
+            SELECT UNNEST(generate_series(CAST(mn AS TIMESTAMP),
+                                          CAST(mx AS TIMESTAMP),
+                                          INTERVAL 1 DAY)) AS d
+            FROM b
+          ) gs
+        )
+        SELECT s.event_type, s.day, COALESCE(a.n, 0) AS n
+        FROM spine s LEFT JOIN agg a ON s.event_type = a.event_type AND s.day = a.day
+        ORDER BY s.event_type, s.day
     """,
     "q80_cube_summary": """
         SELECT l_returnflag, l_linestatus, COUNT(*) AS n,

@@ -748,3 +748,29 @@ def test_theta_overlap_matches_exact(spark):
         50,
         150,
     )
+
+
+def test_gap_filled_daily_semantics(spark):
+    """Unit spec for the date spine: gaps inside the global range fill
+    with the identity, per-key missing days fill too, and existing
+    cells pass through untouched."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from data_warehouse_nhom8_spark.operators.timeseries import gap_filled_daily
+
+    d = datetime.date
+    rows = [
+        ("a", d(2024, 1, 1), 5),
+        ("a", d(2024, 1, 4), 7),   # gap: jan 2, 3
+        ("b", d(2024, 1, 2), 1),   # b missing jan 1, 3, 4
+    ]
+    rollup = spark.createDataFrame(rows, "k string, day date, n long")
+    out = gap_filled_daily(rollup, ["k"], "day")
+    got = {(r.k, r.day.isoformat()): r.n for r in out.collect()}
+    assert len(got) == 8  # 2 keys x 4 days
+    assert got[("a", "2024-01-01")] == 5 and got[("a", "2024-01-04")] == 7
+    assert got[("a", "2024-01-02")] == 0 and got[("a", "2024-01-03")] == 0
+    assert got[("b", "2024-01-02")] == 1
+    assert got[("b", "2024-01-01")] == 0 and got[("b", "2024-01-04")] == 0

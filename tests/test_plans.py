@@ -267,3 +267,14 @@ def test_q82_share_window_over_agg_output(spark):
     p = plan_of(spark, "q82_revenue_share")
     assert p.count("lineitem.parquet") == 1
     assert "Window" in p
+
+
+def test_q83_spine_is_dim_sized_single_fact_scan(spark):
+    """The date spine must come from the ROLLUP's keys and bounds
+    (dim-sized cross join + sequence/explode) — the events fact is
+    scanned for the rollup, never again for the spine."""
+    p = plan_of(spark, "q83_gap_filled_daily")
+    # the materialized rollup feeds bounds/keys/join from one scan
+    assert p.count("events.parquet") <= 1, "fact must not re-enter for the spine"
+    assert "Generate explode" in p or "Generate" in p
+    assert "CartesianProduct" not in p
