@@ -147,6 +147,25 @@ def kll_quantile_rollup(
     return fine, coarse
 
 
+def local_topm(
+    df: DataFrame, keys: list[str], count_col: str, item_col: str, m: int
+) -> DataFrame:
+    """Per-group bounded head: keep each group's top-``m`` rows by
+    (count desc, item asc) — the ONE definition of candidate-list
+    truncation shared by the batch rollup, the streaming sink, the
+    store reader, and the compactor, so tie-break order can never
+    drift between them. Compiles to WindowGroupLimit (map-side prune
+    before the shuffle)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*keys).orderBy(F.desc(count_col), F.col(item_col))
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= m)
+        .drop("__rk")
+    )
+
+
 def freq_candidate_rollup(
     df: DataFrame,
     fine_keys: list[str],
@@ -170,7 +189,13 @@ def freq_candidate_rollup(
       cells where it fell outside the local top-m — bounded by
       Σ_cells floor(N_cell / (m+1));
     - every item with true coarse count > Σ_cells N_cell/(m+1) appears
-      in the merged head (it cannot be truncated everywhere);
+      in the merged CANDIDATE SET (it cannot be truncated everywhere).
+      The returned head is then the top-``k`` of the candidates by
+      lower-bound count — a qualifying item can still fall outside a
+      small k, and a truncated-but-heavier item can rank below a
+      lighter untruncated one; consumers needing the full guarantee
+      should read the merged candidates (rank unfiltered) rather than
+      the k-head;
     - when m ≥ per-cell item cardinality nothing truncates and the
       rollup is bit-exact (the certification setting for q78).
 
@@ -182,12 +207,7 @@ def freq_candidate_rollup(
     from pyspark.sql.window import Window
 
     counts = df.groupBy(*fine_keys, item_col).agg(F.count(F.lit(1)).alias("cnt"))
-    w_fine = Window.partitionBy(*fine_keys).orderBy(F.desc("cnt"), F.col(item_col))
-    fine = (
-        counts.withColumn("__rk", F.row_number().over(w_fine))
-        .filter(F.col("__rk") <= m)
-        .drop("__rk")
-    )
+    fine = local_topm(counts, fine_keys, "cnt", item_col, m)
     merged = fine.groupBy(*coarse_keys, item_col).agg(F.sum("cnt").alias("lb_count"))
     w_coarse = Window.partitionBy(*coarse_keys).orderBy(
         F.desc("lb_count"), F.col(item_col)

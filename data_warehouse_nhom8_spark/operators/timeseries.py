@@ -51,6 +51,21 @@ def gap_filled_daily(
     if materialize:
         rollup = rollup.localCheckpoint(eager=False)
     if value_cols is None:
+        # default zero-fill applies ONLY to numeric columns — blindly
+        # coalescing a string/struct column with 0 would implicit-cast
+        # the fill into nonsense; non-numeric columns need an explicit
+        # fill choice from the caller
+        numeric = {"tinyint", "smallint", "int", "bigint", "float", "double"}
+        bad = [
+            c for c, t in rollup.dtypes
+            if c not in key_cols and c != day_col
+            and t.split("(")[0] not in numeric and not t.startswith("decimal")
+        ]
+        if bad:
+            raise ValueError(
+                f"gap_filled_daily: non-numeric column(s) {bad} have no "
+                "default fill — pass value_cols={col: fill} explicitly"
+            )
         value_cols = {
             c: 0 for c in rollup.columns if c not in key_cols and c != day_col
         }
@@ -67,12 +82,18 @@ def gap_filled_daily(
             ).alias(day_col),
         )
     )
-    joined = spine.join(rollup, on=[*key_cols, day_col], how="left")
+    # presence marker distinguishes "day absent from the rollup" (fill)
+    # from "day present with a stored NULL" (preserve) — exactly the
+    # distinction the spine exists to keep
+    marked = rollup.withColumn("__present", F.lit(True))
+    joined = spine.join(marked, on=[*key_cols, day_col], how="left")
     filled = [
-        F.coalesce(
-            F.col(c),
+        F.when(
+            F.col("__present").isNull(),
             fill if isinstance(fill, Column) else F.lit(fill),
-        ).alias(c)
+        )
+        .otherwise(F.col(c))
+        .alias(c)
         for c, fill in value_cols.items()
     ]
     passthrough = [

@@ -120,14 +120,42 @@ def read_day_with_quarantine(
 ):
     """`read_day` with the malformed-row quarantine split (the
     reference doc's "Check CSV Structure" test, made a pipeline
-    primitive): returns (valid_typed_rows, quarantine_raw_lines) over
-    the day's partition only — bounded to the daily increment, never
-    the whole raw zone. Writing quarantine lines next to the ledger
-    (and alerting on a nonzero count) is the production wiring; both
-    frames together cover every input row."""
+    primitive): a QuarantineRead over the day's partition only —
+    bounded to the daily increment, never the whole raw zone. Writing
+    quarantine lines next to the ledger (and alerting on a nonzero
+    count) is the production wiring; valid ∪ quarantine covers every
+    input row.
+
+    API parity with `read_day`: the valid frame carries the `source`
+    and `date` partition columns (the leaf-file glob disables Hive
+    partition discovery, so `source` is recovered from the file path
+    and `date` is the requested day). A day with no partition at all
+    returns empty frames, like `read_day`'s empty scan."""
+    import glob as _glob
+
+    from pyspark.sql import functions as F
+
     from data_warehouse_nhom8_spark.sources.csv_partitioned import (
+        QuarantineRead,
         read_csv_with_quarantine,
     )
 
     day_glob = f"{bronze_path}/source=*/date={run_date.isoformat()}/*.csv"
-    return read_csv_with_quarantine(spark, day_glob, schemas.RAW_JOBS_CSV)
+    if not _glob.glob(day_glob):
+        valid_schema = schemas.RAW_JOBS_CSV.add("source", "string").add(
+            "date", "string"
+        )
+        empty_valid = spark.createDataFrame([], valid_schema)
+        empty_q = spark.createDataFrame([], "raw_line string")
+        return QuarantineRead(empty_valid, empty_q, empty_valid)
+    r = read_csv_with_quarantine(
+        spark, day_glob, schemas.RAW_JOBS_CSV, file_col="__file"
+    )
+    valid = (
+        r.valid.withColumn(
+            "source", F.regexp_extract(F.col("__file"), r"source=([^/]+)/", 1)
+        )
+        .withColumn("date", F.lit(run_date.isoformat()))
+        .drop("__file")
+    )
+    return QuarantineRead(valid, r.quarantine, r.parsed)

@@ -92,14 +92,23 @@ def staging_day_scan(spark, staging_path: str, day: datetime.date | str):
     extracted_date range excludes the day are never opened. Falls back
     to the full file list with the same row-level filter when no
     manifest exists — identical results either way (the manifest is a
-    superset guarantee, the exact filter always applies)."""
-    from data_warehouse_nhom8_spark.sources.snapshots import snapshot_scan
+    superset guarantee, the exact filter always applies). Returns an
+    EMPTY frame (correct schema) when the manifest prunes every file,
+    exactly like the no-manifest path filtering to zero rows — the
+    result contract may not depend on whether maintenance ran; None
+    only when no snapshot exists at all."""
+    from data_warehouse_nhom8_spark.sources.snapshots import (
+        snapshot_read,
+        snapshot_scan,
+    )
 
     day = datetime.date.fromisoformat(day) if isinstance(day, str) else day
     df, _sel, _total = snapshot_scan(
         spark, staging_path, {"extracted_date": (day, day)}
     )
     if df is None:
+        if _total > 0:  # table exists, every file pruned: empty, same schema
+            return snapshot_read(spark, staging_path).filter(F.lit(False))
         return None
     return df.filter(F.col("extracted_date") == F.lit(day))
 

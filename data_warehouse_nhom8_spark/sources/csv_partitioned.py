@@ -12,6 +12,8 @@ scan behaviour that survives a 100 TB raw zone.
 
 from __future__ import annotations
 
+import typing as _typing
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
@@ -58,11 +60,23 @@ def read_partitioned_csv(
     return df
 
 
+class QuarantineRead(_typing.NamedTuple):
+    """Result of `read_csv_with_quarantine`: typed valid rows, raw
+    quarantine lines, and the cached PARSED parent frame both derive
+    from — call `parsed.unpersist()` when done (unpersisting the
+    derived frames would not release the parent's cache entry)."""
+
+    valid: DataFrame
+    quarantine: DataFrame
+    parsed: DataFrame
+
+
 def read_csv_with_quarantine(
     spark: SparkSession,
     path: str,
     schema: T.StructType,
-) -> tuple[DataFrame, DataFrame]:
+    file_col: str | None = None,
+) -> QuarantineRead:
     """Scraped-CSV ingest with a malformed-row quarantine — the
     robust face of S3 for raw-zone data the engine doesn't control
     (the reference's own docs ship a "Check CSV Structure" test for
@@ -78,10 +92,11 @@ def read_csv_with_quarantine(
     Spark caveat handled here: filtering on the corrupt-record column
     of a lazily-parsed CSV raises AnalysisException unless the parsed
     frame is cached first (the parser prunes the raw-text column away
-    otherwise) — so the split persists the parsed frame; callers
-    should `unpersist()` the returned frames' common parent when done
-    or let it age out. At scale, run quarantine splits inside the
-    bounded daily ingest increment, never over the whole raw zone.
+    otherwise) — so the split persists the parsed frame and RETURNS it
+    (`result.parsed.unpersist()` releases the cache; unpersisting the
+    derived frames alone would not). At scale, run quarantine splits
+    inside the bounded daily ingest increment, never over the whole
+    raw zone.
     """
     from pyspark.sql import functions as F
 
@@ -96,10 +111,14 @@ def read_csv_with_quarantine(
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", corrupt)
         .csv(path)
-        .cache()
     )
+    if file_col is not None:
+        # captured BEFORE the cache: input_file_name() is empty when
+        # evaluated over cached InMemoryRelation rows
+        parsed = parsed.withColumn(file_col, F.input_file_name())
+    parsed = parsed.cache()
     valid = parsed.filter(F.col(corrupt).isNull()).drop(corrupt)
     quarantine = parsed.filter(F.col(corrupt).isNotNull()).select(
         F.col(corrupt).alias("raw_line")
     )
-    return valid, quarantine
+    return QuarantineRead(valid, quarantine, parsed)

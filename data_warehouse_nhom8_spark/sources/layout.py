@@ -118,26 +118,55 @@ _MANIFEST = "_STATS.json"
 
 
 def _stat_to_jsonable(v):
-    """Parquet footer stats → comparable JSON scalar. Timestamps/dates
-    become epoch micros/days so comparison is numeric and timezone-free;
-    bytes (undecodable) are rejected → the column gets no stats and its
-    files are never skipped (fail-open)."""
+    """Parquet footer stats → (kind, comparable JSON scalar).
+    Timestamps/dates become epoch micros/days so comparison is numeric
+    and timezone-free; the KIND tag makes bound conversion unambiguous
+    at prune time (a raw numeric compare of micros vs days would
+    silently over-prune). Bytes (undecodable) are rejected → the
+    column gets no stats and its files are never skipped (fail-open)."""
     import datetime
 
     if isinstance(v, datetime.datetime):
         epoch = datetime.datetime(1970, 1, 1, tzinfo=v.tzinfo)
-        return (v - epoch) // datetime.timedelta(microseconds=1)
+        return "ts", (v - epoch) // datetime.timedelta(microseconds=1)
     if isinstance(v, datetime.date):
-        return (v - datetime.date(1970, 1, 1)).days
-    if isinstance(v, (int, float, str)):
-        return v
+        return "date", (v - datetime.date(1970, 1, 1)).days
+    if isinstance(v, bool):
+        raise TypeError(type(v))
+    if isinstance(v, (int, float)):
+        return "num", v
+    if isinstance(v, str):
+        return "str", v
     raise TypeError(type(v))
 
 
-def _bound_to_comparable(v):
-    """User-supplied predicate bound → the same comparable space as
-    `_stat_to_jsonable` (datetime/date converted identically)."""
-    return _stat_to_jsonable(v)
+def _bound_to_comparable(v, kind: str | None):
+    """User-supplied predicate bound → the stored column's comparable
+    space, driven by the column's stats KIND (so a date bound prunes a
+    timestamp column correctly and vice versa). Returns None when the
+    bound cannot be safely compared against this kind — the caller
+    must then KEEP the file (data skipping fails open, never wrong)."""
+    import datetime
+
+    if kind == "ts":
+        if isinstance(v, datetime.datetime):
+            return _stat_to_jsonable(v)[1]
+        if isinstance(v, datetime.date):
+            return _stat_to_jsonable(
+                datetime.datetime(v.year, v.month, v.day)
+            )[1]
+        return None
+    if kind == "date":
+        if isinstance(v, datetime.datetime):
+            return (v.date() - datetime.date(1970, 1, 1)).days
+        if isinstance(v, datetime.date):
+            return (v - datetime.date(1970, 1, 1)).days
+        return None
+    if kind == "num":
+        return v if isinstance(v, (int, float)) and not isinstance(v, bool) else None
+    if kind == "str":
+        return v if isinstance(v, str) else None
+    return None
 
 
 def write_stats_manifest(vdir: str, cols: list[str]) -> dict:
@@ -165,7 +194,7 @@ def write_stats_manifest(vdir: str, cols: list[str]) -> dict:
             if c not in idx:
                 per_col[c] = None
                 continue
-            mn = mx = None
+            mn = mx = kind = None
             ok = True
             for rg in range(md.num_row_groups):
                 st = md.row_group(rg).column(idx[c]).statistics
@@ -173,13 +202,18 @@ def write_stats_manifest(vdir: str, cols: list[str]) -> dict:
                     ok = False
                     break
                 try:
-                    lo, hi = _stat_to_jsonable(st.min), _stat_to_jsonable(st.max)
+                    klo, lo = _stat_to_jsonable(st.min)
+                    khi, hi = _stat_to_jsonable(st.max)
                 except TypeError:
                     ok = False
                     break
+                if klo != khi or (kind is not None and kind != klo):
+                    ok = False
+                    break
+                kind = klo
                 mn = lo if mn is None or lo < mn else mn
                 mx = hi if mx is None or hi > mx else mx
-            per_col[c] = [mn, mx] if ok and mn is not None else None
+            per_col[c] = [mn, mx, kind] if ok and mn is not None else None
         manifest[name] = per_col
     payload = {"columns": cols, "files": manifest}
     tmp = os.path.join(vdir, _MANIFEST + ".tmp")
@@ -216,18 +250,30 @@ def prune_files(vdir: str, ranges: dict) -> tuple[list[str], int]:
     if manifest is None or not ranges:
         return all_files, len(all_files)
     kept = []
+    # bounds convert once per (column, kind) pair, not once per file
+    bound_cache: dict = {}
+
+    def conv(col, v, kind):
+        key = (col, kind, id(v))
+        if key not in bound_cache:
+            bound_cache[key] = None if v is None else _bound_to_comparable(v, kind)
+        return bound_cache[key]
+
     for path in all_files:
         stats = manifest["files"].get(os.path.basename(path), {})
         keep = True
         for col, (lo, hi) in ranges.items():
             s = stats.get(col)
-            if s is None:
-                continue  # no stats for this column in this file: keep
-            mn, mx = s
-            if lo is not None and mx < _bound_to_comparable(lo):
+            if s is None or len(s) < 3:
+                continue  # no (typed) stats for this column: keep
+            mn, mx, kind = s
+            clo, chi = conv(col, lo, kind), conv(col, hi, kind)
+            # a bound that can't be converted to the column's stats
+            # space is unusable — fail open on that side
+            if clo is not None and mx < clo:
                 keep = False
                 break
-            if hi is not None and mn > _bound_to_comparable(hi):
+            if chi is not None and mn > chi:
                 keep = False
                 break
         if keep:

@@ -378,17 +378,23 @@ def snapshot_scan(
     correctness never depends on maintenance having run. An empty
     selection returns (None, 0, total) — no empty-relation scan to
     plan."""
+    from data_warehouse_nhom8_spark.sources.layout import prune_files
+
     if version is None:
         version = _current_version(path)
         if version is None:
+            if has_parquet(path):  # legacy un-versioned layout, like snapshot_read
+                files, total = prune_files(path, ranges)
+                if not files:
+                    return None, 0, total
+                r = spark.read.schema(schema) if schema is not None else spark.read
+                return r.parquet(*files), len(files), total
             return None, 0, 0
     elif version not in snapshot_versions(path):
         raise FileNotFoundError(
             f"version {version} of {path} is not retained "
             f"(have {snapshot_versions(path)})"
         )
-    from data_warehouse_nhom8_spark.sources.layout import prune_files
-
     vdir = os.path.join(path, f"v{version:08d}")
     files, total = prune_files(vdir, ranges)
     if not files:

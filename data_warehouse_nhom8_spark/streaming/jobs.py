@@ -396,9 +396,8 @@ def freq_head_sink(
     Misra-Gries shortfall Σ floor(N/(m+1)); when m covers the
     per-batch cardinality nothing truncates and `read_freq_head`
     equals the exact batch answer (pinned in test_streaming)."""
-    from pyspark.sql.window import Window
-
     def merge(batch: DataFrame, epoch_id: int) -> None:
+        from data_warehouse_nhom8_spark.operators.aggregates import local_topm
         from data_warehouse_nhom8_spark.sources.snapshots import (
             snapshot_overwrite,
             snapshot_read,
@@ -408,12 +407,8 @@ def freq_head_sink(
         counts = batch.groupBy(*fine_keys, item_col).agg(
             F.count(F.lit(1)).alias("cnt")
         )
-        w = Window.partitionBy(*fine_keys).orderBy(F.desc("cnt"), F.col(item_col))
-        cells = (
-            counts.withColumn("__rk", F.row_number().over(w))
-            .filter(F.col("__rk") <= m)
-            .drop("__rk")
-            .withColumn("epoch", F.lit(epoch_id).cast("long"))
+        cells = local_topm(counts, list(fine_keys), "cnt", item_col, m).withColumn(
+            "epoch", F.lit(epoch_id).cast("long")
         )
         current = snapshot_read(spark, store_path)
         if current is not None:
@@ -470,8 +465,7 @@ def compact_freq_store(
     bound composes like one more truncation level). Same offline
     contract as `compact_sketch_store` — run with the stream stopped
     at a committed checkpoint; folded rows take `epoch = -1`."""
-    from pyspark.sql.window import Window
-
+    from data_warehouse_nhom8_spark.operators.aggregates import local_topm
     from data_warehouse_nhom8_spark.sources.snapshots import (
         snapshot_overwrite,
         snapshot_read,
@@ -481,11 +475,7 @@ def compact_freq_store(
     if store is None:
         return
     merged = store.groupBy(*fine_keys, item_col).agg(F.sum("cnt").alias("cnt"))
-    w = Window.partitionBy(*fine_keys).orderBy(F.desc("cnt"), F.col(item_col))
-    compacted = (
-        merged.withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") <= m)
-        .drop("__rk")
-        .withColumn("epoch", F.lit(-1).cast("long"))
+    compacted = local_topm(merged, list(fine_keys), "cnt", item_col, m).withColumn(
+        "epoch", F.lit(-1).cast("long")
     )
     snapshot_overwrite(compacted, store_path)

@@ -193,3 +193,43 @@ def test_stats_manifest_timestamp_columns(spark, tmp_path):
         (F.col("ts") >= F.lit(lo)) & (F.col("ts") <= F.lit(hi))
     ).count()
     assert got == 25  # hours 0..24 inclusive
+
+
+def test_prune_bounds_convert_by_column_kind(spark, tmp_path):
+    """Typed manifests make cross-family bounds safe: a DATE bound on
+    a TIMESTAMP column converts to the column's epoch-micros space
+    (prunes correctly), and an un-convertible bound (string vs numeric)
+    fails OPEN — every file kept, never over-dropped."""
+    import datetime
+
+    from data_warehouse_nhom8_spark.sources.layout import (
+        prune_files,
+        write_stats_manifest,
+    )
+
+    df = spark.range(240).select(
+        (F.lit("2024-01-01 00:00:00").cast("timestamp")
+         + F.make_interval(hours=F.col("id") * 6)).alias("ts"),
+        F.col("id").cast("double").alias("x"),
+    )
+    vdir = str(tmp_path / "v")
+    df.repartitionByRange(8, "ts").sortWithinPartitions("ts").write.parquet(vdir)
+    write_stats_manifest(vdir, ["ts", "x"])
+
+    # date bounds against the timestamp column: prunes to the early files
+    day = datetime.date(2024, 1, 2)
+    kept, total = prune_files(vdir, {"ts": (day, day)})
+    assert total == 8 and 0 < len(kept) < total
+    lo = datetime.datetime(2024, 1, 2)
+    hi = datetime.datetime(2024, 1, 2, 23, 59, 59)
+    got = spark.read.parquet(*kept).filter(
+        (F.col("ts") >= F.lit(lo)) & (F.col("ts") <= F.lit(hi))
+    ).count()
+    assert got == 4  # 4 six-hour marks on Jan 2
+
+    # un-convertible bound: string range on the numeric column → all kept
+    kept2, _ = prune_files(vdir, {"x": ("a", "z")})
+    assert len(kept2) == total
+    # datetime bound on the numeric column → all kept (not over-dropped)
+    kept3, _ = prune_files(vdir, {"x": (lo, hi)})
+    assert len(kept3) == total

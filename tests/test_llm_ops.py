@@ -774,3 +774,36 @@ def test_gap_filled_daily_semantics(spark):
     assert got[("a", "2024-01-02")] == 0 and got[("a", "2024-01-03")] == 0
     assert got[("b", "2024-01-02")] == 1
     assert got[("b", "2024-01-01")] == 0 and got[("b", "2024-01-04")] == 0
+
+
+def test_gap_fill_preserves_stored_nulls_and_rejects_nonnumeric(spark):
+    """A stored NULL on a present day survives (only ABSENT days
+    fill); a non-numeric value column without an explicit fill is
+    rejected instead of silently coalesced with 0."""
+    import datetime
+
+    import pytest as _pytest
+
+    from data_warehouse_nhom8_spark.operators.timeseries import gap_filled_daily
+
+    d = datetime.date
+    rollup = spark.createDataFrame(
+        [("a", d(2024, 1, 1), None), ("a", d(2024, 1, 3), 7)],
+        "k string, day date, n long",
+    )
+    out = {
+        (r.k, r.day.isoformat()): r.n
+        for r in gap_filled_daily(rollup, ["k"], "day").collect()
+    }
+    assert out[("a", "2024-01-01")] is None  # present-but-NULL preserved
+    assert out[("a", "2024-01-02")] == 0     # absent day filled
+    assert out[("a", "2024-01-03")] == 7
+
+    labeled = rollup.withColumn("label", F.lit("x"))
+    with _pytest.raises(ValueError, match="non-numeric"):
+        gap_filled_daily(labeled, ["k"], "day")
+    # explicit fill for the non-numeric column is accepted
+    ok = gap_filled_daily(labeled, ["k"], "day", {"n": 0, "label": "missing"})
+    got = {(r.k, r.day.isoformat()): r.label for r in ok.collect()}
+    assert got[("a", "2024-01-02")] == "missing"
+    assert got[("a", "2024-01-01")] == "x"

@@ -199,7 +199,8 @@ def test_csv_quarantine_splits_malformed_rows(spark, tmp_path):
             T.StructField("posted", T.DateType()),
         ]
     )
-    valid, quarantine = read_csv_with_quarantine(spark, str(p), schema)
+    res = read_csv_with_quarantine(spark, str(p), schema)
+    valid, quarantine = res.valid, res.quarantine
     v = {r.job_id for r in valid.collect()}
     q = [r.raw_line for r in quarantine.collect()]
     assert v == {1, 3}
@@ -207,6 +208,7 @@ def test_csv_quarantine_splits_malformed_rows(spark, tmp_path):
     assert any("not_a_number" in line for line in q)
     assert any("definitely-not-a-date" in line for line in q)
     assert valid.count() + quarantine.count() == 4
+    res.parsed.unpersist()
 
 
 def test_read_day_with_quarantine_on_bronze(spark, raw_dir):
@@ -231,9 +233,17 @@ def test_read_day_with_quarantine_on_bronze(spark, raw_dir):
                  "company_logo,extracted_date,extracted_timestamp\n")
         fh.write("brk,only,three\n")
 
-    valid, quarantine = read_day_with_quarantine(
-        spark, raw_dir, datetime.date(2025, 3, 10)
-    )
-    q = [r.raw_line for r in quarantine.collect()]
+    res = read_day_with_quarantine(spark, raw_dir, datetime.date(2025, 3, 10))
+    q = [r.raw_line for r in res.quarantine.collect()]
     assert len(q) == 1 and "brk,only,three" in q[0]
-    assert valid.filter(F.col("job_id").isNotNull()).count() == 3
+    valid = res.valid.filter(F.col("job_id").isNotNull())
+    assert valid.count() == 3
+    # read_day API parity: partition columns present and populated
+    assert {r.source for r in valid.collect()} == {"topcv_jobs", "jobsgo_jobs"}
+    assert {r.date for r in valid.collect()} == {"2025-03-10"}
+    res.parsed.unpersist()
+
+    # a day with no partition returns empty frames, like read_day
+    empty = read_day_with_quarantine(spark, raw_dir, datetime.date(2030, 1, 1))
+    assert empty.valid.count() == 0 and empty.quarantine.count() == 0
+    assert "source" in empty.valid.columns and "date" in empty.valid.columns

@@ -309,7 +309,7 @@ def test_prune_files_is_superset_of_matching(tmp_path_factory, files, lo, hi):
         name = f"part-{i:05d}.parquet"
         open(os.path.join(vdir, name), "w").close()  # listing only
         intervals[name] = (mn, mn + width)
-        manifest["files"][name] = {"x": [mn, mn + width]}
+        manifest["files"][name] = {"x": [mn, mn + width, "num"]}
     with open(os.path.join(vdir, _MANIFEST), "w") as fh:
         json.dump(manifest, fh)
 
@@ -320,3 +320,6 @@ def test_prune_files_is_superset_of_matching(tmp_path_factory, files, lo, hi):
         overlaps = (lo is None or mx >= lo) and (hi is None or mn <= hi)
         if overlaps:
             assert name in kept_names, (name, (mn, mx), (lo, hi))
+        else:
+            # with exact numeric stats the pruner is also tight
+            assert name not in kept_names, (name, (mn, mx), (lo, hi))
