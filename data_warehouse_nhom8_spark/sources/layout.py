@@ -169,7 +169,96 @@ def _bound_to_comparable(v, kind: str | None):
     return None
 
 
-def write_stats_manifest(vdir: str, cols: list[str]) -> dict:
+# Per-file Bloom filters for POINT-lookup skipping: min/max ranges
+# prune range predicates on clustered columns, but an equality probe on
+# a high-cardinality unclustered key (job_id, user_id) intersects every
+# file's [min, max]. A small per-file Bloom answers "does this file
+# possibly contain v?" with no false negatives — Delta's bloom-filter
+# index / Iceberg's puffin blobs, folded into the same _STATS.json.
+# Integer key columns only (the vectorized splitmix64 path); others are
+# simply not bloom-indexed and never skipped on points (fail-open).
+
+_B64_MASK = (1 << 64) - 1
+
+
+def _splitmix64_np(x):
+    import numpy as np
+
+    x = x.astype(np.uint64, copy=True)
+    x ^= x >> np.uint64(30)
+    x *= np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(27)
+    x *= np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    return x
+
+
+def _splitmix64_py(x: int) -> int:
+    x &= _B64_MASK
+    x ^= x >> 30
+    x = (x * 0xBF58476D1CE4E5B9) & _B64_MASK
+    x ^= x >> 27
+    x = (x * 0x94D049BB133111EB) & _B64_MASK
+    x ^= x >> 31
+    return x
+
+
+def _bloom_params(n: int, fpp: float) -> tuple[int, int]:
+    import math
+
+    n = max(1, n)
+    m = max(64, int(-n * math.log(fpp) / (math.log(2) ** 2)))
+    m = (m + 63) // 64 * 64  # whole words
+    k = max(1, round(m / n * math.log(2)))
+    return m, min(k, 16)
+
+
+def _bloom_build(values, fpp: float) -> dict:
+    """values: integer numpy array (de-duplicated by the caller)."""
+    import base64
+
+    import numpy as np
+
+    m, k = _bloom_params(len(values), fpp)
+    h1 = _splitmix64_np(values.astype(np.uint64))
+    h2 = _splitmix64_np(values.astype(np.uint64) ^ np.uint64(0x9E3779B97F4A7C15))
+    h2 |= np.uint64(1)  # odd, so the double-hash cycle covers m
+    bits = np.zeros(m // 64, dtype=np.uint64)
+    for i in range(k):
+        idx = (h1 + np.uint64(i) * h2) % np.uint64(m)
+        word, bit = idx >> np.uint64(6), idx & np.uint64(63)
+        np.bitwise_or.at(bits, word.astype(np.int64), np.uint64(1) << bit)
+    return {
+        "m": m,
+        "k": k,
+        "bits": base64.b64encode(bits.tobytes()).decode("ascii"),
+    }
+
+
+def _bloom_maybe_contains(bloom: dict, value: int) -> bool:
+    import base64
+
+    raw = base64.b64decode(bloom["bits"])
+    m, k = bloom["m"], bloom["k"]
+    h1 = _splitmix64_py(value)
+    h2 = _splitmix64_py(value ^ 0x9E3779B97F4A7C15) | 1
+    for i in range(k):
+        # wrap to 64 bits BEFORE the modulo — the numpy build side does
+        # uint64 wraparound addition, unbounded python ints would not
+        idx = ((h1 + i * h2) & _B64_MASK) % m
+        word = idx >> 6
+        byte = raw[word * 8 + ((idx & 63) >> 3)]
+        if not (byte >> ((idx & 63) & 7)) & 1:
+            return False
+    return True
+
+
+def write_stats_manifest(
+    vdir: str,
+    cols: list[str],
+    bloom_cols: list[str] | None = None,
+    bloom_fpp: float = 0.01,
+) -> dict:
     """Collect per-file min/max for `cols` from parquet FOOTERS (no data
     is read — the stats were already computed by the writing executors)
     and persist them atomically as `_STATS.json` in the version dir.
@@ -177,16 +266,44 @@ def write_stats_manifest(vdir: str, cols: list[str]) -> dict:
     Driver cost is O(files × cols) scalars — control-plane sized, the
     same budget as a table format's manifest. Columns whose stats are
     absent or non-serializable are recorded as null (those files are
-    kept by the pruner: data skipping must fail open)."""
+    kept by the pruner: data skipping must fail open).
+
+    `bloom_cols` additionally builds a per-file BLOOM filter for each
+    named INTEGER column (point-lookup skipping — see module note).
+    Unlike the footer stats this reads the named columns' data (column-
+    pruned), so it belongs in the same maintenance window as the
+    compaction rewrite it usually follows; ~10 bits/distinct value at
+    the default 1% fpp."""
     import json
     import os
 
     import pyarrow.parquet as pq
 
     manifest: dict[str, dict] = {}
+    blooms: dict[str, dict] = {}
     for name in sorted(os.listdir(vdir)):
         if not name.endswith(".parquet"):
             continue
+        if bloom_cols:
+            import numpy as np
+
+            per_bloom: dict[str, dict] = {}
+            pf = pq.ParquetFile(os.path.join(vdir, name))
+            avail = set(pf.schema_arrow.names)
+            for c in bloom_cols:
+                if c not in avail:
+                    continue
+                arr = pf.read(columns=[c]).column(c)
+                try:
+                    vals = np.unique(arr.to_numpy(zero_copy_only=False))
+                    vals = vals[~np.isnan(vals)] if vals.dtype.kind == "f" else vals
+                    if vals.dtype.kind not in ("i", "u"):
+                        raise TypeError(vals.dtype)
+                except (TypeError, ValueError):
+                    continue  # non-integer column: no bloom, fail open
+                per_bloom[c] = _bloom_build(vals, bloom_fpp)
+            if per_bloom:
+                blooms[name] = per_bloom
         md = pq.ParquetFile(os.path.join(vdir, name)).metadata
         idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
         per_col: dict[str, list | None] = {}
@@ -215,7 +332,7 @@ def write_stats_manifest(vdir: str, cols: list[str]) -> dict:
                 mx = hi if mx is None or hi > mx else mx
             per_col[c] = [mn, mx, kind] if ok and mn is not None else None
         manifest[name] = per_col
-    payload = {"columns": cols, "files": manifest}
+    payload = {"columns": cols, "files": manifest, "blooms": blooms}
     tmp = os.path.join(vdir, _MANIFEST + ".tmp")
     with open(tmp, "w") as fh:
         json.dump(payload, fh)
@@ -234,20 +351,26 @@ def read_stats_manifest(vdir: str) -> dict | None:
         return None
 
 
-def prune_files(vdir: str, ranges: dict) -> tuple[list[str], int]:
+def prune_files(
+    vdir: str, ranges: dict, points: dict | None = None
+) -> tuple[list[str], int]:
     """File paths whose stats MAY satisfy every range in `ranges`
-    ({col: (lo, hi)}, either bound None for open), plus the total file
-    count. Files without usable stats for a predicate column are kept
-    (fail-open). With no manifest, everything is kept — the result is
-    always a superset of the matching files, so a residual filter on
-    the returned scan yields exactly the full-scan answer."""
+    ({col: (lo, hi)}, either bound None for open) AND every equality
+    probe in `points` ({col: value} — checked against the per-file
+    Bloom when one exists), plus the total file count. Files without
+    usable stats/blooms for a predicate column are kept (fail-open).
+    With no manifest, everything is kept — the result is always a
+    superset of the matching files (Blooms have no false negatives),
+    so a residual filter on the returned scan yields exactly the
+    full-scan answer."""
     import os
 
+    points = points or {}
     all_files = sorted(
         os.path.join(vdir, f) for f in os.listdir(vdir) if f.endswith(".parquet")
     )
     manifest = read_stats_manifest(vdir)
-    if manifest is None or not ranges:
+    if manifest is None or (not ranges and not points):
         return all_files, len(all_files)
     kept = []
     # bounds convert once per (column, kind) pair, not once per file
@@ -276,6 +399,17 @@ def prune_files(vdir: str, ranges: dict) -> tuple[list[str], int]:
             if chi is not None and mn > chi:
                 keep = False
                 break
+        if keep and points:
+            file_blooms = manifest.get("blooms", {}).get(
+                os.path.basename(path), {}
+            )
+            for col, value in points.items():
+                b = file_blooms.get(col)
+                if b is None or not isinstance(value, int) or isinstance(value, bool):
+                    continue  # no bloom / non-integer probe: keep
+                if not _bloom_maybe_contains(b, value):
+                    keep = False
+                    break
         if keep:
             kept.append(path)
     return kept, len(all_files)

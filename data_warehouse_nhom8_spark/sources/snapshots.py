@@ -300,6 +300,7 @@ def snapshot_compact(
     schema: T.StructType | None = None,
     zorder_by: list[str] | None = None,
     stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> str | None:
     """Small-files compaction: rewrite the live version into
     ~target_file_bytes parquet files through the same atomic commit.
@@ -349,12 +350,16 @@ def snapshot_compact(
         )
     elif len(files) > n_target:
         out = snapshot_overwrite(df.coalesce(n_target), path, schema)
-    if stats_cols:
+    if stats_cols or bloom_cols:
         from data_warehouse_nhom8_spark.sources.layout import write_stats_manifest
 
         # a no-op compaction still refreshes the manifest over the live
-        # version — footer-only, so stats stay available either way
-        write_stats_manifest(out if out is not None else vdir, stats_cols)
+        # version — footer-only (plus the optional bloom column reads)
+        write_stats_manifest(
+            out if out is not None else vdir,
+            stats_cols or [],
+            bloom_cols=bloom_cols,
+        )
     return out
 
 
@@ -364,11 +369,15 @@ def snapshot_scan(
     ranges: dict,
     schema: T.StructType | None = None,
     version: int | None = None,
+    points: dict | None = None,
 ) -> tuple[DataFrame | None, int, int]:
     """Stats-pruned scan of a snapshot version: consult the version's
     `_STATS.json` manifest (written by `snapshot_compact(stats_cols=)`)
     and build the DataFrame over ONLY the files whose min/max ranges
-    may satisfy `ranges` ({col: (lo, hi)}).
+    may satisfy `ranges` ({col: (lo, hi)}) and whose per-file Bloom
+    filters may contain every `points` probe ({col: value} — built by
+    `write_stats_manifest(bloom_cols=...)`; no false negatives, so the
+    superset guarantee holds for point lookups too).
 
     Returns (df_or_None, files_selected, files_total). The caller MUST
     still apply the exact predicate — pruning is a superset guarantee,
@@ -384,7 +393,7 @@ def snapshot_scan(
         version = _current_version(path)
         if version is None:
             if has_parquet(path):  # legacy un-versioned layout, like snapshot_read
-                files, total = prune_files(path, ranges)
+                files, total = prune_files(path, ranges, points)
                 if not files:
                     return None, 0, total
                 r = spark.read.schema(schema) if schema is not None else spark.read
@@ -396,7 +405,7 @@ def snapshot_scan(
             f"(have {snapshot_versions(path)})"
         )
     vdir = os.path.join(path, f"v{version:08d}")
-    files, total = prune_files(vdir, ranges)
+    files, total = prune_files(vdir, ranges, points)
     if not files:
         return None, 0, total
     r = spark.read.schema(schema) if schema is not None else spark.read

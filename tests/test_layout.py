@@ -233,3 +233,58 @@ def test_prune_bounds_convert_by_column_kind(spark, tmp_path):
     # datetime bound on the numeric column → all kept (not over-dropped)
     kept3, _ = prune_files(vdir, {"x": (lo, hi)})
     assert len(kept3) == total
+
+
+def test_bloom_point_skipping(spark, tmp_path):
+    """Per-file Blooms prune equality probes min/max can't: with ids
+    striped across files so every file's [min,max] covers every id,
+    range stats keep all files but the Bloom keeps only the true
+    file(s). No false negatives: for EVERY present id the owning file
+    survives and the pruned scan finds the row."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from data_warehouse_nhom8_spark.sources.layout import (
+        prune_files,
+        write_stats_manifest,
+    )
+
+    n, files = 4000, 8
+    # round-robin spread: every file spans ~[0, n) in min/max terms
+    df = spark.range(n).select(F.col("id").alias("job_id"))
+    vdir = str(tmp_path / "v")
+    df.repartition(files).write.parquet(vdir)
+    write_stats_manifest(vdir, ["job_id"], bloom_cols=["job_id"])
+
+    probe = 1234
+    kept_range, total = prune_files(vdir, {"job_id": (probe, probe)})
+    kept_point, _ = prune_files(vdir, {}, points={"job_id": probe})
+    assert total >= files - 1
+    assert len(kept_range) == total, "min/max cannot prune striped ids"
+    assert len(kept_point) < total, "the bloom must prune"
+    assert spark.read.parquet(*kept_point).filter(
+        F.col("job_id") == probe
+    ).count() == 1
+
+    # no false negatives across every present id
+    import random
+
+    rnd = random.Random(7)
+    for probe in rnd.sample(range(n), 50):
+        kept, _ = prune_files(vdir, {}, points={"job_id": probe})
+        assert spark.read.parquet(*kept).filter(
+            F.col("job_id") == probe
+        ).count() == 1, probe
+
+    # absent ids usually prune to nothing (1% fpp per file)
+    empties = sum(
+        1
+        for probe in range(n + 1000, n + 1050)
+        if not prune_files(vdir, {}, points={"job_id": probe})[0]
+    )
+    assert empties >= 40
+
+    # non-integer probe / missing bloom: fail open
+    kept_str, _ = prune_files(vdir, {}, points={"job_id": "x"})
+    assert len(kept_str) == total
+    kept_nb, _ = prune_files(vdir, {}, points={"other_col": 3})
+    assert len(kept_nb) == total

@@ -323,3 +323,26 @@ def test_prune_files_is_superset_of_matching(tmp_path_factory, files, lo, hi):
         else:
             # with exact numeric stats the pruner is also tight
             assert name not in kept_names, (name, (mn, mx), (lo, hi))
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    vals=st.lists(
+        st.integers(min_value=-(2**62), max_value=2**62), min_size=1, max_size=200
+    ),
+    fpp=st.sampled_from([0.3, 0.01, 0.001]),
+)
+def test_bloom_has_no_false_negatives(vals, fpp):
+    """Build-side (numpy vectorized) and probe-side (pure python)
+    hashing must agree exactly: every inserted value tests positive for
+    ANY set of values and fpp."""
+    import numpy as np
+
+    from data_warehouse_nhom8_spark.sources.layout import (
+        _bloom_build,
+        _bloom_maybe_contains,
+    )
+
+    bloom = _bloom_build(np.unique(np.array(vals, dtype=np.int64)), fpp)
+    for v in vals:
+        assert _bloom_maybe_contains(bloom, v), v

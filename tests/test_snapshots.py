@@ -324,3 +324,27 @@ def test_staging_day_scan_prunes_by_manifest(spark, tmp_path):
         spark, path, {"extracted_date": (day, day)}
     )
     assert 0 < n_sel < n_total
+
+
+def test_snapshot_point_lookup_via_bloom(spark, tmp_path):
+    """End-to-end point-lookup skipping: compact with bloom_cols, then
+    snapshot_scan(points=...) opens fewer files and the residual filter
+    still finds exactly the probed row."""
+    from data_warehouse_nhom8_spark.sources.snapshots import (
+        snapshot_compact,
+        snapshot_overwrite,
+        snapshot_scan,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.range(4000).select(F.col("id").alias("job_id"))
+    snapshot_overwrite(df.repartition(8), path)
+    snapshot_compact(
+        spark, path, target_file_bytes=2 << 10,
+        stats_cols=["job_id"], bloom_cols=["job_id"],
+    )
+    got, n_sel, n_total = snapshot_scan(
+        spark, path, {}, points={"job_id": 2718}
+    )
+    assert n_total > 2 and n_sel < n_total
+    assert got.filter(F.col("job_id") == 2718).count() == 1
