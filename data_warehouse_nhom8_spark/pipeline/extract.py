@@ -131,9 +131,9 @@ def read_day_with_quarantine(
     partition discovery, so `source` is recovered from the file path
     and `date` is the requested day). A day with no partition at all
     returns empty frames, like `read_day`'s empty scan."""
-    import glob as _glob
-
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+    from pyspark.sql.utils import AnalysisException
 
     from data_warehouse_nhom8_spark.sources.csv_partitioned import (
         QuarantineRead,
@@ -141,21 +141,34 @@ def read_day_with_quarantine(
     )
 
     day_glob = f"{bronze_path}/source=*/date={run_date.isoformat()}/*.csv"
-    if not _glob.glob(day_glob):
-        valid_schema = schemas.RAW_JOBS_CSV.add("source", "string").add(
-            "date", "string"
+    try:
+        r = read_csv_with_quarantine(
+            spark, day_glob, schemas.RAW_JOBS_CSV, file_col="__file"
+        )
+    except AnalysisException:
+        # no partition for the day — empty frames, like read_day's empty
+        # scan. Detected via Spark's own filesystem (works for hdfs://,
+        # s3a://, and glob metacharacters alike; a driver-local
+        # glob.glob would silently miss remote paths). Never mutate the
+        # shared schema: StructType.add appends IN PLACE and returns
+        # self, so build a fresh StructType.
+        valid_schema = T.StructType(
+            [
+                *schemas.RAW_JOBS_CSV.fields,
+                T.StructField("source", T.StringType()),
+                T.StructField("date", T.DateType()),
+            ]
         )
         empty_valid = spark.createDataFrame([], valid_schema)
         empty_q = spark.createDataFrame([], "raw_line string")
         return QuarantineRead(empty_valid, empty_q, empty_valid)
-    r = read_csv_with_quarantine(
-        spark, day_glob, schemas.RAW_JOBS_CSV, file_col="__file"
-    )
     valid = (
         r.valid.withColumn(
             "source", F.regexp_extract(F.col("__file"), r"source=([^/]+)/", 1)
         )
-        .withColumn("date", F.lit(run_date.isoformat()))
+        # a real date literal: read_day's partition discovery infers
+        # date=YYYY-MM-DD as DateType, and parity means union-able
+        .withColumn("date", F.lit(run_date))
         .drop("__file")
     )
     return QuarantineRead(valid, r.quarantine, r.parsed)

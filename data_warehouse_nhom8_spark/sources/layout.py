@@ -140,21 +140,28 @@ def _stat_to_jsonable(v):
     raise TypeError(type(v))
 
 
-def _bound_to_comparable(v, kind: str | None):
+def _bound_to_comparable(v, kind: str | None, side: str = "lo"):
     """User-supplied predicate bound → the stored column's comparable
     space, driven by the column's stats KIND (so a date bound prunes a
-    timestamp column correctly and vice versa). Returns None when the
-    bound cannot be safely compared against this kind — the caller
-    must then KEEP the file (data skipping fails open, never wrong)."""
+    timestamp column correctly and vice versa). `side` matters for
+    widening conversions: a DATE used as the UPPER bound of a
+    TIMESTAMP range must cover the WHOLE day (end-of-day micros) —
+    midnight would over-prune files holding later-in-the-day rows.
+    Returns None when the bound cannot be safely compared against this
+    kind — the caller must then KEEP the file (data skipping fails
+    open, never wrong)."""
     import datetime
 
     if kind == "ts":
         if isinstance(v, datetime.datetime):
             return _stat_to_jsonable(v)[1]
         if isinstance(v, datetime.date):
-            return _stat_to_jsonable(
+            micros = _stat_to_jsonable(
                 datetime.datetime(v.year, v.month, v.day)
             )[1]
+            if side == "hi":  # conservative: whole day inside the bound
+                return micros + 24 * 3600 * 1_000_000 - 1
+            return micros
         return None
     if kind == "date":
         if isinstance(v, datetime.datetime):
@@ -231,7 +238,9 @@ def _bloom_build(values, fpp: float) -> dict:
     return {
         "m": m,
         "k": k,
-        "bits": base64.b64encode(bits.tobytes()).decode("ascii"),
+        # explicit little-endian words: the probe indexes bytes as
+        # raw[word*8 + (bit>>3)], which is only valid for '<u8' layout
+        "bits": base64.b64encode(bits.astype("<u8").tobytes()).decode("ascii"),
     }
 
 
@@ -284,11 +293,11 @@ def write_stats_manifest(
     for name in sorted(os.listdir(vdir)):
         if not name.endswith(".parquet"):
             continue
+        pf = pq.ParquetFile(os.path.join(vdir, name))
         if bloom_cols:
             import numpy as np
 
             per_bloom: dict[str, dict] = {}
-            pf = pq.ParquetFile(os.path.join(vdir, name))
             avail = set(pf.schema_arrow.names)
             for c in bloom_cols:
                 if c not in avail:
@@ -296,7 +305,13 @@ def write_stats_manifest(
                 arr = pf.read(columns=[c]).column(c)
                 try:
                     vals = np.unique(arr.to_numpy(zero_copy_only=False))
-                    vals = vals[~np.isnan(vals)] if vals.dtype.kind == "f" else vals
+                    if vals.dtype.kind == "f":
+                        # nullable int columns surface as float64 with
+                        # NaN for null — strip nulls, recover the ints
+                        vals = vals[~np.isnan(vals)]
+                        if not np.all(vals == np.floor(vals)):
+                            raise TypeError(vals.dtype)
+                        vals = vals.astype(np.int64)
                     if vals.dtype.kind not in ("i", "u"):
                         raise TypeError(vals.dtype)
                 except (TypeError, ValueError):
@@ -304,7 +319,7 @@ def write_stats_manifest(
                 per_bloom[c] = _bloom_build(vals, bloom_fpp)
             if per_bloom:
                 blooms[name] = per_bloom
-        md = pq.ParquetFile(os.path.join(vdir, name)).metadata
+        md = pf.metadata
         idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
         per_col: dict[str, list | None] = {}
         for c in cols:
@@ -376,10 +391,12 @@ def prune_files(
     # bounds convert once per (column, kind) pair, not once per file
     bound_cache: dict = {}
 
-    def conv(col, v, kind):
-        key = (col, kind, id(v))
+    def conv(col, v, kind, side):
+        key = (col, kind, side, id(v))
         if key not in bound_cache:
-            bound_cache[key] = None if v is None else _bound_to_comparable(v, kind)
+            bound_cache[key] = (
+                None if v is None else _bound_to_comparable(v, kind, side)
+            )
         return bound_cache[key]
 
     for path in all_files:
@@ -390,7 +407,7 @@ def prune_files(
             if s is None or len(s) < 3:
                 continue  # no (typed) stats for this column: keep
             mn, mx, kind = s
-            clo, chi = conv(col, lo, kind), conv(col, hi, kind)
+            clo, chi = conv(col, lo, kind, "lo"), conv(col, hi, kind, "hi")
             # a bound that can't be converted to the column's stats
             # space is unusable — fail open on that side
             if clo is not None and mx < clo:

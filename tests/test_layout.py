@@ -288,3 +288,55 @@ def test_bloom_point_skipping(spark, tmp_path):
     assert len(kept_str) == total
     kept_nb, _ = prune_files(vdir, {}, points={"other_col": 3})
     assert len(kept_nb) == total
+
+
+def test_date_upper_bound_covers_whole_day(spark, tmp_path):
+    """Intra-day file splits: a DATE used as the upper bound of a
+    TIMESTAMP range must keep files holding later-in-the-day rows
+    (end-of-day widening) — midnight conversion would over-prune."""
+    import datetime
+
+    from data_warehouse_nhom8_spark.sources.layout import (
+        prune_files,
+        write_stats_manifest,
+    )
+
+    # 2 days in 8 files of 6 hours each: files split WITHIN days
+    df = spark.range(48).select(
+        (F.lit("2024-01-01 00:00:00").cast("timestamp")
+         + F.make_interval(hours=F.col("id"))).alias("ts")
+    )
+    vdir = str(tmp_path / "v")
+    df.repartitionByRange(8, "ts").sortWithinPartitions("ts").write.parquet(vdir)
+    write_stats_manifest(vdir, ["ts"])
+
+    day = datetime.date(2024, 1, 1)
+    kept, total = prune_files(vdir, {"ts": (day, day)})
+    got = spark.read.parquet(*kept).filter(
+        F.to_date("ts") == F.lit(day)
+    ).count()
+    assert got == 24, "every hour of the bounded day must survive pruning"
+    assert len(kept) < total, "day 2's files still prune"
+
+
+def test_bloom_indexes_nullable_int_column(spark, tmp_path):
+    """An integer key column containing nulls (arrow -> float64 with
+    NaN) still gets a Bloom; nulls are stripped, present keys probe
+    with no false negatives."""
+    from data_warehouse_nhom8_spark.sources.layout import (
+        prune_files,
+        read_stats_manifest,
+        write_stats_manifest,
+    )
+
+    df = spark.range(1000).select(
+        F.when(F.col("id") % 7 == 0, None).otherwise(F.col("id")).alias("job_id")
+    )
+    vdir = str(tmp_path / "v")
+    df.repartition(4).write.parquet(vdir)
+    write_stats_manifest(vdir, [], bloom_cols=["job_id"])
+    m = read_stats_manifest(vdir)
+    assert m["blooms"], "nullable int column must still be bloom-indexed"
+    kept, total = prune_files(vdir, {}, points={"job_id": 13})
+    assert kept, "present key must never be fully pruned"
+    assert spark.read.parquet(*kept).filter(F.col("job_id") == 13).count() == 1

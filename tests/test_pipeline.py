@@ -240,7 +240,7 @@ def test_read_day_with_quarantine_on_bronze(spark, raw_dir):
     assert valid.count() == 3
     # read_day API parity: partition columns present and populated
     assert {r.source for r in valid.collect()} == {"topcv_jobs", "jobsgo_jobs"}
-    assert {r.date for r in valid.collect()} == {"2025-03-10"}
+    assert {r.date for r in valid.collect()} == {datetime.date(2025, 3, 10)}
     res.parsed.unpersist()
 
     # a day with no partition returns empty frames, like read_day
