@@ -120,3 +120,73 @@ def test_two_day_lifecycle(spark, tmp_path):
     pdf = served["agg_job_by_company"]
     assert list(pdf.columns) == ["company_name", "total_jobs"]
     assert dict(zip(pdf.company_name, pdf.total_jobs)) == {"ACME": 2, "Beta": 1}
+
+
+def test_third_day_maintenance_and_pruned_reads(spark, tmp_path):
+    """Day-3 operations story on top of the two-day lifecycle: a
+    malformed scraper file rides through the quarantine split without
+    poisoning staging; nightly maintenance (date-clustered compaction
+    + stats manifest + key Bloom) then serves the day-filter read from
+    pruned files and a point lookup from ~one file — with results
+    identical to the unpruned paths."""
+    import os
+
+    from data_warehouse_nhom8_spark.pipeline.extract import read_day_with_quarantine
+    from data_warehouse_nhom8_spark.pipeline.warehouse_load import staging_day_scan
+    from data_warehouse_nhom8_spark.sources.snapshots import (
+        snapshot_compact,
+        snapshot_overwrite,
+        snapshot_read,
+        snapshot_scan,
+    )
+
+    bronze = str(tmp_path / "bronze")
+    led = RunLedger(spark, str(tmp_path / "ledger"))
+    dim = build_date_dim(spark, "2025-03-01", "2025-03-31")
+
+    days = [D1, D2, datetime.date(2025, 3, 12)]
+    stg = None
+    for i, d in enumerate(days):
+        rows = [(f"j{i}_{k}", f"Role{k}", "ACME", "10 - 15 triệu") for k in range(4)]
+        run_all_sources(spark, {"topcv_jobs": connector_for(rows)}, d, bronze, led)
+        stg = upsert_staging(stg, transform_raw_jobs(read_day(spark, bronze, d), dim))
+
+    # a broken file lands in the day-3 partition (scraper hiccup)
+    day_dir = os.path.join(bronze, "source=topcv_jobs", f"date={days[2]}")
+    with open(os.path.join(day_dir, "broken.csv"), "w") as fh:
+        fh.write(",".join(f.name for f in schemas.RAW_JOBS_CSV.fields) + "\n")
+        fh.write("oops,only,three\n")
+    qres = read_day_with_quarantine(spark, bronze, days[2])
+    assert qres.quarantine.count() == 1
+    assert qres.valid.filter(F.col("job_id").isNotNull()).count() == 4
+    qres.parsed.unpersist()
+
+    # persist staging as a versioned snapshot, then nightly maintenance:
+    # cluster by extracted_date, write stats + a bloom over date_id
+    spath = str(tmp_path / "staging_snap")
+    snapshot_overwrite(stg.repartition(6), spath)
+    out = snapshot_compact(
+        spark, spath, target_file_bytes=2 << 10,
+        zorder_by=["extracted_date"],
+        stats_cols=["extracted_date"], bloom_cols=["date_id"],
+    )
+    assert out is not None
+
+    # day-filter read: pruned files, identical rows
+    got = staging_day_scan(spark, spath, days[1])
+    want = snapshot_read(spark, spath).filter(
+        F.col("extracted_date") == F.lit(days[1])
+    )
+    assert sorted(r.job_id for r in got.collect()) == sorted(
+        r.job_id for r in want.collect()
+    ) and want.count() == 4
+    _df, n_sel, n_total = snapshot_scan(
+        spark, spath, {"extracted_date": (days[1], days[1])}
+    )
+    assert 0 < n_sel < n_total
+
+    # point lookup by surrogate date_id via the bloom
+    did = want.select("date_id").first()["date_id"]
+    pdf, p_sel, p_total = snapshot_scan(spark, spath, {}, points={"date_id": int(did)})
+    assert 0 < p_sel <= p_total
+    assert pdf.filter(F.col("date_id") == int(did)).count() == 4
