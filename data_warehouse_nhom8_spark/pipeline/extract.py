@@ -172,3 +172,35 @@ def read_day_with_quarantine(
         .drop("__file")
     )
     return QuarantineRead(valid, r.quarantine, r.parsed)
+
+
+def quarantine_check(
+    spark: SparkSession,
+    bronze_path: str,
+    run_date: datetime.date,
+    ledger: RunLedger,
+) -> int:
+    """The production wiring for the quarantine split: run the day's
+    CSV-structure check and record the malformed-row count in the run
+    ledger (`quarantine_check` process, `rows_processed` = quarantined
+    lines; Failed status when any exist, so the reference's
+    check_scraper_status.sh-style health view — and the dashboard's
+    source-health table, which reads the same ledger — surfaces it).
+    Returns the quarantine count."""
+    start = datetime.datetime.now()
+    log_id = ledger.open_run("quarantine_check", run_date)
+    res = read_day_with_quarantine(spark, bronze_path, run_date)
+    try:
+        n_bad = res.quarantine.count()
+    finally:
+        res.parsed.unpersist()
+    ledger.close_run(
+        log_id,
+        "quarantine_check",
+        run_date,
+        "Success" if n_bad == 0 else "Failed",
+        rows_processed=n_bad,
+        error_message=(None if n_bad == 0 else f"{n_bad} malformed row(s) quarantined"),
+        start_time=start,
+    )
+    return n_bad

@@ -161,6 +161,18 @@ def test_third_day_maintenance_and_pruned_reads(spark, tmp_path):
     assert qres.valid.filter(F.col("job_id").isNotNull()).count() == 4
     qres.parsed.unpersist()
 
+    # the ledgered health check surfaces the malformed file as Failed
+    from data_warehouse_nhom8_spark.pipeline.extract import quarantine_check
+
+    assert quarantine_check(spark, bronze, days[2], led) == 1
+    assert quarantine_check(spark, bronze, days[1], led) == 0
+    st = {
+        (r["process"], str(r["run_date"])): r["status"]
+        for r in led.latest_status().collect()
+    }
+    assert st[("quarantine_check", str(days[2]))] == "Failed"
+    assert st[("quarantine_check", str(days[1]))] == "Success"
+
     # persist staging as a versioned snapshot, then nightly maintenance:
     # cluster by extracted_date, write stats + a bloom over date_id
     spath = str(tmp_path / "staging_snap")
