@@ -1035,6 +1035,20 @@ def q83_gap_filled_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q84_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (operators.windows.funnel_counts): users who
+    viewed, then clicked strictly after their first view, then
+    purchased after that click — one scan + one user-partition
+    shuffle; the naive k-way self-join funnel is the 100 TB trap.
+    Counts are exact distincts, bitwise-stable across engines."""
+    from data_warehouse_nhom8_spark.operators.windows import funnel_counts
+
+    c = Catalog(spark, sf_dir)
+    return funnel_counts(
+        c.events, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+    ).orderBy("step_index")
+
+
 EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q33_exact_dedup_docs": q33_exact_dedup_docs,
     "q34_token_counts": q34_token_counts,
@@ -1077,6 +1091,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q81_grouped_concat": q81_grouped_concat,
     "q82_revenue_share": q82_revenue_share,
     "q83_gap_filled_daily": q83_gap_filled_daily,
+    "q84_funnel_conversion": q84_funnel_conversion,
 }
 
 EXTENSION_ORACLES: dict[str, str] = {
@@ -1496,6 +1511,34 @@ EXTENSION_ORACLES: dict[str, str] = {
         SELECT event_type, user_id, n_events, rank
         FROM r WHERE rank <= 5
         ORDER BY event_type, rank
+    """,
+    "q84_funnel_conversion": """
+        WITH d1 AS (
+          SELECT user_id, event_type, ts,
+                 MIN(CASE WHEN event_type = 'view' THEN ts END)
+                   OVER (PARTITION BY user_id) AS t0
+          FROM events
+        ), d2 AS (
+          SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > t0 THEN ts END)
+                      OVER (PARTITION BY user_id) AS t1
+          FROM d1
+        ), d3 AS (
+          SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > t1 THEN ts END)
+                      OVER (PARTITION BY user_id) AS t2
+          FROM d2
+        ), agg AS (
+          SELECT COUNT(DISTINCT CASE WHEN t0 IS NOT NULL THEN user_id END) AS n0,
+                 COUNT(DISTINCT CASE WHEN t1 IS NOT NULL THEN user_id END) AS n1,
+                 COUNT(DISTINCT CASE WHEN t2 IS NOT NULL THEN user_id END) AS n2
+          FROM d3
+        )
+        SELECT s.step_index, s.step, s.n_users
+        FROM agg, LATERAL (
+          VALUES (CAST(1 AS BIGINT), 'view', n0),
+                 (CAST(2 AS BIGINT), 'click', n1),
+                 (CAST(3 AS BIGINT), 'purchase', n2)
+        ) AS s(step_index, step, n_users)
+        ORDER BY s.step_index
     """,
     "q83_gap_filled_daily": """
         WITH agg AS (

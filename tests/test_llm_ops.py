@@ -807,3 +807,30 @@ def test_gap_fill_preserves_stored_nulls_and_rejects_nonnumeric(spark):
     got = {(r.k, r.day.isoformat()): r.label for r in ok.collect()}
     assert got[("a", "2024-01-02")] == "missing"
     assert got[("a", "2024-01-01")] == "x"
+
+
+def test_funnel_counts_ordering_semantics(spark):
+    """Funnel spec: step N counts only entities whose step-N event is
+    STRICTLY after their first step-(N-1) event; counts are
+    monotonically non-increasing."""
+    from data_warehouse_nhom8_spark.operators.windows import funnel_counts
+
+    rows = [
+        # u1: full ordered funnel
+        ("u1", "view", 1.0), ("u1", "click", 2.0), ("u1", "purchase", 3.0),
+        # u2: clicked BEFORE viewing — click must not count
+        ("u2", "click", 1.0), ("u2", "view", 2.0),
+        # u3: view then purchase but never clicked — purchase must not count
+        ("u3", "view", 1.0), ("u3", "purchase", 2.0),
+        # u4: never viewed
+        ("u4", "click", 1.0), ("u4", "purchase", 2.0),
+        # u5: view and click at the SAME ts — strict order excludes it
+        ("u5", "view", 1.0), ("u5", "click", 1.0),
+    ]
+    df = spark.createDataFrame(rows, "user string, etype string, ts double")
+    got = {
+        r.step: r.n_users
+        for r in funnel_counts(df, "user", "ts", "etype",
+                               ["view", "click", "purchase"]).collect()
+    }
+    assert got == {"view": 4, "click": 1, "purchase": 1}

@@ -278,3 +278,12 @@ def test_q83_spine_is_dim_sized_single_fact_scan(spark):
     assert p.count("events.parquet") <= 1, "fact must not re-enter for the spine"
     assert "Generate explode" in p or "Generate" in p
     assert "CartesianProduct" not in p
+
+
+def test_q84_funnel_single_scan_no_self_join(spark):
+    """The funnel must be one scan of events + per-user windows —
+    never the naive k-way self-join of the event log."""
+    p = plan_of(spark, "q84_funnel_conversion")
+    assert p.count("events.parquet") == 1
+    assert "Window" in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
