@@ -1049,6 +1049,30 @@ def q84_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("step_index")
 
 
+def q85_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort matrix: users grouped by first-seen week
+    (cohort), counted distinct per weeks-since-cohort offset — the
+    companion classic to q84's funnel. One scan: first-seen is a
+    per-user window MIN (no self-join of the event log against itself,
+    the usual cohort-SQL trap), then a two-key distinct count. Week
+    buckets are epoch-day floor divisions, identical in both engines."""
+    from pyspark.sql.window import Window
+
+    c = Catalog(spark, sf_dir)
+    day = F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+    ev = c.events.select("user_id", F.floor(day / 7).cast("long").alias("week"))
+    w = Window.partitionBy("user_id")
+    d = ev.withColumn("cohort_week", F.min("week").over(w))
+    return (
+        d.groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
 EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q33_exact_dedup_docs": q33_exact_dedup_docs,
     "q34_token_counts": q34_token_counts,
@@ -1092,6 +1116,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q82_revenue_share": q82_revenue_share,
     "q83_gap_filled_daily": q83_gap_filled_daily,
     "q84_funnel_conversion": q84_funnel_conversion,
+    "q85_retention_cohorts": q85_retention_cohorts,
 }
 
 EXTENSION_ORACLES: dict[str, str] = {
@@ -1511,6 +1536,24 @@ EXTENSION_ORACLES: dict[str, str] = {
         SELECT event_type, user_id, n_events, rank
         FROM r WHERE rank <= 5
         ORDER BY event_type, rank
+    """,
+    "q85_retention_cohorts": """
+        WITH ev AS (
+          SELECT user_id,
+                 CAST(FLOOR(date_diff('day', DATE '1970-01-01',
+                                      CAST(date_trunc('day', ts) AS DATE)) / 7)
+                      AS BIGINT) AS week
+          FROM events
+        ), d AS (
+          SELECT user_id, week,
+                 MIN(week) OVER (PARTITION BY user_id) AS cohort_week
+          FROM ev
+        )
+        SELECT cohort_week, week - cohort_week AS week_offset,
+               COUNT(DISTINCT user_id) AS n_users
+        FROM d
+        GROUP BY cohort_week, week - cohort_week
+        ORDER BY cohort_week, week_offset
     """,
     "q84_funnel_conversion": """
         WITH d1 AS (

@@ -287,3 +287,12 @@ def test_q84_funnel_single_scan_no_self_join(spark):
     assert p.count("events.parquet") == 1
     assert "Window" in p
     assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+
+def test_q85_cohort_single_scan(spark):
+    """Cohort matrix must derive first-seen from a window over ONE
+    scan — not the cohort-SQL self-join trap."""
+    p = plan_of(spark, "q85_retention_cohorts")
+    assert p.count("events.parquet") == 1
+    assert "Window" in p
+    assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
