@@ -338,6 +338,295 @@ def q77_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q86_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: forecasting-revenue-change — a pure
+    filter-and-sum with THREE range predicates that must all reach the
+    parquet scan (date window, discount band, quantity cap). The whole
+    query is one scan + partial agg + single-row final agg; at 100 TB
+    its cost is exactly the bytes the pushed filters let through.
+
+    Determinism: revenue = Σ(extendedprice·discount) through DECIMAL,
+    one cast to DOUBLE at the end (reference parity: the datamart's
+    single-number revenue gates, datamart/load_to_dm.py:127-139)."""
+    c = Catalog(spark, sf_dir)
+    li = c.lineitem.filter(
+        (F.to_date("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.to_date("l_shipdate") < F.lit("1998-01-01").cast("date"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,4)"))
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+def q87_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: volume shipping between two nations — the
+    supplier-nation x customer-nation pair report.
+
+    Scale notes: both nation dims are pre-filtered to the two nations
+    of interest and BROADCAST, so the fact stream is pruned to the
+    qualifying suppliers/customers by two broadcast hash joins before
+    any shuffle; the residual (A,B)|(B,A) pair predicate evaluates on
+    the joined row. Only the orders/customer equi-joins shuffle."""
+    c = Catalog(spark, sf_dir)
+    nations = ["NATION_1", "NATION_2"]
+    n1 = c.nation.filter(F.col("n_name").isin(nations)).select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = c.nation.filter(F.col("n_name").isin(nations)).select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    li = c.lineitem.filter(
+        (F.to_date("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.to_date("l_shipdate") < F.lit("1998-01-01").cast("date"))
+    )
+    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        li.join(c.supplier, li["l_suppkey"] == c.supplier["s_suppkey"])
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(c.orders, F.col("l_orderkey") == c.orders["o_orderkey"])
+        .join(c.customer, F.col("o_custkey") == c.customer["c_custkey"])
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .withColumn("l_year", F.year(F.to_date("l_shipdate")).cast("long"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum(disc_price).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def q88_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: national market share — one nation's share of
+    ECONOMY-part revenue among ASIA-region customers, per order year.
+
+    Scale notes: part (type-filtered), nation (region-pruned via a
+    broadcast region join) and the share nation are all broadcast; the
+    share is a conditional-sum / sum on the SAME aggregated row — one
+    pass, no second scan. Division happens once per year row in IEEE
+    double on bit-identical exact-decimal inputs."""
+    c = Catalog(spark, sf_dir)
+    part = c.part.filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+    asia_nations = (
+        c.nation.join(
+            F.broadcast(c.region.filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(F.col("n_nationkey").alias("c_nk"))
+    )
+    supp_nation = c.nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    orders = c.orders.filter(
+        (F.to_date("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.to_date("o_orderdate") < F.lit("1998-01-01").cast("date"))
+    )
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    zero = F.lit(0).cast("decimal(18,4)")
+    share_vol = F.sum(
+        F.when(F.col("supp_nation") == "NATION_2", vol).otherwise(zero)
+    ).cast("double")
+    total_vol = F.sum(vol).cast("double")
+    return (
+        c.lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == orders["o_orderkey"])
+        .join(c.customer, F.col("o_custkey") == c.customer["c_custkey"])
+        .join(F.broadcast(asia_nations), F.col("c_nationkey") == F.col("c_nk"))
+        .join(c.supplier, F.col("l_suppkey") == c.supplier["s_suppkey"])
+        .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("s_nk"))
+        .withColumn("o_year", F.year(F.to_date("o_orderdate")).cast("long"))
+        .groupBy("o_year")
+        .agg(
+            share_vol.alias("nation_volume"),
+            total_vol.alias("total_volume"),
+            (share_vol / total_vol).alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )
+
+
+def q89_priority_line_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipmode report adapted: the testdata carries
+    no l_shipmode, so line status stands in for the mode): count
+    high- vs low-priority orders' lines per status for one ship year —
+    the canonical join + conditional-CASE-sum pair.
+
+    Scale notes: the date filter pushes to the fact scan; the join
+    shuffles on orderkey only with orders pre-projected to (key,
+    priority); both CASE sums partial-aggregate map-side."""
+    c = Catalog(spark, sf_dir)
+    li = c.lineitem.filter(
+        (F.to_date("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.to_date("l_shipdate") < F.lit("1998-01-01").cast("date"))
+    ).select("l_orderkey", "l_linestatus")
+    orders = c.orders.select("o_orderkey", "o_orderpriority")
+    high = F.sum(
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0)
+    )
+    low = F.sum(
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0).otherwise(1)
+    )
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("l_linestatus")
+        .agg(high.alias("high_line_count"), low.alias("low_line_count"))
+        .orderBy("l_linestatus")
+    )
+
+
+def q90_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: customer order-count distribution — LEFT OUTER
+    join so zero-order customers keep a 0 bucket, then a second
+    aggregate over the first (distribution of the counts).
+
+    Scale notes: count(o_orderkey) skips the outer join's nulls, so
+    the 0 bucket emerges without special-casing; both aggregates
+    partial-combine map-side; the distribution agg's input is already
+    customer-cardinality (dim-sized), so the second shuffle is tiny."""
+    c = Catalog(spark, sf_dir)
+    ords = c.orders.filter(F.col("o_orderpriority") != "1-URGENT").select(
+        "o_custkey", "o_orderkey"
+    )
+    per_cust = (
+        c.customer.select("c_custkey")
+        .join(ords, F.col("c_custkey") == ords["o_custkey"], "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def q91_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: small-quantity-order revenue — the correlated
+    `l_quantity < 0.2 * AVG(l_quantity per part)` subquery, decorrelated
+    the way it must run at scale: the per-part average is ONE partial
+    aggregate over the (part-pruned) fact, broadcast back and compared
+    — never a per-row rescan of lineitem.
+
+    Determinism: the average is exact-sum/count (both engines compute
+    the identical double); the 0.2x threshold and final /7.0 are single
+    IEEE ops on bit-identical inputs."""
+    c = Catalog(spark, sf_dir)
+    part = c.part.filter(
+        (F.col("p_brand") == "Brand#3") & (F.col("p_size") < 10)
+    ).select("p_partkey")
+    li = c.lineitem.select("l_partkey", "l_quantity", "l_extendedprice")
+    pruned = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    avg_q = pruned.groupBy(F.col("l_partkey").alias("avg_pk")).agg(
+        (
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_qty")
+    )
+    return (
+        pruned.join(F.broadcast(avg_q), F.col("l_partkey") == F.col("avg_pk"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+                / F.lit(7.0)
+            ).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def q92_disjunctive_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: discounted revenue under an OR-of-ANDs
+    predicate spanning both join sides (brand/size from part,
+    quantity from lineitem).
+
+    Scale notes: Catalyst splits the disjunction — the part-only
+    conjuncts ((brand,size) per arm) push to the broadcast part scan,
+    the quantity bands stay as the join residual; the fact is never
+    scanned without the partkey broadcast filter. This is the classic
+    'predicate too tangled to push' trap; the plan gate pins that the
+    part scan carries PushedFilters."""
+    c = Catalog(spark, sf_dir)
+    j = c.lineitem.join(
+        F.broadcast(c.part.select("p_partkey", "p_brand", "p_size")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    arm = lambda brand, smax, qlo, qhi: (
+        (F.col("p_brand") == brand)
+        & (F.col("p_size") >= 1)
+        & (F.col("p_size") <= smax)
+        & (F.col("l_quantity") >= qlo)
+        & (F.col("l_quantity") <= qhi)
+    )
+    cond = arm("Brand#1", 5, 1, 11) | arm("Brand#2", 10, 10, 20) | arm("Brand#3", 15, 20, 30)
+    return j.filter(cond).agg(
+        F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)"))
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+def q93_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who kept orders waiting — the
+    EXISTS + NOT-EXISTS double self-join on the fact. Adapted: the
+    testdata has no commit/receipt dates, so 'late' = shipped more
+    than 90 days after the order date; supplier scope = ASIA region.
+
+    Scale notes: the late-line set is computed ONCE (fact ⋈ orders on
+    the order key), then the semi join ('some other supplier on the
+    order') and anti join ('no other supplier was late') both shuffle
+    on l_orderkey with key+supplier projections only — the classic
+    Q21 plan; no correlated re-scan per row. The supplier dim join
+    broadcasts after the fact-side reduction."""
+    c = Catalog(spark, sf_dir)
+    lines = c.lineitem.select("l_orderkey", "l_suppkey")
+    late = (
+        c.lineitem.join(
+            c.orders.select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .filter(
+            F.to_date("l_shipdate") > F.date_add(F.to_date("o_orderdate"), 90)
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    l2 = lines.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = late.select(F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3"))
+    asia_supp = (
+        c.supplier.join(
+            F.broadcast(
+                c.nation.join(
+                    F.broadcast(c.region.filter(F.col("r_name") == "ASIA")),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                ).select("n_nationkey")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name")
+    )
+    cand = late.join(
+        l2, (F.col("l_orderkey") == F.col("o2")) & (F.col("l_suppkey") != F.col("s2")), "left_semi"
+    ).join(
+        l3, (F.col("l_orderkey") == F.col("o3")) & (F.col("l_suppkey") != F.col("s3")), "left_anti"
+    )
+    return (
+        cand.join(F.broadcast(asia_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
 TPCH_QUERIES = {
     "q46_pricing_summary": q46_pricing_summary,
     "q47_shipping_priority": q47_shipping_priority,
@@ -349,6 +638,14 @@ TPCH_QUERIES = {
     "q75_dormant_customer_value": q75_dormant_customer_value,
     "q76_moving_avg_order_value": q76_moving_avg_order_value,
     "q77_returned_item_revenue": q77_returned_item_revenue,
+    "q86_forecast_revenue": q86_forecast_revenue,
+    "q87_volume_shipping": q87_volume_shipping,
+    "q88_market_share": q88_market_share,
+    "q89_priority_line_mix": q89_priority_line_mix,
+    "q90_customer_order_distribution": q90_customer_order_distribution,
+    "q91_small_quantity_revenue": q91_small_quantity_revenue,
+    "q92_disjunctive_predicate_revenue": q92_disjunctive_predicate_revenue,
+    "q93_waiting_supplier": q93_waiting_supplier,
 }
 
 TPCH_ORACLES = {
@@ -487,5 +784,126 @@ TPCH_ORACLES = {
           AND date_trunc('day', o.o_orderdate) < DATE '1999-01-01'
         GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
         ORDER BY revenue DESC, c.c_custkey LIMIT 20
+    """,
+    "q86_forecast_revenue": """
+        SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_lines
+        FROM lineitem
+        WHERE date_trunc('day', l_shipdate) >= DATE '1997-01-01'
+          AND date_trunc('day', l_shipdate) < DATE '1998-01-01'
+          AND l_discount >= 0.05 AND l_discount <= 0.07
+          AND l_quantity < 24
+    """,
+    "q87_volume_shipping": """
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               EXTRACT(year FROM l.l_shipdate) AS l_year,
+               CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+          AND n2.n_name IN ('NATION_1', 'NATION_2')
+          AND n1.n_name <> n2.n_name
+          AND date_trunc('day', l.l_shipdate) >= DATE '1996-01-01'
+          AND date_trunc('day', l.l_shipdate) < DATE '1998-01-01'
+        GROUP BY n1.n_name, n2.n_name, EXTRACT(year FROM l.l_shipdate)
+        ORDER BY supp_nation NULLS FIRST, cust_nation NULLS FIRST, l_year
+    """,
+    "q88_market_share": """
+        SELECT EXTRACT(year FROM o.o_orderdate) AS o_year,
+               CAST(SUM(CASE WHEN ns.n_name = 'NATION_2'
+                             THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))
+                             ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS nation_volume,
+               CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS total_volume,
+               CAST(SUM(CASE WHEN ns.n_name = 'NATION_2'
+                             THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))
+                             ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                 / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS mkt_share
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+        JOIN region r ON nc.n_regionkey = r.r_regionkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+        WHERE p.p_type = 'ECONOMY' AND r.r_name = 'ASIA'
+          AND date_trunc('day', o.o_orderdate) >= DATE '1996-01-01'
+          AND date_trunc('day', o.o_orderdate) < DATE '1998-01-01'
+        GROUP BY EXTRACT(year FROM o.o_orderdate)
+        ORDER BY o_year
+    """,
+    "q89_priority_line_mix": """
+        SELECT l.l_linestatus,
+               CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE date_trunc('day', l.l_shipdate) >= DATE '1997-01-01'
+          AND date_trunc('day', l.l_shipdate) < DATE '1998-01-01'
+        GROUP BY l.l_linestatus
+        ORDER BY l.l_linestatus NULLS FIRST
+    """,
+    "q90_customer_order_distribution": """
+        WITH per_cust AS (
+          SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+          FROM customer c
+          LEFT OUTER JOIN orders o
+            ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+          GROUP BY c.c_custkey
+        )
+        SELECT c_count, COUNT(*) AS custdist
+        FROM per_cust
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+    """,
+    "q91_small_quantity_revenue": """
+        WITH pruned AS (
+          SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+          FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+          WHERE p.p_brand = 'Brand#3' AND p.p_size < 10
+        ), avg_q AS (
+          SELECT l_partkey AS avg_pk,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+          FROM pruned GROUP BY l_partkey
+        )
+        SELECT CAST(SUM(CAST(pr.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+               COUNT(*) AS n_lines
+        FROM pruned pr JOIN avg_q a ON pr.l_partkey = a.avg_pk
+        WHERE pr.l_quantity < 0.2 * a.avg_qty
+    """,
+    "q92_disjunctive_predicate_revenue": """
+        SELECT CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_lines
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 5  AND l.l_quantity BETWEEN 1 AND 11)
+           OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 10 AND l.l_quantity BETWEEN 10 AND 20)
+           OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    "q93_waiting_supplier": """
+        WITH late AS (
+          SELECT l.l_orderkey, l.l_suppkey
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+          WHERE date_trunc('day', l.l_shipdate) >
+                date_trunc('day', o.o_orderdate) + INTERVAL 90 DAY
+        )
+        SELECT s.s_name, COUNT(*) AS numwait
+        FROM late l1
+        JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+          AND EXISTS (
+            SELECT 1 FROM lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+          )
+          AND NOT EXISTS (
+            SELECT 1 FROM late l3
+            WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          )
+        GROUP BY s.s_name
+        ORDER BY numwait DESC, s.s_name LIMIT 20
     """,
 }

@@ -296,3 +296,68 @@ def test_q85_cohort_single_scan(spark):
     assert p.count("events.parquet") == 1
     assert "Window" in p
     assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
+
+
+def test_q86_all_three_predicates_pushed(spark):
+    """Q6 shape: date window, discount band, and quantity cap must ALL
+    reach the parquet scan — at 100 TB the query IS the pushed scan."""
+    p = plan_of(spark, "q86_forecast_revenue")
+    # toString truncates the PushedFilters list — pin the pushdown via
+    # its prefix and the (un-truncated) Filter node predicates
+    assert (
+        "PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount), "
+        "IsNotNull(l_quantity), GreaterThanOrEqual" in p
+    ), p[:1200]
+    assert "(l_quantity" in p and "< 24.0)" in p
+    assert ">= 0.05)" in p and "<= 0.07)" in p
+    assert p.count("FileScan parquet") == 1
+
+
+def test_q87_nation_pair_broadcasts_with_in_pushdown(spark):
+    """Q7 shape: both nation dims broadcast, pre-filtered to the two
+    nations of interest — the In() must reach the nation scan so the
+    fact stream is pruned by broadcast joins, not post-filtered."""
+    p = plan_of(spark, "q87_volume_shipping")
+    assert p.count("In(n_name, [NATION_1,NATION_2]") == 2, p[:800]
+    assert "SortMergeJoin" not in p or p.count("BroadcastHashJoin") >= 4
+
+
+def test_q88_market_share_single_pass(spark):
+    """Q8 shape: the share is a conditional-sum / sum over ONE
+    aggregated pass — the fact is scanned once, every dim broadcasts."""
+    p = plan_of(spark, "q88_market_share")
+    assert p.count("lineitem.parquet") == 1
+    assert p.count("BroadcastHashJoin") >= 5
+    assert "EqualTo(p_type,ECONOMY)" in p, "part type filter must push"
+
+
+def test_q90_outer_join_keeps_zero_bucket(spark):
+    """Q13 shape: the customer⋈orders join must stay LEFT OUTER (the
+    0-order bucket is the point) and the orders-side priority filter
+    must push to its scan, never to a post-join filter that would
+    silently turn the join inner."""
+    p = plan_of(spark, "q90_customer_order_distribution")
+    assert "LeftOuter" in p
+    assert "Not(EqualTo(o_orderpriority,1-URGENT))" in p
+    assert p.count("partial_count") >= 2, "both agg levels must map-side combine"
+
+
+def test_q92_disjunction_splits_and_pushes(spark):
+    """Q19 shape: Catalyst must split the OR-of-ANDs — the brand/size
+    arms push to the part scan AND the derived quantity-band
+    disjunction pushes to the lineitem scan."""
+    p = plan_of(spark, "q92_disjunctive_predicate_revenue")
+    assert "Or(" in p.split("part.parquet")[0] or "Or(" in p, p[:800]
+    # the quantity disjunction must reach the fact scan
+    fact_scan = [s for s in p.split("FileScan parquet") if "lineitem" in s[:2000]]
+    assert any("l_quantity" in s.split("ReadSchema")[0] for s in fact_scan), p[:1200]
+    assert "BroadcastHashJoin" in p
+
+
+def test_q93_semi_anti_self_join_shape(spark):
+    """Q21 shape: EXISTS → LeftSemi, NOT EXISTS → LeftAnti, supplier
+    dim broadcast, and never a cartesian/nested-loop fallback."""
+    p = plan_of(spark, "q93_waiting_supplier")
+    assert "LeftSemi" in p and "LeftAnti" in p
+    assert "CartesianProduct" not in p and "NestedLoop" not in p
+    assert "BroadcastHashJoin" in p
