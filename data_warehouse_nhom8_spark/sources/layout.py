@@ -430,3 +430,49 @@ def prune_files(
         if keep:
             kept.append(path)
     return kept, len(all_files)
+
+
+# ---------------------------------------------------------------------------
+# Hive-partitioned fact layout + dynamic partition pruning
+# ---------------------------------------------------------------------------
+
+def write_hive_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+) -> None:
+    """Write a fact as a Hive-partitioned parquet directory tree
+    (`col=value/` subdirs) — the scan-path twin of the reference's
+    `raw/source=X/date=Y/` CSV layout (extract/topcv_scraper_v5.py:
+    198-202) applied to the warehouse fact itself.
+
+    Why it matters at 100 TB: a partition column never reaches the data
+    files — it is directory metadata — so two pruning paths apply:
+
+    * STATIC partition pruning: a literal filter on the partition
+      column selects subdirectories before any I/O is scheduled.
+    * DYNAMIC partition pruning (DPP): when the filter lives on a
+      JOINED dimension (`fact ⋈ date_dim WHERE dim.month = 5`),
+      Catalyst injects a `dynamicpruning#` subquery into the fact
+      scan's PartitionFilters: the dim side (broadcast) runs first,
+      and only the fact partitions whose keys appear in the dim result
+      are ever listed/read. This is the mechanism that makes the
+      star-schema day-dimension filter — the reference's every
+      datamart query (datamart/load_to_dm.py:127-139) — touch only
+      matching day directories instead of the whole fact.
+
+    Dynamic overwrite: with `mode="overwrite"` Spark's
+    `partitionOverwriteMode=dynamic` session default (set in
+    session.get_spark) replaces only the partitions present in `df` —
+    the idempotent daily re-run contract of the reference's
+    truncate-and-reload day partition, without touching other days.
+    """
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def read_hive_partitioned(df_or_spark, path: str) -> DataFrame:
+    """Read a Hive-partitioned tree; partition columns come back as
+    real columns inferred from the directory names."""
+    spark = df_or_spark if hasattr(df_or_spark, "read") else df_or_spark.sparkSession
+    return spark.read.parquet(path)

@@ -340,3 +340,85 @@ def test_bloom_indexes_nullable_int_column(spark, tmp_path):
     kept, total = prune_files(vdir, {}, points={"job_id": 13})
     assert kept, "present key must never be fully pruned"
     assert spark.read.parquet(*kept).filter(F.col("job_id") == 13).count() == 1
+
+
+# ---------------------------------------------------------------------------
+# Hive-partitioned fact layout: static + dynamic partition pruning
+# ---------------------------------------------------------------------------
+
+def _partitioned_fact(spark, tmp_path, days=60, rows=6000):
+    from data_warehouse_nhom8_spark.sources.layout import write_hive_partitioned
+
+    path = str(tmp_path / "fact_by_day")
+    fact = spark.range(rows).select(
+        F.col("id").alias("k"),
+        (F.col("id") % days).cast("int").alias("day_sk"),
+        (F.col("id") * 2.5).alias("amount"),
+    )
+    write_hive_partitioned(fact, path, ["day_sk"])
+    return path
+
+
+def test_static_partition_pruning_reads_one_directory(spark, tmp_path):
+    """A literal filter on the partition column must prune at the
+    directory level: exactly one day directory's files are touched."""
+    from data_warehouse_nhom8_spark.sources.layout import read_hive_partitioned
+
+    path = _partitioned_fact(spark, tmp_path)
+    f = read_hive_partitioned(spark, path).filter(F.col("day_sk") == 7)
+    plan = f._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(day_sk" in plan
+    touched = f.select(F.input_file_name().alias("f")).distinct().collect()
+    assert all("day_sk=7" in r["f"] for r in touched), touched
+    assert f.count() == 100
+
+
+def test_dynamic_partition_pruning_from_dim_filter(spark, tmp_path):
+    """The star-schema day filter: fact ⋈ broadcast(date_dim) with the
+    month predicate on the DIM side must inject a dynamicpruning#
+    subquery into the fact scan's PartitionFilters — only matching day
+    directories are read, exactly the plan the reference's datamart
+    day-dimension queries (datamart/load_to_dm.py:127-139) need at
+    100 TB."""
+    from data_warehouse_nhom8_spark.sources.layout import read_hive_partitioned
+
+    path = _partitioned_fact(spark, tmp_path)
+    dim = spark.range(60).select(
+        F.col("id").cast("int").alias("date_sk"),
+        (F.col("id") / 30).cast("int").alias("month"),
+    )
+    f = read_hive_partitioned(spark, path)
+    q = (
+        f.join(F.broadcast(dim), f["day_sk"] == dim["date_sk"])
+        .filter(F.col("month") == 1)
+        .groupBy("month")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("amount").alias("total"))
+    )
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression(day_sk" in plan, plan[:1200]
+    rows = q.collect()
+    assert rows[0]["n"] == 3000  # days 30..59 = half the rows
+
+
+def test_dynamic_overwrite_replaces_only_written_partitions(spark, tmp_path):
+    """The idempotent daily-rerun contract: re-writing day 3's data
+    with mode=overwrite under partitionOverwriteMode=dynamic must
+    replace ONLY day_sk=3 — every other day's rows survive (the
+    reference's truncate-and-reload day partition,
+    staging/staging_loader.py:55-57, without clobbering history)."""
+    from data_warehouse_nhom8_spark.sources.layout import (
+        read_hive_partitioned,
+        write_hive_partitioned,
+    )
+
+    path = _partitioned_fact(spark, tmp_path, days=10, rows=1000)
+    redo = spark.range(5).select(
+        (F.col("id") + 10_000).alias("k"),
+        F.lit(3).cast("int").alias("day_sk"),
+        F.lit(0.0).alias("amount"),
+    )
+    write_hive_partitioned(redo, path, ["day_sk"], mode="overwrite")
+    f = read_hive_partitioned(spark, path)
+    assert f.count() == 900 + 5
+    assert f.filter(F.col("day_sk") == 3).count() == 5
+    assert f.filter(F.col("day_sk") == 4).count() == 100
