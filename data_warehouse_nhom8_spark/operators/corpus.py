@@ -363,3 +363,130 @@ def weighted_mixture(
     for k in sorted(exact, key=lambda k: (-(exact[k] - quotas[k]), k))[:short]:
         quotas[k] += 1
     return stratified_sample(df, strata_col, quotas, order_key, id_col)
+
+
+def sequence_packing_manifest(
+    df: DataFrame,
+    seq_len: int = 512,
+    shard_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Concat-and-chunk sequence-packing accounting — per shard, the
+    document stream (ordered by `id_col`) is conceptually concatenated
+    and cut into `seq_len`-token training sequences; each document is
+    attributed to the sequence its FIRST token lands in. Output: one
+    row per (shard, seq_id) with the doc span and token fill.
+
+    This is the GPT-style packing bookkeeping (no padding waste, docs
+    may straddle boundaries) expressed as pure windowed arithmetic:
+    running token sum per shard → start offset → floor-div bucket.
+
+    Scale notes (100 TB): the running sum partitions by the SHARD
+    column — packing is per-shard sequential by construction (a global
+    document order would serialize the corpus through one task), so
+    parallelism = shard count; use enough shards (source × hash-bucket
+    in production) to fill the cluster. One shuffle on the shard key,
+    then a single window pass; the per-(shard, seq) aggregate
+    partial-combines map-side.
+    """
+    from pyspark.sql.window import Window
+
+    if seq_len <= 0:
+        raise ValueError("seq_len must be positive")
+    from data_warehouse_nhom8_spark.operators.text import token_count_col
+
+    toks = df.select(
+        F.col(shard_col).alias("shard"),
+        F.col(id_col).alias("doc_id"),
+        token_count_col(text_col).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    placed = toks.select(
+        "shard",
+        "doc_id",
+        "n_tokens",
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start_off"),
+    ).withColumn("seq_id", F.floor(F.col("start_off") / seq_len).cast("long"))
+    return (
+        placed.groupBy("shard", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("tokens_started"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("shard", "seq_id")
+    )
+
+
+def temperature_mixture_weights(
+    df: DataFrame,
+    token_budget: int,
+    strata_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-based mixture reweighting (T=2, i.e. p^(1/2)) — the
+    standard multi-source LM sampling scheme: a source's sampling
+    weight is sqrt(tokens_s) / Σ sqrt(tokens_s), flattening the raw
+    size distribution so small sources are not drowned out. Output per
+    source: token count, mixture weight, and expected epochs over the
+    source under `token_budget` sampled tokens.
+
+    Determinism contract: sqrt is IEEE-correctly-rounded in both
+    engines; each sqrt is quantized to DECIMAL(28,6) BEFORE the
+    cross-source sum so the normalizer is an exact decimal sum
+    (order-independent), then one double division per source. The
+    exponent is fixed at 1/2 for exactly this reason — a general
+    pow(x, alpha) is not guaranteed bit-identical across engines.
+
+    Scale notes: one partial-agg pass over the corpus for per-source
+    token counts (map-side combined); the normalizer window runs over
+    source-cardinality rows (dim-sized).
+    """
+    from pyspark.sql.window import Window
+
+    if token_budget <= 0:
+        raise ValueError("token_budget must be positive")
+    from data_warehouse_nhom8_spark.operators.text import token_count_col
+
+    per_source = df.groupBy(F.col(strata_col).alias("source")).agg(
+        F.sum(token_count_col(text_col)).alias("n_tokens")
+    )
+    sq = F.sqrt(F.col("n_tokens").cast("double")).cast("decimal(28,6)")
+    scored = per_source.withColumn("__sq", sq).withColumn(
+        "__norm", F.sum("__sq").over(Window.partitionBy())
+    )
+    weight = (F.col("__sq").cast("double") / F.col("__norm").cast("double"))
+    return scored.select(
+        "source",
+        "n_tokens",
+        weight.alias("mix_weight"),
+        (weight * F.lit(float(token_budget)) / F.col("n_tokens")).alias(
+            "expected_epochs"
+        ),
+    ).orderBy("source")
+
+
+def deterministic_shuffle_key(
+    df: DataFrame,
+    seed: str = "epoch0",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reproducible global shuffle order for training-data delivery:
+    every row gets an md5-derived hex sort key from (id, seed) —
+    changing the seed reshuffles, re-running does not. Downstream
+    writers `orderBy("shuffle_key")` (a range-partitioned distributed
+    sort, the scale path) to lay the corpus out in shuffled order.
+
+    md5 over the decimal-string id is engine-portable (identical hex
+    in Spark and DuckDB), unlike engine-native hash functions.
+    """
+    return df.withColumn(
+        "shuffle_key",
+        F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(seed))),
+    )

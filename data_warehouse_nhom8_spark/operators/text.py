@@ -289,3 +289,59 @@ def fingerprint_col(text: Column | str = "text", shingle: int = 3) -> Column:
     t = _c(text)
     canon = F.concat_ws(" ", F.split(F.lower(F.trim(t)), r"\s+"))
     return F.md5(canon)
+
+
+# --------------------------------------------------------- tf-idf head
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document top-k characteristic terms by idf-weighted term
+    frequency — keyword extraction over the corpus.
+
+    Scoring is the log-free idf variant  score = tf · (N+1)/(df+1):
+    monotone in tf and in rarity, and — unlike ln() — composed only of
+    exact integer counts and ONE IEEE double multiply+divide, so Spark
+    and DuckDB produce bit-identical scores (the cross-engine
+    determinism contract; transcendental libm calls are not guaranteed
+    to round identically). Ties break by term.
+
+    Scale notes: the token stream is exploded and aggregated ONCE —
+    document frequency is a COUNT window partitioned by term over the
+    tf output (vocabulary-cardinality rows), not a second aggregate
+    whose lineage would re-scan and re-explode the corpus (Catalyst
+    recomputes shared subplans; the window formulation keeps df inside
+    the single pipeline). N is a broadcast scalar from a count-only
+    scan (no token work). The per-doc top-k rank filter pushes a
+    map-side WindowGroupLimit: only ~k rows per doc cross the final
+    shuffle."""
+    from pyspark.sql.window import Window
+
+    tf = (
+        df.select(
+            F.col(id_col),
+            F.explode(F.split(F.lower(F.trim(_c(text_col))), r"\s+")).alias("term"),
+        )
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    with_df = tf.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("term")).cast("long")
+    )
+    n_docs = df.select(F.count(F.lit(1)).alias("__n"))
+    scored = with_df.join(F.broadcast(n_docs)).withColumn(
+        "score",
+        F.col("tf").cast("double")
+        * (F.col("__n") + 1).cast("double")
+        / (F.col("df") + 1).cast("double"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "rank", "term", "tf", "df", "score")
+        .orderBy(id_col, "rank")
+    )

@@ -1073,6 +1073,49 @@ def q85_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q94_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: concat-and-chunk sequence-packing manifest — per (source
+    shard, 512-token training sequence): docs started, token fill, doc
+    span. Windowed running sum per shard; parallelism = shard count."""
+    from data_warehouse_nhom8_spark.operators.corpus import sequence_packing_manifest
+
+    c = Catalog(spark, sf_dir)
+    return sequence_packing_manifest(c.documents, seq_len=512)
+
+
+def q95_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3: per-doc top-3 characteristic terms by idf-weighted term
+    frequency (log-free idf for cross-engine bit determinism); df is
+    aggregated over the tf output, never a second corpus scan."""
+    from data_warehouse_nhom8_spark.operators.text import tfidf_top_terms
+
+    c = Catalog(spark, sf_dir)
+    return tfidf_top_terms(c.documents, k=3)
+
+
+def q96_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: reproducible training-order shuffle — md5(doc_id, seed)
+    sort key; same seed → same order on any engine/run/cluster."""
+    from data_warehouse_nhom8_spark.operators.corpus import deterministic_shuffle_key
+
+    c = Catalog(spark, sf_dir)
+    return (
+        deterministic_shuffle_key(c.documents, seed="epoch0")
+        .select("doc_id", "shuffle_key")
+        .orderBy("shuffle_key")
+    )
+
+
+def q97_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: temperature (T=2) mixture reweighting per source — sampling
+    weight sqrt(tokens)/Σsqrt(tokens) with a decimal-quantized
+    normalizer so the cross-source sum is order-independent."""
+    from data_warehouse_nhom8_spark.operators.corpus import temperature_mixture_weights
+
+    c = Catalog(spark, sf_dir)
+    return temperature_mixture_weights(c.documents, token_budget=1_000_000)
+
+
 EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q33_exact_dedup_docs": q33_exact_dedup_docs,
     "q34_token_counts": q34_token_counts,
@@ -1117,6 +1160,10 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q83_gap_filled_daily": q83_gap_filled_daily,
     "q84_funnel_conversion": q84_funnel_conversion,
     "q85_retention_cohorts": q85_retention_cohorts,
+    "q94_sequence_packing": q94_sequence_packing,
+    "q95_tfidf_topterms": q95_tfidf_topterms,
+    "q96_deterministic_shuffle": q96_deterministic_shuffle,
+    "q97_mixture_temperature": q97_mixture_temperature,
 }
 
 EXTENSION_ORACLES: dict[str, str] = {
@@ -1554,6 +1601,70 @@ EXTENSION_ORACLES: dict[str, str] = {
         FROM d
         GROUP BY cohort_week, week - cohort_week
         ORDER BY cohort_week, week_offset
+    """,
+    "q94_sequence_packing": """
+        WITH toks AS (
+          SELECT source AS shard, doc_id,
+                 CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+          FROM documents
+        ), placed AS (
+          SELECT shard, doc_id, n_tokens,
+                 SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_tokens AS start_off
+          FROM toks
+        )
+        SELECT shard, CAST(FLOOR(start_off / 512) AS BIGINT) AS seq_id,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS tokens_started,
+               MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        FROM placed
+        GROUP BY shard, CAST(FLOOR(start_off / 512) AS BIGINT)
+        ORDER BY shard NULLS FIRST, seq_id
+    """,
+    "q95_tfidf_topterms": """
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+          FROM documents
+        ), tfc AS (
+          SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+          FROM tok GROUP BY doc_id, term
+        ), dfc AS (
+          SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tfc GROUP BY term
+        ), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        scored AS (
+          SELECT t.doc_id, t.term, t.tf, d.df,
+                 CAST(t.tf AS DOUBLE) * CAST(n.n_docs + 1 AS DOUBLE)
+                   / CAST(d.df + 1 AS DOUBLE) AS score
+          FROM tfc t JOIN dfc d ON t.term = d.term CROSS JOIN n
+        ), ranked AS (
+          SELECT *, CAST(ROW_NUMBER() OVER (
+                   PARTITION BY doc_id ORDER BY score DESC, term) AS BIGINT) AS rank
+          FROM scored
+        )
+        SELECT doc_id, rank, term, tf, df, score
+        FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank
+    """,
+    "q96_deterministic_shuffle": """
+        SELECT doc_id,
+               md5(CAST(doc_id AS VARCHAR) || ':' || 'epoch0') AS shuffle_key
+        FROM documents ORDER BY shuffle_key
+    """,
+    "q97_mixture_temperature": """
+        WITH per AS (
+          SELECT source,
+                 CAST(SUM(CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)) AS BIGINT) AS n_tokens
+          FROM documents GROUP BY source
+        ), sq AS (
+          SELECT source, n_tokens,
+                 CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS DECIMAL(28,6)) AS sqv
+          FROM per
+        ), norm AS (SELECT SUM(sqv) AS nrm FROM sq)
+        SELECT source, n_tokens,
+               CAST(sqv AS DOUBLE) / CAST(nrm AS DOUBLE) AS mix_weight,
+               (CAST(sqv AS DOUBLE) / CAST(nrm AS DOUBLE)) * 1000000.0 / n_tokens AS expected_epochs
+        FROM sq CROSS JOIN norm ORDER BY source
     """,
     "q84_funnel_conversion": """
         WITH d1 AS (

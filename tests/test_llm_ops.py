@@ -834,3 +834,75 @@ def test_funnel_counts_ordering_semantics(spark):
                                ["view", "click", "purchase"]).collect()
     }
     assert got == {"view": 4, "click": 1, "purchase": 1}
+
+
+# ---------------------------------------------------- round-6 corpus ops
+
+def test_sequence_packing_manifest_accounting(spark):
+    """Hand-checked packing: docs of 300/300/500 tokens at L=512 →
+    doc0 starts seq0, doc1 starts seq1 (off 300→crosses into 1? no:
+    floor(300/512)=0 — doc1 also seq0), doc2 starts at 600 → seq1."""
+    from data_warehouse_nhom8_spark.operators.corpus import sequence_packing_manifest
+
+    rows = [
+        (0, "s", " ".join(["w"] * 300)),
+        (1, "s", " ".join(["w"] * 300)),
+        (2, "s", " ".join(["w"] * 500)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = sequence_packing_manifest(df, seq_len=512).collect()
+    by_seq = {r["seq_id"]: r for r in out}
+    assert by_seq[0]["n_docs"] == 2 and by_seq[0]["first_doc"] == 0
+    assert by_seq[0]["tokens_started"] == 600
+    assert by_seq[1]["n_docs"] == 1 and by_seq[1]["first_doc"] == 2
+    # every doc is attributed exactly once
+    assert sum(r["n_docs"] for r in out) == 3
+
+
+def test_sequence_packing_rejects_bad_seq_len(spark):
+    from data_warehouse_nhom8_spark.operators.corpus import sequence_packing_manifest
+
+    df = spark.createDataFrame([(0, "s", "a b")], "doc_id long, source string, text string")
+    with pytest.raises(ValueError):
+        sequence_packing_manifest(df, seq_len=0)
+
+
+def test_temperature_mixture_weights_flatten_and_sum_to_one(spark):
+    from data_warehouse_nhom8_spark.operators.corpus import temperature_mixture_weights
+
+    rows = [(i, "big" if i < 90 else "small", "tok " * 10) for i in range(100)]
+    df = spark.createDataFrame(
+        [(i, s, t.strip()) for i, s, t in rows], "doc_id long, source string, text string"
+    )
+    out = {r["source"]: r for r in temperature_mixture_weights(df, token_budget=1000).collect()}
+    assert abs(sum(r["mix_weight"] for r in out.values()) - 1.0) < 1e-9
+    # temperature flattening: small source's weight exceeds its raw share
+    raw_small = out["small"]["n_tokens"] / (out["small"]["n_tokens"] + out["big"]["n_tokens"])
+    assert out["small"]["mix_weight"] > raw_small
+    with pytest.raises(ValueError):
+        temperature_mixture_weights(df, token_budget=0)
+
+
+def test_deterministic_shuffle_key_reproducible(spark):
+    from data_warehouse_nhom8_spark.operators.corpus import deterministic_shuffle_key
+
+    df = spark.range(50).withColumnRenamed("id", "doc_id")
+    a = [r["shuffle_key"] for r in deterministic_shuffle_key(df, "s1").orderBy("doc_id").collect()]
+    b = [r["shuffle_key"] for r in deterministic_shuffle_key(df, "s1").orderBy("doc_id").collect()]
+    c = [r["shuffle_key"] for r in deterministic_shuffle_key(df, "s2").orderBy("doc_id").collect()]
+    assert a == b and a != c
+    assert len(set(a)) == 50
+
+
+def test_tfidf_top_terms_hand_example(spark):
+    """'rare' appears only in doc 0 → its idf-weighted score beats the
+    everywhere-term 'common' despite equal tf."""
+    from data_warehouse_nhom8_spark.operators.text import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [(0, "common rare"), (1, "common x"), (2, "common y")],
+        "doc_id long, text string",
+    )
+    out = tfidf_top_terms(df, k=1).collect()
+    top0 = [r for r in out if r["doc_id"] == 0][0]
+    assert top0["term"] == "rare" and top0["df"] == 1

@@ -361,3 +361,35 @@ def test_q93_semi_anti_self_join_shape(spark):
     assert "LeftSemi" in p and "LeftAnti" in p
     assert "CartesianProduct" not in p and "NestedLoop" not in p
     assert "BroadcastHashJoin" in p
+
+
+def test_q94_packing_single_scan_sharded_window(spark):
+    """Packing must be ONE scan + a SHARD-partitioned running-sum
+    window (a global-order window would serialize the corpus through
+    one task) + map-side-combined final aggregate."""
+    p = plan_of(spark, "q94_sequence_packing")
+    assert p.count("FileScan parquet") == 1
+    assert "Window" in p and "partial_count" in p
+    # window must be partitioned: its required distribution is a
+    # hashpartitioning exchange, never SinglePartition before Window
+    assert "Window [" in p or "Window\n" in p or "Window" in p
+    head = p.split("Window")[1]
+    assert "shard" in head[:400], head[:400]
+
+
+def test_q95_tfidf_one_explode_pass(spark):
+    """df must derive from the tf output (window over term), never a
+    second explode of the corpus; the rank filter must push a
+    map-side WindowGroupLimit."""
+    p = plan_of(spark, "q95_tfidf_topterms")
+    assert p.count("Generate explode") == 1, "token stream exploded more than once"
+    assert p.count("WindowGroupLimit") >= 2
+    assert p.count("FileScan parquet") <= 2  # tf pass + count-only scan
+
+
+def test_q97_mixture_normalizer_is_dim_sized(spark):
+    """The corpus pass is one partial-agg; the unpartitioned window
+    runs over source-cardinality rows only (dim-sized)."""
+    p = plan_of(spark, "q97_mixture_temperature")
+    assert p.count("FileScan parquet") == 1
+    assert "partial_sum" in p
