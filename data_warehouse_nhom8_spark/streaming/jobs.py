@@ -479,3 +479,69 @@ def compact_freq_store(
         "epoch", F.lit(-1).cast("long")
     )
     snapshot_overwrite(compacted, store_path)
+
+
+def interval_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Stream-stream inner join with an event-time interval bound —
+    the attribution shape (purchase within `within` of a view by the
+    same user). Right-side columns come back `right_prefix`-renamed.
+
+    Both sides carry a watermark and the join condition carries the
+    time bound, which is what lets the state store EVICT: a buffered
+    left row can only ever match right rows in [ts, ts+within], so
+    once the right watermark passes ts+within the row is dropped.
+    Without the bound, stream-stream join state grows forever — the
+    100 TB/day failure mode. State is keyed by (key, time-bucket);
+    shuffle partitions = state shards, sized by key cardinality.
+
+    The reference has no streaming analogue (its joins run at rest in
+    MySQL, loadtowh/load_to_wh.sh:62-87); this is the engine's
+    idiomatic extension of those join semantics to continuous arrival.
+    """
+    r = right
+    for c in right.columns:
+        r = r.withColumnRenamed(c, f"{right_prefix}{c}")
+    lw = left.withWatermark(ts_col, watermark)
+    rw = r.withWatermark(f"{right_prefix}{ts_col}", watermark)
+    cond = (
+        (F.col(key) == F.col(f"{right_prefix}{key}"))
+        & (F.col(f"{right_prefix}{ts_col}") >= F.col(ts_col))
+        & (
+            F.col(f"{right_prefix}{ts_col}")
+            <= F.col(ts_col) + F.expr(f"INTERVAL {within}")
+        )
+    )
+    return lw.join(rw, cond, "inner")
+
+
+def dedup_within_watermark(
+    stream: DataFrame,
+    keys: Sequence[str] = ("event_id",),
+    ts_col: str = "ts",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Streaming exact-duplicate drop with BOUNDED state:
+    `dropDuplicatesWithinWatermark` keeps one row per key and evicts
+    the key's state once the watermark passes its event time + delay —
+    the streaming twin of the batch insert-ignore dedup (D3,
+    operators.dedup.insert_ignore; reference: the UNIQUE KEY
+    idx_job_id insert-ignore, staging/init_staging_db_v2.sql:69).
+
+    Contract: duplicates arriving within the watermark delay of the
+    first sighting are dropped; a duplicate arriving LATER than the
+    delay may re-emit (state was evicted) — at-least-once output, made
+    exactly-once by the idempotent upsert sink downstream. Unbounded
+    `dropDuplicates` would be exact forever but its state never
+    shrinks; at 100 TB/day the bounded form is the only viable one.
+    """
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )

@@ -415,3 +415,72 @@ def test_freq_store_compaction_preserves_heads(spark, events_dir, events_schema,
     assert after == before
     assert n_after <= n_before
     assert {r["epoch"] for r in snapshot_read(spark, store).collect()} == {-1}
+
+
+def test_interval_stream_join_equals_batch(spark, events_dir, events_schema, tmp_path):
+    """Attribution shape: purchase within 1h of a view by the same
+    user — streaming inner interval join must equal the batch join."""
+    stream = jobs.stream_source(spark, events_dir, events_schema)
+    views = stream.filter(F.col("event_type") == "view").select("user_id", "ts", "event_id")
+    buys = stream.filter(F.col("event_type") == "purchase").select("user_id", "ts", "event_id")
+    joined = jobs.interval_stream_join(views, buys, within="1 hour", watermark="2 hours")
+    out = joined.select(
+        F.col("event_id").alias("view_id"), F.col("r_event_id").alias("buy_id")
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ssj_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_ssj"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["view_id"], r["buy_id"])
+        for r in spark.sql("SELECT * FROM ssj_out").collect()
+    }
+
+    ev = spark.read.parquet(events_dir)
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("u"), F.col("ts").alias("vts"), F.col("event_id").alias("view_id")
+    )
+    b = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("bu"), F.col("ts").alias("bts"), F.col("event_id").alias("buy_id")
+    )
+    want = {
+        (r["view_id"], r["buy_id"])
+        for r in v.join(
+            b,
+            (F.col("u") == F.col("bu"))
+            & (F.col("bts") >= F.col("vts"))
+            & (F.col("bts") <= F.col("vts") + F.expr("INTERVAL 1 hour")),
+        ).collect()
+    }
+    assert len(want) > 0, "test data must produce at least one attribution pair"
+    assert got == want
+
+
+def test_dedup_within_watermark_drops_replayed_rows(spark, events_dir, events_schema, tmp_path):
+    """Feeding the same events twice (duplicate files) must yield each
+    event_id exactly once downstream."""
+    src = str(tmp_path / "dup_src")
+    ev = spark.read.parquet(events_dir)
+    ev.write.parquet(src)
+    ev.write.mode("append").parquet(src)  # exact replay
+    assert spark.read.parquet(src).count() == 2 * ev.count()
+
+    stream = jobs.stream_source(spark, src, events_schema)
+    deduped = jobs.dedup_within_watermark(stream, keys=("event_id",), watermark="1 day")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("SELECT event_id FROM dedup_out").collect()
+    ids = [r["event_id"] for r in got]
+    assert len(ids) == len(set(ids)) == ev.count()
