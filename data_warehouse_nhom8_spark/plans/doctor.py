@@ -1,0 +1,150 @@
+"""Plan doctor: lint a DataFrame's physical plan for the
+anti-patterns that kill queries at 100 TB.
+
+The regression suite pins these properties per-query
+(tests/test_plans.py); `lint_plan` is the same knowledge as a
+runtime diagnostic a user can call on THEIR query before submitting
+it to a large cluster — the engine's `EXPLAIN`-review checklist,
+automated. Inspection is text-level over the executed plan (the same
+surface the plan gates assert on), so it needs no private Spark APIs
+beyond `queryExecution`.
+
+Severities: "fatal" shapes lose by orders of magnitude at scale
+(cartesian joins, per-row Python UDFs); "warn" shapes are sometimes
+legitimate but deserve a look (unpartitioned windows over non-tiny
+inputs, scans with nothing pushed, decimal outputs under the engine's
+oracle contract); "info" is sizing context (exchange count).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def _plan_text(df: DataFrame) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def lint_plan(df: DataFrame, max_exchanges: int = 6) -> list[dict]:
+    """Return findings as dicts: {"rule", "severity", "detail"}.
+
+    Rules:
+      cartesian-join     fatal  CartesianProduct: O(n*m) row pairing with
+                                neither side bounded — a missing equi-key.
+      nested-loop-join   warn   BroadcastNestedLoopJoin: O(n*m) against a
+                                BROADCAST-BOUNDED side; legitimate for the
+                                scalar-threshold shape (1-row build), fatal
+                                in spirit if the build side is a real table.
+      python-row-udf     fatal  BatchEvalPython (row-at-a-time Python in
+                                the hot path; Arrow mapInPandas/pandas_udf
+                                do NOT trigger this).
+      unpartitioned-window warn Window with an empty PARTITION BY: the
+                                whole input crosses one task. Fine over a
+                                dim-sized aggregate (the q74/q97 shape),
+                                fatal over a fact.
+      no-pushdown        warn   a Filter sits directly on a FileScan whose
+                                PushedFilters is empty — the format or the
+                                predicate shape defeated pushdown.
+      decimal-output     warn   DECIMAL output columns violate the engine's
+                                cross-engine hash contract (keep decimal
+                                internal to sums; cast outputs to double).
+      many-exchanges     info   more than `max_exchanges` shuffles: check
+                                for a reusable partitioning or bucketing.
+    """
+    p = _plan_text(df)
+    findings: list[dict] = []
+
+    if "CartesianProduct" in p:
+        findings.append(
+            {
+                "rule": "cartesian-join",
+                "severity": "fatal",
+                "detail": "CartesianProduct in plan: no equi-condition reached "
+                "the join — O(left x right) pairing at scale",
+            }
+        )
+    if "BroadcastNestedLoopJoin" in p:
+        findings.append(
+            {
+                "rule": "nested-loop-join",
+                "severity": "warn",
+                "detail": "BroadcastNestedLoopJoin: every stream row scans the "
+                "broadcast side — fine for a 1-row scalar build (threshold "
+                "pattern), wrong against a real table; add an equi-key",
+            }
+        )
+    if "BatchEvalPython" in p:
+        findings.append(
+            {
+                "rule": "python-row-udf",
+                "severity": "fatal",
+                "detail": "row-at-a-time Python UDF in the plan; use native "
+                "pyspark.sql.functions or an Arrow pandas_udf",
+            }
+        )
+    # An unpartitioned window is fed by an Exchange SinglePartition
+    # (possibly through Sort/AQEShuffleRead nodes) — that exchange is
+    # the all-rows-to-one-task move.
+    lines = p.splitlines()
+    for i, line in enumerate(lines):
+        if re.search(r"\bWindow(?:Exec)? \[", line):
+            for nxt in lines[i + 1 : i + 5]:
+                if "Exchange SinglePartition" in nxt:
+                    findings.append(
+                        {
+                            "rule": "unpartitioned-window",
+                            "severity": "warn",
+                            "detail": "window with empty PARTITION BY moves "
+                            "all rows to one task; acceptable only over "
+                            "dim-sized inputs: " + line.strip()[:120],
+                        }
+                    )
+                    break
+                if not re.search(r"\b(Sort|AQEShuffleRead|ShuffleQueryStage)\b", nxt):
+                    break
+    # A Filter node whose child is a FileScan with PushedFilters: []
+    for m in re.finditer(r"Filter [^\n]*\n\s*\+- FileScan (\w+) [^\n]*PushedFilters: \[\]", p):
+        findings.append(
+            {
+                "rule": "no-pushdown",
+                "severity": "warn",
+                "detail": f"filter above a {m.group(1)} scan with nothing "
+                "pushed — check the source format / predicate shape",
+            }
+        )
+    from pyspark.sql.types import DecimalType
+
+    dec = [f.name for f in df.schema.fields if isinstance(f.dataType, DecimalType)]
+    if dec:
+        findings.append(
+            {
+                "rule": "decimal-output",
+                "severity": "warn",
+                "detail": f"DECIMAL output columns {dec}: keep decimal internal "
+                "to sums, cast outputs to double (oracle-hash contract)",
+            }
+        )
+    n_ex = p.count("Exchange")
+    if n_ex > max_exchanges:
+        findings.append(
+            {
+                "rule": "many-exchanges",
+                "severity": "info",
+                "detail": f"{n_ex} exchanges (> {max_exchanges}): look for a "
+                "reusable partitioning, broadcastable side, or bucketed layout",
+            }
+        )
+    return findings
+
+
+def assert_scale_safe(df: DataFrame) -> None:
+    """Raise ValueError listing any FATAL findings — the pre-submit
+    guard for production pipelines."""
+    fatal = [f for f in lint_plan(df) if f["severity"] == "fatal"]
+    if fatal:
+        raise ValueError(
+            "plan is not scale-safe:\n"
+            + "\n".join(f"- [{f['rule']}] {f['detail']}" for f in fatal)
+        )

@@ -1,0 +1,86 @@
+"""Plan-doctor lint rules: each anti-pattern detected, clean plans
+stay clean, and every declared oracled query passes the fatal gate."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_warehouse_nhom8_spark.plans.doctor import assert_scale_safe, lint_plan
+
+
+def rules_of(findings):
+    return {f["rule"] for f in findings}
+
+
+def test_detects_cartesian_join(spark):
+    a, b = spark.range(10), spark.range(10).withColumnRenamed("id", "j")
+    bad = a.hint("shuffle_replicate_nl").join(b, F.col("id") > F.col("j"))
+    assert "cartesian-join" in rules_of(lint_plan(bad))
+    with pytest.raises(ValueError, match="cartesian-join"):
+        assert_scale_safe(bad)
+
+
+def test_nested_loop_against_broadcast_side_is_warn_not_fatal(spark):
+    """The scalar-threshold shape (q75): BNLJ against a 1-row
+    broadcast side is flagged for review but not fatal."""
+    a, b = spark.range(10), spark.range(10).withColumnRenamed("id", "j")
+    nl = a.join(b, F.col("id") > F.col("j"))
+    assert "nested-loop-join" in rules_of(lint_plan(nl))
+    assert_scale_safe(nl)
+
+
+def test_detects_python_row_udf(spark):
+    from pyspark.sql.functions import udf
+
+    slow = udf(lambda x: x + 1, "long")
+    bad = spark.range(10).select(slow("id").alias("y"))
+    assert "python-row-udf" in rules_of(lint_plan(bad))
+
+
+def test_arrow_paths_are_not_flagged_as_row_udfs(spark):
+    out = spark.range(64).mapInPandas(lambda it: it, "id long")
+    assert "python-row-udf" not in rules_of(lint_plan(out))
+    assert_scale_safe(out)
+
+
+def test_detects_unpartitioned_window(spark):
+    from pyspark.sql.window import Window
+
+    bad = spark.range(100).withColumn(
+        "rk", F.row_number().over(Window.partitionBy().orderBy("id"))
+    )
+    assert "unpartitioned-window" in rules_of(lint_plan(bad))
+    # warn, not fatal: the dim-sized normalizer shape is legitimate
+    assert_scale_safe(bad)
+
+
+def test_partitioned_window_is_clean(spark):
+    from pyspark.sql.window import Window
+
+    ok = spark.range(100).withColumn("g", F.col("id") % 10).withColumn(
+        "rk", F.row_number().over(Window.partitionBy("g").orderBy("id"))
+    )
+    assert "unpartitioned-window" not in rules_of(lint_plan(ok))
+
+
+def test_detects_decimal_output(spark):
+    bad = spark.range(10).select(F.col("id").cast("decimal(18,2)").alias("d"))
+    assert "decimal-output" in rules_of(lint_plan(bad))
+
+
+def test_clean_aggregate_passes(spark):
+    ok = spark.range(1000).withColumn("g", F.col("id") % 7).groupBy("g").count()
+    findings = lint_plan(ok)
+    assert rules_of(findings) <= {"many-exchanges"}  # at most sizing info
+    assert_scale_safe(ok)
+
+
+def test_all_declared_queries_are_scale_safe(spark):
+    """The fatal rules must hold for every declared query (q42's
+    mapInPandas is Arrow, not BatchEvalPython, so no exclusions)."""
+    from data_warehouse_nhom8_spark.plans import QUERIES
+    from tests.conftest import SF_DIR
+
+    for name, fn in QUERIES.items():
+        assert_scale_safe(fn(spark, SF_DIR))

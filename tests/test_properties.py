@@ -346,3 +346,75 @@ def test_bloom_has_no_false_negatives(vals, fpp):
     bloom = _bloom_build(np.unique(np.array(vals, dtype=np.int64)), fpp)
     for v in vals:
         assert _bloom_maybe_contains(bloom, v), v
+
+
+# --------------------------------------------- round-6 corpus op invariants
+
+doc_corpora = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b", "c"]),                     # shard
+        st.integers(min_value=0, max_value=40),               # n words
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(doc_corpora, st.integers(min_value=1, max_value=64))
+def test_sequence_packing_conserves_tokens_and_docs(spark, corpus, seq_len):
+    """For any corpus and seq_len: every doc attributed exactly once,
+    token totals conserved per shard, seq_ids contiguous from 0, and
+    each sequence's doc span [first_doc, last_doc] non-overlapping and
+    increasing (packing follows doc order)."""
+    from data_warehouse_nhom8_spark.operators.corpus import sequence_packing_manifest
+
+    rows = [(i, s, " ".join(["w"] * n) if n else "") for i, (s, n) in enumerate(corpus)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = sequence_packing_manifest(df, seq_len=seq_len).collect()
+
+    per_shard_docs: dict[str, int] = {}
+    per_shard_tokens: dict[str, int] = {}
+    for r in out:
+        per_shard_docs[r["shard"]] = per_shard_docs.get(r["shard"], 0) + r["n_docs"]
+        per_shard_tokens[r["shard"]] = per_shard_tokens.get(r["shard"], 0) + r["tokens_started"]
+    want_docs: dict[str, int] = {}
+    want_tokens: dict[str, int] = {}
+    for i, (s, n) in enumerate(corpus):
+        want_docs[s] = want_docs.get(s, 0) + 1
+        want_tokens[s] = want_tokens.get(s, 0) + n
+    assert per_shard_docs == want_docs
+    assert per_shard_tokens == want_tokens
+
+    for shard in want_docs:
+        seqs = sorted((r["seq_id"], r) for r in out if r["shard"] == shard)
+        assert seqs[0][0] == 0
+        spans = [(r["first_doc"], r["last_doc"]) for _, r in seqs]
+        assert all(a <= b for a, b in spans)
+        assert all(spans[i][1] < spans[i + 1][0] for i in range(len(spans) - 1))
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.integers(min_value=1, max_value=10_000), min_size=1, max_size=8, unique=True))
+def test_temperature_weights_order_preserving_and_normalized(spark, sizes):
+    """Weights sum to 1, preserve the source-size order, and never
+    invert: a larger source keeps a >= weight but a <= epochs/token
+    multiplier (flattening)."""
+    from data_warehouse_nhom8_spark.operators.corpus import temperature_mixture_weights
+
+    rows = []
+    doc = 0
+    for i, n in enumerate(sizes):
+        rows.append((doc, f"s{i}", " ".join(["w"] * n)))
+        doc += 1
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = sorted(
+        temperature_mixture_weights(df, token_budget=10_000).collect(),
+        key=lambda r: r["n_tokens"],
+    )
+    assert abs(sum(r["mix_weight"] for r in out) - 1.0) < 1e-9
+    for a, b in zip(out, out[1:]):
+        assert a["n_tokens"] < b["n_tokens"]
+        assert a["mix_weight"] <= b["mix_weight"] + 1e-12
+        # flattening: weight grows SLOWER than size
+        assert a["mix_weight"] / a["n_tokens"] >= b["mix_weight"] / b["n_tokens"] - 1e-12
