@@ -489,10 +489,18 @@ def interval_stream_join(
     within: str = "1 hour",
     watermark: str = "2 hours",
     right_prefix: str = "r_",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join with an event-time interval bound —
-    the attribution shape (purchase within `within` of a view by the
-    same user). Right-side columns come back `right_prefix`-renamed.
+    """Stream-stream join with an event-time interval bound — the
+    attribution shape (purchase within `within` of a view by the same
+    user). Right-side columns come back `right_prefix`-renamed.
+
+    `how="left_outer"` additionally emits each unmatched left row
+    (null right columns) once the watermark passes the end of its
+    match interval — the "views that never converted" report. Outer
+    results flush on watermark ADVANCE, i.e. in a micro-batch after
+    the one that closed the interval; a drained AvailableNow run needs
+    one more trigger (or a sentinel event) to surface the tail.
 
     Both sides carry a watermark and the join condition carries the
     time bound, which is what lets the state store EVICT: a buffered
@@ -519,7 +527,7 @@ def interval_stream_join(
             <= F.col(ts_col) + F.expr(f"INTERVAL {within}")
         )
     )
-    return lw.join(rw, cond, "inner")
+    return lw.join(rw, cond, how)
 
 
 def dedup_within_watermark(

@@ -484,3 +484,74 @@ def test_dedup_within_watermark_drops_replayed_rows(spark, events_dir, events_sc
     got = spark.sql("SELECT event_id FROM dedup_out").collect()
     ids = [r["event_id"] for r in got]
     assert len(ids) == len(set(ids)) == ev.count()
+
+
+def test_interval_stream_join_left_outer_emits_unconverted(spark, tmp_path):
+    """left_outer: a view with no purchase inside the interval is
+    emitted with null right columns once BOTH watermarks pass the end
+    of its match window. Sentinels must advance both streams' event
+    time (each side's watermark tracks only rows that survive its
+    filter), and outer state flushes on the NEXT batch after the
+    advance — hence three single-file batches."""
+    import time
+
+    schema_s = (
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string"
+    )
+    src = str(tmp_path / "louter_src")
+
+    def write_file(rows, mode):
+        (
+            spark.createDataFrame(rows, schema_s)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .coalesce(1)
+            .write.mode(mode)
+            .parquet(src)
+        )
+        time.sleep(1.1)  # distinct mtimes => deterministic batch order
+
+    # batch 1: the real day — user 1 converts, user 2 never does
+    write_file(
+        [
+            (1, "2024-01-01 10:00:00", 1, "view", 1.0, "{}"),
+            (2, "2024-01-01 10:30:00", 1, "purchase", 5.0, "{}"),
+            (3, "2024-01-01 10:00:00", 2, "view", 1.0, "{}"),
+        ],
+        "overwrite",
+    )
+    # batch 2: sentinels advance BOTH sides' watermarks far past the day
+    write_file(
+        [
+            (90, "2030-01-01 00:00:00", -1, "view", 0.0, "{}"),
+            (91, "2030-06-01 00:00:00", -2, "purchase", 0.0, "{}"),
+        ],
+        "append",
+    )
+    # batch 3: one more trigger so the advanced watermark flushes state
+    write_file([(92, "2031-01-01 00:00:00", -3, "view", 0.0, "{}")], "append")
+
+    schema = spark.read.parquet(src).schema
+    stream = jobs.stream_source(spark, src, schema, max_files_per_trigger=1)
+    views = stream.filter(F.col("event_type") == "view").select("user_id", "ts", "event_id")
+    buys = stream.filter(F.col("event_type") == "purchase").select("user_id", "ts", "event_id")
+    j = jobs.interval_stream_join(
+        views, buys, within="1 hour", watermark="0 seconds", how="left_outer"
+    )
+    q = (
+        j.select("event_id", "r_event_id")
+        .writeStream.format("memory")
+        .queryName("louter_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_louter"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["event_id"], r["r_event_id"])
+        for r in spark.sql("SELECT * FROM louter_out").collect()
+    }
+    assert (1, 2) in got, got            # converted view keeps its match
+    assert (3, None) in got, got         # unconverted view emitted with nulls
+    assert (1, None) not in got          # matched view is never ALSO emitted null
