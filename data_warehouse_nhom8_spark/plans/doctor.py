@@ -44,9 +44,11 @@ def lint_plan(df: DataFrame, max_exchanges: int = 6) -> list[dict]:
                                 whole input crosses one task. Fine over a
                                 dim-sized aggregate (the q74/q97 shape),
                                 fatal over a fact.
-      no-pushdown        warn   a Filter sits directly on a FileScan whose
-                                PushedFilters is empty — the format or the
-                                predicate shape defeated pushdown.
+      no-pushdown        warn   the plan filters rows but no scan pushed a
+                                non-IsNotNull predicate — the format or the
+                                predicate shape defeated pushdown (checked
+                                on the FORMATTED explain, where per-scan
+                                PushedFilters print un-truncated).
       decimal-output     warn   DECIMAL output columns violate the engine's
                                 cross-engine hash contract (keep decimal
                                 internal to sums; cast outputs to double).
@@ -104,16 +106,34 @@ def lint_plan(df: DataFrame, max_exchanges: int = 6) -> list[dict]:
                     break
                 if not re.search(r"\b(Sort|AQEShuffleRead|ShuffleQueryStage)\b", nxt):
                     break
-    # A Filter node whose child is a FileScan with PushedFilters: []
-    for m in re.finditer(r"Filter [^\n]*\n\s*\+- FileScan (\w+) [^\n]*PushedFilters: \[\]", p):
-        findings.append(
-            {
-                "rule": "no-pushdown",
-                "severity": "warn",
-                "detail": f"filter above a {m.group(1)} scan with nothing "
-                "pushed — check the source format / predicate shape",
-            }
+    # Dead pushdown: the plan filters rows but no scan pushed a real
+    # predicate (IsNotNull conjuncts push for ANY filter and don't
+    # count). Uses the FORMATTED explain, whose per-scan details print
+    # PushedFilters un-truncated (toString clips long lists).
+    fmt = df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
         )
+    )
+    pushed_lists = re.findall(r"PushedFilters: \[([^\]]*)\]", fmt)
+    if pushed_lists and re.search(r"\(\d+\) Filter\b", fmt):
+        real_pushed = any(
+            any(
+                tok.strip() and not tok.strip().startswith("IsNotNull")
+                for tok in lst.split(",")
+            )
+            for lst in pushed_lists
+        )
+        if not real_pushed:
+            findings.append(
+                {
+                    "rule": "no-pushdown",
+                    "severity": "warn",
+                    "detail": "the plan filters rows but no scan pushed a "
+                    "non-IsNotNull predicate — the source format or the "
+                    "predicate shape (computed expression?) defeated pushdown",
+                }
+            )
     from pyspark.sql.types import DecimalType
 
     dec = [f.name for f in df.schema.fields if isinstance(f.dataType, DecimalType)]
@@ -126,14 +146,21 @@ def lint_plan(df: DataFrame, max_exchanges: int = 6) -> list[dict]:
                 "to sums, cast outputs to double (oracle-hash contract)",
             }
         )
-    n_ex = p.count("Exchange")
+    # count real SHUFFLES only — BroadcastExchange/ReusedExchange are
+    # not data movements of the stream side and are often the FIX
+    n_ex = len(
+        re.findall(
+            r"\bExchange (?:hashpartitioning|rangepartitioning|SinglePartition)", p
+        )
+    )
     if n_ex > max_exchanges:
         findings.append(
             {
                 "rule": "many-exchanges",
                 "severity": "info",
-                "detail": f"{n_ex} exchanges (> {max_exchanges}): look for a "
-                "reusable partitioning, broadcastable side, or bucketed layout",
+                "detail": f"{n_ex} shuffle exchanges (> {max_exchanges}): look "
+                "for a reusable partitioning, broadcastable side, or bucketed "
+                "layout",
             }
         )
     return findings

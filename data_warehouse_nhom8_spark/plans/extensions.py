@@ -1246,14 +1246,14 @@ EXTENSION_ORACLES: dict[str, str] = {
     """,
     "q34_token_counts": """
         SELECT doc_id,
-               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+               CAST((CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END) AS BIGINT) AS n_tokens,
                CAST(len(regexp_extract_all(text, '([A-Za-z]{1,4}|\\d|[^\\sA-Za-z\\d])', 1)) AS BIGINT) AS n_bpe_ish
         FROM documents ORDER BY doc_id NULLS FIRST LIMIT 500
     """,
     "q35_quality_scores": """
         WITH t AS (
           SELECT doc_id,
-                 CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+                 CAST((CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END) AS BIGINT) AS n_tokens,
                  CAST(length(text) AS BIGINT) AS n_chars,
                  CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
                       x -> x IN ('the','and','of','to','a','in','is','it','that','for'))) AS BIGINT) AS n_stop
@@ -1382,7 +1382,7 @@ EXTENSION_ORACLES: dict[str, str] = {
         ),
         scored AS (
           SELECT doc_id, text,
-                 CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+                 CAST((CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END) AS BIGINT) AS n_tokens,
                  CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
                       x -> x IN ('the','and','of','to','a','in','is','it','that','for'))) AS BIGINT) AS n_stop
           FROM kept
@@ -1605,7 +1605,7 @@ EXTENSION_ORACLES: dict[str, str] = {
     "q94_sequence_packing": """
         WITH toks AS (
           SELECT source AS shard, doc_id,
-                 CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+                 CAST((CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END) AS BIGINT) AS n_tokens
           FROM documents
         ), placed AS (
           SELECT shard, doc_id, n_tokens,
@@ -1654,7 +1654,7 @@ EXTENSION_ORACLES: dict[str, str] = {
     "q97_mixture_temperature": """
         WITH per AS (
           SELECT source,
-                 CAST(SUM(CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)) AS BIGINT) AS n_tokens
+                 CAST(SUM(CAST((CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END) AS BIGINT)) AS BIGINT) AS n_tokens
           FROM documents GROUP BY source
         ), sq AS (
           SELECT source, n_tokens,

@@ -84,3 +84,25 @@ def test_all_declared_queries_are_scale_safe(spark):
 
     for name, fn in QUERIES.items():
         assert_scale_safe(fn(spark, SF_DIR))
+
+
+def test_detects_dead_pushdown_on_computed_predicate(spark, tmp_path):
+    """A filter on a computed expression (length(upper(x))) cannot
+    push; only IsNotNull reaches the scan — the rule must fire. The
+    same filter on the raw column pushes and must stay clean."""
+    path = str(tmp_path / "t")
+    spark.range(100).selectExpr("cast(id as string) AS s").write.parquet(path)
+    dead = spark.read.parquet(path).filter(F.length(F.upper("s")) > 1)
+    assert "no-pushdown" in rules_of(lint_plan(dead))
+    pushed = spark.read.parquet(path).filter(F.col("s") > "5")
+    assert "no-pushdown" not in rules_of(lint_plan(pushed))
+
+
+def test_broadcast_exchanges_do_not_count_as_shuffles(spark):
+    """q88's 7-broadcast star join must not trip many-exchanges —
+    BroadcastExchange/ReusedExchange are not shuffles."""
+    from data_warehouse_nhom8_spark.plans import QUERIES
+    from tests.conftest import SF_DIR
+
+    findings = lint_plan(QUERIES["q88_market_share"](spark, SF_DIR))
+    assert "many-exchanges" not in rules_of(findings), findings

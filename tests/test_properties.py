@@ -364,9 +364,11 @@ doc_corpora = st.lists(
 @given(doc_corpora, st.integers(min_value=1, max_value=64))
 def test_sequence_packing_conserves_tokens_and_docs(spark, corpus, seq_len):
     """For any corpus and seq_len: every doc attributed exactly once,
-    token totals conserved per shard, seq_ids contiguous from 0, and
-    each sequence's doc span [first_doc, last_doc] non-overlapping and
-    increasing (packing follows doc order)."""
+    token totals conserved per shard, the first sequence id is 0 (the
+    first doc starts at offset 0; LATER ids may legitimately gap when
+    one doc spans many sequences), and each sequence's doc span
+    [first_doc, last_doc] is non-overlapping and increasing (packing
+    follows doc order)."""
     from data_warehouse_nhom8_spark.operators.corpus import sequence_packing_manifest
 
     rows = [(i, s, " ".join(["w"] * n) if n else "") for i, (s, n) in enumerate(corpus)]
