@@ -38,6 +38,7 @@ from __future__ import annotations
 import os
 import re
 import shutil
+from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -430,3 +431,60 @@ def safe_overwrite(df: DataFrame, path: str, schema: T.StructType | None = None)
     out = spark.createDataFrame(rows, schema or df.schema)
     out.write.mode("overwrite").parquet(path)
     return len(rows)
+
+
+def snapshot_delete_keys(
+    spark: SparkSession,
+    path: str,
+    delete_keys: DataFrame,
+    key_cols: Sequence[str],
+    schema: T.StructType | None = None,
+    purge_history: bool = False,
+    keep: int = 2,
+) -> dict:
+    """Keyed deletion (the right-to-be-forgotten / GDPR maintenance
+    op): rewrite the current version WITHOUT the rows matching
+    `delete_keys`, committed like any snapshot write.
+
+    Mechanics: deletion lists are request-scale (tiny next to the
+    table), so the rewrite is one BROADCAST LEFT ANTI join over the
+    current version — the table streams through, never shuffles.
+    Standard (non-null-safe) key equality: a NULL key can never be
+    addressed for deletion; validate upstream.
+
+    History: by default older versions keep the rows (time travel
+    still shows them) until normal GC — the Delta/Iceberg DELETE
+    semantics, where erasure becomes DURABLE only once old files age
+    out. `purge_history=True` finishes the job immediately: after the
+    commit, every older version directory is removed (snapshot_versions
+    collapses to just the new version; pre-delete time travel is gone
+    BY DESIGN — that is what erasure means).
+
+    Idempotent: when nothing matches, no new version is written and
+    the current one is returned (`deleted_rows == 0`) — safe to replay
+    under the ledger.
+
+    Returns {"version_dir", "deleted_rows", "purged_versions"}.
+    """
+    cols = list(key_cols)
+    cur = snapshot_read(spark, path, schema=schema)
+    keys = delete_keys.select(*cols).dropDuplicates(cols)
+    cond = None
+    for k in cols:
+        c = cur[k] == keys[k]
+        cond = c if cond is None else (cond & c)
+    deleted = cur.join(F.broadcast(keys), cond, "left_semi").count()
+    if deleted == 0:
+        vdir = os.path.join(path, f"v{_current_version(path):08d}")
+        return {"version_dir": vdir, "deleted_rows": 0, "purged_versions": 0}
+    remaining = cur.join(F.broadcast(keys), cond, "left_anti")
+    vdir = snapshot_overwrite(remaining, path, keep=keep)
+    purged = 0
+    if purge_history:
+        committed = _current_version(path)
+        for name in os.listdir(path):
+            m = _VERSION_RE.match(name)
+            if m and int(m.group(1)) != committed:
+                shutil.rmtree(os.path.join(path, name), ignore_errors=True)
+                purged += 1
+    return {"version_dir": vdir, "deleted_rows": deleted, "purged_versions": purged}

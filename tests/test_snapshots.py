@@ -348,3 +348,89 @@ def test_snapshot_point_lookup_via_bloom(spark, tmp_path):
     )
     assert n_total > 2 and n_sel < n_total
     assert got.filter(F.col("job_id") == 2718).count() == 1
+
+
+# ------------------------------------------------- keyed deletion (GDPR)
+
+def _delete_fixture(spark, tmp_path):
+    from data_warehouse_nhom8_spark.sources.snapshots import snapshot_overwrite
+
+    path = str(tmp_path / "tbl")
+    df = spark.range(100).select(
+        F.col("id").alias("user_id"), (F.col("id") * 2).alias("val")
+    )
+    snapshot_overwrite(df, path, keep=10)
+    snapshot_overwrite(df, path, keep=10)  # two versions of history
+    return path
+
+
+def test_delete_keys_removes_only_matching_rows(spark, tmp_path):
+    from data_warehouse_nhom8_spark.sources.snapshots import (
+        snapshot_delete_keys,
+        snapshot_read,
+    )
+
+    path = _delete_fixture(spark, tmp_path)
+    keys = spark.createDataFrame([(3,), (7,), (7,), (999,)], "user_id long")
+    out = snapshot_delete_keys(spark, path, keys, ["user_id"])
+    assert out["deleted_rows"] == 2  # 999 absent, 7 deduped
+    got = {r["user_id"]: r["val"] for r in snapshot_read(spark, path).collect()}
+    assert len(got) == 98 and 3 not in got and 7 not in got
+    assert got[5] == 10  # untouched rows keep payloads
+
+
+def test_delete_keys_default_keeps_history_purge_erases_it(spark, tmp_path):
+    from data_warehouse_nhom8_spark.sources.snapshots import (
+        snapshot_delete_keys,
+        snapshot_read,
+        snapshot_versions,
+    )
+
+    path = _delete_fixture(spark, tmp_path)
+    keys = spark.createDataFrame([(1,)], "user_id long")
+    snapshot_delete_keys(spark, path, keys, ["user_id"], keep=10)
+    vs = snapshot_versions(path)
+    assert len(vs) == 3
+    # default: pre-delete time travel still shows the row
+    old = snapshot_read(spark, path, version=vs[0])
+    assert old.filter(F.col("user_id") == 1).count() == 1
+
+    out = snapshot_delete_keys(
+        spark, path, spark.createDataFrame([(2,)], "user_id long"),
+        ["user_id"], purge_history=True, keep=10,
+    )
+    assert out["purged_versions"] >= 3
+    vs2 = snapshot_versions(path)
+    assert len(vs2) == 1  # erasure is durable: only the new version remains
+    cur = snapshot_read(spark, path)
+    assert cur.filter(F.col("user_id").isin(1, 2)).count() == 0
+    assert cur.count() == 98
+
+
+def test_delete_keys_noop_when_nothing_matches(spark, tmp_path):
+    from data_warehouse_nhom8_spark.sources.snapshots import (
+        snapshot_delete_keys,
+        snapshot_versions,
+    )
+
+    path = _delete_fixture(spark, tmp_path)
+    before = snapshot_versions(path)
+    out = snapshot_delete_keys(
+        spark, path, spark.createDataFrame([(12345,)], "user_id long"), ["user_id"]
+    )
+    assert out["deleted_rows"] == 0
+    assert snapshot_versions(path) == before  # idempotent: no new version
+
+
+def test_delete_keys_rewrite_is_broadcast_anti_no_shuffle(spark, tmp_path):
+    """The rewrite plan must stream the table through a broadcast
+    LeftAnti — no shuffle of the table, no collect on the data path."""
+    from data_warehouse_nhom8_spark.sources.snapshots import snapshot_read
+
+    path = _delete_fixture(spark, tmp_path)
+    keys = spark.createDataFrame([(3,)], "user_id long")
+    cur = snapshot_read(spark, path)
+    remaining = cur.join(F.broadcast(keys), cur["user_id"] == keys["user_id"], "left_anti")
+    p = remaining._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+    assert "Exchange hashpartitioning" not in p
