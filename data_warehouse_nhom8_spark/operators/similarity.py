@@ -397,3 +397,54 @@ def embedding_neardup_pairs(
         .filter(F.col("cosine") >= threshold)
         .distinct()
     )
+
+
+def label_centroid_stats(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-label centroid statistics over a vector column: vector
+    count, mean squared norm E||x||², squared centroid norm ||μ||²,
+    and dispersion E||x||² − ||μ||² (total within-cluster variance —
+    the k-means objective per label). The embedding-quality report a
+    training pipeline runs per source/label shard.
+
+    Determinism contract (bit-identical to the SQL twin): every
+    cross-row sum is staged through DECIMAL — per-(label, dim) the
+    component and component² sums are exact decimal folds of values
+    that are themselves exact (float→double widening, one double
+    multiply); the per-label reductions over dims are again decimal.
+    The only IEEE ops are one divide per dim, one multiply per dim,
+    and the final subtraction — identical operand bits on any engine,
+    any row order, any partitioning.
+
+    Scale notes: one posexplode pass (rows × dim) feeding two
+    partial-aggregation levels — (label, dim) then (label); both
+    map-side combine, and the second level's input is label-cardinality
+    × dim (dim-sized). No window, no driver math.
+    """
+    dec = "decimal(28,12)"
+    ex = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "x"),
+    )
+    per_dim = ex.groupBy("label", "pos").agg(
+        F.sum(F.col("x").cast(dec)).alias("s1"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("s2"),
+        F.count(F.lit(1)).alias("c"),
+    )
+    mu = F.col("s1").cast("double") / F.col("c")
+    per_label = per_dim.groupBy("label").agg(
+        F.max("c").alias("n_vectors"),
+        F.sum("s2").cast("double").alias("__sumsq"),
+        F.sum((mu * mu).cast(dec)).cast("double").alias("centroid_norm2"),
+    )
+    mean_sq = F.col("__sumsq") / F.col("n_vectors")
+    return per_label.select(
+        "label",
+        "n_vectors",
+        mean_sq.alias("mean_sq_norm"),
+        "centroid_norm2",
+        (mean_sq - F.col("centroid_norm2")).alias("dispersion"),
+    ).orderBy("label")

@@ -1116,6 +1116,14 @@ def q97_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temperature_mixture_weights(c.documents, token_budget=1_000_000)
 
 
+def q98_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2/vector analytics: per-label centroid norm + dispersion
+    (within-cluster variance) over the embeddings table — exact
+    decimal-staged sums, bit-identical to the SQL twin."""
+    c = Catalog(spark, sf_dir)
+    return similarity.label_centroid_stats(c.embeddings)
+
+
 EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q33_exact_dedup_docs": q33_exact_dedup_docs,
     "q34_token_counts": q34_token_counts,
@@ -1164,6 +1172,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q95_tfidf_topterms": q95_tfidf_topterms,
     "q96_deterministic_shuffle": q96_deterministic_shuffle,
     "q97_mixture_temperature": q97_mixture_temperature,
+    "q98_embedding_centroids": q98_embedding_centroids,
 }
 
 EXTENSION_ORACLES: dict[str, str] = {
@@ -1665,6 +1674,32 @@ EXTENSION_ORACLES: dict[str, str] = {
                CAST(sqv AS DOUBLE) / CAST(nrm AS DOUBLE) AS mix_weight,
                (CAST(sqv AS DOUBLE) / CAST(nrm AS DOUBLE)) * 1000000.0 / n_tokens AS expected_epochs
         FROM sq CROSS JOIN norm ORDER BY source
+    """,
+    "q98_embedding_centroids": """
+        WITH ex AS (
+          SELECT label,
+                 generate_subscripts(embedding, 1) - 1 AS pos,
+                 CAST(unnest(embedding) AS DOUBLE) AS x
+          FROM embeddings
+        ), per_dim AS (
+          SELECT label, pos,
+                 SUM(CAST(x AS DECIMAL(28,12))) AS s1,
+                 SUM(CAST(x * x AS DECIMAL(28,12))) AS s2,
+                 COUNT(*) AS c
+          FROM ex GROUP BY label, pos
+        ), per_label AS (
+          SELECT label,
+                 MAX(c) AS n_vectors,
+                 CAST(SUM(s2) AS DOUBLE) AS sumsq,
+                 CAST(SUM(CAST((CAST(s1 AS DOUBLE) / c) * (CAST(s1 AS DOUBLE) / c)
+                               AS DECIMAL(28,12))) AS DOUBLE) AS centroid_norm2
+          FROM per_dim GROUP BY label
+        )
+        SELECT label, n_vectors,
+               sumsq / n_vectors AS mean_sq_norm,
+               centroid_norm2,
+               (sumsq / n_vectors) - centroid_norm2 AS dispersion
+        FROM per_label ORDER BY label
     """,
     "q84_funnel_conversion": """
         WITH d1 AS (

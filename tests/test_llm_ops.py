@@ -906,3 +906,19 @@ def test_tfidf_top_terms_hand_example(spark):
     out = tfidf_top_terms(df, k=1).collect()
     top0 = [r for r in out if r["doc_id"] == 0][0]
     assert top0["term"] == "rare" and top0["df"] == 1
+
+
+def test_label_centroid_stats_hand_example(spark):
+    """Two opposite unit vectors: centroid 0, dispersion = E||x||2 = 1;
+    a coherent pair: centroid = the vector, dispersion 0."""
+    from data_warehouse_nhom8_spark.operators.similarity import label_centroid_stats
+
+    rows = [
+        (0, [1.0, 0.0], 0), (1, [-1.0, 0.0], 0),   # opposite
+        (2, [0.0, 2.0], 1), (3, [0.0, 2.0], 1),    # identical
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {r["label"]: r for r in label_centroid_stats(df).collect()}
+    assert out[0]["centroid_norm2"] == 0.0 and abs(out[0]["dispersion"] - 1.0) < 1e-12
+    assert abs(out[1]["centroid_norm2"] - 4.0) < 1e-12 and abs(out[1]["dispersion"]) < 1e-12
+    assert all(r["dispersion"] >= -1e-12 for r in out.values())

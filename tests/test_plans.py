@@ -393,3 +393,12 @@ def test_q97_mixture_normalizer_is_dim_sized(spark):
     p = plan_of(spark, "q97_mixture_temperature")
     assert p.count("FileScan parquet") == 1
     assert "partial_sum" in p
+
+
+def test_q98_centroids_two_level_partial_agg(spark):
+    """One posexplode pass; both aggregation levels map-side combine;
+    the second level's input is label x dim (dim-sized)."""
+    p = plan_of(spark, "q98_embedding_centroids")
+    assert p.count("FileScan parquet") == 1
+    assert "Generate posexplode" in p
+    assert p.count("partial_sum") >= 2
