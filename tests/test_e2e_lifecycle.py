@@ -202,3 +202,70 @@ def test_third_day_maintenance_and_pruned_reads(spark, tmp_path):
     pdf, p_sel, p_total = snapshot_scan(spark, spath, {}, points={"date_id": int(did)})
     assert 0 < p_sel <= p_total
     assert pdf.filter(F.col("date_id") == int(did)).count() == 4
+
+
+def test_fourth_day_erasure_request(spark, tmp_path):
+    """Day-4 operations story: a data-subject erasure request arrives
+    for one job posting. The warehouse snapshot drops EVERY SCD2
+    version of that natural key (current and expired), history is
+    purged so pre-erasure time travel cannot resurrect it, the
+    datamart rebuild reflects the removal, and the run is ledgered."""
+    from data_warehouse_nhom8_spark.sources.snapshots import (
+        snapshot_delete_keys,
+        snapshot_overwrite,
+        snapshot_read,
+        snapshot_versions,
+    )
+
+    bronze = str(tmp_path / "bronze")
+    whpath = str(tmp_path / "warehouse_job")
+    led = RunLedger(spark, str(tmp_path / "ledger"))
+    dim = build_date_dim(spark, "2025-03-01", "2025-03-31")
+
+    def persist(snap):
+        snapshot_overwrite(snap, whpath, keep=5)
+        return snapshot_read(spark, whpath)
+
+    day1 = [("t1", "Dev", "ACME", "10 - 15 triệu"), ("g1", "QA", "Beta", "Tới 20 triệu")]
+    run_all_sources(spark, {"topcv_jobs": connector_for(day1)}, D1, bronze, led)
+    stg = upsert_staging(None, transform_raw_jobs(read_day(spark, bronze, D1), dim))
+    wh = load_day_to_warehouse(stg, None, D1, ledger=led, persist=persist)
+
+    # day 2 changes t1, so the warehouse holds TWO versions of t1
+    day2 = [("t1", "Dev", "ACME", "Trên 25 triệu")]
+    run_all_sources(spark, {"topcv_jobs": connector_for(day2)}, D2, bronze, led)
+    stg = upsert_staging(stg, transform_raw_jobs(read_day(spark, bronze, D2), dim))
+    wh = load_day_to_warehouse(stg, wh, D2, ledger=led, persist=persist)
+    assert wh.filter(F.col("job_id") == "t1").count() == 2  # live + expired
+
+    # erasure request: job t1 (all SCD2 versions, all history)
+    req = spark.createDataFrame([("t1",)], "job_id string")
+    out = snapshot_delete_keys(
+        spark, whpath, req, ["job_id"], purge_history=True, keep=5
+    )
+    assert out["deleted_rows"] == 2 and out["purged_versions"] >= 1
+    lid = led.open_run("erasure_request", D2)
+    led.close_run(
+        lid, "erasure_request", D2, "Success", rows_processed=out["deleted_rows"]
+    )
+
+    cur = snapshot_read(spark, whpath)
+    assert cur.filter(F.col("job_id") == "t1").count() == 0
+    assert cur.count() == 1  # g1 untouched
+    # history purged: only the post-erasure version is readable
+    assert len(snapshot_versions(whpath)) == 1
+    # SCD2 invariants still hold on the remaining table
+    assert scd2_invariant_violations(cur, ["job_title", "company_name"]).count() == 0
+
+    # datamart rebuild over the post-erasure live rows
+    live = cur.filter(F.col("expired") == F.lit("9999-12-31").cast("date"))
+    counts = rebuild_datamart(live, str(tmp_path / "dm"))
+    served = serve_datamart(spark, str(tmp_path / "dm"))
+    pdf = served["agg_job_by_company"]
+    assert dict(zip(pdf.company_name, pdf.total_jobs)) == {"Beta": 1}
+
+    st = {
+        (r["process"], str(r["run_date"])): r["status"]
+        for r in led.latest_status().collect()
+    }
+    assert st[("erasure_request", str(D2))] == "Success"
