@@ -154,3 +154,52 @@ def test_interval_range_join_boundaries(spark):
         for r in interval_range_join(events, iv, "ts", "s", "e").collect()
     }
     assert got == {(1, 10), (2, 10), (2, 11), (3, 11), (4, 11)}
+
+
+def test_runtime_bloom_filter_semi_join_reduction(spark):
+    """Spark's runtime Bloom-filter join (semi-join reduction): with a
+    selective filter on the build side of a shuffle join, the PROBE
+    side gets `might_contain(bloom(build keys))` injected BEFORE its
+    shuffle — rows that cannot match never leave the mapper. In
+    production the defaults activate this at >=10 GB probe scans; the
+    test lowers the thresholds to exercise it on local data. At 100 TB
+    this is the difference between shuffling the whole fact and
+    shuffling the ~matching fraction."""
+    from tests.conftest import SF_DIR
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        )
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        p = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in p, p[:1200]
+        assert "bloom_filter_agg" in p
+        # and the result is unchanged by the reduction
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+        p2 = (
+            li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        assert j.collect() == p2.collect()
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

@@ -183,3 +183,49 @@ def test_ingest_and_run_all_with_skip(spark, tmp_path):
     merged = read_day(spark, bronze, D)
     assert merged.count() == 5  # U1: multi-file scan merges both sources
     assert merged.filter("job_id = 'topcv_jobs-0'").count() == 1
+
+
+def test_run_daily_cli_composition(spark, tmp_path):
+    """scripts/run_daily.py: file-drop connector -> composed day ->
+    per-stage report; rerun skips extract (ledger) and stays stable."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "run_daily", os.path.join(os.path.dirname(__file__), "..", "scripts", "run_daily.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    drops = tmp_path / "in"
+    drops.mkdir()
+    (drops / "topcv_jobs.csv").write_text(
+        "source_id,job_id,job_title,company_name,salary,location,"
+        "experience_required,job_type,posted_time,tags,job_url,company_logo,"
+        "extracted_date,extracted_timestamp\n"
+        "topcv_jobs,t1,Dev,ACME,10 - 15 triệu,HN,2 năm,,hôm qua,,https://x/t1,,"
+        "2025-03-10,2025-03-10 02:00:00\n",
+        encoding="utf-8",
+    )
+    from data_warehouse_nhom8_spark.pipeline.config import AggSpec, EngineConfig
+    from data_warehouse_nhom8_spark.pipeline.daily import run_daily_pipeline
+
+    cfg = EngineConfig(
+        bronze_path=str(tmp_path / "bronze"),
+        staging_path=str(tmp_path / "staging"),
+        warehouse_path=str(tmp_path / "wh"),
+        datamart_path=str(tmp_path / "dm"),
+        ledger_path=str(tmp_path / "ledger"),
+        locks_path=str(tmp_path / "locks"),
+        aggregates=(AggSpec("agg_job_by_company", "company_name", "total_jobs"),),
+    )
+    import datetime
+
+    day = datetime.date(2025, 3, 10)
+    conn = mod.file_connector(str(drops))
+    r1 = run_daily_pipeline(spark, cfg, {"topcv_jobs": conn}, day)
+    assert r1["extract"] == {"topcv_jobs": 1}
+    assert r1["staging_rows"] == 1 and r1["warehouse_rows"] == 1
+    r2 = run_daily_pipeline(spark, cfg, {"topcv_jobs": conn}, day)
+    assert r2["extract"] == {}  # skip-if-done
+    assert r2["warehouse_rows"] == 1  # idempotent merge
