@@ -434,3 +434,49 @@ def test_delete_keys_rewrite_is_broadcast_anti_no_shuffle(spark, tmp_path):
     p = remaining._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in p and "LeftAnti" in p
     assert "Exchange hashpartitioning" not in p
+
+
+def test_erasure_feed_maintains_datamart_incrementally(spark, tmp_path):
+    """Composition: a non-purging erasure produces a delete-only
+    change feed, and apply_change_feed folds it into the datamart
+    aggregate — equal to a from-scratch rebuild after the deletion."""
+    from data_warehouse_nhom8_spark.pipeline.datamart import AggSpec, apply_change_feed
+    from data_warehouse_nhom8_spark.sources.snapshots import (
+        snapshot_delete_keys,
+        snapshot_diff,
+        snapshot_overwrite,
+        snapshot_read,
+        snapshot_versions,
+    )
+
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, "ACME" if i % 3 else "Beta") for i in range(30)],
+        "user_id long, company_name string",
+    )
+    snapshot_overwrite(df, path, keep=10)
+    spec = AggSpec("agg_by_company", "company_name", "total_jobs")
+    prev_agg = df.groupBy("company_name").agg(
+        F.count(F.lit(1)).alias("total_jobs")
+    )
+
+    keys = spark.createDataFrame([(0,), (3,), (7,)], "user_id long")  # 2 Beta, 1 ACME
+    snapshot_delete_keys(spark, path, keys, ["user_id"], keep=10)
+    v1, v2 = snapshot_versions(path)[-2:]
+    feed = snapshot_diff(
+        spark, path, v1, v2, keys=["user_id"], emit_update_preimage=True
+    )
+    assert {r["_change"] for r in feed.collect()} == {"delete"}
+
+    maintained = {
+        r["company_name"]: r["total_jobs"]
+        for r in apply_change_feed(prev_agg, feed, spec).collect()
+    }
+    rebuilt = {
+        r["company_name"]: r["total_jobs"]
+        for r in snapshot_read(spark, path)
+        .groupBy("company_name")
+        .agg(F.count(F.lit(1)).alias("total_jobs"))
+        .collect()
+    }
+    assert maintained == rebuilt == {"ACME": 19, "Beta": 8}
