@@ -26,15 +26,31 @@ DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
 def auto_shuffle_partitions(data_dir: str, target_partition_bytes: int = 64 << 20,
-                            floor: int = 8, ceiling: int = 4096) -> int:
-    """Data-driven shuffle-partition sizing: ~one partition per 64 MB
-    of input, clamped to [floor, ceiling]. At sf0.1 (~60 MB) this is
-    `floor`; at 100 TB it saturates `ceiling` and AQE coalesces
-    per-stage. The wrong constant in either direction is the classic
-    Spark perf bug (200 tasks over 50 MB, or 200 tasks over 100 TB).
+                            floor: int = 8, ceiling: int = 4096,
+                            cpu_floor_bytes: int = 128 << 20) -> int:
+    """Data-driven shuffle-partition sizing, clamped to [floor,
+    ceiling], from parquet-footer UNCOMPRESSED bytes (shuffle rows are
+    decompressed width — on-disk bytes understate compressible data):
+
+    * bytes term: ~one partition per 64 MB (spill safety; saturates
+      `ceiling` at 100 TB, where AQE coalesces per-stage).
+    * cores term: once the input exceeds `cpu_floor_bytes` the floor
+      rises to the core count — mid-size inputs are CPU-bound in the
+      join/agg stages long before the 64 MB-per-partition rule kicks
+      in, and 8 partitions on 32 cores idles 3/4 of the machine.
+      Measured on a 10x-replicated 6M-row fact set (134 MB on disk /
+      175 MB decompressed): 8 partitions ran a join-heavy suite in
+      12.98 s, 32 partitions 10.46 s (-20%), identical results.
+    * tiny inputs (the sf0.1 bench: ~22 MB decompressed) keep the low
+      `floor` — there, per-task scheduling overhead dominates and
+      fewer tasks win (measured in round 2).
+
+    The wrong constant in either direction is the classic Spark perf
+    bug (200 tasks over 50 MB, or 200 tasks over 100 TB).
     """
-    total = _dir_bytes(data_dir)
-    return max(floor, min(ceiling, total // target_partition_bytes or floor))
+    total = _dir_uncompressed_bytes(data_dir)
+    floor_eff = max(floor, DEFAULT_CPUS) if total > cpu_floor_bytes else floor
+    return max(floor_eff, min(ceiling, total // target_partition_bytes or floor))
 
 
 def _dir_bytes(data_dir: str) -> int:
@@ -43,6 +59,34 @@ def _dir_bytes(data_dir: str) -> int:
         for f in files:
             try:
                 total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
+
+
+def _dir_uncompressed_bytes(data_dir: str) -> int:
+    """Decompressed data size from parquet footers (row-group
+    total_byte_size sums — metadata-only reads). Non-parquet files
+    count at on-disk size; unreadable footers fall back the same way."""
+    try:
+        import pyarrow.parquet as pq
+    except ImportError:  # pragma: no cover — pyarrow ships with pyspark
+        return _dir_bytes(data_dir)
+    total = 0
+    for root, _dirs, files in os.walk(data_dir):
+        for f in files:
+            full = os.path.join(root, f)
+            if f.endswith(".parquet"):
+                try:
+                    md = pq.ParquetFile(full).metadata
+                    total += sum(
+                        md.row_group(i).total_byte_size for i in range(md.num_row_groups)
+                    )
+                    continue
+                except Exception:
+                    pass
+            try:
+                total += os.path.getsize(full)
             except OSError:
                 pass
     return total
@@ -57,8 +101,11 @@ def auto_aqe(data_dir: str, threshold_bytes: int = 1 << 30) -> bool:
     from file stats and every stage barrier is pure latency; above it
     (and on any real cluster) AQE stays on. Measured at sf0.1: AQE off
     saves ~15-20% wall on the oracled suite with identical results.
+    Threshold follows UNCOMPRESSED bytes (same rationale as
+    auto_shuffle_partitions: the plan's work scales with decompressed
+    width, not the on-disk footprint).
     """
-    return _dir_bytes(data_dir) > threshold_bytes
+    return _dir_uncompressed_bytes(data_dir) > threshold_bytes
 
 
 def repartition_for_compute(df, partitions: int | None = None):
@@ -130,7 +177,13 @@ def get_spark(
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Spark's canonical 10 MB, NOT higher: auto-broadcasting a
+        # multi-100k-row side makes EVERY task deserialize + hash-build
+        # the whole relation — measured on a 6M-row probe, a ~24 MB
+        # broadcast orders side ran q48 in 3.55 s vs 1.33 s with the
+        # same side shuffled (SMJ partitions the build). Dim tables
+        # broadcast via explicit F.broadcast() hints regardless.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
         # a query-serving driver re-runs the same plan shapes all day;
         # the default 100-entry generated-class cache evicts across a
         # ~50-query workload and re-pays Janino compilation per query

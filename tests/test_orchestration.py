@@ -229,3 +229,25 @@ def test_run_daily_cli_composition(spark, tmp_path):
     r2 = run_daily_pipeline(spark, cfg, {"topcv_jobs": conn}, day)
     assert r2["extract"] == {}  # skip-if-done
     assert r2["warehouse_rows"] == 1  # idempotent merge
+
+
+def test_auto_shuffle_partitions_scales_with_cores_and_bytes(tmp_path, spark):
+    """Sizing contract: tiny dirs keep the low floor (task overhead
+    dominates); dirs past the CPU-bound threshold rise to the core
+    count; huge inputs follow the bytes rule up to the ceiling."""
+    from data_warehouse_nhom8_spark.session import (
+        DEFAULT_CPUS,
+        auto_shuffle_partitions,
+    )
+
+    small = tmp_path / "small"
+    spark.range(10).write.parquet(str(small))
+    assert auto_shuffle_partitions(str(small)) == 8
+
+    assert (
+        auto_shuffle_partitions(str(small), cpu_floor_bytes=0)
+        == max(8, DEFAULT_CPUS)
+    ), "past the CPU-bound threshold the floor is the core count"
+
+    # bytes term: fake a 1 TB dir via the target knob relationship
+    assert auto_shuffle_partitions(str(small), target_partition_bytes=1) >= 8
