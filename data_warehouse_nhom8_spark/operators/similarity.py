@@ -433,13 +433,31 @@ def label_centroid_stats(
         F.sum(F.col("x").cast(dec)).alias("s1"),
         F.sum((F.col("x") * F.col("x")).cast(dec)).alias("s2"),
         F.count(F.lit(1)).alias("c"),
+        F.count("x").alias("nn"),  # non-null elements
     )
     mu = F.col("s1").cast("double") / F.col("c")
     per_label = per_dim.groupBy("label").agg(
-        F.max("c").alias("n_vectors"),
+        F.max("c").alias("__cmax"),
+        F.min("c").alias("__cmin"),
+        F.min("nn").alias("__nnmin"),
         F.sum("s2").cast("double").alias("__sumsq"),
         F.sum((mu * mu).cast(dec)).cast("double").alias("centroid_norm2"),
     )
+    # ragged arrays (per-dim counts differ) or NULL elements (non-null
+    # count < row count) would silently bias every statistic — fail at
+    # execution instead (raise_error lives inside the n_vectors output
+    # expression so column pruning can never drop the check)
+    n_vectors = F.when(
+        (F.col("__cmin") != F.col("__cmax")) | (F.col("__nnmin") != F.col("__cmax")),
+        F.raise_error(
+            F.concat(
+                F.lit("label_centroid_stats: ragged vectors or NULL elements "
+                      "in label "),
+                F.col("label").cast("string"),
+            )
+        ).cast("long"),
+    ).otherwise(F.col("__cmax"))
+    per_label = per_label.withColumn("n_vectors", n_vectors)
     mean_sq = F.col("__sumsq") / F.col("n_vectors")
     return per_label.select(
         "label",

@@ -64,10 +64,18 @@ def _dir_bytes(data_dir: str) -> int:
     return total
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=64)
 def _dir_uncompressed_bytes(data_dir: str) -> int:
     """Decompressed data size from parquet footers (row-group
     total_byte_size sums — metadata-only reads). Non-parquet files
-    count at on-disk size; unreadable footers fall back the same way."""
+    count at on-disk size; unreadable footers fall back the same way.
+    Memoized per path: auto_aqe + auto_shuffle_partitions both call
+    this at session bootstrap, and a static data dir need not have
+    every footer parsed twice (benchmark/testdata dirs never change
+    within a process; a table that grows gets a fresh session)."""
     try:
         import pyarrow.parquet as pq
     except ImportError:  # pragma: no cover — pyarrow ships with pyspark

@@ -460,31 +460,69 @@ def snapshot_delete_keys(
     collapses to just the new version; pre-delete time travel is gone
     BY DESIGN — that is what erasure means).
 
-    Idempotent: when nothing matches, no new version is written and
-    the current one is returned (`deleted_rows == 0`) — safe to replay
-    under the ledger.
+    Idempotent AND replay-durable: when nothing matches, no new
+    version is written — but `purge_history=True` still purges (a
+    replay after a crash between commit and purge, or a later call to
+    make an earlier soft delete durable, must finish the erasure).
+    Purge failures RAISE (with the partial count in the message): an
+    erasure that silently leaves the subject's files on disk while
+    reporting success is a compliance bug, not a warning.
+
+    Cost shape: the no-op probe is a LIMIT-1 existence check (bounded);
+    `deleted_rows` comes from footer-level row counts of the two
+    versions (no extra table scan — the only full pass is the anti-join
+    rewrite itself, which the write executes anyway).
 
     Returns {"version_dir", "deleted_rows", "purged_versions"}.
     """
     cols = list(key_cols)
     cur = snapshot_read(spark, path, schema=schema)
+    if cur is None:
+        raise FileNotFoundError(f"no snapshot or parquet table at {path}")
     keys = delete_keys.select(*cols).dropDuplicates(cols)
+    cond, remaining = _delete_rewrite(cur, keys, cols)
+
+    def purge() -> int:
+        committed = _current_version(path)
+        purged, failed = 0, []
+        for name in os.listdir(path):
+            m = _VERSION_RE.match(name)
+            if m and int(m.group(1)) != committed:
+                try:
+                    shutil.rmtree(os.path.join(path, name))
+                    purged += 1
+                except OSError as ex:
+                    failed.append((name, str(ex)))
+        if failed:
+            raise RuntimeError(
+                f"erasure purge incomplete at {path}: removed {purged}, "
+                f"FAILED {failed} — the subject's data is still on disk"
+            )
+        return purged
+
+    matches = cur.join(F.broadcast(keys), cond, "left_semi").limit(1).count()
+    if matches == 0:
+        v = _current_version(path)
+        vdir = os.path.join(path, f"v{v:08d}") if v is not None else path
+        purged = purge() if (purge_history and v is not None) else 0
+        return {"version_dir": vdir, "deleted_rows": 0, "purged_versions": purged}
+    before = cur.count()  # parquet footer counts — no data scan
+    vdir = snapshot_overwrite(remaining, path, keep=keep)
+    after = spark.read.parquet(vdir).count()
+    purged = purge() if purge_history else 0
+    return {
+        "version_dir": vdir,
+        "deleted_rows": before - after,
+        "purged_versions": purged,
+    }
+
+
+def _delete_rewrite(cur: DataFrame, keys: DataFrame, cols: Sequence[str]):
+    """(join condition, rewrite plan) for keyed deletion: broadcast
+    LEFT ANTI — the table streams, never shuffles. Shared with the
+    plan gate in tests so the gate pins the PRODUCTION plan."""
     cond = None
     for k in cols:
         c = cur[k] == keys[k]
         cond = c if cond is None else (cond & c)
-    deleted = cur.join(F.broadcast(keys), cond, "left_semi").count()
-    if deleted == 0:
-        vdir = os.path.join(path, f"v{_current_version(path):08d}")
-        return {"version_dir": vdir, "deleted_rows": 0, "purged_versions": 0}
-    remaining = cur.join(F.broadcast(keys), cond, "left_anti")
-    vdir = snapshot_overwrite(remaining, path, keep=keep)
-    purged = 0
-    if purge_history:
-        committed = _current_version(path)
-        for name in os.listdir(path):
-            m = _VERSION_RE.match(name)
-            if m and int(m.group(1)) != committed:
-                shutil.rmtree(os.path.join(path, name), ignore_errors=True)
-                purged += 1
-    return {"version_dir": vdir, "deleted_rows": deleted, "purged_versions": purged}
+    return cond, cur.join(F.broadcast(keys), cond, "left_anti")

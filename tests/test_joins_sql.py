@@ -172,6 +172,7 @@ def test_runtime_bloom_filter_semi_join_reduction(spark):
         for k in (
             "spark.sql.autoBroadcastJoinThreshold",
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
         )
     }
     try:
@@ -191,15 +192,19 @@ def test_runtime_bloom_filter_semi_join_reduction(spark):
         p = j._jdf.queryExecution().executedPlan().toString()
         assert "might_contain" in p, p[:1200]
         assert "bloom_filter_agg" in p
-        # and the result is unchanged by the reduction
+        # and the result is unchanged by the reduction: collect the
+        # bloom-ON result first, THEN the bloom-OFF twin (the optimizer
+        # rule reads the conf at action time, so the off-switch must be
+        # live during the second collect)
+        with_bloom = j.collect()
         spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
-        p2 = (
+        without_bloom = (
             li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
             .groupBy("o_orderpriority")
             .count()
+            .collect()
         )
-        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
-        assert j.collect() == p2.collect()
+        assert with_bloom == without_bloom
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)

@@ -922,3 +922,23 @@ def test_label_centroid_stats_hand_example(spark):
     assert out[0]["centroid_norm2"] == 0.0 and abs(out[0]["dispersion"] - 1.0) < 1e-12
     assert abs(out[1]["centroid_norm2"] - 4.0) < 1e-12 and abs(out[1]["dispersion"]) < 1e-12
     assert all(r["dispersion"] >= -1e-12 for r in out.values())
+
+
+def test_label_centroid_stats_rejects_ragged_and_null_vectors(spark):
+    """Ragged arrays / NULL elements would silently bias every stat —
+    the op must raise at execution, not return wrong numbers."""
+    from data_warehouse_nhom8_spark.operators.similarity import label_centroid_stats
+
+    ragged = spark.createDataFrame(
+        [(0, [1.0, 2.0], 0), (1, [1.0], 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    with pytest.raises(Exception, match="ragged"):
+        label_centroid_stats(ragged).collect()
+
+    withnull = spark.createDataFrame(
+        [(0, [1.0, None], 0), (1, [1.0, 2.0], 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    with pytest.raises(Exception, match="ragged|NULL"):
+        label_centroid_stats(withnull).collect()

@@ -67,4 +67,7 @@ def test_sql_surface_matches_dataframe_plans(spark):
         if a != b:
             mismatched.append(name)
     assert not mismatched, mismatched
-    assert ran >= 55, f"only {ran} oracle SQL strings ran on Spark SQL"
+    # the measured portable count — a previously-portable oracle
+    # regressing out of the SQL surface must fail here, not hide in
+    # the dialect skip (59 measured when the gate was added)
+    assert ran >= 59, f"only {ran} oracle SQL strings ran on Spark SQL"

@@ -249,5 +249,8 @@ def test_auto_shuffle_partitions_scales_with_cores_and_bytes(tmp_path, spark):
         == max(8, DEFAULT_CPUS)
     ), "past the CPU-bound threshold the floor is the core count"
 
-    # bytes term: fake a 1 TB dir via the target knob relationship
-    assert auto_shuffle_partitions(str(small), target_partition_bytes=1) >= 8
+    # bytes term: with a 1-byte target the partition count must follow
+    # total uncompressed bytes (hundreds for even this tiny file) —
+    # i.e. exceed every floor, proving the bytes rule is actually live
+    by_bytes = auto_shuffle_partitions(str(small), target_partition_bytes=1)
+    assert by_bytes > DEFAULT_CPUS and by_bytes <= 4096

@@ -423,17 +423,41 @@ def test_delete_keys_noop_when_nothing_matches(spark, tmp_path):
 
 
 def test_delete_keys_rewrite_is_broadcast_anti_no_shuffle(spark, tmp_path):
-    """The rewrite plan must stream the table through a broadcast
+    """The PRODUCTION rewrite plan (via the same _delete_rewrite the
+    operator executes) must stream the table through a broadcast
     LeftAnti — no shuffle of the table, no collect on the data path."""
-    from data_warehouse_nhom8_spark.sources.snapshots import snapshot_read
+    from data_warehouse_nhom8_spark.sources.snapshots import (
+        _delete_rewrite,
+        snapshot_read,
+    )
 
     path = _delete_fixture(spark, tmp_path)
     keys = spark.createDataFrame([(3,)], "user_id long")
     cur = snapshot_read(spark, path)
-    remaining = cur.join(F.broadcast(keys), cur["user_id"] == keys["user_id"], "left_anti")
+    _cond, remaining = _delete_rewrite(cur, keys, ["user_id"])
     p = remaining._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in p and "LeftAnti" in p
     assert "Exchange hashpartitioning" not in p
+
+
+def test_delete_keys_purge_replay_finishes_erasure(spark, tmp_path):
+    """Replay durability: a purge_history call whose keys already
+    vanished (crash-after-commit replay / making an earlier soft
+    delete durable) must STILL purge retained history."""
+    from data_warehouse_nhom8_spark.sources.snapshots import (
+        snapshot_delete_keys,
+        snapshot_versions,
+    )
+
+    path = _delete_fixture(spark, tmp_path)
+    keys = spark.createDataFrame([(1,)], "user_id long")
+    snapshot_delete_keys(spark, path, keys, ["user_id"], keep=10)  # soft
+    assert len(snapshot_versions(path)) == 3
+    out = snapshot_delete_keys(
+        spark, path, keys, ["user_id"], purge_history=True, keep=10
+    )  # replay: rows already gone, purge must still run
+    assert out["deleted_rows"] == 0 and out["purged_versions"] == 2
+    assert len(snapshot_versions(path)) == 1
 
 
 def test_erasure_feed_maintains_datamart_incrementally(spark, tmp_path):
