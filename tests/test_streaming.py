@@ -555,3 +555,73 @@ def test_interval_stream_join_left_outer_emits_unconverted(spark, tmp_path):
     assert (1, 2) in got, got            # converted view keeps its match
     assert (3, None) in got, got         # unconverted view emitted with nulls
     assert (1, None) not in got          # matched view is never ALSO emitted null
+
+
+def test_interval_join_checkpoint_restart_continues_exactly_once(spark, tmp_path):
+    """Exactly-once across restarts: run the interval join AvailableNow
+    over day-1 files, stop, drop more files, re-run with the SAME
+    checkpoint — the append sink must accumulate the complete result
+    with no duplicates (state + source offsets recover from the
+    checkpoint)."""
+    import time
+
+    schema_s = (
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string"
+    )
+    src = str(tmp_path / "ck_src")
+    ck = str(tmp_path / "ck_restart")
+    out_parquet = str(tmp_path / "ck_out")
+
+    def write_file(rows, mode):
+        (
+            spark.createDataFrame(rows, schema_s)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .coalesce(1)
+            .write.mode(mode)
+            .parquet(src)
+        )
+        time.sleep(1.1)
+
+    def run_once():
+        stream = jobs.stream_source(spark, src, spark.read.parquet(src).schema)
+        views = stream.filter(F.col("event_type") == "view").select("user_id", "ts", "event_id")
+        buys = stream.filter(F.col("event_type") == "purchase").select("user_id", "ts", "event_id")
+        j = jobs.interval_stream_join(views, buys, within="1 hour", watermark="2 hours")
+        q = (
+            j.select(F.col("event_id").alias("view_id"), F.col("r_event_id").alias("buy_id"))
+            .writeStream.format("parquet")
+            .option("path", out_parquet)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # day 1: one converting pair
+    write_file(
+        [
+            (1, "2024-01-01 10:00:00", 1, "view", 1.0, "{}"),
+            (2, "2024-01-01 10:30:00", 1, "purchase", 5.0, "{}"),
+        ],
+        "overwrite",
+    )
+    run_once()
+    got1 = {(r["view_id"], r["buy_id"]) for r in spark.read.parquet(out_parquet).collect()}
+    assert got1 == {(1, 2)}
+
+    # restart later with new arrivals: user 1's old view must NOT
+    # re-match (already emitted once), user 2's new pair must appear
+    write_file(
+        [
+            (3, "2024-01-01 10:40:00", 2, "view", 1.0, "{}"),
+            (4, "2024-01-01 11:00:00", 2, "purchase", 9.0, "{}"),
+        ],
+        "append",
+    )
+    run_once()
+    got2 = sorted(
+        (r["view_id"], r["buy_id"]) for r in spark.read.parquet(out_parquet).collect()
+    )
+    assert got2 == [(1, 2), (3, 4)], got2  # complete, no duplicates
