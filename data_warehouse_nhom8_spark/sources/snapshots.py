@@ -526,3 +526,48 @@ def _delete_rewrite(cur: DataFrame, keys: DataFrame, cols: Sequence[str]):
         c = cur[k] == keys[k]
         cond = c if cond is None else (cond & c)
     return cond, cur.join(F.broadcast(keys), cond, "left_anti")
+
+
+def snapshot_vacuum(
+    path: str,
+    keep_days: float,
+    now: float | None = None,
+) -> dict:
+    """Age-based retention (the Delta VACUUM twin to the writer's
+    count-based `keep`): remove version directories whose files are
+    older than `keep_days`, EXCEPT the live version — the pointer's
+    target survives at any age. Complements `keep`: count-based GC
+    bounds disk under frequent writes; age-based retention is the
+    compliance/time-travel-horizon contract ("history readable for N
+    days") under infrequent ones.
+
+    `now` (epoch seconds) is injectable for tests. Removal failures
+    RAISE with the partial result (same contract as the erasure purge:
+    a retention sweep that silently leaves data is a bug).
+
+    Returns {"removed", "kept"} version-number lists.
+    """
+    import time as _time
+
+    cutoff = (now if now is not None else _time.time()) - keep_days * 86400.0
+    live = _current_version(path)
+    removed, kept, failed = [], [], []
+    for name in sorted(os.listdir(path)):
+        m = _VERSION_RE.match(name)
+        if not m:
+            continue
+        v = int(m.group(1))
+        vdir = os.path.join(path, name)
+        if v == live or os.path.getmtime(vdir) >= cutoff:
+            kept.append(v)
+            continue
+        try:
+            shutil.rmtree(vdir)
+            removed.append(v)
+        except OSError as ex:
+            failed.append((name, str(ex)))
+    if failed:
+        raise RuntimeError(
+            f"vacuum incomplete at {path}: removed {removed}, FAILED {failed}"
+        )
+    return {"removed": removed, "kept": kept}

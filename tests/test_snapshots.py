@@ -504,3 +504,40 @@ def test_erasure_feed_maintains_datamart_incrementally(spark, tmp_path):
         .collect()
     }
     assert maintained == rebuilt == {"ACME": 19, "Beta": 8}
+
+
+def test_vacuum_age_based_retention(spark, tmp_path):
+    """Versions older than the horizon are removed; the live version
+    survives at ANY age; young history is kept."""
+    import os
+    import time
+
+    from data_warehouse_nhom8_spark.sources.snapshots import (
+        snapshot_overwrite,
+        snapshot_read,
+        snapshot_vacuum,
+        snapshot_versions,
+    )
+
+    path = str(tmp_path / "tbl")
+    df = spark.range(10).withColumnRenamed("id", "k")
+    for _ in range(3):
+        snapshot_overwrite(df, path, keep=10)
+    vs = snapshot_versions(path)
+    assert vs == [1, 2, 3]
+
+    now = time.time()
+    # v1 and v2 are "8 days old"; v3 (live) is also backdated — must survive
+    for v in (1, 2, 3):
+        os.utime(os.path.join(path, f"v{v:08d}"), (now - 8 * 86400,) * 2)
+
+    out = snapshot_vacuum(path, keep_days=7, now=now)
+    assert out == {"removed": [1, 2], "kept": [3]}
+    assert snapshot_versions(path) == [3]
+    assert snapshot_read(spark, path).count() == 10
+
+    # once a new live version supersedes it, the aged v3 is fair game;
+    # the fresh v4 (live, young) is kept
+    snapshot_overwrite(df, path, keep=10)
+    out2 = snapshot_vacuum(path, keep_days=7, now=now)
+    assert out2 == {"removed": [3], "kept": [4]}
