@@ -87,20 +87,32 @@ def run_weekly_maintenance(
     spark: SparkSession,
     cfg: EngineConfig,
     keep_days: int = 30,
+    history_keep_days: float | None = None,
     today: datetime.date | None = None,
 ) -> dict:
     """The maintenance cron (reference: weekly Sunday cleanup +
     30-day log retention, extract/cleanup_old_logs.sh:11): compact
-    the daily snapshot tables' small files and prune the run ledger.
-    Safe to run beside readers — the compaction commits through the
-    versioned pointer swap and keeps the previous version for
-    in-flight scans."""
-    from data_warehouse_nhom8_spark.sources.snapshots import snapshot_compact
+    the daily snapshot tables' small files, prune the run ledger,
+    and — when `history_keep_days` is set — vacuum snapshot history
+    past the time-travel horizon (age-based retention on top of the
+    writer's count-based keep). Safe to run beside readers — the
+    compaction commits through the versioned pointer swap and keeps
+    the previous version for in-flight scans, and vacuum never touches
+    the live version."""
+    from data_warehouse_nhom8_spark.sources.snapshots import (
+        snapshot_compact,
+        snapshot_exists,
+        snapshot_vacuum,
+    )
 
     report = {}
     for name, path in (("staging", cfg.staging_path), ("warehouse", cfg.warehouse_path)):
         out = snapshot_compact(spark, path)
         report[f"compacted_{name}"] = bool(out)
+        if history_keep_days is not None and snapshot_exists(path):
+            report[f"vacuumed_{name}"] = len(
+                snapshot_vacuum(path, keep_days=history_keep_days)["removed"]
+            )
     ledger = RunLedger(spark, cfg.ledger_path)
     report["ledger_rows_kept"] = ledger.prune(keep_days, today)
     return report

@@ -67,8 +67,12 @@ def test_run_daily_pipeline_two_days(spark, tmp_path):
     before = sorted(
         tuple(r) for r in snapshot_read(spark, cfg.warehouse_path).collect()
     )
-    m = run_weekly_maintenance(spark, cfg, keep_days=30, today=D2)
+    m = run_weekly_maintenance(
+        spark, cfg, keep_days=30, history_keep_days=30, today=D2
+    )
     assert "compacted_warehouse" in m and m["ledger_rows_kept"] >= 1
+    # young history: vacuum runs but removes nothing
+    assert m.get("vacuumed_warehouse") == 0
     after = sorted(
         tuple(r) for r in snapshot_read(spark, cfg.warehouse_path).collect()
     )
