@@ -145,7 +145,8 @@ def main() -> None:
         "metric": "oracle_queries_total_wall_warm",
         "value": warm_oracle,
         "unit": "sec",
-        "queries": {k[:3]: v for k, v in warm.items() if k in ORACLES},
+        # key = qNN prefix (3-digit-safe: "q100", not a "q10" clash)
+        "queries": {k.split("_")[0]: v for k, v in warm.items() if k in ORACLES},
         "sf": sf,
         "cold_total_sec": cold_oracle,
         "extensions_total_sec": warm_ext,

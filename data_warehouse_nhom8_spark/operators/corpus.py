@@ -490,3 +490,54 @@ def deterministic_shuffle_key(
         "shuffle_key",
         F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(seed))),
     )
+
+
+def per_source_cap(
+    df: DataFrame,
+    cap: int = 10,
+    seed: str = "cap0",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    salt_buckets: int | None = None,
+) -> DataFrame:
+    """Per-source document cap — Common-Crawl-style curation keeps at
+    most `cap` documents per domain/source so no single crawl host
+    dominates the training mixture. Selection is a DETERMINISTIC
+    random sample: priority = md5(id:seed) (engine-portable, same hex
+    on Spark and DuckDB — deterministic_shuffle_key's contract), so
+    the kept set is stable across runs/engines and reshuffles only
+    when the seed changes.
+
+    Returns (id, group, rank_in_source), rank ≤ cap, ordered.
+
+    Skew is the 100 TB concern: one hot domain can hold millions of
+    rows, and a single row_number() window shuffles ALL of them to one
+    task. With `salt_buckets=S`, a first row_number over
+    (group, xxhash64(id) mod S) pre-caps each salt shard to `cap` rows
+    map-side-ish (S tasks per group, each keeping ≤ cap), so at most
+    S·cap rows per group reach the final window — bounded regardless
+    of domain size. The two-phase result EQUALS the single-phase one
+    (pytest-gated): any row in a group's global top-cap by priority
+    ranks ≤ cap within its own shard too, so phase 1 never drops a
+    final keeper. The salt hash never touches the result — only the
+    md5 priority orders rows — so xxhash64's engine-specificity stays
+    out of the certified output."""
+    from pyspark.sql import Window
+
+    pri = F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(seed)))
+    base = df.select(id_col, group_col).withColumn("__pri", pri)
+    if salt_buckets and salt_buckets > 1:
+        shard = F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_buckets))
+        w1 = Window.partitionBy(F.col(group_col), shard).orderBy("__pri", id_col)
+        base = (
+            base.withColumn("__r1", F.row_number().over(w1))
+            .filter(F.col("__r1") <= cap)
+            .drop("__r1")
+        )
+    w = Window.partitionBy(group_col).orderBy("__pri", id_col)
+    return (
+        base.withColumn("rank_in_source", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank_in_source") <= cap)
+        .select(id_col, group_col, "rank_in_source")
+        .orderBy(group_col, "rank_in_source")
+    )

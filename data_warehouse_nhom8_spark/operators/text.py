@@ -345,3 +345,80 @@ def tfidf_top_terms(
         .select(id_col, "rank", "term", "tf", "df", "score")
         .orderBy(id_col, "rank")
     )
+
+
+# ------------------------------------------------- unigram LM surprisal
+
+def unigram_surprisal_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mbits_scale: int = 1000,
+) -> DataFrame:
+    """CCNet-style statistical quality score: per-document mean token
+    surprisal -log2 p(token) under the corpus's own unigram model —
+    gibberish and keyboard-mash score high (rare tokens), boilerplate
+    scores low; the standard cheap LM-quality filter of web-corpus
+    pipelines (CCNet filters on wiki-LM perplexity; the self-corpus
+    unigram model is the dependency-free analogue).
+
+    Cross-engine determinism (the tfidf_top_terms contract —
+    transcendental libm calls are NOT guaranteed to round identically
+    across engines): each vocabulary entry's surprisal is quantized
+    ONCE to integer milli-bits, round(scale·log2(N/n)) — a 1–2 ulp
+    libm divergence (~1e-13 absolute at these magnitudes) only changes
+    the rounded integer if scale·log2(N/n) lands within ~1e-10 of a
+    half-integer, ~1e-10 probability per distinct count value, and
+    everything downstream of the quantization is exact: integer sums,
+    then ONE left-associated IEEE division chain sum/n/scale for the
+    per-doc mean (exact bigints in, bit-identical double out on any
+    IEEE engine — no further rounding anywhere).
+
+    Scale: two passes over the token stream, neither shuffling raw
+    text. Pass 1 builds the vocabulary — explode → groupBy(token)
+    with map-side partial counts (vocabulary cardinality ≪ token
+    count). Pass 2 re-derives tokens and probes the vocabulary as a
+    BROADCAST hash join (the vocab table is (token, int) rows), then
+    aggregates (id, small-int) pairs per doc. At 100 TB, persist the
+    pass-1 vocabulary as a table (the benchmark_gram_store pattern)
+    and truncate the tail to a min count with one OOV bucket — the
+    probe side and the math are unchanged."""
+    from pyspark.sql.window import Window
+
+    tok = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.trim(_c(text_col))), r"\s+")).alias("token"),
+    ).filter(F.col("token") != "")
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    # total token count as an unpartitioned window over the VOCAB
+    # AGGREGATE (vocabulary-cardinality rows — the same ≪-corpus size
+    # assumption the broadcast below already makes), not a scalar
+    # cross join: the separate agg branch would re-run vocab's whole
+    # lineage, a third scan+explode of the corpus in the plan.
+    total = F.sum("n").over(Window.partitionBy()).cast("long")
+    vocab_mbits = vocab.select(
+        "token",
+        F.round(
+            F.lit(mbits_scale)
+            * F.log2(total.cast("double") / F.col("n").cast("double"))
+        )
+        .cast("long")
+        .alias("__mbits"),
+    )
+    return (
+        tok.join(F.broadcast(vocab_mbits), "token")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("__mbits").cast("long").alias("sum_mbits"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "sum_mbits",
+            (
+                F.col("sum_mbits") / F.col("n_tokens") / F.lit(float(mbits_scale))
+            ).alias("avg_bits"),
+        )
+        .orderBy(id_col)
+    )

@@ -1124,6 +1124,30 @@ def q98_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.label_centroid_stats(c.embeddings)
 
 
+def q99_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3: CCNet-style statistical quality score — per-doc mean token
+    surprisal under the corpus's own unigram LM (operators.text.
+    unigram_surprisal_scores). Vocabulary surprisal quantized once to
+    integer milli-bits (the only libm touch, with a documented
+    rounding margin); everything downstream is exact integer sums and
+    one IEEE division chain, bit-identical to the SQL twin."""
+    from data_warehouse_nhom8_spark.operators.text import unigram_surprisal_scores
+
+    c = Catalog(spark, sf_dir)
+    return unigram_surprisal_scores(c.documents)
+
+
+def q100_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: per-source document cap (Common-Crawl-style domain cap) —
+    deterministic md5-priority sample of at most 10 docs per source,
+    run through the salted two-phase skew-safe path (salt_buckets=4;
+    provably equal to the single-window form, pytest-gated)."""
+    from data_warehouse_nhom8_spark.operators.corpus import per_source_cap
+
+    c = Catalog(spark, sf_dir)
+    return per_source_cap(c.documents, cap=10, seed="cap0", salt_buckets=4)
+
+
 EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q33_exact_dedup_docs": q33_exact_dedup_docs,
     "q34_token_counts": q34_token_counts,
@@ -1173,9 +1197,54 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q96_deterministic_shuffle": q96_deterministic_shuffle,
     "q97_mixture_temperature": q97_mixture_temperature,
     "q98_embedding_centroids": q98_embedding_centroids,
+    "q99_unigram_surprisal": q99_unigram_surprisal,
+    "q100_source_cap": q100_source_cap,
 }
 
 EXTENSION_ORACLES: dict[str, str] = {
+    "q99_unigram_surprisal": """
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+          FROM documents
+        ), t AS (
+          SELECT doc_id, token FROM tok WHERE token <> ''
+        ), vocab AS (
+          SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM t GROUP BY token
+        ), total AS (
+          SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM vocab
+        ), vm AS (
+          SELECT token,
+                 CAST(round(1000 * log2(CAST(total.n_total AS DOUBLE)
+                                        / CAST(n AS DOUBLE))) AS BIGINT) AS mbits
+          FROM vocab CROSS JOIN total
+        ), per AS (
+          SELECT t.doc_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                 CAST(SUM(vm.mbits) AS BIGINT) AS sum_mbits
+          FROM t JOIN vm ON t.token = vm.token
+          GROUP BY t.doc_id
+        )
+        SELECT doc_id, n_tokens, sum_mbits,
+               sum_mbits / n_tokens / 1000.0 AS avg_bits
+        FROM per ORDER BY doc_id
+    """,
+    "q100_source_cap": """
+        WITH p AS (
+          SELECT doc_id, source,
+                 md5(CAST(doc_id AS VARCHAR) || ':' || 'cap0') AS pri
+          FROM documents
+        ), r AS (
+          SELECT doc_id, source,
+                 CAST(ROW_NUMBER() OVER (
+                   PARTITION BY source ORDER BY pri, doc_id) AS BIGINT)
+                   AS rank_in_source
+          FROM p
+        )
+        SELECT doc_id, source, rank_in_source
+        FROM r WHERE rank_in_source <= 10
+        ORDER BY source, rank_in_source
+    """,
     "q37_lang_id": """
         WITH s AS (
           SELECT lower(substring(text, 1, 256)) AS t FROM documents

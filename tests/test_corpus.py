@@ -263,3 +263,30 @@ def test_weighted_mixture_quotas(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         corpus.weighted_mixture(df, "src", {"web": -1.0}, total=10)
+
+
+def test_per_source_cap_salted_equals_single_window(spark):
+    # skewed fixture: one hot source with 400 rows, others tiny
+    rows = [(i, "hot" if i < 400 else f"s{i % 7}") for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    plain = corpus.per_source_cap(df, cap=5, salt_buckets=None).collect()
+    salted = corpus.per_source_cap(df, cap=5, salt_buckets=8).collect()
+    assert [tuple(r) for r in plain] == [tuple(r) for r in salted]
+    by_src = {}
+    for r in plain:
+        by_src.setdefault(r["source"], []).append(r["rank_in_source"])
+    assert all(max(v) <= 5 and sorted(v) == list(range(1, len(v) + 1))
+               for v in by_src.values())
+    assert len(by_src["hot"]) == 5  # the hot source really was capped
+
+
+def test_per_source_cap_deterministic_and_seed_sensitive(spark):
+    rows = [(i, f"s{i % 3}") for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    a = {(r["doc_id"], r["source"]) for r in corpus.per_source_cap(df, cap=4).collect()}
+    b = {(r["doc_id"], r["source"]) for r in corpus.per_source_cap(df, cap=4).collect()}
+    c = {(r["doc_id"], r["source"])
+         for r in corpus.per_source_cap(df, cap=4, seed="other").collect()}
+    assert a == b           # rerun-stable
+    assert a != c           # reseeding reselects
+    assert len(a) == len(c) == 12  # 3 sources x cap

@@ -942,3 +942,31 @@ def test_label_centroid_stats_rejects_ragged_and_null_vectors(spark):
     )
     with pytest.raises(Exception, match="ragged|NULL"):
         label_centroid_stats(withnull).collect()
+
+
+def test_unigram_surprisal_rare_tokens_score_higher(spark):
+    from data_warehouse_nhom8_spark.operators.text import unigram_surprisal_scores
+
+    rows = [(i, "the the the the") for i in range(20)]
+    rows.append((100, "zyzzyva qwertyuiop axolotl floccinaucinihilipilification"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in unigram_surprisal_scores(df).collect()}
+    common, rare = out[0], out[100]
+    assert rare["avg_bits"] > common["avg_bits"] + 3  # rare ≫ common
+    assert common["n_tokens"] == 4 and rare["n_tokens"] == 4
+    # "the" appears 80x of 84 tokens: surprisal ≈ log2(84/80) ≈ 0.07 bits
+    assert abs(common["avg_bits"] - 0.07) < 0.01
+    # each rare token is 1-of-84: ≈ log2(84) ≈ 6.39 bits
+    assert abs(rare["avg_bits"] - 6.392) < 0.01
+
+
+def test_unigram_surprisal_partition_invariant(spark):
+    from data_warehouse_nhom8_spark.operators.text import unigram_surprisal_scores
+
+    rows = [(i, f"tok{i % 13} tok{i % 7} filler common common") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    one = unigram_surprisal_scores(df.coalesce(1)).collect()
+    many = unigram_surprisal_scores(df.repartition(17)).collect()
+    # integer milli-bit sums + exact division: bit-identical under any
+    # physical layout (the order-independence contract)
+    assert [tuple(r) for r in one] == [tuple(r) for r in many]
