@@ -13,6 +13,9 @@ queries (q54–q59) are fully driver-oracled against DuckDB:
   stratified_sample  — per-stratum hash-ordered top-k manifest
   weighted_mixture   — data-mixing quotas over stratified_sample
   contamination_counts — n-gram overlap vs a benchmark set
+  per_source_cap     — Common-Crawl-style per-domain document cap
+                       (md5-priority deterministic sample, salted
+                       two-phase skew-safe window)
 
 Scale notes (100 TB):
   * hash_split_col and pii_redact_cols are pure per-row projections —
@@ -21,6 +24,10 @@ Scale notes (100 TB):
     still shuffle-free; partition count follows the input splits.
   * stratified_sample shuffles only ~quota rows per stratum (map-side
     WindowGroupLimit, plan-gated), never the full stratum.
+  * per_source_cap with salt_buckets=S bounds the per-source window
+    input to S*cap rows regardless of how hot a domain is — the
+    single-window form would shuffle a hot domain's millions of rows
+    to one task.
   * contamination_counts joins the corpus's exploded n-grams against
     the benchmark gram set on a 128-bit digest. Benchmark suites are
     tiny (thousands of docs) next to a 100 TB corpus → the gram set

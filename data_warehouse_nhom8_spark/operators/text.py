@@ -17,6 +17,9 @@ Operators:
   bigram_topk         — top-k adjacent-token bigrams
   fingerprint_col     — normalized rolling fingerprint (md5 of
                         canonicalized shingle stream)
+  tfidf_top_terms     — per-doc idf-weighted keyword heads (log-free)
+  unigram_surprisal_scores — CCNet-style mean-token-surprisal quality
+                        score under the corpus's own unigram LM
 """
 
 from __future__ import annotations
