@@ -420,3 +420,41 @@ def test_temperature_weights_order_preserving_and_normalized(spark, sizes):
         assert a["mix_weight"] <= b["mix_weight"] + 1e-12
         # flattening: weight grows SLOWER than size
         assert a["mix_weight"] / a["n_tokens"] >= b["mix_weight"] / b["n_tokens"] - 1e-12
+
+
+# --------------------------------------------- unigram surprisal spec
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.integers(0, 6), min_size=1, max_size=12),
+        min_size=2,
+        max_size=15,
+    )
+)
+def test_unigram_surprisal_matches_python_spec(spark, token_docs):
+    """Random corpora vs a pure-Python executable spec of the
+    milli-bit contract: mbits = round(1000*log2(N/n)) per vocab entry,
+    avg_bits = sum/n/1000 with the same left-associated division."""
+    import math
+
+    from data_warehouse_nhom8_spark.operators.text import unigram_surprisal_scores
+
+    docs = [(i, " ".join(f"t{t}" for t in toks)) for i, toks in enumerate(token_docs)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in unigram_surprisal_scores(df).collect()}
+
+    counts: dict[str, int] = {}
+    for toks in token_docs:
+        for t in toks:
+            tok = f"t{t}"
+            counts[tok] = counts.get(tok, 0) + 1
+    n_total = sum(counts.values())
+    mbits = {
+        tok: int(round(1000 * math.log2(n_total / n))) for tok, n in counts.items()
+    }
+    for i, toks in enumerate(token_docs):
+        s = sum(mbits[f"t{t}"] for t in toks)
+        assert got[i]["n_tokens"] == len(toks)
+        assert got[i]["sum_mbits"] == s
+        assert got[i]["avg_bits"] == s / len(toks) / 1000.0
