@@ -77,15 +77,48 @@ def run_corpus_prep(
     min_tokens: int = 30,
     chunk_tokens: int = 128,
     stride: int = 64,
+    source_cap: int | None = None,
+    max_surprisal_bits: float | None = None,
 ) -> dict:
     """One ledger-gated corpus-prep run. Returns per-stage counts;
-    {"skipped": True} when the day already succeeded."""
+    {"skipped": True} when the day already succeeded.
+
+    Optional curation stages (both default OFF — the certified q58
+    chain is unchanged when unset):
+      source_cap          — keep at most N docs per source before any
+                            other stage (operators.corpus.per_source_cap,
+                            salted skew-safe window; q100's operator),
+                            so no crawl host dominates the mixture.
+      max_surprisal_bits  — after the quality gate, drop docs whose
+                            mean unigram surprisal exceeds the bound
+                            (operators.text.unigram_surprisal_scores,
+                            q99's operator): the cheap statistical
+                            gibberish filter — keeps should score LOW.
+    """
     if ledger is not None and ledger.is_done(PROCESS, run_date):
         return {"skipped": True}
     start = datetime.datetime.now()
     log_id = ledger.open_run(PROCESS, run_date) if ledger is not None else None
     try:
+        if source_cap is not None:
+            from data_warehouse_nhom8_spark.operators.corpus import per_source_cap
+
+            kept_ids = per_source_cap(
+                docs, cap=source_cap, salt_buckets=8
+            ).select("doc_id")
+            docs = docs.join(kept_ids, "doc_id", "left_semi")
         corpus = prepare_corpus_df(docs, min_tokens=min_tokens)
+        if max_surprisal_bits is not None:
+            from data_warehouse_nhom8_spark.operators.text import (
+                unigram_surprisal_scores,
+            )
+
+            keep = (
+                unigram_surprisal_scores(corpus)
+                .filter(F.col("avg_bits") <= max_surprisal_bits)
+                .select("doc_id")
+            )
+            corpus = corpus.join(keep, "doc_id", "left_semi")
         snapshot_overwrite(corpus, f"{out_root}/corpus")
         stored = snapshot_read(spark, f"{out_root}/corpus")
 

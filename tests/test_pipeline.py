@@ -247,3 +247,62 @@ def test_read_day_with_quarantine_on_bronze(spark, raw_dir):
     empty = read_day_with_quarantine(spark, raw_dir, datetime.date(2030, 1, 1))
     assert empty.valid.count() == 0 and empty.quarantine.count() == 0
     assert "source" in empty.valid.columns and "date" in empty.valid.columns
+
+
+def test_corpus_prep_optional_curation_stages(spark, tmp_path):
+    """source_cap and max_surprisal_bits: OFF by default (byte-equal
+    corpus), and when ON each is a strict pre/post filter of the base
+    run — capped sources, gibberish dropped, everything kept is a
+    subset of the uncurated corpus."""
+    import datetime
+
+    from data_warehouse_nhom8_spark.pipeline import corpus_prep
+    from data_warehouse_nhom8_spark.sources import Catalog
+    from data_warehouse_nhom8_spark.sources.snapshots import snapshot_read
+    from tests.conftest import SF_DIR
+
+    docs = Catalog(spark, SF_DIR).documents
+    day = datetime.date(2026, 1, 2)
+
+    base_out = str(tmp_path / "base")
+    corpus_prep.run_corpus_prep(spark, docs, base_out, day)
+    base = snapshot_read(spark, f"{base_out}/corpus")
+    base_ids = {r["doc_id"] for r in base.select("doc_id").collect()}
+
+    # data-driven surprisal bound: the corpus p75, so the gate REALLY
+    # drops the high-surprisal tail (a fixed large bound would pass
+    # vacuously — this corpus scores ~4.9-5.4 bits)
+    from data_warehouse_nhom8_spark.operators.text import unigram_surprisal_scores
+
+    bound = sorted(
+        r["avg_bits"] for r in unigram_surprisal_scores(docs).collect()
+    )[int(0.75 * docs.count())]
+
+    cur_out = str(tmp_path / "curated")
+    corpus_prep.run_corpus_prep(
+        spark, docs, cur_out, day, source_cap=5, max_surprisal_bits=bound
+    )
+    curated = snapshot_read(spark, f"{cur_out}/corpus")
+    cur_ids = {r["doc_id"] for r in curated.select("doc_id").collect()}
+
+    assert cur_ids < base_ids  # strict subset: both stages filtered
+    # cap respected on the INPUT side: at most 5 docs per source
+    per_src = (
+        docs.join(curated.select("doc_id"), "doc_id", "left_semi")
+        .groupBy("source")
+        .count()
+        .collect()
+    )
+    assert per_src and all(r["count"] <= 5 for r in per_src)
+    # surprisal bound holds on the survivors (recompute over the
+    # SAME base the gate saw: the capped-and-gated corpus pre-filter)
+    pre_out = str(tmp_path / "cap_only")
+    corpus_prep.run_corpus_prep(spark, docs, pre_out, day, source_cap=5)
+    pre = snapshot_read(spark, f"{pre_out}/corpus")
+    scores = {
+        r["doc_id"]: r["avg_bits"] for r in unigram_surprisal_scores(pre).collect()
+    }
+    assert all(scores[i] <= bound for i in cur_ids)
+    dropped_by_gate = {i for i in scores if scores[i] > bound}
+    assert dropped_by_gate  # the gate actually fired
+    assert cur_ids == set(scores) - dropped_by_gate
