@@ -20,6 +20,9 @@ Operators:
   tfidf_top_terms     — per-doc idf-weighted keyword heads (log-free)
   unigram_surprisal_scores — CCNet-style mean-token-surprisal quality
                         score under the corpus's own unigram LM
+  vocab_counts / merge_vocab_counts / surprisal_against_vocab —
+                        the incremental form: persistable additive
+                        vocabulary store + batch scoring (OOV → max)
 """
 
 from __future__ import annotations
@@ -352,6 +355,105 @@ def tfidf_top_terms(
 
 # ------------------------------------------------- unigram LM surprisal
 
+def _token_stream(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, token) rows — the shared tokenization of every unigram-LM
+    op (must stay identical across them: vocab builds and probe sides
+    may only differ in COUNTS, never in what a token is)."""
+    return df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.trim(_c(text_col))), r"\s+")).alias("token"),
+    ).filter(F.col("token") != "")
+
+
+def vocab_counts(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(token, n) unigram counts of a document set — the persistable
+    vocabulary table (the daily-pipeline store; see
+    merge_vocab_counts)."""
+    return (
+        _token_stream(df, id_col, text_col)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def merge_vocab_counts(store: DataFrame, batch: DataFrame) -> DataFrame:
+    """Additive merge of two (token, n) vocabulary tables — counts are
+    the textbook mergeable statistic, so the daily vocab store updates
+    from the BATCH's counts alone: union + re-sum, one shuffle of
+    vocabulary-cardinality rows, never a corpus re-tokenization.
+    Feeding batches through this in any order/grouping equals the
+    whole-corpus vocab_counts exactly (pytest-gated)."""
+    return (
+        store.unionByName(batch)
+        .groupBy("token")
+        .agg(F.sum("n").cast("long").alias("n"))
+    )
+
+
+def surprisal_against_vocab(
+    df: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mbits_scale: int = 1000,
+) -> DataFrame:
+    """Score documents against a GIVEN (token, n) vocabulary — the
+    incremental form of unigram_surprisal_scores: the daily batch is
+    tokenized fresh, the corpus contributes only its persisted vocab
+    store. Same schema and identical milli-bit math as the full-corpus
+    form, so scoring with the final merged store reproduces the
+    full run on those docs bit-for-bit (pytest-gated).
+
+    Out-of-vocabulary tokens take n=1 (a fresh token's own count — the
+    maximum surprisal the model can assign), so a slightly-stale store
+    scores conservatively high rather than failing; re-merge the store
+    before scoring when exactness matters.
+
+    Scale: the vocab store broadcasts (token, int rows); the batch's
+    token stream probes it map-side and aggregates (id, small-int)
+    pairs — nothing the size of the corpus is ever touched."""
+    # total as its own 1-row broadcast (NOT a column of the probe
+    # join: an OOV token misses the join and would lose the total
+    # with it, silently scoring 0 bits instead of the maximum)
+    total_df = vocab.agg(F.sum("n").cast("long").alias("__N"))
+    tok = _token_stream(df, id_col, text_col)
+    probed = (
+        tok.join(F.broadcast(vocab), "token", "left")
+        .join(F.broadcast(total_df))
+        .select(
+            id_col,
+            F.round(
+                F.lit(mbits_scale)
+                * F.log2(
+                    F.col("__N").cast("double")
+                    # OOV: n=1, a fresh token's own count — max surprisal
+                    / F.coalesce(F.col("n"), F.lit(1)).cast("double")
+                )
+            )
+            .cast("long")
+            .alias("__mbits"),
+        )
+    )
+    return (
+        probed.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("__mbits").cast("long").alias("sum_mbits"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "sum_mbits",
+            (
+                F.col("sum_mbits") / F.col("n_tokens") / F.lit(float(mbits_scale))
+            ).alias("avg_bits"),
+        )
+        .orderBy(id_col)
+    )
+
+
 def unigram_surprisal_scores(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -388,10 +490,7 @@ def unigram_surprisal_scores(
     probe side and the math are unchanged."""
     from pyspark.sql.window import Window
 
-    tok = df.select(
-        F.col(id_col),
-        F.explode(F.split(F.lower(F.trim(_c(text_col))), r"\s+")).alias("token"),
-    ).filter(F.col("token") != "")
+    tok = _token_stream(df, id_col, text_col)
     vocab = tok.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("n"))
     # total token count as an unpartitioned window over the VOCAB
     # AGGREGATE (vocabulary-cardinality rows — the same ≪-corpus size

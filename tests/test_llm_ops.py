@@ -970,3 +970,58 @@ def test_unigram_surprisal_partition_invariant(spark):
     # integer milli-bit sums + exact division: bit-identical under any
     # physical layout (the order-independence contract)
     assert [tuple(r) for r in one] == [tuple(r) for r in many]
+
+
+def test_incremental_vocab_store_equals_full_run(spark):
+    """The daily-pipeline surprisal shape: vocab store merged batch by
+    batch == whole-corpus vocab, and scoring against the final store
+    reproduces the full-corpus scores bit-for-bit."""
+    from data_warehouse_nhom8_spark.operators.text import (
+        merge_vocab_counts,
+        surprisal_against_vocab,
+        unigram_surprisal_scores,
+        vocab_counts,
+    )
+
+    rows = [(i, f"tok{i % 13} tok{i % 7} common common words w{i % 3}")
+            for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    batches = [
+        df.filter(F.col("doc_id") % 3 == k) for k in range(3)
+    ]
+    store = vocab_counts(batches[0])
+    for b in batches[1:]:
+        store = merge_vocab_counts(store, vocab_counts(b))
+    full_vocab = {(r["token"], r["n"]) for r in vocab_counts(df).collect()}
+    merged = {(r["token"], r["n"]) for r in store.collect()}
+    assert merged == full_vocab
+
+    got = surprisal_against_vocab(df, store).collect()
+    want = unigram_surprisal_scores(df).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_surprisal_oov_scores_maximum(spark):
+    """A stale store must score unseen tokens at the model maximum
+    (n=1), never silently at 0 bits."""
+    import math
+
+    from data_warehouse_nhom8_spark.operators.text import (
+        surprisal_against_vocab,
+        vocab_counts,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, "alpha beta gamma delta") for i in range(25)],
+        "doc_id long, text string",
+    )
+    store = vocab_counts(corpus)  # N = 100, each token n = 25
+    batch = spark.createDataFrame(
+        [(900, "alpha alpha"), (901, "zzznew zzznew")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in surprisal_against_vocab(batch, store).collect()}
+    known_bits = round(1000 * math.log2(100 / 25)) / 1000.0  # = 2.0
+    oov_bits = round(1000 * math.log2(100 / 1)) / 1000.0     # ≈ 6.644
+    assert out[900]["avg_bits"] == known_bits
+    assert out[901]["avg_bits"] == oov_bits
+    assert out[901]["avg_bits"] > out[900]["avg_bits"]
