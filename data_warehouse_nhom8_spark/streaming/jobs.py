@@ -312,6 +312,86 @@ def compact_sketch_store(
     snapshot_overwrite(compacted, store_path)
 
 
+def vocab_store_sink(
+    stream: DataFrame,
+    store_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataStreamWriter:
+    """Streaming maintenance of the unigram vocabulary store — the
+    incremental face of `text.unigram_surprisal_scores` (see
+    `text.merge_vocab_counts`): each micro-batch contributes one
+    (token, n, epoch) row per token and `read_vocab_store` sums
+    across epochs, so LM-quality scoring of a daily batch
+    (`text.surprisal_against_vocab`) never re-tokenizes the corpus.
+
+    Same replay contract as `sketch_rollup_sink`: a re-run micro-batch
+    REPLACES its own epoch's rows, keeping counts exact under the file
+    source's at-least-once delivery; `compact_vocab_store` folds
+    epochs offline (count addition is associative)."""
+    from data_warehouse_nhom8_spark.operators.text import vocab_counts
+
+    def merge(batch: DataFrame, epoch_id: int) -> None:
+        from data_warehouse_nhom8_spark.sources.snapshots import (
+            snapshot_overwrite,
+            snapshot_read,
+        )
+
+        spark = batch.sparkSession
+        counts = vocab_counts(batch, id_col, text_col).withColumn(
+            "epoch", F.lit(epoch_id).cast("long")
+        )
+        current = snapshot_read(spark, store_path)
+        if current is not None:
+            merged = current.filter(F.col("epoch") != epoch_id).unionByName(counts)
+        else:
+            merged = counts
+        snapshot_overwrite(merged, store_path)
+
+    return (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+
+
+def read_vocab_store(spark: SparkSession, store_path: str) -> DataFrame:
+    """(token, n) summed across epochs — the vocabulary table
+    `text.surprisal_against_vocab` scores against; equal to
+    `text.vocab_counts` over everything ingested (pytest-gated)."""
+    from data_warehouse_nhom8_spark.sources.snapshots import snapshot_read
+
+    store = snapshot_read(spark, store_path)
+    if store is None:
+        raise FileNotFoundError(
+            f"no committed vocab store at {store_path}; run vocab_store_sink "
+            "through at least one micro-batch first"
+        )
+    return store.groupBy("token").agg(F.sum("n").cast("long").alias("n"))
+
+
+def compact_vocab_store(spark: SparkSession, store_path: str) -> None:
+    """Fold all epochs into one row per token (count addition is
+    associative — every downstream surprisal score unchanged). Run
+    OFFLINE with the stream stopped at a committed checkpoint, same
+    discipline as `compact_sketch_store`."""
+    from data_warehouse_nhom8_spark.sources.snapshots import (
+        snapshot_overwrite,
+        snapshot_read,
+    )
+
+    store = snapshot_read(spark, store_path)
+    if store is None:
+        return
+    compacted = (
+        store.groupBy("token")
+        .agg(F.sum("n").cast("long").alias("n"))
+        .withColumn("epoch", F.lit(-1).cast("long"))
+    )
+    snapshot_overwrite(compacted, store_path)
+
+
 def run_available_now(writer: DataStreamWriter) -> None:
     """Drain everything currently in the source, then stop — the
     daily-cron micro-batch semantics (Trigger.AvailableNow)."""

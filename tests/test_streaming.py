@@ -625,3 +625,66 @@ def test_interval_join_checkpoint_restart_continues_exactly_once(spark, tmp_path
         (r["view_id"], r["buy_id"]) for r in spark.read.parquet(out_parquet).collect()
     )
     assert got2 == [(1, 2), (3, 4)], got2  # complete, no duplicates
+
+
+def test_streaming_vocab_store_equals_batch_and_scores(spark, tmp_path):
+    """Streaming vocabulary maintenance: docs arriving in micro-batches
+    must yield exactly the whole-corpus vocab_counts, surprisal scored
+    against the store must equal the full-corpus scorer bit-for-bit,
+    a drained re-run must not change the store, and compaction must
+    change nothing downstream."""
+    from data_warehouse_nhom8_spark.operators.text import (
+        surprisal_against_vocab,
+        unigram_surprisal_scores,
+        vocab_counts,
+    )
+
+    texts = [
+        (i, f"alpha tok{i % 5} beta tok{i % 3} common words here")
+        for i in range(12)
+    ]
+    all_docs = spark.createDataFrame(texts, "doc_id long, text string")
+    src = tmp_path / "docs"
+    spark.createDataFrame(texts[:7], "doc_id long, text string").write.parquet(str(src / "b1"))
+    store = str(tmp_path / "vocab_store")
+    ck = str(tmp_path / "ck")
+
+    def drain():
+        stream = jobs.stream_source(
+            spark, str(src / "*"), all_docs.schema, max_files_per_trigger=1
+        )
+        jobs.run_available_now(
+            jobs.vocab_store_sink(stream, store, checkpoint=ck)
+        )
+
+    drain()
+    spark.createDataFrame(texts[7:], "doc_id long, text string").write.parquet(str(src / "b2"))
+    drain()
+
+    want_vocab = {tuple(r) for r in vocab_counts(all_docs).collect()}
+    got_vocab = {tuple(r) for r in jobs.read_vocab_store(spark, store).collect()}
+    assert got_vocab == want_vocab
+
+    want_scores = [tuple(r) for r in unigram_surprisal_scores(all_docs).collect()]
+    got_scores = [
+        tuple(r)
+        for r in surprisal_against_vocab(
+            all_docs, jobs.read_vocab_store(spark, store)
+        ).collect()
+    ]
+    assert got_scores == want_scores
+
+    before = {tuple(r) for r in snapshot_read(spark, store).collect()}
+    drain()  # replay: nothing new, store unchanged
+    assert {tuple(r) for r in snapshot_read(spark, store).collect()} == before
+
+    jobs.compact_vocab_store(spark, store)
+    compacted = snapshot_read(spark, store)
+    assert {r["epoch"] for r in compacted.collect()} == {-1}
+    assert {tuple(r) for r in jobs.read_vocab_store(spark, store).collect()} == want_vocab
+    assert [
+        tuple(r)
+        for r in surprisal_against_vocab(
+            all_docs, jobs.read_vocab_store(spark, store)
+        ).collect()
+    ] == want_scores
