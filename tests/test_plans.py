@@ -402,3 +402,26 @@ def test_q98_centroids_two_level_partial_agg(spark):
     assert p.count("FileScan parquet") == 1
     assert "Generate posexplode" in p
     assert p.count("partial_sum") >= 2
+
+
+def test_surprisal_broadcasts_vocab_two_scans(spark):
+    """q99's contract: the vocab probe must be a BROADCAST join (the
+    vocab table is token+int rows), the scalar total must NOT be a
+    nested-loop/cartesian branch, and the corpus is scanned exactly
+    twice (vocab build + probe) — a third scan means the total
+    re-derived the vocab lineage."""
+    p = plan_of(spark, "q99_unigram_surprisal")
+    assert "BroadcastHashJoin" in p, p[:800]
+    assert "BroadcastNestedLoopJoin" not in p, p[:800]
+    assert "CartesianProduct" not in p, p[:800]
+    assert p.count("FileScan parquet") == 2, p[:800]
+
+
+def test_source_cap_pushes_window_group_limit(spark):
+    """q100's skew contract: both window phases must push a map-side
+    WindowGroupLimit (only ~cap rows per group cross each shuffle —
+    the property that bounds a hot source), and the scan reads only
+    the two needed columns."""
+    p = plan_of(spark, "q100_source_cap")
+    assert "WindowGroupLimit" in p, p[:800]
+    assert "ReadSchema: struct<doc_id:bigint,source:string>" in p, p[:800]
