@@ -627,6 +627,278 @@ def q93_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def derived_partsupp(c: "Catalog") -> DataFrame:
+    """The testdata ships no partsupp table, so the five partsupp-
+    dependent TPC-H shapes (Q2/Q9/Q11/Q16/Q20) derive one INSIDE the
+    query as a deterministic function of part x supplier-count — the
+    same derivation, in the same integer arithmetic, runs in the DuckDB
+    oracle SQL (``_PARTSUPP_SQL``), so both engines see the identical
+    relation with zero new data files.
+
+    Per part, 4 suppliers (TPC-H's own fan-out): for i in 0..3,
+      ps_suppkey         = (p_partkey*13 + i*17) % S      (S = |supplier|;
+                            multipliers coprime to every S, keys 0-based
+                            contiguous in the testdata)
+      ps_availqty        = 1 + (p_partkey*31 + i*37) % 9999
+      ps_supplycost_cents= (p_partkey*53 + i*41) % 20000 + 100
+    All BIGINT — exact cross-engine math per the determinism doctrine;
+    ``ps_supplycost`` (dollars, double) is one IEEE divide of the exact
+    cents, bit-identical across engines.
+
+    Scale notes: the derivation is a map-only explode over the part
+    scan (4 rows out per row in — no shuffle, no driver scalar; the
+    supplier count joins as a broadcast one-row aggregate). At 100 TB a
+    real partsupp would be a parquet table and every consumer below
+    joins it by key exactly as they join this."""
+    s_cnt = F.broadcast(c.supplier.agg(F.count(F.lit(1)).alias("__s_cnt")))
+    return (
+        c.part.select("p_partkey")
+        .crossJoin(s_cnt)
+        .select(
+            "p_partkey",
+            "__s_cnt",
+            F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("__i"),
+        )
+        .select(
+            F.col("p_partkey").alias("ps_partkey"),
+            ((F.col("p_partkey") * 13 + F.col("__i") * 17) % F.col("__s_cnt"))
+            .cast("long")
+            .alias("ps_suppkey"),
+            (1 + (F.col("p_partkey") * 31 + F.col("__i") * 37) % 9999)
+            .cast("long")
+            .alias("ps_availqty"),
+            ((F.col("p_partkey") * 53 + F.col("__i") * 41) % 20000 + 100)
+            .cast("long")
+            .alias("ps_supplycost_cents"),
+        )
+        .withColumn("ps_supplycost", F.col("ps_supplycost_cents").cast("double") / 100.0)
+    )
+
+
+# The identical derivation for the DuckDB oracle (same integer math).
+_PARTSUPP_SQL = """
+  partsupp AS (
+    SELECT p.p_partkey AS ps_partkey,
+           CAST((p.p_partkey * 13 + t.i * 17) % sc.s_cnt AS BIGINT) AS ps_suppkey,
+           CAST(1 + (p.p_partkey * 31 + t.i * 37) % 9999 AS BIGINT) AS ps_availqty,
+           CAST((p.p_partkey * 53 + t.i * 41) % 20000 + 100 AS BIGINT) AS ps_supplycost_cents,
+           CAST((p.p_partkey * 53 + t.i * 41) % 20000 + 100 AS DOUBLE) / 100.0 AS ps_supplycost
+    FROM part p
+    CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS i) t
+    CROSS JOIN (SELECT COUNT(*) AS s_cnt FROM supplier) sc
+  )
+"""
+
+
+def q101_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: minimum-cost supplier — the classic correlated
+    scalar subquery (``ps_supplycost = (SELECT MIN ... WHERE same
+    part)``), decorrelated the only way that survives 100 TB: the
+    per-part minimum is a WINDOW over the already-joined candidate
+    rows, so partsupp is derived/scanned ONCE and no per-row re-scan
+    exists anywhere in the plan (the naive correlated form re-runs the
+    subquery per part).
+
+    Determinism: the min/equality compare on exact integer cents; the
+    output cost is the one-IEEE-divide dollars; (s_acctbal, s_name,
+    ps_partkey) is a total order because a supplier appears at most
+    once per part."""
+    from pyspark.sql.window import Window
+
+    c = Catalog(spark, sf_dir)
+    europe_supp = (
+        c.supplier.join(
+            F.broadcast(
+                c.nation.join(
+                    F.broadcast(c.region.filter(F.col("r_name") == "EUROPE")),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                ).select("n_nationkey", "n_name")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    part = c.part.filter(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") < 16)
+    ).select("p_partkey")
+    cand = (
+        derived_partsupp(c)
+        .join(F.broadcast(part), F.col("ps_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(europe_supp), F.col("ps_suppkey") == F.col("s_suppkey"))
+    )
+    w = Window.partitionBy("ps_partkey")
+    return (
+        cand.withColumn("__min_cents", F.min("ps_supplycost_cents").over(w))
+        .filter(F.col("ps_supplycost_cents") == F.col("__min_cents"))
+        .select("s_acctbal", "s_name", "n_name", "ps_partkey", "ps_supplycost")
+        .orderBy(F.desc("s_acctbal"), "s_name", "ps_partkey")
+        .limit(100)
+    )
+
+
+def q102_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: important stock identification — per-part stock
+    value in one nation, HAVING value above a share of the global
+    total. The global total is NOT a second aggregation pass: it is an
+    unpartitioned window over the per-part agg OUTPUT (part-cardinality
+    — dim-sized), so partsupp is derived/scanned once and the total is
+    effectively a one-row broadcast (q74's single-scan pattern).
+
+    Threshold is scale-free (1.5x the average per-part value) so the
+    query returns rows at every SF; value arithmetic is exact BIGINT
+    cents end-to-end, the threshold compare one IEEE divide+multiply
+    on bit-identical inputs."""
+    from pyspark.sql.window import Window
+
+    c = Catalog(spark, sf_dir)
+    nation_supp = (
+        c.supplier.join(
+            F.broadcast(c.nation.filter(F.col("n_name") == "NATION_7")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    per_part = (
+        derived_partsupp(c)
+        .join(F.broadcast(nation_supp), F.col("ps_suppkey") == F.col("s_suppkey"), "left_semi")
+        .groupBy("ps_partkey")
+        .agg(F.sum(F.col("ps_supplycost_cents") * F.col("ps_availqty")).alias("__value_cents"))
+    )
+    w = Window.partitionBy()
+    return (
+        per_part.withColumn("__tot", F.sum("__value_cents").over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(w))
+        .filter(
+            F.col("__value_cents").cast("double")
+            > F.col("__tot").cast("double") / F.col("__n") * 1.5
+        )
+        .select(
+            "ps_partkey",
+            (F.col("__value_cents").cast("double") / 100.0).alias("stock_value"),
+        )
+        .orderBy(F.desc("stock_value"), "ps_partkey")
+    )
+
+
+def q103_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: product-type profit — the widest join in the
+    suite (lineitem ⋈ part ⋈ partsupp ⋈ supplier ⋈ nation ⋈ orders),
+    profit = revenue minus supply cost, per supplier nation and order
+    year.
+
+    Scale notes: the name-filtered part keys broadcast and prune BOTH
+    the fact scan and the partsupp derivation before the (partkey,
+    suppkey) shuffle join — partsupp is fact-sized at real scale (4x
+    |part|), so that join shuffles rather than broadcasting; orders
+    joins on the orderkey shuffle; supplier→nation are broadcast dims.
+    Determinism: revenue and cost each cast to DECIMAL(18,4) before
+    the exact decimal subtraction/sum (cost = exact-cents double x
+    integral quantity, within 1e-10 of a 2-decimal value, so the cast
+    rounds identically in both engines); one cast to double at output."""
+    c = Catalog(spark, sf_dir)
+    part = c.part.filter(F.col("p_name").like("%r%")).select("p_partkey")
+    ps = derived_partsupp(c).join(
+        F.broadcast(part), F.col("ps_partkey") == F.col("p_partkey")
+    ).select("ps_partkey", "ps_suppkey", "ps_supplycost")
+    li = c.lineitem.join(
+        F.broadcast(part.select(F.col("p_partkey").alias("__pk"))),
+        F.col("l_partkey") == F.col("__pk"),
+    ).select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice", "l_discount")
+    amount = (
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+        - (F.col("ps_supplycost") * F.col("l_quantity")).cast("decimal(18,4)")
+    )
+    return (
+        li.join(
+            ps,
+            (F.col("l_partkey") == F.col("ps_partkey"))
+            & (F.col("l_suppkey") == F.col("ps_suppkey")),
+        )
+        .join(c.orders.select("o_orderkey", "o_orderdate"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c.supplier.select("s_suppkey", "s_nationkey")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(c.nation.select("n_nationkey", "n_name")), F.col("s_nationkey") == F.col("n_nationkey"))
+        .withColumn("o_year", F.year(F.to_date("o_orderdate")).cast("long"))
+        .groupBy("n_name", "o_year")
+        .agg(F.sum(amount).cast("double").alias("sum_profit"))
+        .orderBy("n_name", F.desc("o_year"))
+    )
+
+
+def q104_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: parts/supplier relationship — DISTINCT supplier
+    count per (brand, type, size) over filtered parts, EXCLUDING a
+    supplier denylist via LEFT ANTI join (Q16's NOT IN subquery, which
+    must compile to one anti join — never a per-row membership probe).
+
+    Scale notes: part filters push to the scan feeding the derivation;
+    the denylist is name-pattern-derived, dim-sized, broadcast for the
+    anti join; count(DISTINCT) shuffles once on the group keys."""
+    c = Catalog(spark, sf_dir)
+    part = c.part.filter(
+        (F.col("p_brand") != "Brand#5")
+        & (~F.col("p_type").like("PROMO%"))
+        & (F.col("p_size").isin(1, 5, 11, 17, 23, 29, 35, 41, 47))
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    excluded = c.supplier.filter(F.col("s_name").like("%7")).select("s_suppkey")
+    return (
+        derived_partsupp(c)
+        .join(F.broadcast(part), F.col("ps_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(excluded), F.col("ps_suppkey") == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+def q105_excess_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: excess-inventory suppliers — suppliers in one
+    region holding more than half a year's shipped quantity of some
+    name-prefixed part (the nested EXISTS-with-correlated-agg,
+    decorrelated to one per-(part,supplier) aggregate + key join).
+
+    Scale notes: the 'small%' prefix pushes to the part scan
+    (StartsWith PushedFilter) and prunes both the fact agg and the
+    derivation via broadcast; the correlated `0.5 * SUM(l_quantity)`
+    is ONE grouped aggregate joined back on (partkey, suppkey) — no
+    per-row subquery; the final supplier restriction is a LEFT SEMI
+    against the qualifying keys. Threshold compare: exact decimal sum
+    cast to double, one IEEE multiply."""
+    c = Catalog(spark, sf_dir)
+    part = c.part.filter(F.col("p_name").like("small%")).select("p_partkey")
+    shipped = (
+        c.lineitem.filter(
+            (F.to_date("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+            & (F.to_date("l_shipdate") < F.lit("1998-01-01").cast("date"))
+        )
+        .join(F.broadcast(part.select(F.col("p_partkey").alias("__pk"))), F.col("l_partkey") == F.col("__pk"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("__qty"))
+    )
+    excess = (
+        derived_partsupp(c)
+        .join(F.broadcast(part), F.col("ps_partkey") == F.col("p_partkey"))
+        .join(
+            shipped,
+            (F.col("ps_partkey") == F.col("l_partkey"))
+            & (F.col("ps_suppkey") == F.col("l_suppkey")),
+        )
+        .filter(F.col("ps_availqty").cast("double") > 0.5 * F.col("__qty"))
+        .select("ps_suppkey")
+    )
+    asia_nations = c.nation.join(
+        F.broadcast(c.region.filter(F.col("r_name") == "ASIA")),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select("n_nationkey")
+    return (
+        c.supplier.join(
+            F.broadcast(asia_nations), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .join(excess, F.col("s_suppkey") == F.col("ps_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
 TPCH_QUERIES = {
     "q46_pricing_summary": q46_pricing_summary,
     "q47_shipping_priority": q47_shipping_priority,
@@ -646,6 +918,11 @@ TPCH_QUERIES = {
     "q91_small_quantity_revenue": q91_small_quantity_revenue,
     "q92_disjunctive_predicate_revenue": q92_disjunctive_predicate_revenue,
     "q93_waiting_supplier": q93_waiting_supplier,
+    "q101_min_cost_supplier": q101_min_cost_supplier,
+    "q102_important_stock": q102_important_stock,
+    "q103_product_profit": q103_product_profit,
+    "q104_supplier_part_count": q104_supplier_part_count,
+    "q105_excess_inventory": q105_excess_inventory,
 }
 
 TPCH_ORACLES = {
@@ -905,5 +1182,104 @@ TPCH_ORACLES = {
           )
         GROUP BY s.s_name
         ORDER BY numwait DESC, s.s_name LIMIT 20
+    """,
+    "q101_min_cost_supplier": f"""
+        WITH {_PARTSUPP_SQL},
+        cand AS (
+          SELECT s.s_acctbal, s.s_name, n.n_name, ps.ps_partkey,
+                 ps.ps_supplycost_cents, ps.ps_supplycost,
+                 MIN(ps.ps_supplycost_cents) OVER (PARTITION BY ps.ps_partkey) AS min_cents
+          FROM partsupp ps
+          JOIN part p ON ps.ps_partkey = p.p_partkey
+                     AND p.p_type = 'STANDARD' AND p.p_size < 16
+          JOIN supplier s ON ps.ps_suppkey = s.s_suppkey
+          JOIN nation n ON s.s_nationkey = n.n_nationkey
+          JOIN region r ON n.n_regionkey = r.r_regionkey AND r.r_name = 'EUROPE'
+        )
+        SELECT s_acctbal, s_name, n_name, ps_partkey, ps_supplycost
+        FROM cand WHERE ps_supplycost_cents = min_cents
+        ORDER BY s_acctbal DESC, s_name, ps_partkey
+        LIMIT 100
+    """,
+    "q102_important_stock": f"""
+        WITH {_PARTSUPP_SQL},
+        per_part AS (
+          SELECT ps.ps_partkey,
+                 SUM(ps.ps_supplycost_cents * ps.ps_availqty) AS value_cents
+          FROM partsupp ps
+          WHERE ps.ps_suppkey IN (
+            SELECT s.s_suppkey FROM supplier s
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            WHERE n.n_name = 'NATION_7'
+          )
+          GROUP BY ps.ps_partkey
+        ),
+        tot AS (
+          SELECT ps_partkey, value_cents,
+                 SUM(value_cents) OVER () AS total_cents,
+                 COUNT(*) OVER () AS n_parts
+          FROM per_part
+        )
+        SELECT ps_partkey, CAST(value_cents AS DOUBLE) / 100.0 AS stock_value
+        FROM tot
+        WHERE CAST(value_cents AS DOUBLE) > CAST(total_cents AS DOUBLE) / n_parts * 1.5
+        ORDER BY stock_value DESC, ps_partkey
+    """,
+    "q103_product_profit": f"""
+        WITH {_PARTSUPP_SQL}
+        SELECT n.n_name, EXTRACT(year FROM o.o_orderdate) AS o_year,
+               CAST(SUM(
+                 CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))
+                 - CAST(ps.ps_supplycost * l.l_quantity AS DECIMAL(18,4))
+               ) AS DOUBLE) AS sum_profit
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE '%r%'
+        JOIN partsupp ps ON l.l_partkey = ps.ps_partkey AND l.l_suppkey = ps.ps_suppkey
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        GROUP BY n.n_name, EXTRACT(year FROM o.o_orderdate)
+        ORDER BY n.n_name NULLS FIRST, o_year DESC
+    """,
+    "q104_supplier_part_count": f"""
+        WITH {_PARTSUPP_SQL}
+        SELECT p.p_brand, p.p_type, p.p_size,
+               COUNT(DISTINCT ps.ps_suppkey) AS supplier_cnt
+        FROM partsupp ps
+        JOIN part p ON ps.ps_partkey = p.p_partkey
+        WHERE p.p_brand <> 'Brand#5'
+          AND p.p_type NOT LIKE 'PROMO%'
+          AND p.p_size IN (1, 5, 11, 17, 23, 29, 35, 41, 47)
+          AND ps.ps_suppkey NOT IN (
+            SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7'
+          )
+        GROUP BY p.p_brand, p.p_type, p.p_size
+        ORDER BY supplier_cnt DESC, p.p_brand NULLS FIRST,
+                 p.p_type NULLS FIRST, p.p_size
+    """,
+    "q105_excess_inventory": f"""
+        WITH {_PARTSUPP_SQL},
+        shipped AS (
+          SELECT l.l_partkey, l.l_suppkey,
+                 CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+          FROM lineitem l
+          JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE 'small%'
+          WHERE date_trunc('day', l.l_shipdate) >= DATE '1997-01-01'
+            AND date_trunc('day', l.l_shipdate) < DATE '1998-01-01'
+          GROUP BY l.l_partkey, l.l_suppkey
+        )
+        SELECT s.s_suppkey, s.s_name
+        FROM supplier s
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
+        WHERE s.s_suppkey IN (
+          SELECT ps.ps_suppkey
+          FROM partsupp ps
+          JOIN part p ON ps.ps_partkey = p.p_partkey AND p.p_name LIKE 'small%'
+          JOIN shipped sh ON ps.ps_partkey = sh.l_partkey
+                         AND ps.ps_suppkey = sh.l_suppkey
+          WHERE CAST(ps.ps_availqty AS DOUBLE) > 0.5 * sh.qty
+        )
+        ORDER BY s.s_suppkey
     """,
 }
