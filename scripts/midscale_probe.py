@@ -1,0 +1,123 @@
+"""Mid-scale probe: replicate the sf0.1 facts xN into /tmp and run the
+join-heavy suite AQE-on vs AQE-off in the same JVM (isolated
+``newSession`` confs), printing one JSON summary line.
+
+This is the committed form of the round-6 ad-hoc probe that caught the
+two shuffle-sizing mis-tunings now baked into session.py — plus the
+round-7 AQE certification at a scale where AQE's runtime decisions are
+load-bearing (~6M-row lineitem at the default x10; set
+PROBE_REPLICATION=100 for the ~60M-row sf1-equivalent point).
+
+Replication preserves join semantics: o_orderkey/l_orderkey are offset
+per replica (join fan-out per order key unchanged), customer/supplier/
+part keys repeat per replica (their per-key fan-in grows xN — the same
+thing a bigger SF does). Dims are copied as-is so every declared query
+runs unmodified against the probe dir.
+
+Usage: python scripts/midscale_probe.py
+Env:   PROBE_REPLICATION (default 10), PROBE_BASE (default sf0.1),
+       PROBE_DIR (default /tmp/spark_graft_midscale_x{N}).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPL = int(os.environ.get("PROBE_REPLICATION", "10"))
+BASE = os.environ.get("PROBE_BASE", "/root/testdata/sf0.1")
+OUT = os.environ.get("PROBE_DIR", f"/tmp/spark_graft_midscale_x{REPL}")
+
+# join/agg-heavy subset — the shapes whose plans AQE actually re-plans
+SUBSET = [
+    "q46_pricing_summary",
+    "q47_shipping_priority",
+    "q48_local_supplier_volume",
+    "q73_large_volume_customer",
+    "q77_returned_item_revenue",
+    "q90_customer_order_distribution",
+    "q93_waiting_supplier",
+    "q103_product_profit",
+]
+
+DIMS = ["region", "nation", "customer", "supplier", "part"]
+FACT_KEYS = {"orders": "o_orderkey", "lineitem": "l_orderkey"}
+
+
+def build(spark) -> None:
+    from pyspark.sql import functions as F
+
+    ready = os.path.join(OUT, "_READY")
+    if os.path.exists(ready):
+        return
+    os.makedirs(OUT, exist_ok=True)
+    for t in DIMS:
+        shutil.copy(os.path.join(BASE, f"{t}.parquet"), os.path.join(OUT, f"{t}.parquet"))
+    for t, key in FACT_KEYS.items():
+        df = spark.read.parquet(os.path.join(BASE, f"{t}.parquet"))
+        span = df.agg(F.max(key)).first()[0] + 1
+        reps = [
+            df.withColumn(key, F.col(key) + F.lit(int(i * span)))
+            for i in range(REPL)
+        ]
+        out = reps[0]
+        for r in reps[1:]:
+            out = out.unionByName(r)
+        # multiple output files => real scan parallelism for the probe
+        out.repartition(16).write.mode("overwrite").parquet(
+            os.path.join(OUT, f"{t}.parquet")
+        )
+    with open(ready, "w") as fh:
+        fh.write("ok")
+
+
+def main() -> None:
+    from data_warehouse_nhom8_spark.plans import QUERIES
+    from data_warehouse_nhom8_spark.session import auto_shuffle_partitions, get_spark
+
+    spark = get_spark("midscale_probe")
+    build(spark)
+    parts = auto_shuffle_partitions(OUT)
+
+    def run_mode(adaptive: bool) -> dict:
+        s = spark.newSession()
+        s.conf.set("spark.sql.adaptive.enabled", str(adaptive).lower())
+        s.conf.set("spark.sql.shuffle.partitions", str(parts))
+        times, markers = {}, {}
+        for name in SUBSET:  # cold pass (codegen) — discard
+            QUERIES[name](s, OUT).toArrow()
+        for name in SUBSET:
+            t0 = time.perf_counter()
+            df = QUERIES[name](s, OUT)
+            df.toArrow()
+            times[name] = round(time.perf_counter() - t0, 2)
+            if adaptive:
+                p = df._jdf.queryExecution().executedPlan().toString()
+                markers[name] = {
+                    "final": "isFinalPlan=true" in p,
+                    "coalesced": "AQEShuffleRead coalesced" in p,
+                    "skew": "isSkewJoin=true" in p,
+                }
+        out = {"total_sec": round(sum(times.values()), 2), "queries": times}
+        if adaptive:
+            out["aqe_markers"] = markers
+        return out
+
+    li_rows = spark.read.parquet(os.path.join(OUT, "lineitem.parquet")).count()
+    result = {
+        "replication": REPL,
+        "lineitem_rows": li_rows,
+        "shuffle_partitions": parts,
+        "aqe_on": run_mode(True),
+        "aqe_off": run_mode(False),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
