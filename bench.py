@@ -81,6 +81,19 @@ def main() -> None:
         # shape flushes that without touching any registry plan.
         load_table(spark, sf_dir, "orders").groupBy("o_orderstatus").count().toArrow()
 
+    # Build the session-memoized extension stores (IVF index, near-dup
+    # pair cache, incremental signature store) BEFORE the timing
+    # passes, timing each build: a production deployment pays these
+    # offline, so the per-query numbers below are steady-state probe
+    # costs and the fit ships as its own metric (round-6 verdict #3:
+    # the cold numbers charged q51/q53 with the one-time fit).
+    from data_warehouse_nhom8_spark.plans.extensions import (
+        STORE_OF_QUERY,
+        prefit_stores,
+    )
+
+    store_fit = prefit_stores(spark, sf_dir)
+
     cold: dict[str, float] = {}
     warm: dict[str, float] = {}
     pass_warmup()
@@ -106,6 +119,12 @@ def main() -> None:
     # the steady-state throughput of a query-serving driver. The
     # headline stays the sequential number.
     from concurrent.futures import ThreadPoolExecutor
+
+    # the concurrent metric covers ORACLED queries only — none of them
+    # touch the persisted extension stores, whose cached blocks only
+    # add executor-memory/GC pressure here (measured: samples of ~21 s
+    # with stores resident vs ~7 s without on an otherwise idle box)
+    spark.catalog.clearCache()
 
     oracle_fns = [(k, QUERIES[k]) for k in warm if k in ORACLES]
 
@@ -137,6 +156,15 @@ def main() -> None:
         "concurrent_samples": concurrent_samples,
         "aqe": aqe,
         "n_queries": len(warm),
+        "store_fit_sec": store_fit,
+        "extensions_fit_probe": {
+            q: {
+                "fit_sec": store_fit.get(store, 0.0) if store else 0.0,
+                "probe_warm_sec": warm[q],
+            }
+            for q, store in STORE_OF_QUERY.items()
+            if q in warm
+        },
     }
     # Full per-query detail (cold AND warm maps) — for humans and for
     # the local BENCH_LOCAL.json archive.
@@ -165,6 +193,15 @@ def main() -> None:
         "concurrent_warm_wall_sec": concurrent_wall,
         "aqe": aqe,
         "n_queries": len(warm),
+        # [fit_sec, probe_warm_sec] per store-backed extension query
+        "ext_fit_probe": {
+            q.split("_")[0]: [
+                store_fit.get(store, 0.0) if store else 0.0,
+                warm[q],
+            ]
+            for q, store in STORE_OF_QUERY.items()
+            if q in warm
+        },
     }
     line = json.dumps(compact, separators=(",", ":"))
     assert len(line) < 1900, f"final bench line too long ({len(line)} chars)"
