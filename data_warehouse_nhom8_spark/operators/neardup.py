@@ -108,6 +108,35 @@ def minhash_signatures(
     return hashed.select("id", minhash_signature_col(F.col("__hs"), k).alias("sig"))
 
 
+def minhash_signature_sets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 64,
+    shingle_w: int = 3,
+) -> DataFrame:
+    """(id, sig, __h64): signatures PLUS the deduped 64-bit
+    shingle-hash sets — the full persisted tier of an incremental
+    near-dup store (signatures band candidates; the hash sets serve
+    the exact-Jaccard verify without ever rescanning corpus text).
+    One shingling pass feeds both (staging rule from
+    minhash_signature_col); identical hash family to
+    minhash_signatures, so banding results are byte-equal."""
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.transform(
+                F.array_distinct(shingles_col(text_col, shingle_w)),
+                lambda s: F.xxhash64(s),
+            ).alias("__h64"),
+        )
+        .select(
+            "id", "__h64", F.transform("__h64", lambda h: F.abs(h) % _P).alias("__hs")
+        )
+        .select("id", "__h64", minhash_signature_col(F.col("__hs"), k).alias("sig"))
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -283,6 +312,7 @@ def minhash_incremental_pairs(
     max_bucket_size: int = 200,
     corpus_bands: DataFrame | None = None,
     corpus_band_sizes: DataFrame | None = None,
+    corpus_sets: DataFrame | None = None,
 ) -> DataFrame:
     """Daily-increment near-dup: pairs INVOLVING the new batch,
     without re-signaturing the corpus.
@@ -396,18 +426,24 @@ def minhash_incremental_pairs(
         .distinct()
         .join(new_ids, "id", "left_anti")
     )
-    old_sets = (
-        corpus_docs.join(
-            cand_ids, corpus_docs[id_col] == cand_ids["id"], "left_semi"
+    if corpus_sets is not None:
+        # third store tier: persisted (id, __h64) hash sets — the
+        # verify step never touches corpus text (the steady-state cost
+        # that remained after the band-table tier; see store docstring)
+        old_sets = corpus_sets.join(cand_ids, "id", "left_semi").select("id", "__h64")
+    else:
+        old_sets = (
+            corpus_docs.join(
+                cand_ids, corpus_docs[id_col] == cand_ids["id"], "left_semi"
+            )
+            .select(
+                F.col(id_col).alias("id"),
+                F.transform(
+                    F.array_distinct(shingles_col(text_col, shingle_w)),
+                    lambda s: F.xxhash64(s),
+                ).alias("__h64"),
+            )
         )
-        .select(
-            F.col(id_col).alias("id"),
-            F.transform(
-                F.array_distinct(shingles_col(text_col, shingle_w)),
-                lambda s: F.xxhash64(s),
-            ).alias("__h64"),
-        )
-    )
     sets = new_sets.unionByName(old_sets).localCheckpoint(eager=True)
     out = (
         cands.join(sets.select(F.col("id").alias("id_a"), F.col("__h64").alias("__ha")), "id_a")

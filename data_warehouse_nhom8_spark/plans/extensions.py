@@ -248,9 +248,16 @@ def _shared_corpus_sig_store(
     if key not in memo:
         from data_warehouse_nhom8_spark.session import repartition_for_compute
 
-        sigs = neardup.minhash_signatures(
+        # one shingling pass feeds all three tiers: signatures (band
+        # candidates), band table + histogram (bucket join + skew
+        # guard), and the 64-bit hash SETS (exact-Jaccard verify) —
+        # with the sets persisted, the daily batch touches no corpus
+        # text at all
+        staged = neardup.minhash_signature_sets(
             repartition_for_compute(corpus), shingle_w=shingle_w
         ).persist(StorageLevel.MEMORY_AND_DISK)
+        sigs = staged.select("id", "sig")
+        sets_df = staged.select("id", "__h64")
         bands_df = neardup._band_table(sigs, 64, bands).persist(
             StorageLevel.MEMORY_AND_DISK
         )
@@ -259,7 +266,7 @@ def _shared_corpus_sig_store(
             .agg(F.count(F.lit(1)).alias("__bn"))
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        memo[key] = (sigs, bands_df, sizes_df)
+        memo[key] = (sigs, bands_df, sizes_df, sets_df)
     return memo[key]
 
 
@@ -289,8 +296,8 @@ def prefit_stores(spark: SparkSession, sf_dir: str) -> dict:
 
     t0 = _time.perf_counter()
     corpus = c.documents.filter(F.col("doc_id") % 10 != 0)
-    sigs, bands_df, sizes_df = _shared_corpus_sig_store(spark, sf_dir, corpus)
-    sigs.count(), bands_df.count(), sizes_df.count()
+    sigs, bands_df, sizes_df, sets_df = _shared_corpus_sig_store(spark, sf_dir, corpus)
+    sigs.count(), bands_df.count(), sizes_df.count(), sets_df.count()
     out["corpus_sig_store"] = round(_time.perf_counter() - t0, 3)
     return out
 
@@ -318,7 +325,7 @@ def q53_incremental_neardup_noracle(spark: SparkSession, sf_dir: str) -> DataFra
     c = Catalog(spark, sf_dir)
     batch = c.documents.filter(F.col("doc_id") % 10 == 0)
     corpus = c.documents.filter(F.col("doc_id") % 10 != 0)
-    sigs, bands_df, sizes_df = _shared_corpus_sig_store(spark, sf_dir, corpus)
+    sigs, bands_df, sizes_df, sets_df = _shared_corpus_sig_store(spark, sf_dir, corpus)
     return neardup.minhash_incremental_pairs(
         batch,
         corpus,
@@ -328,6 +335,7 @@ def q53_incremental_neardup_noracle(spark: SparkSession, sf_dir: str) -> DataFra
         shingle_w=5,
         corpus_bands=bands_df,
         corpus_band_sizes=sizes_df,
+        corpus_sets=sets_df,
     ).orderBy("id_a", "id_b")
 
 
