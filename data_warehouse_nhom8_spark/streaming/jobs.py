@@ -235,6 +235,24 @@ def sketch_rollup_sink(
     re-group epochs without changing any estimate (sketch union is
     associative)."""
 
+    return (
+        stream.writeStream.foreachBatch(
+            sketch_store_merge(store_path, fine_keys, distinct_col)
+        )
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+
+
+def sketch_store_merge(
+    store_path: str, fine_keys: Sequence[str], distinct_col: str
+):
+    """The sketch store's foreachBatch merge, as a standalone builder:
+    exposed so the restart tests can drive the EXACT production merge
+    under an injected mid-epoch kill (store written, checkpoint not
+    committed) and assert the epoch-replacement idempotence that makes
+    Spark's re-delivery converge."""
+
     def merge(batch: DataFrame, epoch_id: int) -> None:
         from data_warehouse_nhom8_spark.sources.snapshots import (
             snapshot_overwrite,
@@ -253,11 +271,7 @@ def sketch_rollup_sink(
             merged = cells
         snapshot_overwrite(merged, store_path)
 
-    return (
-        stream.writeStream.foreachBatch(merge)
-        .option("checkpointLocation", checkpoint)
-        .outputMode("update")
-    )
+    return merge
 
 
 def read_sketch_rollup(
@@ -330,6 +344,18 @@ def vocab_store_sink(
     REPLACES its own epoch's rows, keeping counts exact under the file
     source's at-least-once delivery; `compact_vocab_store` folds
     epochs offline (count addition is associative)."""
+    return (
+        stream.writeStream.foreachBatch(vocab_store_merge(store_path, id_col, text_col))
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+
+
+def vocab_store_merge(store_path: str, id_col: str = "doc_id", text_col: str = "text"):
+    """The vocab store's foreachBatch merge, as a standalone builder
+    (same rationale as `sketch_store_merge`: the restart tests inject
+    a crash between store write and checkpoint commit and re-run the
+    exact production path)."""
     from data_warehouse_nhom8_spark.operators.text import vocab_counts
 
     def merge(batch: DataFrame, epoch_id: int) -> None:
@@ -349,11 +375,7 @@ def vocab_store_sink(
             merged = counts
         snapshot_overwrite(merged, store_path)
 
-    return (
-        stream.writeStream.foreachBatch(merge)
-        .option("checkpointLocation", checkpoint)
-        .outputMode("update")
-    )
+    return merge
 
 
 def read_vocab_store(spark: SparkSession, store_path: str) -> DataFrame:

@@ -688,3 +688,116 @@ def test_streaming_vocab_store_equals_batch_and_scores(spark, tmp_path):
             all_docs, jobs.read_vocab_store(spark, store)
         ).collect()
     ] == want_scores
+
+
+def _poisoned(merge, fail_epoch: int, armed: dict):
+    """Wrap a store merge to crash AFTER the snapshot write of
+    `fail_epoch` — the worst restart case: store committed, checkpoint
+    offset NOT committed, so Spark re-delivers the same epoch on
+    restart and the merge's epoch-replacement must make the second
+    application a no-op."""
+
+    def inner(batch, epoch_id):
+        merge(batch, epoch_id)
+        if epoch_id == fail_epoch and not armed["fired"]:
+            armed["fired"] = True
+            raise RuntimeError("injected mid-epoch kill (store written, ckpt not)")
+
+    return inner
+
+
+def test_vocab_store_mid_epoch_kill_restart_converges(spark, tmp_path):
+    """vocab_store_sink under a mid-epoch kill: the injected crash
+    lands between the store snapshot-commit and the checkpoint commit
+    of epoch 1; the restarted stream (same checkpoint) re-delivers
+    epoch 1 and continues — the final store must equal the
+    whole-corpus batch vocabulary exactly (epoch-replacement
+    idempotence under Spark's at-least-once re-delivery)."""
+    from data_warehouse_nhom8_spark.operators.text import vocab_counts
+
+    texts = [(i, f"alpha tok{i % 5} beta tok{i % 3} words here") for i in range(12)]
+    all_docs = spark.createDataFrame(texts, "doc_id long, text string")
+    src = tmp_path / "docs"
+    for j, lo, hi in ((1, 0, 4), (2, 4, 8), (3, 8, 12)):
+        spark.createDataFrame(texts[lo:hi], "doc_id long, text string").write.parquet(
+            str(src / f"b{j}")
+        )
+    store, ck = str(tmp_path / "store"), str(tmp_path / "ck")
+
+    def run(merge):
+        stream = jobs.stream_source(
+            spark, str(src / "*"), all_docs.schema, max_files_per_trigger=1
+        )
+        q = (
+            stream.writeStream.foreachBatch(merge)
+            .option("checkpointLocation", ck)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    armed = {"fired": False}
+    with pytest.raises(Exception):
+        run(_poisoned(jobs.vocab_store_merge(store), 1, armed))
+    assert armed["fired"], "kill must have fired after epoch 1's store write"
+
+    run(jobs.vocab_store_merge(store))  # restart: epoch 1 re-delivered
+
+    want = {tuple(r) for r in vocab_counts(all_docs).collect()}
+    got = {tuple(r) for r in jobs.read_vocab_store(spark, store).collect()}
+    assert got == want, "restarted store must equal the uninterrupted batch vocab"
+
+
+def test_sketch_store_mid_epoch_kill_restart_converges(spark, events_dir, events_schema, tmp_path):
+    """sketch_rollup_sink under the same mid-epoch kill: after the
+    crash-and-restart, every (cell, est_distinct, n_rows) rollup row
+    must be identical to an UNINTERRUPTED run of the same sink over
+    the same files (sketch-register maxima are associative and the
+    epoch replacement dedups the re-delivered batch, so n_rows stays
+    exactly-once)."""
+    store, ck = str(tmp_path / "store"), str(tmp_path / "ck")
+    store2, ck2 = str(tmp_path / "store2"), str(tmp_path / "ck2")
+
+    # three explicit files => three epochs (events_dir itself is a
+    # single part file, which would never reach the epoch-1 kill)
+    ev = spark.read.parquet(events_dir)
+    src = tmp_path / "ev_batches"
+    for j in range(3):
+        ev.filter(F.col("event_id") % 3 == j).coalesce(1).write.parquet(
+            str(src / f"b{j}")
+        )
+
+    def run(merge, checkpoint):
+        stream = jobs.stream_source(
+            spark, str(src / "*"), ev.schema, max_files_per_trigger=1
+        )
+        q = (
+            stream.writeStream.foreachBatch(merge)
+            .option("checkpointLocation", checkpoint)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    armed = {"fired": False}
+    with pytest.raises(Exception):
+        run(
+            _poisoned(jobs.sketch_store_merge(store, ["event_type"], "user_id"), 1, armed),
+            ck,
+        )
+    assert armed["fired"]
+    run(jobs.sketch_store_merge(store, ["event_type"], "user_id"), ck)  # restart
+
+    run(jobs.sketch_store_merge(store2, ["event_type"], "user_id"), ck2)  # uninterrupted
+
+    killed = {
+        tuple(r)
+        for r in jobs.read_sketch_rollup(spark, store, ["event_type"]).collect()
+    }
+    clean = {
+        tuple(r)
+        for r in jobs.read_sketch_rollup(spark, store2, ["event_type"]).collect()
+    }
+    assert killed == clean, "kill+restart must match the uninterrupted run exactly"
