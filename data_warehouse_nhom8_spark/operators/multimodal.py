@@ -4,9 +4,9 @@ Images/audio/video are opaque BinaryType payloads with a typed
 metadata struct; compute-heavy per-item work (decode, resize,
 feature-extract, frame-sample) runs as Arrow-batched `mapInPandas`
 over the binary column. `resize_images` carries a real pure-python
-codec for the formats decodable without external libraries (binary
-PPM, uncompressed BMP, and 8-bit non-interlaced PNG via stdlib zlib);
-JPEG raises until PIL/opencv is plugged into `_decode_image`. The featurizer and frame sampler use
+codec for the formats decodable without external libraries: binary
+PPM, uncompressed BMP, 8-bit non-interlaced PNG (stdlib zlib), and
+baseline-DCT JPEG (`operators.jpeg`). The featurizer and frame sampler use
 deterministic fakes (clearly marked below) since no audio/video
 codec exists in this environment — the distributed pipeline (schema
 in → batches → schema out) is fully real and tested either way.
@@ -217,15 +217,21 @@ def _decode_image(payload: bytes):
 
     Pure-Python/numpy codec for the formats decodable without an
     external image library: binary PPM (P6), 24/32-bit uncompressed
-    BMP, and 8-bit non-interlaced PNG (gray/RGB/RGBA — stdlib zlib
-    inflate + full filter unfiltering, see `_decode_png`). JPEG and
-    the exotic PNG variants need a real codec (PIL / opencv) and
-    raise NotImplementedError — the distributed shape around this
-    function does not change when one is plugged in."""
+    BMP, 8-bit non-interlaced PNG (gray/RGB/RGBA — stdlib zlib
+    inflate + full filter unfiltering, see `_decode_png`), and
+    baseline-DCT JPEG (`operators.jpeg.decode_jpeg`: arbitrary DHT
+    tables, restarts, 4:4:4/4:2:2/4:2:0, grayscale). Progressive
+    JPEG and the exotic PNG variants raise NotImplementedError — the
+    distributed shape around this function does not change when a
+    full codec (PIL / opencv) is plugged in."""
     import numpy as np
 
     if payload.startswith(_PNG_MAGIC):
         return _decode_png(payload)
+    if payload.startswith(b"\xff\xd8"):
+        from data_warehouse_nhom8_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     if payload.startswith(b"P6"):
         # P6 header: magic, whitespace-separated width/height/maxval
         # with optional '#' comment lines, then a single whitespace

@@ -1025,3 +1025,84 @@ def test_surprisal_oov_scores_maximum(spark):
     assert out[900]["avg_bits"] == known_bits
     assert out[901]["avg_bits"] == oov_bits
     assert out[901]["avg_bits"] > out[900]["avg_bits"]
+
+
+def _flat_block_image(bh, bw, seed=3):
+    """Random color per 8x8 block — the JPEG-exactness fixture (every
+    block is DC-only, and DC = 8*(v-128) is always even, so the
+    default qstep=2 quantization is lossless up to YCbCr float
+    rounding of ±1)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    blocks = rng.integers(0, 256, (bh, bw, 3))
+    return np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1).astype(np.uint8)
+
+
+def test_jpeg_codec_roundtrips():
+    """Baseline JPEG codec: flat 8x8-aligned blocks roundtrip within
+    1 LSB (YCbCr float rounding) in 4:4:4; a whole-flat image is exact
+    even in 4:2:0 (constant chroma survives subsampling); gradients
+    stay sub-LSB on average; non-multiple-of-8 dims crop right;
+    progressive JPEG is rejected, not mis-decoded."""
+    import numpy as np
+
+    from data_warehouse_nhom8_spark.operators.jpeg import decode_jpeg, encode_jpeg
+    from data_warehouse_nhom8_spark.operators.multimodal import _decode_image
+
+    img = _flat_block_image(4, 6)
+    dec = decode_jpeg(encode_jpeg(img))
+    assert dec.shape == img.shape
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 1
+    # the dispatcher routes JPEG magic to the same decoder
+    assert np.array_equal(_decode_image(encode_jpeg(img)), dec)
+
+    flat = np.full((24, 40, 3), [200, 30, 90], np.uint8)
+    assert np.array_equal(decode_jpeg(encode_jpeg(flat, subsample=True)), flat)
+
+    xs = np.linspace(0, 255, 64)
+    grad = np.repeat(
+        (xs[None, :, None] * np.ones((48, 1, 1))).astype(np.uint8), 3, axis=2
+    )
+    dg = decode_jpeg(encode_jpeg(grad))
+    assert np.abs(dg.astype(float) - grad.astype(float)).mean() < 0.5
+
+    odd = _flat_block_image(3, 5, seed=9)[:19, :37]
+    do = decode_jpeg(encode_jpeg(odd))
+    assert do.shape == (19, 37, 3)
+    assert np.abs(do.astype(int) - odd.astype(int)).max() <= 1
+
+    prog = bytearray(encode_jpeg(img))
+    sof = prog.index(b"\xff\xc0")
+    prog[sof + 1] = 0xC2  # masquerade as progressive
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(prog))
+
+
+def test_resize_jpeg_equals_ppm(spark):
+    """The distributed resize path decodes JPEG payloads; resizing the
+    JPEG encoding of a flat-block image matches resizing its PPM
+    encoding within the codec's 1-LSB roundtrip bound."""
+    import numpy as np
+
+    from data_warehouse_nhom8_spark.operators.jpeg import encode_jpeg
+    from data_warehouse_nhom8_spark.operators.multimodal import (
+        _decode_image,
+        _encode_ppm,
+        resize_images,
+    )
+
+    arr = _flat_block_image(2, 3)  # 16 x 24
+    rows = [
+        (1, "image", encode_jpeg(arr), ("image/jpeg", 24, 16, None, "s3://x/j")),
+        (2, "image", _encode_ppm(arr), ("image/x-portable-pixmap", 24, 16, None, "s3://x/p")),
+    ]
+    out = {
+        r["media_id"]: r
+        for r in resize_images(spark.createDataFrame(rows, MEDIA_SCHEMA), 12, 8).collect()
+    }
+    got_j = _decode_image(bytes(out[1]["payload"]))
+    got_p = _decode_image(bytes(out[2]["payload"]))
+    assert got_j.shape == (8, 12, 3)
+    assert out[1]["meta"]["mime"] == "image/x-portable-pixmap"
+    assert np.abs(got_j.astype(int) - got_p.astype(int)).max() <= 1
