@@ -25,17 +25,78 @@ from data_warehouse_nhom8_spark.pipeline.staging import transform_raw_jobs, upse
 from data_warehouse_nhom8_spark.pipeline.warehouse_load import load_day_to_warehouse
 
 
+def preflight_doctor(
+    ledger: RunLedger,
+    day: datetime.date,
+    queries: dict,
+    enforce: bool = False,
+) -> dict:
+    """Pre-submit plan review for user queries riding the daily run —
+    the 100 TB checklist (`plans.doctor.lint_plan`), executed where a
+    user actually needs it: before their query ships to the cluster.
+
+    Each query gets a `doctor:<name>` ledger row: Success with the
+    finding count when nothing fatal, Failed (with the findings in
+    error_message) when a fatal anti-pattern (cartesian join,
+    row-at-a-time Python UDF) is in the plan. With `enforce=True` a
+    fatal finding raises instead of letting the query submit."""
+    from data_warehouse_nhom8_spark.plans.doctor import lint_plan
+
+    all_findings: dict = {}
+    fatal_names = []
+    for name, df in queries.items():
+        t0 = datetime.datetime.now()
+        log_id = ledger.open_run(f"doctor:{name}", day)
+        findings = lint_plan(df)
+        all_findings[name] = findings
+        fatal = [f for f in findings if f["severity"] == "fatal"]
+        if fatal:
+            fatal_names.append(name)
+        msg = "; ".join(f"[{f['severity']}] {f['rule']}: {f['detail']}" for f in findings)
+        ledger.close_run(
+            log_id,
+            f"doctor:{name}",
+            day,
+            status="Failed" if fatal else "Success",
+            rows_processed=len(findings),
+            error_message=msg[:1000] or None,
+            start_time=t0,
+        )
+    if enforce and fatal_names:
+        raise ValueError(
+            f"doctor: fatal plan anti-patterns in {fatal_names} — see the "
+            "run ledger's doctor:* rows for details"
+        )
+    return all_findings
+
+
 def run_daily_pipeline(
     spark: SparkSession,
     cfg: EngineConfig,
     connectors: dict[str, Connector],
     day: datetime.date,
     date_dim_range: tuple[str, str] = ("2024-01-01", "2046-01-01"),
+    doctor_queries: dict | None = None,
+    doctor_enforce: bool = False,
 ) -> dict:
     """Extract → staging → warehouse → datamart for one day.
-    Returns per-stage row counts for monitoring."""
+    Returns per-stage row counts for monitoring.
+
+    `doctor_queries` (name → DataFrame) opts into the pre-submit plan
+    review: findings are ledgered per query before any stage runs
+    (`preflight_doctor`); `doctor_enforce=True` aborts the day on a
+    fatal finding."""
     ledger = RunLedger(spark, cfg.ledger_path)
     report: dict = {}
+
+    # 0. opt-in pre-submit plan review for rider queries
+    if doctor_queries:
+        report["doctor"] = {
+            name: len(f)
+            for name, f in preflight_doctor(
+                ledger, day, doctor_queries, enforce=doctor_enforce
+            ).items()
+        }
 
     # 1. extract (skip-if-done per source inside)
     report["extract"] = run_all_sources(spark, connectors, day, cfg.bronze_path, ledger)

@@ -109,3 +109,48 @@ def test_ledger_views_and_prune(spark, tmp_path):
     assert kept == 4  # D2 open+close rows for both processes
     assert not led.is_done("extract_topcv", D1)
     assert led.is_done("extract_topcv", D2)
+
+
+def test_daily_doctor_ledgers_seeded_anti_pattern(spark, tmp_path):
+    """Opt-in pre-submit doctor: a rider query with a seeded cartesian
+    join gets a Failed `doctor:<name>` ledger row carrying the finding;
+    a clean rider gets Success; enforce=True aborts the day before any
+    stage runs."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    cfg = EngineConfig(
+        bronze_path=str(tmp_path / "bronze"),
+        staging_path=str(tmp_path / "staging"),
+        warehouse_path=str(tmp_path / "warehouse"),
+        datamart_path=str(tmp_path / "dm"),
+        dashboard_path=None,
+        ledger_path=str(tmp_path / "ledger"),
+    )
+    rows = {D1: [("t1", "Dev", "ACME", "10 - 15 triệu")]}
+    conns = {"topcv_jobs": mk_connector(rows)}
+
+    a = spark.range(50)
+    b = spark.range(50).select(F.col("id").alias("j"))
+    bad = a.hint("shuffle_replicate_nl").join(b, F.col("id") > F.col("j"))
+    good = a.join(b, F.col("id") == F.col("j"))
+
+    r = run_daily_pipeline(
+        spark, cfg, conns, D1, doctor_queries={"bad_report": bad, "good_report": good}
+    )
+    assert r["doctor"]["bad_report"] >= 1
+    assert r["staging_rows"] == 1  # non-enforcing: the day still ran
+
+    latest = {
+        row["process"]: row
+        for row in RunLedger(spark, cfg.ledger_path).latest_status().collect()
+    }
+    assert latest["doctor:bad_report"]["status"] == "Failed"
+    assert "cartesian-join" in latest["doctor:bad_report"]["error_message"]
+    assert latest["doctor:good_report"]["status"] == "Success"
+
+    with pytest.raises(ValueError, match="bad_report"):
+        run_daily_pipeline(
+            spark, cfg, conns, D1,
+            doctor_queries={"bad_report": bad}, doctor_enforce=True,
+        )
