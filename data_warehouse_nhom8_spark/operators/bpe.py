@@ -1,0 +1,216 @@
+"""Distributed byte-pair-encoding vocabulary training (SURVEY §2k —
+the tokenizer-training step of an LLM data pipeline; the reference
+stack has no analogue, this is a scale extension like MinHash/IVF).
+
+Shape, and why it scales to 100 TB:
+
+- ONE corpus scan builds the (word, count) vocabulary — the classic
+  BPE trick: merge statistics depend only on distinct words and their
+  frequencies, so the iterative phase never touches the corpus again.
+  The word table is dim-sized (vocabulary grows ~sublinearly with
+  corpus size) and is cached/persisted across iterations.
+- Each merge iteration is a small distributed job over the word
+  table: explode adjacent symbol pairs (weighted by word count),
+  aggregate, take the best pair (one-row collect — the same bounded
+  driver scalar every iterative Spark algorithm uses), then rewrite
+  the symbol arrays with a NATIVE `aggregate` fold (no Python in the
+  loop). Words no longer containing any mergeable pair are fixed
+  points; the rewrite is a no-op projection for them.
+- Tie-breaking is total (count desc, then pair lexicographic), so
+  the learned merge list is deterministic at any parallelism — the
+  exact-twin contract vs a single-node reference implementation is
+  pytest-gated.
+
+Encoding applies the learned merges per word. Two paths: a pure
+plan-expression fold chain (zero Python — but Spark evaluates
+higher-order `aggregate` lambdas INTERPRETED, never codegen, so k
+chained folds cost k interpreted passes per word: measured 20.5 s vs
+0.5 s at k=12 over 5k docs), and the production path — an
+Arrow-batched mapInPandas with the merge list broadcast (the same
+sanctioned vectorized-Python lane as the multimodal codec).
+`native_max_merges` picks the crossover; the default keeps only
+trivial merge lists on the expression path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# end-of-word sentinel (never appears in the tokenized text because
+# words are split on whitespace and this is a whitespace-free marker)
+EOW = "▁"
+
+
+def _words_with_counts(docs: DataFrame, text_col: str) -> DataFrame:
+    """(word, n) over the whitespace-split corpus — the one corpus
+    scan; everything iterative happens on this dim-sized table."""
+    return (
+        docs.select(
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _initial_symbols(word: Column) -> Column:
+    """word -> array of single-character symbols + end-of-word mark."""
+    return F.concat(F.split(word, ""), F.array(F.lit(EOW)))
+
+
+def _merge_fold(symbols: Column, left: Column, right: Column) -> Column:
+    """Greedy left-to-right merge of adjacent (left, right) symbol
+    pairs, as a native `aggregate` fold: standard BPE application
+    semantics ('aaa' under (a,a) -> ['aa','a'])."""
+    return F.aggregate(
+        symbols,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == left)
+            & (x == right),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.concat(left, right)),
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_train(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 50,
+    min_pair_count: int = 2,
+) -> list[tuple[str, str]]:
+    """Learn `num_merges` BPE merges from the corpus; returns the
+    ordered merge list [(left, right), ...].
+
+    Stops early when no remaining pair reaches `min_pair_count`.
+    The driver holds only the k learned pairs (bounded, control-plane)
+    — the word table stays distributed throughout."""
+    spark = docs.sparkSession
+    words = (
+        _words_with_counts(docs, text_col)
+        .select(_initial_symbols(F.col("word")).alias("syms"), "n")
+    )
+    words.persist()
+    words.count()  # materialize the single corpus scan
+    merges: list[tuple[str, str]] = []
+    try:
+        for _ in range(num_merges):
+            pairs = (
+                words.select(
+                    F.explode(
+                        F.zip_with(
+                            F.slice(F.col("syms"), 1, F.size("syms") - 1),
+                            F.slice(F.col("syms"), 2, F.size("syms") - 1),
+                            lambda a, b: F.struct(
+                                a.alias("left"), b.alias("right")
+                            ),
+                        )
+                    ).alias("pair"),
+                    "n",
+                )
+                .groupBy("pair.left", "pair.right")
+                .agg(F.sum("n").alias("cnt"))
+                # deterministic winner at any parallelism
+                .orderBy(F.desc("cnt"), "left", "right")
+                .limit(1)
+            )
+            top = pairs.collect()
+            if not top or top[0]["cnt"] < min_pair_count:
+                break
+            left, right = top[0]["left"], top[0]["right"]
+            merges.append((left, right))
+            rewritten = words.select(
+                _merge_fold(F.col("syms"), F.lit(left), F.lit(right)).alias("syms"),
+                "n",
+            )
+            rewritten.persist()
+            rewritten.count()
+            words.unpersist()
+            words = rewritten
+    finally:
+        words.unpersist()
+    return merges
+
+
+def bpe_vocab(merges: list[tuple[str, str]]) -> list[str]:
+    """The token vocabulary implied by a merge list (merged symbols in
+    learned order; base characters come from the data at encode time)."""
+    return [left + right for left, right in merges]
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+    native_max_merges: int = 4,
+) -> DataFrame:
+    """Tokenize `text_col` with a learned merge list: whitespace split,
+    per-word symbol init, merges applied in rank order, tokens
+    flattened per document.
+
+    For k <= `native_max_merges` the k folds are chained plan
+    expressions (zero Python — but interpreted: higher-order
+    `aggregate` lambdas never enter whole-stage codegen, so each
+    merge is a per-word interpreted pass). Above that the same greedy
+    fold runs in an Arrow-batched mapInPandas with the merge list
+    broadcast — measured 40x faster at k=12 (0.5 s vs 20.5 s over the
+    sf0.1 batch), the same sanctioned vectorized lane as the
+    multimodal codec. Both paths are exact twins (pytest-gated)."""
+    if len(merges) <= native_max_merges:
+        words = F.filter(
+            F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != ""
+        )
+        tok = lambda w: _encode_word_native(w, merges)  # noqa: E731
+        return docs.withColumn(
+            out_col, F.flatten(F.transform(words, tok))
+        )
+
+    from data_warehouse_nhom8_spark.session import repartition_for_compute
+
+    docs = repartition_for_compute(docs)
+    merges_b = docs.sparkSession.sparkContext.broadcast(list(merges))
+
+    def run(batches):
+        ms = merges_b.value
+
+        def enc_word(w):
+            syms = list(w) + [EOW]
+            for left, right in ms:
+                out, i = [], 0
+                while i < len(syms):
+                    if out and out[-1] == left and syms[i] == right:
+                        out[-1] = left + right
+                    else:
+                        out.append(syms[i])
+                    i += 1
+                syms = out
+            return syms
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["__tokens"] = [
+                [t for w in str(x).lower().split() for t in enc_word(w)]
+                for x in pdf["__text"]
+            ]
+            yield pdf
+
+    staged = docs.withColumn("__text", F.col(text_col))
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in staged.schema.fields
+    ) + ", __tokens array<string>"
+    res = staged.mapInPandas(run, schema=out_schema)
+    return res.withColumn(out_col, F.col("__tokens")).drop("__text", "__tokens")
+
+
+def _encode_word_native(word: Column, merges: list[tuple[str, str]]) -> Column:
+    syms = _initial_symbols(word)
+    for left, right in merges:
+        syms = _merge_fold(syms, F.lit(left), F.lit(right))
+    return syms

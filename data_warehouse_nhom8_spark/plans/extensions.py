@@ -299,6 +299,10 @@ def prefit_stores(spark: SparkSession, sf_dir: str) -> dict:
     sigs, bands_df, sizes_df, sets_df = _shared_corpus_sig_store(spark, sf_dir, corpus)
     sigs.count(), bands_df.count(), sizes_df.count(), sets_df.count()
     out["corpus_sig_store"] = round(_time.perf_counter() - t0, 3)
+
+    t0 = _time.perf_counter()
+    _shared_bpe_merges(spark, sf_dir)
+    out["bpe_merges"] = round(_time.perf_counter() - t0, 3)
     return out
 
 
@@ -312,6 +316,7 @@ STORE_OF_QUERY = {
     "q53_incremental_neardup_noracle": "corpus_sig_store",
     "q39_simhash_neardup_noracle": None,
     "q41_embedding_neardup_noracle": None,
+    "q106_bpe_tokenize_noracle": "bpe_merges",
 }
 
 
@@ -1211,6 +1216,45 @@ def q100_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_source_cap(c.documents, cap=10, seed="cap0", salt_buckets=4)
 
 
+def _shared_bpe_merges(spark: SparkSession, sf_dir: str, k: int = 12) -> list:
+    """Session-memoized BPE merge list — tokenizer training is a
+    fit-once artifact like the IVF index (in production: a merges
+    table trained offline and versioned with the corpus)."""
+    key = ("bpe_merges", sf_dir, k)
+    memo = _memo(spark)
+    if key not in memo:
+        from data_warehouse_nhom8_spark.operators import bpe
+
+        c = Catalog(spark, sf_dir)
+        memo[key] = bpe.bpe_train(c.documents, num_merges=k)
+    return memo[key]
+
+
+def q106_bpe_tokenize_noracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3/X5: BPE tokenizer — merges learned from the corpus
+    (iterative trainer, `operators.bpe.bpe_train`: one corpus scan
+    for word counts, then dim-sized merge iterations), applied to the
+    10% daily batch with the Arrow-batched encoder (broadcast merge
+    list — the interpreted fold chain loses 40x, see bpe_encode);
+    output = top-30 token frequencies. Rows-only for the driver (iterative
+    algorithm — the non-SQL-expressible class); the exact-twin
+    contract vs a single-node reference BPE is pytest-gated
+    (test_bpe_train_matches_reference)."""
+    from data_warehouse_nhom8_spark.operators import bpe
+
+    c = Catalog(spark, sf_dir)
+    merges = _shared_bpe_merges(spark, sf_dir)
+    batch = c.documents.filter(F.col("doc_id") % 10 == 0).select("doc_id", "text")
+    return (
+        bpe.bpe_encode(batch, merges)
+        .select(F.explode("bpe_tokens").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(30)
+    )
+
+
 EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q33_exact_dedup_docs": q33_exact_dedup_docs,
     "q34_token_counts": q34_token_counts,
@@ -1262,6 +1306,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q98_embedding_centroids": q98_embedding_centroids,
     "q99_unigram_surprisal": q99_unigram_surprisal,
     "q100_source_cap": q100_source_cap,
+    "q106_bpe_tokenize_noracle": q106_bpe_tokenize_noracle,
 }
 
 EXTENSION_ORACLES: dict[str, str] = {

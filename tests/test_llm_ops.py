@@ -1147,3 +1147,105 @@ def test_jpeg_codec_properties():
 
     flat_blocks()
     noise()
+
+
+def _reference_bpe(texts, k, min_pair_count=2):
+    """Single-node BPE reference (the exact-twin for operators.bpe):
+    same tie-break (count desc, then (left, right) lexicographic) and
+    same greedy left-to-right merge application."""
+    from collections import Counter
+
+    from data_warehouse_nhom8_spark.operators.bpe import EOW
+
+    words = Counter()
+    for t in texts:
+        for w in str(t).lower().split():
+            words[w] += 1
+    vocab = {tuple(list(w) + [EOW]): n for w, n in words.items()}
+
+    def merge_word(syms, pair):
+        out = []
+        for s in syms:
+            if out and out[-1] == pair[0] and s == pair[1]:
+                out[-1] = pair[0] + pair[1]
+            else:
+                out.append(s)
+        return tuple(out)
+
+    merges = []
+    for _ in range(k):
+        pairs = Counter()
+        for syms, n in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += n
+        if not pairs:
+            break
+        mx = max(pairs.values())
+        if mx < min_pair_count:
+            break
+        best = min(p for p, c in pairs.items() if c == mx)
+        merges.append(best)
+        vocab = {merge_word(s, best): n for s, n in vocab.items()}
+    return merges
+
+
+def _reference_encode(text, merges):
+    from data_warehouse_nhom8_spark.operators.bpe import EOW
+
+    def enc_word(w):
+        syms = list(w) + [EOW]
+        for left, right in merges:
+            out = []
+            for s in syms:
+                if out and out[-1] == left and s == right:
+                    out[-1] = left + right
+                else:
+                    out.append(s)
+            syms = out
+        return syms
+
+    return [t for w in str(text).lower().split() for t in enc_word(w)]
+
+
+def test_bpe_train_matches_reference(spark):
+    """Distributed BPE == single-node reference: identical merge list
+    (deterministic tie-break at any parallelism) and identical
+    tokenization through BOTH encode paths (native fold chain and the
+    Arrow mapInPandas fallback)."""
+    from data_warehouse_nhom8_spark.operators import bpe
+
+    texts = [
+        "the cat sat on the mat",
+        "the cats sat on the mats",
+        "a cat and a hat and a bat",
+        "batter matter hatter",
+        "the the the cat cat mat",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+
+    want_merges = _reference_bpe(texts, 12)
+    got_merges = bpe.bpe_train(df, num_merges=12)
+    assert got_merges == want_merges, (got_merges, want_merges)
+    assert len(got_merges) > 3  # the fixture actually learns something
+
+    want_tokens = {i: _reference_encode(t, want_merges) for i, t in enumerate(texts)}
+    for forced_path in (100, 0):  # native fold chain, then Arrow fallback
+        got = {
+            r["doc_id"]: list(r["bpe_tokens"])
+            for r in bpe.bpe_encode(
+                df, got_merges, native_max_merges=forced_path
+            ).collect()
+        }
+        assert got == want_tokens, f"path native_max_merges={forced_path}"
+
+
+def test_bpe_early_stop_and_empty(spark):
+    """min_pair_count stops training when no pair repeats; empty and
+    whitespace-only docs tokenize to empty arrays."""
+    from data_warehouse_nhom8_spark.operators import bpe
+
+    df = spark.createDataFrame([(1, "x y z")], "doc_id long, text string")
+    assert bpe.bpe_train(df, num_merges=10, min_pair_count=2) == []
+    df2 = spark.createDataFrame([(1, ""), (2, "   ")], "doc_id long, text string")
+    out = {r["doc_id"]: list(r["bpe_tokens"]) for r in bpe.bpe_encode(df2, [("a", "b")]).collect()}
+    assert out == {1: [], 2: []}
