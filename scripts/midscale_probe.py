@@ -116,6 +116,38 @@ def main() -> None:
         "aqe_on": run_mode(True),
         "aqe_off": run_mode(False),
     }
+
+    # PROBE_DUCKDB=1: time the DuckDB oracle SQL for the same subset on
+    # the same files — the single-node crossover point BASELINE.md
+    # extrapolates (DuckDB wins at sf0.1 on per-query floor; the probe
+    # shows where the distributed plan overtakes it).
+    if os.environ.get("PROBE_DUCKDB"):
+        import duckdb
+
+        from data_warehouse_nhom8_spark.plans import ORACLES
+
+        con = duckdb.connect()
+        for t in DIMS:
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{OUT}/{t}.parquet'")
+        for t in FACT_KEYS:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{OUT}/{t}.parquet/*.parquet'"
+            )
+        dtimes = {}
+        for name in SUBSET:
+            sql = ORACLES.get(name)
+            if not sql:
+                continue
+            t0 = time.perf_counter()
+            con.execute(sql).fetchall()  # cold
+            cold = round(time.perf_counter() - t0, 2)
+            t0 = time.perf_counter()
+            con.execute(sql).fetchall()  # warm
+            dtimes[name] = {"cold": cold, "warm": round(time.perf_counter() - t0, 2)}
+        result["duckdb"] = {
+            "total_warm_sec": round(sum(v["warm"] for v in dtimes.values()), 2),
+            "queries": dtimes,
+        }
     print(json.dumps(result))
 
 
