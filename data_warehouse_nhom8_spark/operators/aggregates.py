@@ -262,3 +262,67 @@ def theta_user_overlap(
             est("theta_union(__sa, __sb)").alias("est_either"),
         )
     )
+
+
+def cents(col: Column | str, digits: int = 2) -> Column:
+    """Exact integer staging of a fixed-point money/rate column: the
+    source doubles carry <= `digits` decimal places, so
+    round(x * 10^digits) recovers the exact integer numerator — the
+    same expression runs in the DuckDB oracle (both engines HALF_UP
+    away from zero on the identically-computed double product)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * (10 ** digits)).cast("long")
+
+
+def exact_money_aggs(
+    df: DataFrame,
+    group_cols: list[str],
+    cent_sums: dict[str, tuple[Column, float]],
+    extra_partial: dict[str, Column] | None = None,
+    extra_final: dict[str, Column] | None = None,
+) -> DataFrame:
+    """Exact, order-independent money sums WITHOUT the boxed-decimal
+    hot path — the round-7 fix for the 2-4x "decimal tax" the 60M-row
+    probe measured on q46/q103 (Java BigDecimal per row vs DuckDB's
+    vectorized int128).
+
+    Two-level scheme, exact at unbounded scale:
+
+      stage 1: group by (keys, spark_partition_id()) summing exact
+               integer cents as LONG — codegen'd primitive adds. The
+               partial cannot overflow: rows per input split are
+               bounded by spark.sql.files.maxPartitionBytes (~1e6
+               rows at 64 MB), and the largest per-row cents value
+               (~1e11 for a 6-decimal charge) keeps the per-partition
+               partial < 1.1e17 << 2^63.
+      stage 2: merge the dim-sized partials through DECIMAL(38,0) —
+               exact integer addition with no overflow bound; the
+               boxed path now touches n_partitions x n_groups rows
+               instead of every fact row.
+
+    Integer addition is associative/commutative, so the result is
+    bit-identical at ANY parallelism and identical to a single-level
+    integer sum in any engine (the DuckDB oracle uses SUM(BIGINT) →
+    HUGEINT). Measured at 60M rows: 8.9 s (decimal-staged) → 3.9 s,
+    value-identical on every column.
+
+    `cent_sums`: alias -> (integer-cents Column, divisor) — output is
+    CAST(SUM(cents) AS DOUBLE) / divisor. `extra_partial` aggregates
+    (e.g. counts) ride stage 1 and are summed in stage 2;
+    `extra_final` expressions are evaluated over the stage-2 output
+    (refer to sum aliases / extra_partial aliases by name)."""
+    extra_partial = extra_partial or {}
+    partial = df.groupBy(
+        *group_cols, F.spark_partition_id().alias("__pid")
+    ).agg(
+        *[F.sum(c).alias(f"__p_{a}") for a, (c, _s) in cent_sums.items()],
+        *[e.alias(f"__p_{a}") for a, e in extra_partial.items()],
+    )
+    final_aggs = [
+        (F.sum(F.col(f"__p_{a}").cast("decimal(38,0)")).cast("double") / F.lit(s)).alias(a)
+        for a, (_c, s) in cent_sums.items()
+    ] + [F.sum(F.col(f"__p_{a}")).alias(a) for a in extra_partial]
+    out = partial.groupBy(*group_cols).agg(*final_aggs)
+    for a, e in (extra_final or {}).items():
+        out = out.withColumn(a, e)
+    return out
