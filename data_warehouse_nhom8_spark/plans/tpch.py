@@ -76,18 +76,22 @@ def q46_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q47_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: selective 3-way join → agg → top-10 by revenue.
 
-    Determinism: decimal sum internal, DOUBLE output (uniform no-
-    DECIMAL-output contract; per-order sums are far below 2^53 so the
-    conversion is bit-identical across engines)."""
+    Determinism: revenue = exact integer 1e-4 units summed as LONG —
+    single-level is overflow-safe here because the group is ONE ORDER
+    (<= 7 lines x ~1e9 units, bounded at any SF); one IEEE divide at
+    output, identical staging in the oracle."""
+    from data_warehouse_nhom8_spark.operators.aggregates import cents
+
     c = Catalog(spark, sf_dir)
     cust = c.customer.filter(F.col("c_mktsegment") == "BUILDING")
     orders = c.orders.filter(
         F.to_date("o_orderdate") < F.lit("1998-01-01").cast("date")
     )
     li = c.lineitem.filter(F.to_date("l_shipdate") > F.lit("1998-01-01").cast("date"))
-    revenue = F.sum(
-        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
-    ).cast("double")
+    revenue = (
+        F.sum(cents("l_extendedprice") * (100 - cents("l_discount"))).cast("double")
+        / 1e4
+    )
     return (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
         .join(cust, orders["o_custkey"] == cust["c_custkey"])
@@ -102,14 +106,19 @@ def q48_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: 5-way join (2 broadcast dims), revenue per
     nation for one region-year.
 
-    Determinism: revenue sums through DECIMAL internally, output cast
-    to DOUBLE (no DECIMAL output columns — round-1 hash-gate
-    post-mortem; ordering key stays the exact decimal)."""
+    Determinism: revenue = exact integer 1e-4 units via the two-level
+    `exact_money_aggs` scheme — per-NATION sums grow with SF (no
+    per-group bound), so the LONG partials stay partition-bounded and
+    the dim-sized merge runs through DECIMAL(38,0); identical integer
+    staging in the oracle (no DECIMAL output columns — round-1
+    hash-gate post-mortem)."""
+    from data_warehouse_nhom8_spark.operators.aggregates import (
+        cents,
+        exact_money_aggs,
+    )
+
     c = Catalog(spark, sf_dir)
-    revenue = F.sum(
-        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
-    ).cast("double")
-    return (
+    joined = (
         c.customer.join(c.orders, c.customer["c_custkey"] == c.orders["o_custkey"])
         .join(c.lineitem, F.col("o_orderkey") == c.lineitem["l_orderkey"])
         .join(
@@ -124,8 +133,13 @@ def q48_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.to_date("o_orderdate") >= F.lit("1996-01-01").cast("date"))
             & (F.to_date("o_orderdate") < F.lit("1998-01-01").cast("date"))
         )
-        .groupBy("n_name")
-        .agg(revenue.alias("revenue"))
+    )
+    return (
+        exact_money_aggs(
+            joined,
+            ["n_name"],
+            {"revenue": (cents("l_extendedprice") * (100 - cents("l_discount")), 1e4)},
+        )
         .orderBy(F.desc("revenue"), "n_name")
     )
 
@@ -196,12 +210,16 @@ def q73_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale notes: the groupBy(l_orderkey) partial-aggregates map-side;
     the >300 filter runs on the agg output (tiny), and both following
-    joins shuffle only qualifying keys. The exact-decimal sum makes the
-    threshold comparison engine-independent."""
+    joins shuffle only qualifying keys. The exact integer-cents LONG
+    sum makes the threshold comparison engine-independent (per-ORDER
+    sums are bounded at any SF, so single-level is overflow-safe —
+    and codegen-primitive instead of boxed decimal)."""
+    from data_warehouse_nhom8_spark.operators.aggregates import cents
+
     c = Catalog(spark, sf_dir)
     big = (
         c.lineitem.groupBy("l_orderkey")
-        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"))
+        .agg((F.sum(cents("l_quantity")).cast("double") / 100.0).alias("sum_qty"))
         .filter(F.col("sum_qty") > 300.0)
     )
     return (
@@ -328,7 +346,12 @@ def q77_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale notes: the returnflag + date filters push to the parquet
     scan; nation broadcasts; the final top-20 compiles to
-    TakeOrderedAndProject (no global sort)."""
+    TakeOrderedAndProject (no global sort). Revenue = exact integer
+    1e-4 units summed as LONG (per-CUSTOMER revenue in a one-year
+    window is bounded at any SF — customers scale with SF, their
+    per-key order count does not), one IEEE divide at output."""
+    from data_warehouse_nhom8_spark.operators.aggregates import cents
+
     c = Catalog(spark, sf_dir)
     li = c.lineitem.filter(F.col("l_returnflag") == "R").select(
         "l_orderkey", "l_extendedprice", "l_discount"
@@ -337,9 +360,10 @@ def q77_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.to_date("o_orderdate") >= F.lit("1998-01-01").cast("date"))
         & (F.to_date("o_orderdate") < F.lit("1999-01-01").cast("date"))
     )
-    revenue = F.sum(
-        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
-    ).cast("double")
+    revenue = (
+        F.sum(cents("l_extendedprice") * (100 - cents("l_discount"))).cast("double")
+        / 1e4
+    )
     return (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
         .join(c.customer, F.col("o_custkey") == c.customer["c_custkey"])
@@ -976,7 +1000,9 @@ TPCH_ORACLES = {
     """,
     "q47_shipping_priority": """
         SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
-               CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+               CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))) AS DOUBLE)
+                 / 10000.0 AS revenue
         FROM lineitem l
         JOIN orders o ON l.l_orderkey = o.o_orderkey
         JOIN customer c ON o.o_custkey = c.c_custkey
@@ -988,7 +1014,9 @@ TPCH_ORACLES = {
     """,
     "q48_local_supplier_volume": """
         SELECT n.n_name,
-               CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+               CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))) AS DOUBLE)
+                 / 10000.0 AS revenue
         FROM customer c
         JOIN orders o ON c.c_custkey = o.o_custkey
         JOIN lineitem l ON o.o_orderkey = l.l_orderkey
@@ -1031,9 +1059,9 @@ TPCH_ORACLES = {
     "q73_large_volume_customer": """
         WITH big AS (
           SELECT l_orderkey,
-                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+                 CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty
           FROM lineitem GROUP BY l_orderkey
-          HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 300.0
+          HAVING CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 > 300.0
         )
         SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice, b.sum_qty
         FROM big b
@@ -1085,7 +1113,9 @@ TPCH_ORACLES = {
     """,
     "q77_returned_item_revenue": """
         SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
-               CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+               CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))) AS DOUBLE)
+                 / 10000.0 AS revenue
         FROM lineitem l
         JOIN orders o ON l.l_orderkey = o.o_orderkey
         JOIN customer c ON o.o_custkey = c.c_custkey
