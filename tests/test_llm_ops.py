@@ -480,7 +480,11 @@ def test_image_codec_roundtrip():
     assert np.array_equal(_decode_image(ppm), arr)
     assert np.array_equal(_decode_image(_make_bmp(5, 3, arr)), arr)
     assert np.array_equal(_decode_image(_encode_ppm(arr)), arr)
-    with pytest.raises(NotImplementedError):
+    # JPEG magic now routes to the real baseline decoder, which
+    # rejects this truncated payload as malformed rather than
+    # unimplemented (progressive JPEG still raises NotImplementedError
+    # — see test_jpeg_codec_roundtrips)
+    with pytest.raises(ValueError):
         _decode_image(b"\xff\xd8\xff\xe0 jpeg")
 
 
