@@ -172,35 +172,42 @@ def q71_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q72_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q14 shape: promo revenue share — conditional DECIMAL sums
-    over a broadcast fact⋈part join, one output row.
+    """TPC-H Q14 shape: promo revenue share — conditional exact-cents
+    sums over a broadcast fact⋈part join, one output row.
 
-    Determinism: both sums are exact decimals cast to double; the pct
-    is one IEEE multiply+divide on bit-identical inputs, so Spark and
-    DuckDB agree bitwise without rounding."""
+    Determinism: both sums are exact integer 1e-4 units through the
+    two-level `exact_money_aggs` scheme (global group — unbounded
+    with SF); the pct is one IEEE multiply+divide on bit-identical
+    inputs, so Spark and DuckDB agree bitwise without rounding."""
+    from data_warehouse_nhom8_spark.operators.aggregates import (
+        cents,
+        exact_money_aggs,
+    )
+
     c = Catalog(spark, sf_dir)
     li = c.lineitem.filter(
         (F.to_date("l_shipdate") >= F.lit("1997-01-01").cast("date"))
         & (F.to_date("l_shipdate") < F.lit("1998-01-01").cast("date"))
     )
-    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-        "decimal(18,4)"
-    )
+    disc_e4 = cents("l_extendedprice") * (100 - cents("l_discount"))
     joined = li.join(
         F.broadcast(c.part.select("p_partkey", "p_type")),
         li["l_partkey"] == F.col("p_partkey"),
     )
-    promo = F.sum(
-        F.when(F.col("p_type") == "PROMO", disc_price).otherwise(
-            F.lit(0).cast("decimal(18,4)")
-        )
-    ).cast("double")
-    total = F.sum(disc_price).cast("double")
-    return joined.agg(
-        promo.alias("promo_revenue"),
-        total.alias("total_revenue"),
-        ((F.lit(100.0) * promo) / total).alias("promo_pct"),
-    )
+    return exact_money_aggs(
+        joined,
+        [],
+        {
+            "promo_revenue": (
+                F.when(F.col("p_type") == "PROMO", disc_e4).otherwise(F.lit(0)),
+                1e4,
+            ),
+            "total_revenue": (disc_e4, 1e4),
+        },
+        extra_final={
+            "promo_pct": (F.lit(100.0) * F.col("promo_revenue")) / F.col("total_revenue")
+        },
+    ).select("promo_revenue", "total_revenue", "promo_pct")
 
 
 def q73_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -236,9 +243,11 @@ def q74_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue agg, scalar MAX over that agg (broadcast single-row join,
     no second fact scan), equality filter, dim join for the name.
 
-    Determinism: revenue is an exact decimal sum cast once to double on
-    both engines, so the MAX-equality selects the identical supplier
-    set even under ties.
+    Determinism: revenue is an exact integer-cents LONG sum cast once
+    to double on both engines (per-SUPPLIER quarterly revenue is
+    bounded at any SF — suppliers scale with SF, their per-key line
+    count does not — so single-level is overflow-safe), so the
+    MAX-equality selects the identical supplier set even under ties.
 
     Scale notes: the naive Q15 (scalar subquery over the same agg)
     scans the fact TWICE — once for the per-supplier revenue, once for
@@ -248,6 +257,8 @@ def q74_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     is dim-sized, not fact-sized."""
     from pyspark.sql.window import Window
 
+    from data_warehouse_nhom8_spark.operators.aggregates import cents
+
     c = Catalog(spark, sf_dir)
     rev = (
         c.lineitem.filter(
@@ -256,11 +267,12 @@ def q74_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("l_suppkey")
         .agg(
-            F.sum(
-                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
-            )
-            .cast("double")
-            .alias("total_revenue")
+            (
+                F.sum(cents("l_extendedprice") * (100 - cents("l_discount"))).cast(
+                    "double"
+                )
+                / 1e4
+            ).alias("total_revenue")
         )
     )
     mx = F.max("total_revenue").over(Window.partitionBy())
@@ -313,11 +325,14 @@ def q76_moving_avg_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW).
 
     Determinism: the frame is keyed by a total order (date, orderkey);
-    the moving sum runs through DECIMAL (exact, frame-order-
-    independent) and divides by the frame count once in IEEE double —
+    the moving sum runs as exact integer cents (3-row bounded frame —
+    overflow-free LONG at any scale, no boxed decimal in the window
+    buffer) and divides by the frame count once in IEEE double —
     bitwise identical across engines. Scale notes: one shuffle on
     o_custkey; the frame is O(1) memory per row (sliding, bounded)."""
     from pyspark.sql.window import Window
+
+    from data_warehouse_nhom8_spark.operators.aggregates import cents
 
     c = Catalog(spark, sf_dir)
     w = (
@@ -331,7 +346,7 @@ def q76_moving_avg_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_custkey",
             "o_orderdate",
             (
-                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double")
+                F.sum(cents("o_totalprice")).over(w).cast("double") / 100.0
                 / F.count(F.lit(1)).over(w)
             ).alias("moving_avg_price"),
         )
@@ -429,10 +444,12 @@ def q87_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.to_date("l_shipdate") >= F.lit("1996-01-01").cast("date"))
         & (F.to_date("l_shipdate") < F.lit("1998-01-01").cast("date"))
     )
-    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-        "decimal(18,4)"
+    from data_warehouse_nhom8_spark.operators.aggregates import (
+        cents,
+        exact_money_aggs,
     )
-    return (
+
+    joined = (
         li.join(c.supplier, li["l_suppkey"] == c.supplier["s_suppkey"])
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
         .join(c.orders, F.col("l_orderkey") == c.orders["o_orderkey"])
@@ -440,8 +457,14 @@ def q87_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
         .withColumn("l_year", F.year(F.to_date("l_shipdate")).cast("long"))
-        .groupBy("supp_nation", "cust_nation", "l_year")
-        .agg(F.sum(disc_price).cast("double").alias("revenue"))
+    )
+    # per-(nation-pair, year) revenue grows with SF → two-level exact
+    return (
+        exact_money_aggs(
+            joined,
+            ["supp_nation", "cust_nation", "l_year"],
+            {"revenue": (cents("l_extendedprice") * (100 - cents("l_discount")), 1e4)},
+        )
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
@@ -471,13 +494,13 @@ def q88_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.to_date("o_orderdate") >= F.lit("1996-01-01").cast("date"))
         & (F.to_date("o_orderdate") < F.lit("1998-01-01").cast("date"))
     )
-    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
-    zero = F.lit(0).cast("decimal(18,4)")
-    share_vol = F.sum(
-        F.when(F.col("supp_nation") == "NATION_2", vol).otherwise(zero)
-    ).cast("double")
-    total_vol = F.sum(vol).cast("double")
-    return (
+    from data_warehouse_nhom8_spark.operators.aggregates import (
+        cents,
+        exact_money_aggs,
+    )
+
+    vol_e4 = cents("l_extendedprice") * (100 - cents("l_discount"))
+    joined = (
         c.lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .join(orders, F.col("l_orderkey") == orders["o_orderkey"])
         .join(c.customer, F.col("o_custkey") == c.customer["c_custkey"])
@@ -485,12 +508,26 @@ def q88_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c.supplier, F.col("l_suppkey") == c.supplier["s_suppkey"])
         .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("s_nk"))
         .withColumn("o_year", F.year(F.to_date("o_orderdate")).cast("long"))
-        .groupBy("o_year")
-        .agg(
-            share_vol.alias("nation_volume"),
-            total_vol.alias("total_volume"),
-            (share_vol / total_vol).alias("mkt_share"),
+    )
+    # per-year volumes grow with SF → two-level exact integer sums
+    return (
+        exact_money_aggs(
+            joined,
+            ["o_year"],
+            {
+                "nation_volume": (
+                    F.when(F.col("supp_nation") == "NATION_2", vol_e4).otherwise(
+                        F.lit(0)
+                    ),
+                    1e4,
+                ),
+                "total_volume": (vol_e4, 1e4),
+            },
+            extra_final={
+                "mkt_share": F.col("nation_volume") / F.col("total_volume")
+            },
         )
+        .select("o_year", "nation_volume", "total_volume", "mkt_share")
         .orderBy("o_year")
     )
 
@@ -557,9 +594,17 @@ def q91_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate over the (part-pruned) fact, broadcast back and compared
     — never a per-row rescan of lineitem.
 
-    Determinism: the average is exact-sum/count (both engines compute
-    the identical double); the 0.2x threshold and final /7.0 are single
-    IEEE ops on bit-identical inputs."""
+    Determinism: the average is exact integer-cents sum / count (both
+    engines compute the identical double; per-PART line counts are
+    bounded at any SF, so the LONG sum is overflow-safe); the 0.2x
+    threshold is one IEEE op on bit-identical inputs; the final global
+    sum (unbounded with SF) runs through the two-level
+    `exact_money_aggs` scheme with /7.0 applied once at output."""
+    from data_warehouse_nhom8_spark.operators.aggregates import (
+        cents,
+        exact_money_aggs,
+    )
+
     c = Catalog(spark, sf_dir)
     part = c.part.filter(
         (F.col("p_brand") == "Brand#3") & (F.col("p_size") < 10)
@@ -568,20 +613,22 @@ def q91_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruned = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
     avg_q = pruned.groupBy(F.col("l_partkey").alias("avg_pk")).agg(
         (
-            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+            F.sum(cents("l_quantity")).cast("double") / 100.0
             / F.count(F.lit(1))
         ).alias("avg_qty")
     )
+    qualifying = pruned.join(
+        F.broadcast(avg_q), F.col("l_partkey") == F.col("avg_pk")
+    ).filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
     return (
-        pruned.join(F.broadcast(avg_q), F.col("l_partkey") == F.col("avg_pk"))
-        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
-        .agg(
-            (
-                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
-                / F.lit(7.0)
-            ).alias("avg_yearly"),
-            F.count(F.lit(1)).alias("n_lines"),
+        exact_money_aggs(
+            qualifying,
+            [],
+            {"__sum_ext": (cents("l_extendedprice"), 100.0)},
+            extra_partial={"n_lines": F.count(F.lit(1))},
+            extra_final={"avg_yearly": F.col("__sum_ext") / F.lit(7.0)},
         )
+        .select("avg_yearly", "n_lines")
     )
 
 
@@ -1043,18 +1090,22 @@ TPCH_ORACLES = {
         ORDER BY o.o_orderpriority NULLS FIRST
     """,
     "q72_promo_revenue": """
-        SELECT
-          CAST(SUM(CASE WHEN p.p_type = 'PROMO'
-                        THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))
-                        ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS promo_revenue,
-          CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue,
-          (100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
-                        THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))
-                        ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE))
-            / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS promo_pct
-        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-        WHERE date_trunc('day', l.l_shipdate) >= DATE '1997-01-01'
-          AND date_trunc('day', l.l_shipdate) < DATE '1998-01-01'
+        WITH s AS (
+          SELECT CASE WHEN p.p_type = 'PROMO'
+                      THEN CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                           * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))
+                      ELSE 0 END AS promo_e4,
+                 CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)) AS total_e4
+          FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+          WHERE date_trunc('day', l.l_shipdate) >= DATE '1997-01-01'
+            AND date_trunc('day', l.l_shipdate) < DATE '1998-01-01'
+        )
+        SELECT CAST(SUM(promo_e4) AS DOUBLE) / 10000.0 AS promo_revenue,
+               CAST(SUM(total_e4) AS DOUBLE) / 10000.0 AS total_revenue,
+               (100.0 * (CAST(SUM(promo_e4) AS DOUBLE) / 10000.0))
+                 / (CAST(SUM(total_e4) AS DOUBLE) / 10000.0) AS promo_pct
+        FROM s
     """,
     "q73_large_volume_customer": """
         WITH big AS (
@@ -1072,7 +1123,9 @@ TPCH_ORACLES = {
     "q74_top_supplier": """
         WITH rev AS (
           SELECT l_suppkey,
-                 CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
+                 CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                          * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS DOUBLE)
+                   / 10000.0 AS total_revenue
           FROM lineitem
           WHERE date_trunc('day', l_shipdate) >= DATE '1997-01-01'
             AND date_trunc('day', l_shipdate) < DATE '1997-04-01'
@@ -1102,9 +1155,9 @@ TPCH_ORACLES = {
     """,
     "q76_moving_avg_order_value": """
         SELECT o_orderkey, o_custkey, o_orderdate,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
                       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+                            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0
                  / COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
                  AS moving_avg_price
@@ -1140,7 +1193,9 @@ TPCH_ORACLES = {
     "q87_volume_shipping": """
         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                EXTRACT(year FROM l.l_shipdate) AS l_year,
-               CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+               CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))) AS DOUBLE)
+                 / 10000.0 AS revenue
         FROM lineitem l
         JOIN supplier s ON l.l_suppkey = s.s_suppkey
         JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
@@ -1158,13 +1213,19 @@ TPCH_ORACLES = {
     "q88_market_share": """
         SELECT EXTRACT(year FROM o.o_orderdate) AS o_year,
                CAST(SUM(CASE WHEN ns.n_name = 'NATION_2'
-                             THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))
-                             ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS nation_volume,
-               CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS total_volume,
-               CAST(SUM(CASE WHEN ns.n_name = 'NATION_2'
-                             THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))
-                             ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
-                 / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS mkt_share
+                             THEN CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                                  * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))
+                             ELSE 0 END) AS DOUBLE) / 10000.0 AS nation_volume,
+               CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))) AS DOUBLE)
+                 / 10000.0 AS total_volume,
+               (CAST(SUM(CASE WHEN ns.n_name = 'NATION_2'
+                             THEN CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                                  * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))
+                             ELSE 0 END) AS DOUBLE) / 10000.0)
+                 / (CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                             * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))) AS DOUBLE)
+                    / 10000.0) AS mkt_share
         FROM lineitem l
         JOIN part p ON l.l_partkey = p.p_partkey
         JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -1209,10 +1270,12 @@ TPCH_ORACLES = {
           WHERE p.p_brand = 'Brand#3' AND p.p_size < 10
         ), avg_q AS (
           SELECT l_partkey AS avg_pk,
-                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+                 CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0
+                   / COUNT(*) AS avg_qty
           FROM pruned GROUP BY l_partkey
         )
-        SELECT CAST(SUM(CAST(pr.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+        SELECT CAST(SUM(CAST(ROUND(pr.l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+                 / 7.0 AS avg_yearly,
                COUNT(*) AS n_lines
         FROM pruned pr JOIN avg_q a ON pr.l_partkey = a.avg_pk
         WHERE pr.l_quantity < 0.2 * a.avg_qty
