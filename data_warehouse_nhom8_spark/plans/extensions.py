@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from data_warehouse_nhom8_spark.operators import neardup, similarity
+from data_warehouse_nhom8_spark.operators.aggregates import cents as cents_col
 from data_warehouse_nhom8_spark.operators.multimodal import extract_features
 from data_warehouse_nhom8_spark.operators.text import (
     exact_dedup,
@@ -1003,9 +1004,13 @@ def q79_order_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-            .cast("double")
-            .alias("total_value"),
+            # exact integer cents, single-level: price_c <= ~5e7, so a
+            # per-decile LONG sum holds ~1.8e11 rows — an order past
+            # the 100 TB point of a query this doc already routes to
+            # KLL boundaries at scale
+            (F.sum(cents_col("o_totalprice")).cast("double") / 100.0).alias(
+                "total_value"
+            ),
             F.min("o_totalprice").alias("min_value"),
             F.max("o_totalprice").alias("max_value"),
         )
@@ -1017,15 +1022,15 @@ def q80_cube_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 hierarchy completion: CUBE over (returnflag, linestatus) —
     all four grouping combinations (detail, two one-way subtotals,
     grand total) in a single Expand pass; q44's ROLLUP covers only the
-    prefix hierarchy. Exact decimal sum output as double."""
+    prefix hierarchy. Exact integer-cents sum output as double (the
+    grand-total LONG holds ~1.8e15 rows at qty <= 50 — safe far past
+    100 TB, so single-level composes directly with CUBE's Expand)."""
     c = Catalog(spark, sf_dir)
     return (
         c.lineitem.cube("l_returnflag", "l_linestatus")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
-            .cast("double")
-            .alias("sum_qty"),
+            (F.sum(cents_col("l_quantity")).cast("double") / 100.0).alias("sum_qty"),
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
@@ -1053,28 +1058,31 @@ def q81_grouped_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q82_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Share-of-total window over an aggregate: per-nation revenue and
-    its fraction of the grand total. The window SUM runs over the
-    DECIMAL aggregate (exact, order-independent — a double window sum
-    would be ULP-sensitive to row order), cast once before the single
-    IEEE division, so both engines produce bit-identical shares.
+    its fraction of the grand total. Revenue is exact integer 1e-4
+    units — LONG partials bounded per (nation, input partition), then
+    a DECIMAL(38,0) merge (per-nation totals exceed the LONG bound
+    past ~1e10 rows/nation); the window SUM runs over the exact
+    integer DECIMAL (order-independent — a double window sum would be
+    ULP-sensitive to row order), cast once before the single IEEE
+    division, so both engines produce bit-identical shares.
     Scale notes: the unpartitioned window sees one row per nation —
     dim-sized, like q74's max."""
     from pyspark.sql.window import Window
 
     c = Catalog(spark, sf_dir)
-    rev_dec = F.sum(
-        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
-    )
+    rev_e4 = cents_col("l_extendedprice") * (100 - cents_col("l_discount"))
     per_nation = (
         c.lineitem.join(c.supplier, F.col("l_suppkey") == c.supplier["s_suppkey"])
         .join(F.broadcast(c.nation), F.col("s_nationkey") == c.nation["n_nationkey"])
+        .groupBy("n_name", F.spark_partition_id().alias("__pid"))
+        .agg(F.sum(rev_e4).alias("__p"))
         .groupBy("n_name")
-        .agg(rev_dec.alias("__rd"))
+        .agg(F.sum(F.col("__p").cast("decimal(38,0)")).alias("__rd"))
     )
     total = F.sum("__rd").over(Window.partitionBy())
     return per_nation.select(
         "n_name",
-        F.col("__rd").cast("double").alias("revenue"),
+        (F.col("__rd").cast("double") / 1e4).alias("revenue"),
         (F.col("__rd").cast("double") / total.cast("double")).alias("share"),
     ).orderBy("n_name")
 
@@ -1930,7 +1938,7 @@ EXTENSION_ORACLES: dict[str, str] = {
     """,
     "q80_cube_summary": """
         SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+               CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty
         FROM lineitem
         GROUP BY CUBE (l_returnflag, l_linestatus)
         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
@@ -1946,14 +1954,15 @@ EXTENSION_ORACLES: dict[str, str] = {
     "q82_revenue_share": """
         WITH per_nation AS (
           SELECT n.n_name,
-                 SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS rd
+                 SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))) AS rd
           FROM lineitem l
           JOIN supplier s ON l.l_suppkey = s.s_suppkey
           JOIN nation n ON s.s_nationkey = n.n_nationkey
           GROUP BY n.n_name
         )
         SELECT n_name,
-               CAST(rd AS DOUBLE) AS revenue,
+               CAST(rd AS DOUBLE) / 10000.0 AS revenue,
                CAST(rd AS DOUBLE) / CAST(SUM(rd) OVER () AS DOUBLE) AS share
         FROM per_nation
         ORDER BY n_name NULLS FIRST
@@ -1965,7 +1974,7 @@ EXTENSION_ORACLES: dict[str, str] = {
           FROM orders
         )
         SELECT decile, COUNT(*) AS n_orders,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value,
                MIN(o_totalprice) AS min_value,
                MAX(o_totalprice) AS max_value
         FROM d GROUP BY decile ORDER BY decile
