@@ -143,6 +143,19 @@ def main() -> None:
     concurrent_samples = [concurrent_pass(), concurrent_pass()]
     concurrent_wall = min(concurrent_samples)
 
+    # AQE-parity evidence in the artifact itself: one warm sequential
+    # pass of the oracled set with adaptive forced ON (isolated
+    # newSession conf — same JVM, same caches). auto_aqe keeps AQE off
+    # below ~1 GiB as a latency policy; this number shows the policy
+    # is a choice, not a crutch (tests/test_aqe.py certifies result
+    # equivalence; scripts/midscale_probe.py certifies parity at 6M+).
+    s_aqe = spark.newSession()
+    s_aqe.conf.set("spark.sql.adaptive.enabled", "true")
+    t0 = time.perf_counter()
+    for k, fn in oracle_fns:
+        fn(s_aqe, sf_dir).toArrow()
+    aqe_on_warm_total = round(time.perf_counter() - t0, 3)
+
     detail = {
         "metric": "oracle_queries_total_wall_warm",
         "value": warm_oracle,
@@ -155,6 +168,7 @@ def main() -> None:
         "concurrent_warm_wall_sec": concurrent_wall,
         "concurrent_samples": concurrent_samples,
         "aqe": aqe,
+        "aqe_on_warm_total_sec": aqe_on_warm_total,
         "n_queries": len(warm),
         "store_fit_sec": store_fit,
         "extensions_fit_probe": {
@@ -192,6 +206,7 @@ def main() -> None:
         "extensions_total_sec": warm_ext,
         "concurrent_warm_wall_sec": concurrent_wall,
         "aqe": aqe,
+        "aqe_on_warm_total_sec": aqe_on_warm_total,
         "n_queries": len(warm),
         # [fit_sec, probe_warm_sec] per store-backed extension query
         "ext_fit_probe": {

@@ -159,7 +159,7 @@ ORACLES: dict[str, str] = {
     """,
     "q28_tumbling_daily_window": """
         SELECT CAST(date_trunc('day', ts) AS DATE) AS w, event_type, COUNT(*) AS n,
-               CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total
         FROM events GROUP BY 1, 2
         ORDER BY w NULLS FIRST, event_type NULLS FIRST
     """,

@@ -402,14 +402,18 @@ def q27_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q28_tumbling_daily_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin (batch-checked): tumbling daily window rollup.
     The streaming module runs the same agg via F.window over readStream
-    (SURVEY §2h); sums go through DECIMAL so a 100 TB sum is
-    order-independent."""
+    (SURVEY §2h); sums run as exact integer cents (value is 2-decimal
+    fixed-point) so a 100 TB sum is order-independent with no boxed
+    decimal on the hot path."""
     c = Catalog(spark, sf_dir)
     return (
         c.events.groupBy(F.to_date("ts").alias("w"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(agg.decimal_sum("value"), 2).cast("double").alias("total"),
+            (
+                F.sum(F.round(F.col("value") * 100).cast("long")).cast("double")
+                / 100.0
+            ).alias("total"),
         )
         .orderBy("w", "event_type")
     )

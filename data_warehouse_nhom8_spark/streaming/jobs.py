@@ -67,9 +67,13 @@ def tumbling_rollup(
         .groupBy(F.window(ts_col, window).alias("w"), *keys)
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
-            .cast("double")
-            .alias("total"),
+            # exact integer cents (value is 2-decimal fixed-point):
+            # order-independent LONG sum in the window state — no boxed
+            # decimal per event; per-window bound ~9e13 rows at any SF
+            (
+                F.sum(F.round(F.col("value") * 100).cast("long")).cast("double")
+                / 100.0
+            ).alias("total"),
         )
         .select(F.col("w.start").alias("w_start"), *keys, "n", "total")
     )

@@ -52,9 +52,10 @@ def test_tumbling_stream_equals_batch(spark, events_dir, events_schema, tmp_path
         .groupBy(F.date_trunc("day", "ts").alias("w_start"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
-            .cast("double")
-            .alias("total"),
+            (
+                F.sum(F.round(F.col("value") * 100).cast("long")).cast("double")
+                / 100.0
+            ).alias("total"),
         )
     )
     want = {
