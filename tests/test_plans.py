@@ -354,11 +354,16 @@ def test_q92_disjunction_splits_and_pushes(spark):
     assert "BroadcastHashJoin" in p
 
 
-def test_q93_semi_anti_self_join_shape(spark):
-    """Q21 shape: EXISTS → LeftSemi, NOT EXISTS → LeftAnti, supplier
-    dim broadcast, and never a cartesian/nested-loop fallback."""
+def test_q93_aggregate_rewrite_shape(spark):
+    """Q21 shape, round-7 rewrite: the per-order set conditions run as
+    two count-distinct aggregates feeding keyed LEFT SEMI joins (no
+    LeftAnti self-join, no inequality residual), supplier dim
+    broadcast, never a cartesian/nested-loop fallback. The oracle
+    keeps the EXISTS/NOT-EXISTS form, so this plan's equivalence is
+    hash-checked externally."""
     p = plan_of(spark, "q93_waiting_supplier")
-    assert "LeftSemi" in p and "LeftAnti" in p
+    assert p.count("LeftSemi") >= 2
+    assert "count(distinct l_suppkey" in p or "partial_count(distinct" in p, p[:900]
     assert "CartesianProduct" not in p and "NestedLoop" not in p
     assert "BroadcastHashJoin" in p
 
