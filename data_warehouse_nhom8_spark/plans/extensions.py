@@ -688,8 +688,10 @@ def q61_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     events matched into 40 derived 6-hour maintenance windows (one
     every 18 h) via bucket-equi-join + residual filter — never the
     cartesian plan Spark gives a raw inequality join. Oracle = DuckDB
-    inequality join over the identical derived windows. Decimal-
-    internal sum keeps the per-window rollup order-independent."""
+    inequality join over the identical derived windows. Exact
+    integer-cents LONG sum keeps the per-window rollup
+    order-independent (2-decimal fixed-point values; per-window bound
+    ~9e13 rows)."""
     from data_warehouse_nhom8_spark.operators.joins import interval_range_join
 
     c = Catalog(spark, sf_dir)
@@ -709,7 +711,9 @@ def q61_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         matched.groupBy("w_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+            (
+                F.sum(cents_col("value")).cast("double") / 100.0
+            ).alias("sum_value"),
         )
         .orderBy("w_id")
     )
@@ -1667,7 +1671,7 @@ EXTENSION_ORACLES: dict[str, str] = {
           FROM generate_series(0, 39) AS g(i)
         )
         SELECT w.w_id, COUNT(*) AS n_events,
-               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
         FROM events ev JOIN w ON ev.ts >= w.w_start AND ev.ts < w.w_end
         GROUP BY w.w_id ORDER BY w_id NULLS FIRST
     """,

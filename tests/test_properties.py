@@ -458,3 +458,57 @@ def test_unigram_surprisal_matches_python_spec(spark, token_docs):
         assert got[i]["n_tokens"] == len(toks)
         assert got[i]["sum_mbits"] == s
         assert got[i]["avg_bits"] == s / len(toks) / 1000.0
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 3),                # group key
+            st.integers(0, 99_999_99),        # price in cents (2-dp fixed point)
+            st.integers(0, 10),               # discount in cents
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(1, 6),                        # repartition width
+)
+@settings(max_examples=20, deadline=None)
+def test_exact_money_aggs_matches_decimal_at_any_partitioning(spark, rows, nparts):
+    """Random fixed-point money data under random partitioning: the
+    two-level integer-cents scheme must equal the single-level
+    decimal-staged sums bit-for-bit (the equivalence the q46-class
+    conversions rely on), independent of how rows land in partitions
+    (spark_partition_id changes, results must not)."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_nhom8_spark.operators.aggregates import (
+        cents,
+        exact_money_aggs,
+    )
+
+    df = spark.createDataFrame(
+        [(k, p / 100.0, d / 100.0) for k, p, d in rows],
+        "k long, price double, disc double",
+    ).repartition(nparts)
+
+    got = {
+        r["k"]: (r["rev"], r["n"])
+        for r in exact_money_aggs(
+            df,
+            ["k"],
+            {"rev": (cents("price") * (100 - cents("disc")), 1e4)},
+            extra_partial={"n": F.count(F.lit(1))},
+        ).collect()
+    }
+    want = {
+        r["k"]: (r["rev"], r["n"])
+        for r in df.groupBy("k")
+        .agg(
+            F.sum((F.col("price") * (1 - F.col("disc"))).cast("decimal(18,4)"))
+            .cast("double")
+            .alias("rev"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    assert got == want
