@@ -541,3 +541,30 @@ def test_vacuum_age_based_retention(spark, tmp_path):
     snapshot_overwrite(df, path, keep=10)
     out2 = snapshot_vacuum(path, keep_days=7, now=now)
     assert out2 == {"removed": [3], "kept": [4]}
+
+
+def test_snapshot_schema_evolution_across_versions(spark, tmp_path):
+    """Additive schema evolution is native to the versioned layout:
+    every version is a complete rewrite, so a new column simply
+    appears in the next version — the live read carries it, time
+    travel to an older version serves the OLD schema unchanged (no
+    null-backfill surprises), rollback restores the old schema, and
+    the change feed keeps refusing cross-schema diffs loudly
+    (test_snapshot_diff_rejects_schema_mismatch)."""
+    path = str(tmp_path / "t")
+    snapshot_overwrite(_df(spark, [("a", 1), ("b", 2)]), path, keep=4)
+    widened = _df(spark, [("a", 1), ("b", 2)]).withColumn("flag", F.lit("on"))
+    snapshot_overwrite(widened, path, keep=4)
+
+    live = snapshot_read(spark, path)
+    assert "flag" in live.columns
+    assert {r["flag"] for r in live.collect()} == {"on"}
+
+    old = snapshot_read(spark, path, version=1)
+    assert "flag" not in old.columns
+    assert sorted(r["k"] for r in old.collect()) == ["a", "b"]
+
+    from data_warehouse_nhom8_spark.sources.snapshots import snapshot_rollback
+
+    snapshot_rollback(path, 1)
+    assert "flag" not in snapshot_read(spark, path).columns
