@@ -52,6 +52,10 @@ def lint_plan(df: DataFrame, max_exchanges: int = 6) -> list[dict]:
       decimal-output     warn   DECIMAL output columns violate the engine's
                                 cross-engine hash contract (keep decimal
                                 internal to sums; cast outputs to double).
+      decimal-agg        info   a SUM with a DECIMAL-cast input: exact but
+                                boxed-BigDecimal per row; fact-sized
+                                fixed-point sums should use
+                                aggregates.exact_money_aggs (integer cents).
       many-exchanges     info   more than `max_exchanges` shuffles: check
                                 for a reusable partitioning or bucketing.
     """
@@ -144,6 +148,20 @@ def lint_plan(df: DataFrame, max_exchanges: int = 6) -> list[dict]:
                 "severity": "warn",
                 "detail": f"DECIMAL output columns {dec}: keep decimal internal "
                 "to sums, cast outputs to double (oracle-hash contract)",
+            }
+        )
+    # DECIMAL-buffered aggregation: exact, but >18-digit sum buffers
+    # box to Java BigDecimal per input row — the 60M-row probe
+    # measured 2-4x vs integer-cents staging on fact-sized aggs
+    if re.search(r"partial_sum\([^)]*cast\([^)]* as decimal", p, re.IGNORECASE):
+        findings.append(
+            {
+                "rule": "decimal-agg",
+                "severity": "info",
+                "detail": "DECIMAL-buffered SUM in the plan: exact but boxed "
+                "per row; for fact-sized fixed-point inputs use "
+                "aggregates.exact_money_aggs (integer cents — same "
+                "exactness, 2-4x measured)",
             }
         )
     # count real SHUFFLES only — BroadcastExchange/ReusedExchange are

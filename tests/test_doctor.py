@@ -106,3 +106,18 @@ def test_broadcast_exchanges_do_not_count_as_shuffles(spark):
 
     findings = lint_plan(QUERIES["q88_market_share"](spark, SF_DIR))
     assert "many-exchanges" not in rules_of(findings), findings
+
+
+def test_detects_decimal_buffered_aggregation(spark):
+    """A SUM over a DECIMAL-cast column gets the info finding; the
+    integer-cents twin of the same sum stays clean (the round-7
+    money-sum doctrine, operationalized)."""
+    df = spark.range(100).selectExpr("id % 3 AS k", "id / 7.0 AS v")
+    dec = df.groupBy("k").agg(
+        F.sum(F.col("v").cast("decimal(18,2)")).cast("double").alias("t")
+    )
+    assert "decimal-agg" in rules_of(lint_plan(dec))
+    cents = df.groupBy("k").agg(
+        (F.sum(F.round(F.col("v") * 100).cast("long")).cast("double") / 100.0).alias("t")
+    )
+    assert "decimal-agg" not in rules_of(lint_plan(cents))
