@@ -108,6 +108,84 @@ def main() -> None:
             out["aqe_markers"] = markers
         return out
 
+    # PROBE_BUCKETED=1: the recurring-join layout story, measured.
+    # Write lineitem+orders bucketed by the order key and run the
+    # q73-core shape (fact agg on the key + join) both ways: the
+    # bucketed plan must carry ZERO shuffle exchanges (bucket layout
+    # feeds both the aggregation and the join) — at 100 TB this is
+    # the difference between re-shuffling the fact every daily run
+    # and never shuffling it at all.
+    if os.environ.get("PROBE_BUCKETED"):
+        import re as _re
+
+        from pyspark.sql import functions as F
+
+        from data_warehouse_nhom8_spark.sources.tables import save_bucketed
+
+        s = spark.newSession()
+        s.conf.set("spark.sql.shuffle.partitions", str(parts))
+        li_raw = s.read.parquet(os.path.join(OUT, "lineitem.parquet"))
+        ord_raw = s.read.parquet(os.path.join(OUT, "orders.parquet"))
+
+        def q73_core(li, orders):
+            big = (
+                li.groupBy("l_orderkey")
+                .agg(
+                    (
+                        F.sum(F.round(F.col("l_quantity") * 100).cast("long")).cast(
+                            "double"
+                        )
+                        / 100.0
+                    ).alias("sum_qty")
+                )
+                .filter(F.col("sum_qty") > 300.0)
+            )
+            return big.join(
+                orders, big["l_orderkey"] == orders["o_orderkey"]
+            ).agg(F.count(F.lit(1)).alias("n"), F.sum("sum_qty").alias("q"))
+
+        def run(mk_df) -> tuple[float, int]:
+            # fresh DataFrame per pass: re-executing one DF object
+            # reuses its shuffle map outputs and only replays the
+            # final stage (bench.py's rule)
+            best = None
+            for _ in range(2):
+                df = mk_df()
+                t0 = time.perf_counter()
+                df.toArrow()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            n_ex = len(
+                _re.findall(
+                    r"\bExchange (?:hashpartitioning|rangepartitioning|SinglePartition)",
+                    plan,
+                )
+            )
+            return round(best, 2), n_ex
+
+        plain_sec, plain_ex = run(lambda: q73_core(li_raw, ord_raw))
+        for t in ("probe_li_b", "probe_ord_b"):
+            s.sql(f"DROP TABLE IF EXISTS {t}")
+        save_bucketed(li_raw, "probe_li_b", ["l_orderkey"], n_buckets=32)
+        save_bucketed(ord_raw, "probe_ord_b", ["o_orderkey"], n_buckets=32)
+        bucketed_sec, bucketed_ex = run(
+            lambda: q73_core(s.table("probe_li_b"), s.table("probe_ord_b"))
+        )
+        print(
+            json.dumps(
+                {
+                    "bucketed_demo": {
+                        "plain": {"sec": plain_sec, "shuffle_exchanges": plain_ex},
+                        "bucketed": {
+                            "sec": bucketed_sec,
+                            "shuffle_exchanges": bucketed_ex,
+                        },
+                    }
+                }
+            )
+        )
+
     li_rows = spark.read.parquet(os.path.join(OUT, "lineitem.parquet")).count()
     result = {
         "replication": REPL,
