@@ -283,10 +283,37 @@ def ivf_write_index(
     """Persist the IVF index partitioned by `cluster` — the at-rest
     layout that turns a probe's cluster filter into PARTITION PRUNING
     (only the probed cells' files are listed/read; plan-gated in
-    tests). Rebuild-on-refit: the index is derived data."""
+    tests). Rebuild-on-refit: the index is derived data. The centroid
+    MODEL (k x d floats — the other half a restarted prober needs)
+    lands beside it as `_MODEL.json`, so `ivf_load_model` +
+    `ivf_read_index` fully restore the ANN service with no session
+    state."""
     ivf_assign(embeddings, centroids, id_col=id_col, vec_col=vec_col).withColumnRenamed(
         "__v", "v"
     ).write.mode("overwrite").partitionBy("cluster").parquet(path)
+    ivf_save_model(centroids, path)
+
+
+def ivf_save_model(centroids: list[list[float]], path: str) -> None:
+    """Write the k x d centroid model as `_MODEL.json` under the index
+    dir (driver-side: the model IS driver-sized by construction)."""
+    import json
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "_MODEL.json"), "w") as fh:
+        json.dump(centroids, fh)
+
+
+def ivf_load_model(path: str) -> list[list[float]]:
+    """Centroid model back from `_MODEL.json`; raises FileNotFoundError
+    if the index was written before model persistence existed —
+    rebuild with ivf_write_index."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_MODEL.json")) as fh:
+        return json.load(fh)
 
 
 def ivf_read_index(spark, path: str) -> DataFrame:

@@ -1253,3 +1253,38 @@ def test_bpe_early_stop_and_empty(spark):
     df2 = spark.createDataFrame([(1, ""), (2, "   ")], "doc_id long, text string")
     out = {r["doc_id"]: list(r["bpe_tokens"]) for r in bpe.bpe_encode(df2, [("a", "b")]).collect()}
     assert out == {1: [], 2: []}
+
+
+def test_ivf_model_persists_beside_index(spark, tmp_path):
+    """Cold-restart restore: ivf_write_index persists the centroid
+    model as _MODEL.json; ivf_load_model + ivf_read_index fully
+    restore the prober with no session state — probe results identical
+    to the in-memory model."""
+    rng = np.random.default_rng(41)
+    vecs = rng.normal(size=(120, 8)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    model = similarity.ivf_fit_centroids(df, n_centroids=4, iters=2)
+    path = str(tmp_path / "ivf")
+    similarity.ivf_write_index(df, model, path)
+
+    reloaded = similarity.ivf_load_model(path)
+    assert reloaded == model  # JSON roundtrip of plain floats is exact
+
+    index = similarity.ivf_read_index(spark, path)
+    q = [float(x) for x in vecs[3]]
+    got = [
+        tuple(r)
+        for r in similarity.cosine_topk_ivf_probe(index, reloaded, q, k=5, n_probe=2)
+        .orderBy(F.desc("cosine"), "vec_id")
+        .collect()
+    ]
+    want = [
+        tuple(r)
+        for r in similarity.cosine_topk_ivf_probe(index, model, q, k=5, n_probe=2)
+        .orderBy(F.desc("cosine"), "vec_id")
+        .collect()
+    ]
+    assert got == want and len(got) == 5
