@@ -17,27 +17,38 @@ from pyspark.sql import functions as F
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: pricing-summary rollup (TPC-H-Q1 shape — the densest
     aggregate the engine plans: scan → partial agg → shuffle → final
-    agg, money sums in DECIMAL internally so results are
-    order-independent; outputs DOUBLE per the no-DECIMAL-output
-    contract)."""
+    agg). Money sums run as exact integer cents through
+    `aggregates.exact_money_aggs` (partition-bounded LONG partials +
+    DECIMAL(38,0) merge — order-independent at any parallelism, no
+    boxed-decimal hot path); outputs DOUBLE per the no-DECIMAL-output
+    contract."""
+    from data_warehouse_nhom8_spark.operators.aggregates import (
+        cents,
+        exact_money_aggs,
+    )
     from data_warehouse_nhom8_spark.sources import Catalog
 
     c = Catalog(spark, "/root/testdata/sf0.001")
-    li = c.lineitem
     return (
-        li.groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
-            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
-            .cast("double")
-            .alias("sum_base_price"),
-            F.sum(
-                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
-            )
-            .cast("double")
-            .alias("sum_disc_price"),
-            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
-            F.count(F.lit(1)).alias("count_order"),
+        exact_money_aggs(
+            c.lineitem,
+            ["l_returnflag", "l_linestatus"],
+            {
+                "sum_qty": (cents("l_quantity"), 100.0),
+                "sum_base_price": (cents("l_extendedprice"), 100.0),
+                "sum_disc_price": (
+                    cents("l_extendedprice") * (100 - cents("l_discount")),
+                    1e4,
+                ),
+            },
+            extra_partial={"count_order": F.count(F.lit(1))},
+            extra_final={
+                "avg_qty": F.round(F.col("sum_qty") / F.col("count_order"), 2)
+            },
+        )
+        .select(
+            "l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+            "sum_disc_price", "avg_qty", "count_order",
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
