@@ -78,6 +78,7 @@ def run_daily_pipeline(
     date_dim_range: tuple[str, str] = ("2024-01-01", "2046-01-01"),
     doctor_queries: dict | None = None,
     doctor_enforce: bool = False,
+    doctor_self: bool = False,
 ) -> dict:
     """Extract → staging → warehouse → datamart for one day.
     Returns per-stage row counts for monitoring.
@@ -85,7 +86,10 @@ def run_daily_pipeline(
     `doctor_queries` (name → DataFrame) opts into the pre-submit plan
     review: findings are ledgered per query before any stage runs
     (`preflight_doctor`); `doctor_enforce=True` aborts the day on a
-    fatal finding."""
+    fatal finding. `doctor_self=True` additionally lints the
+    pipeline's OWN stage plans (staging transform, datamart fact
+    input) as they are built — the 100 TB checklist applied to the
+    engine's own cron day (scripts/run_daily.py --doctor)."""
     ledger = RunLedger(spark, cfg.ledger_path)
     report: dict = {}
 
@@ -105,6 +109,15 @@ def run_daily_pipeline(
     dim = build_date_dim(spark, *date_dim_range)
     raw = read_day(spark, cfg.bronze_path, day)
     silver = transform_raw_jobs(raw, dim)
+    if doctor_self:
+        report.setdefault("doctor", {}).update(
+            {
+                name: len(f)
+                for name, f in preflight_doctor(
+                    ledger, day, {"staging_silver": silver}
+                ).items()
+            }
+        )
     current = snapshot_read(spark, cfg.staging_path, schemas.STAGING_JOBS)
     staged = upsert_staging(current, silver.select(*[f.name for f in schemas.STAGING_JOBS.fields]))
     snapshot_overwrite(staged, cfg.staging_path, schemas.STAGING_JOBS)
@@ -125,6 +138,15 @@ def run_daily_pipeline(
 
     # 4. datamart over live rows
     live = wh.filter(F.col("expired") == F.lit("9999-12-31").cast("date"))
+    if doctor_self:
+        report.setdefault("doctor", {}).update(
+            {
+                name: len(f)
+                for name, f in preflight_doctor(
+                    ledger, day, {"datamart_fact": live}
+                ).items()
+            }
+        )
     specs = cfg.aggregates or None
     report["datamart"] = (
         rebuild_datamart(live, cfg.datamart_path, specs)

@@ -55,6 +55,12 @@ def main() -> None:
         default="topcv_jobs,jobsgo_jobs",
         help="comma-separated source ids (reference parity default)",
     )
+    ap.add_argument(
+        "--doctor",
+        action="store_true",
+        help="lint the pipeline's own stage plans (staging transform, "
+        "datamart fact input) and ledger the findings as doctor:* rows",
+    )
     args = ap.parse_args()
 
     from data_warehouse_nhom8_spark.pipeline.config import load_config
@@ -71,7 +77,7 @@ def main() -> None:
         connectors = {s.strip(): conn for s in args.sources.split(",") if s.strip()}
 
     spark = get_spark("daily")
-    report = run_daily_pipeline(spark, cfg, connectors, day)
+    report = run_daily_pipeline(spark, cfg, connectors, day, doctor_self=args.doctor)
     print(json.dumps({"day": day.isoformat(), **report}, default=str))
 
 

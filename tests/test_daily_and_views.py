@@ -154,3 +154,30 @@ def test_daily_doctor_ledgers_seeded_anti_pattern(spark, tmp_path):
             spark, cfg, conns, D1,
             doctor_queries={"bad_report": bad}, doctor_enforce=True,
         )
+
+
+def test_daily_doctor_self_lints_pipeline_stages(spark, tmp_path):
+    """doctor_self=True lints the pipeline's own stage plans: the
+    staging transform and datamart fact input each get a Success
+    doctor ledger row (the engine's plans must pass its own
+    checklist)."""
+    cfg = EngineConfig(
+        bronze_path=str(tmp_path / "bronze"),
+        staging_path=str(tmp_path / "staging"),
+        warehouse_path=str(tmp_path / "warehouse"),
+        datamart_path=str(tmp_path / "dm"),
+        dashboard_path=None,
+        ledger_path=str(tmp_path / "ledger"),
+    )
+    rows = {D1: [("t1", "Dev", "ACME", "10 - 15 triệu")]}
+    r = run_daily_pipeline(
+        spark, cfg, {"topcv_jobs": mk_connector(rows)}, D1, doctor_self=True
+    )
+    assert set(r["doctor"]) == {"staging_silver", "datamart_fact"}
+
+    latest = {
+        row["process"]: row
+        for row in RunLedger(spark, cfg.ledger_path).latest_status().collect()
+    }
+    assert latest["doctor:staging_silver"]["status"] == "Success"
+    assert latest["doctor:datamart_fact"]["status"] == "Success"
