@@ -172,6 +172,8 @@ def main() -> None:
         bucketed_sec, bucketed_ex = run(
             lambda: q73_core(s.table("probe_li_b"), s.table("probe_ord_b"))
         )
+        for t in ("probe_li_b", "probe_ord_b"):  # ~1.2 GB of managed data
+            s.sql(f"DROP TABLE IF EXISTS {t}")
         print(
             json.dumps(
                 {
