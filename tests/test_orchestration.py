@@ -254,3 +254,52 @@ def test_auto_shuffle_partitions_scales_with_cores_and_bytes(tmp_path, spark):
     # i.e. exceed every floor, proving the bytes rule is actually live
     by_bytes = auto_shuffle_partitions(str(small), target_partition_bytes=1)
     assert by_bytes > DEFAULT_CPUS and by_bytes <= 4096
+
+
+def test_backfill_range_composition(spark, tmp_path):
+    """The backfill loop's semantics, driven directly: three
+    consecutive days through run_daily_pipeline with periodic
+    maintenance — each day's rows land, the ledger gates reruns, and
+    compaction after day 2 changes no results (what
+    scripts/run_backfill.py composes per CLI invocation)."""
+    import datetime
+
+    from data_warehouse_nhom8_spark.pipeline.config import AggSpec, EngineConfig
+    from data_warehouse_nhom8_spark.pipeline.daily import (
+        run_daily_pipeline,
+        run_weekly_maintenance,
+    )
+
+    cfg = EngineConfig(
+        bronze_path=str(tmp_path / "bronze"),
+        staging_path=str(tmp_path / "staging"),
+        warehouse_path=str(tmp_path / "wh"),
+        datamart_path=str(tmp_path / "dm"),
+        ledger_path=str(tmp_path / "ledger"),
+        locks_path=str(tmp_path / "locks"),
+        aggregates=(AggSpec("agg_job_by_company", "company_name", "total_jobs"),),
+    )
+    d0 = datetime.date(2025, 4, 1)
+    days = [d0 + datetime.timedelta(days=i) for i in range(3)]
+
+    def conn(source_id, d):
+        return [
+            {
+                "source_id": source_id, "job_id": f"j{d.day}", "job_title": "Dev",
+                "company_name": "ACME", "salary": "Thỏa thuận", "location": "HN",
+                "experience_required": "", "job_type": "", "posted_time": "hôm qua",
+                "tags": "", "job_url": f"https://x/j{d.day}", "company_logo": "",
+                "extracted_date": d.isoformat(), "extracted_timestamp": "",
+            }
+        ]
+
+    for i, day in enumerate(days):
+        r = run_daily_pipeline(spark, cfg, {"topcv_jobs": conn}, day)
+        assert r["staging_rows"] == i + 1
+        if i == 1:  # --maintenance-every 2 twin
+            m = run_weekly_maintenance(spark, cfg)
+            assert m["compacted_staging"] in (True, False)
+
+    final = run_daily_pipeline(spark, cfg, {"topcv_jobs": conn}, days[-1])
+    assert final["extract"] == {}  # rerun of the last day: fully gated
+    assert final["staging_rows"] == 3 and final["warehouse_rows"] == 3
