@@ -159,6 +159,22 @@ def _ledger_sections(ledger) -> list[str]:
             "<h2>source health</h2>\n"
             f'<table border="1" cellpadding="4"><tr>{head}</tr>{body}</table>'
         )
+    # volume drift: the silent-failure monitor — only flagged days
+    # render (a healthy fleet shows an empty section header nothing)
+    drift = ledger.volume_drift_view().toPandas()
+    flagged = drift[drift["drift"]] if len(drift) else drift
+    if len(flagged):
+        head = "".join(f"<th>{html.escape(c)}</th>" for c in flagged.columns)
+        body = "".join(
+            "<tr>"
+            + "".join(f"<td>{html.escape(str(v))}</td>" for v in row)
+            + "</tr>"
+            for row in flagged.itertuples(index=False)
+        )
+        sections.append(
+            "<h2>volume drift (flagged days)</h2>\n"
+            f'<table border="1" cellpadding="4"><tr>{head}</tr>{body}</table>'
+        )
     return sections
 
 

@@ -169,6 +169,53 @@ class RunLedger:
             .limit(k)
         )
 
+    def volume_drift_view(
+        self, window_days: int = 7, factor: float = 3.0
+    ) -> DataFrame:
+        """Per-(process, day) ingest-volume drift vs the trailing
+        window — the monitoring layer the reference's
+        check_scraper_status.sh lacks: a scraper that still exits 0
+        but suddenly returns 10 rows instead of 10,000 (layout change,
+        silent block) passes the success check and fails THIS one.
+
+        Latest Success row per (process, run_date), each day's
+        rows_processed compared to the avg of up to `window_days`
+        PRIOR days of the same process (deterministic bounded window,
+        one dim-sized shuffle on process); `drift` flags ratios
+        outside [1/factor, factor] or a zero-rows day. Days without
+        enough history (no prior runs) report NULL ratio, no flag."""
+        from pyspark.sql.window import Window
+
+        from data_warehouse_nhom8_spark.operators.windows import latest_per_key
+
+        latest = latest_per_key(
+            self._read().filter(F.col("status") == "Success"),
+            ["process", "run_date"],
+            [F.desc("log_id")],
+        ).select("process", "run_date", "rows_processed")
+        w = (
+            Window.partitionBy("process")
+            .orderBy("run_date")
+            .rowsBetween(-window_days, -1)
+        )
+        trailing = F.avg("rows_processed").over(w)
+        ratio = F.when(
+            trailing > 0, F.col("rows_processed") / trailing
+        )
+        return (
+            latest.withColumn("trailing_avg_rows", F.round(trailing, 2))
+            .withColumn("ratio", F.round(ratio, 4))
+            .withColumn(
+                "drift",
+                F.coalesce(F.col("rows_processed") == 0, F.lit(False))
+                | F.coalesce(
+                    (F.col("ratio") > factor) | (F.col("ratio") < 1.0 / factor),
+                    F.lit(False),
+                ),
+            )
+            .orderBy("process", "run_date")
+        )
+
     def prune(self, keep_days: int, today: datetime.date | None = None) -> int:
         """Retention sweep — the 30-day log cleanup (reference
         extract/cleanup_old_logs.sh:11): rewrite the ledger keeping

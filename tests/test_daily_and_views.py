@@ -181,3 +181,28 @@ def test_daily_doctor_self_lints_pipeline_stages(spark, tmp_path):
     }
     assert latest["doctor:staging_silver"]["status"] == "Success"
     assert latest["doctor:datamart_fact"]["status"] == "Success"
+
+
+def test_volume_drift_view_flags_collapsed_source(spark, tmp_path):
+    """A source that keeps succeeding but collapses from ~100 rows/day
+    to 3 must flag drift on the collapse day; steady sources and the
+    no-history first day stay clean; a zero-rows Success day always
+    flags."""
+    led = RunLedger(spark, str(tmp_path / "ledger"))
+    d0 = datetime.date(2025, 5, 1)
+    for i, rows in enumerate([100, 104, 98, 101, 3]):
+        day = d0 + datetime.timedelta(days=i)
+        lid = led.open_run("extract_topcv", day)
+        led.close_run(lid, "extract_topcv", day, "Success", rows_processed=rows)
+    lid = led.open_run("extract_zero", d0)
+    led.close_run(lid, "extract_zero", d0, "Success", rows_processed=0)
+
+    view = {
+        (r["process"], str(r["run_date"])): r
+        for r in led.volume_drift_view(window_days=7, factor=3.0).collect()
+    }
+    assert view[("extract_topcv", "2025-05-01")]["drift"] is False  # no history
+    assert view[("extract_topcv", "2025-05-04")]["drift"] is False  # steady
+    collapse = view[("extract_topcv", "2025-05-05")]
+    assert collapse["drift"] is True and collapse["ratio"] < 1 / 3.0
+    assert view[("extract_zero", "2025-05-01")]["drift"] is True  # zero rows
