@@ -212,3 +212,64 @@ def scd2_invariant_violations(snapshot: DataFrame, natural_keys: Sequence[str],
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") > 1)
     )
+
+
+def scd2_as_of(
+    snapshot: DataFrame,
+    as_of_date: str,
+    effective_col: str = "extracted_date",
+    expired_col: str = "expired",
+) -> DataFrame:
+    """Point-in-time read: the version of every key that was current
+    on `as_of_date` — rows with effective <= date < expired (the
+    half-open interval the merge maintains: on a change day the OLD
+    version expires at that day and the NEW one takes effect, so the
+    change day itself reads the new version, matching the reference's
+    'report reflects the morning load' semantics). The filter is two
+    pushable range predicates — at rest this prunes row groups on the
+    date columns' parquet stats."""
+    d = F.lit(as_of_date).cast("date")
+    return snapshot.filter(
+        (F.col(effective_col) <= d) & (d < F.col(expired_col))
+    )
+
+
+def scd2_temporal_join(
+    fact: DataFrame,
+    snapshot: DataFrame,
+    natural_keys: Sequence[str],
+    fact_date_col: str,
+    effective_col: str = "extracted_date",
+    expired_col: str = "expired",
+    how: str = "left",
+) -> DataFrame:
+    """Historically-correct enrichment: each fact row joins the dim
+    VERSION that was current at the fact's own date (reprocessing a
+    July fact against December dims is the classic SCD2 misuse this
+    prevents).
+
+    Scale notes: an equi-join on the natural key with the validity
+    residual evaluated inside the join — never a range explosion,
+    because a healthy SCD2 key's versions are disjoint half-open
+    intervals, so AT MOST ONE version matches any fact date (the
+    invariant `scd2_invariant_violations` checks). Shuffles on the
+    key like any dim join; broadcast the snapshot when dim-sized.
+    Dim columns arrive suffixed `_dim` where they would collide."""
+    f, s = fact.alias("__f"), snapshot.alias("__s")
+    cond = None
+    for k in natural_keys:
+        c = f[k] == s[k]
+        cond = c if cond is None else (cond & c)
+    cond = (
+        cond
+        & (s[effective_col] <= f[fact_date_col])
+        & (f[fact_date_col] < s[expired_col])
+    )
+    joined = f.join(s, cond, how)
+    fact_cols = set(fact.columns)
+    out_cols = [f[c] for c in fact.columns] + [
+        s[c].alias(f"{c}_dim") if c in fact_cols else s[c]
+        for c in snapshot.columns
+        if c not in natural_keys
+    ]
+    return joined.select(*out_cols)

@@ -198,3 +198,59 @@ def test_scd2_null_semantics(spark, null_safe, expect_versions):
     snap2 = scd2_merge(snap, inc2, ["job_title", "company_name"],
                        ["salary"], "2025-03-11", null_safe=null_safe)
     assert snap2.count() == expect_versions
+
+
+def test_scd2_as_of_reads_the_version_current_on_that_day(spark):
+    """Point-in-time read: before the change day the old version,
+    from the change day on the new one (half-open [effective,
+    expired)); before the first load, nothing."""
+    from data_warehouse_nhom8_spark.operators.scd2 import scd2_as_of
+
+    snap = first_load(spark)
+    inc2 = jobs_df(spark, [row("a", salary="Trên 25 triệu", d="2025-03-15")])
+    snap2 = scd2_merge(snap, inc2, ["job_title", "company_name"],
+                       ["salary", "location"], "2025-03-15")
+
+    before = {r["job_title"]: r["salary"] for r in scd2_as_of(snap2, "2025-03-12").collect()}
+    assert before["Dev"] == "10 - 15 triệu"
+    on_change = {r["job_title"]: r["salary"] for r in scd2_as_of(snap2, "2025-03-15").collect()}
+    assert on_change["Dev"] == "Trên 25 triệu"     # change day reads the new version
+    assert on_change["QA"] == "10 - 15 triệu"       # untouched key still present
+    assert scd2_as_of(snap2, "2025-03-01").count() == 0  # before first load
+    # exactly one version per key at any date
+    for d in ("2025-03-12", "2025-03-15", "2025-04-01"):
+        per_key = (
+            scd2_as_of(snap2, d).groupBy("job_title", "company_name")
+            .count().filter(F.col("count") > 1)
+        )
+        assert per_key.count() == 0, d
+
+
+def test_scd2_temporal_join_picks_version_at_fact_date(spark):
+    """Each fact row enriches with the dim version current at ITS OWN
+    date — one match per fact row, no range explosion."""
+    from data_warehouse_nhom8_spark.operators.scd2 import scd2_temporal_join
+
+    snap = first_load(spark)
+    inc2 = jobs_df(spark, [row("a", salary="Trên 25 triệu", d="2025-03-15")])
+    snap2 = scd2_merge(snap, inc2, ["job_title", "company_name"],
+                       ["salary", "location"], "2025-03-15")
+
+    fact = spark.createDataFrame(
+        [
+            (1, "Dev", "ACME", "2025-03-11"),
+            (2, "Dev", "ACME", "2025-03-20"),
+            (3, "QA", "Beta", "2025-03-20"),
+            (4, "Dev", "ACME", "2025-03-01"),   # before any version
+        ],
+        "txn_id long, job_title string, company_name string, txn_date string",
+    ).withColumn("txn_date", F.col("txn_date").cast("date"))
+
+    out = {r["txn_id"]: r for r in scd2_temporal_join(
+        fact, snap2, ["job_title", "company_name"], "txn_date"
+    ).collect()}
+    assert len(out) == 4                                  # left join: row count preserved
+    assert out[1]["salary"] == "10 - 15 triệu"            # pre-change version
+    assert out[2]["salary"] == "Trên 25 triệu"            # post-change version
+    assert out[3]["salary"] == "10 - 15 triệu"            # never-changed key
+    assert out[4]["salary"] is None                       # no version valid yet
