@@ -1065,14 +1065,16 @@ def q82_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     its fraction of the grand total. Revenue is exact integer 1e-4
     units — LONG partials bounded per (nation, input partition), then
     a DECIMAL(38,0) merge (per-nation totals exceed the LONG bound
-    past ~1e10 rows/nation); the window SUM runs over the exact
-    integer DECIMAL (order-independent — a double window sum would be
-    ULP-sensitive to row order), cast once before the single IEEE
-    division, so both engines produce bit-identical shares.
-    Scale notes: the unpartitioned window sees one row per nation —
-    dim-sized, like q74's max."""
-    from pyspark.sql.window import Window
-
+    past ~1e10 rows/nation); the grand total aggregates the per-nation
+    OUTPUT to one row over the exact integer DECIMAL
+    (order-independent — a double sum would be ULP-sensitive to row
+    order) and broadcasts back, cast once before the single IEEE
+    division, so both engines produce bit-identical shares. Nation
+    cardinality is FIXED (25), so either form is safe here; the
+    broadcast-scalar keeps the pattern uniform with q74/q102 where
+    the agg output scales with SF (cost: the per-nation agg lineage
+    appears twice in the static plan; exchange reuse collapses it
+    when sizes warrant)."""
     c = Catalog(spark, sf_dir)
     rev_e4 = cents_col("l_extendedprice") * (100 - cents_col("l_discount"))
     per_nation = (
@@ -1083,12 +1085,18 @@ def q82_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(F.sum(F.col("__p").cast("decimal(38,0)")).alias("__rd"))
     )
-    total = F.sum("__rd").over(Window.partitionBy())
-    return per_nation.select(
-        "n_name",
-        (F.col("__rd").cast("double") / 1e4).alias("revenue"),
-        (F.col("__rd").cast("double") / total.cast("double")).alias("share"),
-    ).orderBy("n_name")
+    total = per_nation.agg(F.sum("__rd").alias("__total"))
+    return (
+        per_nation.join(F.broadcast(total))
+        .select(
+            "n_name",
+            (F.col("__rd").cast("double") / 1e4).alias("revenue"),
+            (F.col("__rd").cast("double") / F.col("__total").cast("double")).alias(
+                "share"
+            ),
+        )
+        .orderBy("n_name")
+    )
 
 
 def q83_gap_filled_daily(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -249,14 +249,15 @@ def q74_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     count does not — so single-level is overflow-safe), so the
     MAX-equality selects the identical supplier set even under ties.
 
-    Scale notes: the naive Q15 (scalar subquery over the same agg)
-    scans the fact TWICE — once for the per-supplier revenue, once for
-    its max. The unpartitioned MAX window instead runs on the agg
-    OUTPUT (one row per supplier), so the fact is scanned once; the
-    single-partition window stage is over supplier cardinality, which
-    is dim-sized, not fact-sized."""
-    from pyspark.sql.window import Window
-
+    Scale notes: the MAX aggregates the per-supplier agg OUTPUT to
+    ONE row and broadcasts it back (round-7: this replaced an
+    unpartitioned window — suppliers scale linearly with SF, so at
+    100 TB that window would drag ~1e9 rows through one task, a hard
+    wall). The derivation appears twice in the static plan (the
+    classic Q15 tradeoff); both instances are pushed-filtered fully
+    parallel scans, and Spark's exchange reuse collapses them when
+    stage sizes warrant — two parallel scans beat one scan plus a
+    single-task window at any SF."""
     from data_warehouse_nhom8_spark.operators.aggregates import cents
 
     c = Catalog(spark, sf_dir)
@@ -275,9 +276,9 @@ def q74_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("total_revenue")
         )
     )
-    mx = F.max("total_revenue").over(Window.partitionBy())
+    mx = rev.agg(F.max("total_revenue").alias("__mx"))
     return (
-        rev.withColumn("__mx", mx)
+        rev.join(F.broadcast(mx))
         .filter(F.col("total_revenue") == F.col("__mx"))
         .drop("__mx")
         .join(c.supplier, F.col("l_suppkey") == c.supplier["s_suppkey"])
@@ -850,17 +851,19 @@ def q101_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q102_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape: important stock identification — per-part stock
     value in one nation, HAVING value above a share of the global
-    total. The global total is NOT a second aggregation pass: it is an
-    unpartitioned window over the per-part agg OUTPUT (part-cardinality
-    — dim-sized), so partsupp is derived/scanned once and the total is
-    effectively a one-row broadcast (q74's single-scan pattern).
+    total. The global total aggregates the per-part agg OUTPUT to one
+    row and broadcasts back (round-7: replaced an unpartitioned
+    window — parts scale linearly with SF, so at 100 TB that window
+    would single-task ~1e9 rows; the one-row broadcast keeps every
+    stage parallel). The map-only partsupp derivation appears twice
+    in the static plan (both branches re-derive from the part scan —
+    explode + integer math, no shuffle); exchange reuse collapses the
+    per-part shuffle when stage sizes warrant.
 
     Threshold is scale-free (1.5x the average per-part value) so the
     query returns rows at every SF; value arithmetic is exact BIGINT
     cents end-to-end, the threshold compare one IEEE divide+multiply
     on bit-identical inputs."""
-    from pyspark.sql.window import Window
-
     c = Catalog(spark, sf_dir)
     nation_supp = (
         c.supplier.join(
@@ -875,10 +878,11 @@ def q102_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("ps_partkey")
         .agg(F.sum(F.col("ps_supplycost_cents") * F.col("ps_availqty")).alias("__value_cents"))
     )
-    w = Window.partitionBy()
+    totals = per_part.agg(
+        F.sum("__value_cents").alias("__tot"), F.count(F.lit(1)).alias("__n")
+    )
     return (
-        per_part.withColumn("__tot", F.sum("__value_cents").over(w))
-        .withColumn("__n", F.count(F.lit(1)).over(w))
+        per_part.join(F.broadcast(totals))
         .filter(
             F.col("__value_cents").cast("double")
             > F.col("__tot").cast("double") / F.col("__n") * 1.5

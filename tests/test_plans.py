@@ -212,11 +212,17 @@ def test_q73_aggregates_before_joining(spark):
 
 
 def test_q74_single_fact_scan(spark):
-    """Q15 shape: the MAX-revenue scalar must come from a window over
-    the agg output, not a second scan of lineitem."""
+    """Q15 shape: the MAX-revenue scalar must come from a one-row
+    BROADCAST over the per-supplier agg output (round-7: replaced the
+    unpartitioned window — suppliers scale with SF, so the window
+    single-tasks at 100 TB). The derivation may appear twice (both
+    instances pushed-filtered parallel scans; exchange reuse
+    collapses them when sizes warrant) — what may NOT appear is an
+    all-rows-to-one-task stage."""
     p = plan_of(spark, "q74_top_supplier")
-    assert p.count("lineitem.parquet") == 1, "fact must be scanned once"
-    assert "Window" in p
+    assert p.count("lineitem.parquet") <= 2, "at most the classic Q15 double scan"
+    assert "Window" not in p, "scalar must not be a single-task window"
+    assert "CartesianProduct" not in p
 
 
 def test_q77_broadcasts_nation_and_takes_top20(spark):
@@ -261,12 +267,14 @@ def test_q81_group_concat_aggregates_partial(spark):
     assert "BroadcastHashJoin" in p
 
 
-def test_q82_share_window_over_agg_output(spark):
-    """The share-of-total window must run over the per-nation AGG
-    output (single fact scan) — not a second scan for the total."""
+def test_q82_share_total_is_broadcast_scalar(spark):
+    """The share-of-total must be a one-row broadcast over the
+    per-nation AGG output — never a single-task window (pattern
+    uniform with q74/q102); the agg lineage may appear twice."""
     p = plan_of(spark, "q82_revenue_share")
-    assert p.count("lineitem.parquet") == 1
-    assert "Window" in p
+    assert p.count("lineitem.parquet") <= 2
+    assert "Window" not in p
+    assert "CartesianProduct" not in p
 
 
 def test_q83_spine_is_dim_sized_single_fact_scan(spark):
@@ -447,14 +455,15 @@ def test_q101_decorrelated_min_is_window_single_derivation(spark):
     assert "TakeOrderedAndProject" in p, "top-100 must not global-sort"
 
 
-def test_q102_total_is_window_over_agg_output(spark):
-    """Q11 shape: the HAVING-over-global-share total must be an
-    unpartitioned window over the per-part agg OUTPUT (dim-sized) —
-    one partsupp derivation, one part scan, no second aggregation
-    pass over partsupp and no cartesian."""
+def test_q102_total_is_broadcast_scalar_over_agg_output(spark):
+    """Q11 shape: the HAVING-over-global-share total must be a one-row
+    broadcast over the per-part agg OUTPUT (parts scale with SF — an
+    unpartitioned window would single-task them at 100 TB) — one
+    partsupp derivation, one part scan, no second aggregation pass
+    over partsupp and no cartesian."""
     p = plan_of(spark, "q102_important_stock")
-    assert p.count("part.parquet") == 1, "partsupp must be derived exactly once"
-    assert "Window" in p
+    assert p.count("part.parquet") <= 2, "map-only derivation, at most twice"
+    assert "Window" not in p, "total must not be a single-task window"
     assert "CartesianProduct" not in p, p[:800]
 
 
