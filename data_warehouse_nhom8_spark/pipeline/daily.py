@@ -79,6 +79,8 @@ def run_daily_pipeline(
     doctor_queries: dict | None = None,
     doctor_enforce: bool = False,
     doctor_self: bool = False,
+    expectations: list | None = None,
+    expectations_enforce: bool = False,
 ) -> dict:
     """Extract → staging → warehouse → datamart for one day.
     Returns per-stage row counts for monitoring.
@@ -89,7 +91,14 @@ def run_daily_pipeline(
     fatal finding. `doctor_self=True` additionally lints the
     pipeline's OWN stage plans (staging transform, datamart fact
     input) as they are built — the 100 TB checklist applied to the
-    engine's own cron day (scripts/run_daily.py --doctor)."""
+    engine's own cron day (scripts/run_daily.py --doctor).
+
+    `expectations` (list of operators.expectations.Expect) runs the
+    declarative data-quality suite over the day's staged SILVER rows
+    in one aggregate pass, ledgered as `dq:staging_silver`;
+    `expectations_enforce=True` aborts the day before the warehouse
+    merge on any violation (the doctor checks the PLAN, expectations
+    check the DATA)."""
     ledger = RunLedger(spark, cfg.ledger_path)
     report: dict = {}
 
@@ -118,6 +127,21 @@ def run_daily_pipeline(
                 ).items()
             }
         )
+    if expectations:
+        from data_warehouse_nhom8_spark.operators.expectations import (
+            check_to_ledger,
+        )
+
+        counts = check_to_ledger(
+            silver, expectations, ledger, day, suite="staging_silver"
+        )
+        report["expectations"] = counts
+        bad = {k: v for k, v in counts.items() if v > 0}
+        if expectations_enforce and bad:
+            raise ValueError(
+                f"day {day}: data-quality expectations violated before the "
+                f"warehouse merge: {bad} — see the dq:staging_silver ledger row"
+            )
     current = snapshot_read(spark, cfg.staging_path, schemas.STAGING_JOBS)
     staged = upsert_staging(current, silver.select(*[f.name for f in schemas.STAGING_JOBS.fields]))
     snapshot_overwrite(staged, cfg.staging_path, schemas.STAGING_JOBS)

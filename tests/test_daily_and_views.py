@@ -206,3 +206,51 @@ def test_volume_drift_view_flags_collapsed_source(spark, tmp_path):
     collapse = view[("extract_topcv", "2025-05-05")]
     assert collapse["drift"] is True and collapse["ratio"] < 1 / 3.0
     assert view[("extract_zero", "2025-05-01")]["drift"] is True  # zero rows
+
+
+def test_daily_expectations_gate(spark, tmp_path):
+    """The declarative DQ suite runs over the day's silver rows,
+    ledgers dq:staging_silver, and enforce aborts before the
+    warehouse merge on a violation."""
+    import pytest
+
+    from data_warehouse_nhom8_spark.operators.expectations import Expect
+
+    cfg = EngineConfig(
+        bronze_path=str(tmp_path / "bronze"),
+        staging_path=str(tmp_path / "staging"),
+        warehouse_path=str(tmp_path / "warehouse"),
+        datamart_path=str(tmp_path / "dm"),
+        dashboard_path=None,
+        ledger_path=str(tmp_path / "ledger"),
+    )
+    rows = {D1: [("t1", "Dev", "ACME", "10 - 15 triệu")]}
+    conns = {"topcv_jobs": mk_connector(rows)}
+    suite_ok = [
+        Expect("job_id_not_null", "not_null", "job_id"),
+        Expect("job_id_unique", "unique", "job_id"),
+    ]
+    r = run_daily_pipeline(spark, cfg, conns, D1, expectations=suite_ok)
+    assert r["expectations"] == {"job_id_not_null": 0, "job_id_unique": 0}
+    latest = {
+        row["process"]: row
+        for row in RunLedger(spark, cfg.ledger_path).latest_status().collect()
+    }
+    assert latest["dq:staging_silver"]["status"] == "Success"
+
+    # a suite the fixture violates (company always ACME, so a
+    # values-check against something else fails) aborts under enforce
+    suite_bad = [
+        Expect("company_whitelist", "accepted_values", "company_name",
+               {"values": ["OtherCo"]}),
+    ]
+    with pytest.raises(ValueError, match="company_whitelist"):
+        run_daily_pipeline(
+            spark, cfg, conns, D1,
+            expectations=suite_bad, expectations_enforce=True,
+        )
+    latest = {
+        row["process"]: row
+        for row in RunLedger(spark, cfg.ledger_path).latest_status().collect()
+    }
+    assert latest["dq:staging_silver"]["status"] == "Failed"
