@@ -304,7 +304,10 @@ def exact_money_aggs(
     bit-identical at ANY parallelism and identical to a single-level
     integer sum in any engine (the DuckDB oracle uses SUM(BIGINT) →
     HUGEINT). Measured at 60M rows: 8.9 s (decimal-staged) → 3.9 s,
-    value-identical on every column.
+    value-identical on every column. Safety net: the engine runs with
+    ANSI mode on (Spark 4 default), so if an input ever breaks the
+    per-partition bound the LONG partial THROWS an overflow error
+    instead of silently wrapping.
 
     `cent_sums`: alias -> (integer-cents Column, divisor) — output is
     CAST(SUM(cents) AS DOUBLE) / divisor. `extra_partial` aggregates
