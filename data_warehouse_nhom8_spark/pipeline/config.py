@@ -43,6 +43,11 @@ class EngineConfig:
     truncate_before_insert: bool = True
     retry: RetryPolicy = field(default_factory=RetryPolicy)
     aggregates: tuple[AggSpec, ...] = ()
+    # declarative data-quality suite over the day's silver rows
+    # (operators.expectations.Expect tuples; same config-driven
+    # contract as the aggregate specs)
+    expectations: tuple = ()
+    expectations_enforce: bool = False
 
 
 def _text(root: ET.Element, path: str, default: str | None = None) -> str | None:
@@ -69,6 +74,29 @@ def load_config(xml_path: str) -> EngineConfig:
         retry_interval_sec=int(_text(root, "./extract/retry/retry_interval", "900") or 900),
     )
 
+    # <expectations enforce="true"><expect name=".." kind=".." col=".."
+    #   values="a,b" min=".." max=".." pattern=".." expr=".."/></expectations>
+    from data_warehouse_nhom8_spark.operators.expectations import Expect
+
+    exp_el = root.find("./expectations")
+    expectations, enforce = [], False
+    if exp_el is not None:
+        enforce = (exp_el.get("enforce", "false").lower() == "true")
+        for e in exp_el.findall("expect"):
+            params: dict = {}
+            if e.get("values") is not None:
+                params["values"] = [v.strip() for v in e.get("values").split(",")]
+            for num in ("min", "max"):
+                if e.get(num) is not None:
+                    raw = e.get(num)
+                    params[num] = float(raw) if "." in raw else int(raw)
+            for key in ("pattern", "expr"):
+                if e.get(key) is not None:
+                    params[key] = e.get(key)
+            expectations.append(
+                Expect(e.get("name"), e.get("kind"), e.get("col"), params)
+            )
+
     return EngineConfig(
         bronze_path=_text(root, "./paths/bronze", "data/bronze") or "data/bronze",
         staging_path=_text(root, "./paths/staging", "data/staging") or "data/staging",
@@ -77,6 +105,8 @@ def load_config(xml_path: str) -> EngineConfig:
         dashboard_path=_text(root, "./paths/dashboard", "") or "",
         ledger_path=_text(root, "./paths/ledger", "data/ledger") or "data/ledger",
         locks_path=_text(root, "./paths/locks", "data/locks") or "data/locks",
+        expectations=tuple(expectations),
+        expectations_enforce=enforce,
         truncate_before_insert=(
             (_text(root, "./settings/truncateBeforeInsert", "true") or "true").lower()
             == "true"

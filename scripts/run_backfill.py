@@ -60,7 +60,10 @@ def main() -> None:
     day, i = start, 0
     while day <= end:
         report = run_daily_pipeline(
-            spark, cfg, connectors, day, doctor_self=args.doctor
+            spark, cfg, connectors, day,
+            doctor_self=args.doctor,
+            expectations=list(cfg.expectations) or None,
+            expectations_enforce=cfg.expectations_enforce,
         )
         print(json.dumps({"day": day.isoformat(), **report}, default=str))
         i += 1

@@ -77,7 +77,12 @@ def main() -> None:
         connectors = {s.strip(): conn for s in args.sources.split(",") if s.strip()}
 
     spark = get_spark("daily")
-    report = run_daily_pipeline(spark, cfg, connectors, day, doctor_self=args.doctor)
+    report = run_daily_pipeline(
+        spark, cfg, connectors, day,
+        doctor_self=args.doctor,
+        expectations=list(cfg.expectations) or None,
+        expectations_enforce=cfg.expectations_enforce,
+    )
     print(json.dumps({"day": day.isoformat(), **report}, default=str))
 
 

@@ -41,6 +41,12 @@ SAMPLE_XML = """<?xml version="1.0" encoding="UTF-8"?>
       <groupBy>location</groupBy>
       <metrics><metric>COUNT(*) AS n</metric></metrics></table>
   </aggregates>
+  <expectations enforce="true">
+    <expect name="job_id_not_null" kind="not_null" col="job_id"/>
+    <expect name="status_ok" kind="accepted_values" col="status" values="a,b"/>
+    <expect name="score_range" kind="in_range" col="score" min="0" max="100"/>
+    <expect name="pair_order" kind="expression" expr="lo &lt;= hi"/>
+  </expectations>
 </configuration>
 """
 
@@ -56,6 +62,15 @@ def test_config_loader(tmp_path):
     assert not cfg.truncate_before_insert
     assert [a.table_name for a in cfg.aggregates] == ["agg_job_by_company", "agg_job_by_city"]
     assert cfg.aggregates[1].count_alias == "n"
+    # config-driven DQ suite (same XML contract as the aggregate specs)
+    assert cfg.expectations_enforce is True
+    kinds = {e.name: e.kind for e in cfg.expectations}
+    assert kinds == {"job_id_not_null": "not_null", "status_ok": "accepted_values",
+                     "score_range": "in_range", "pair_order": "expression"}
+    by_name = {e.name: e for e in cfg.expectations}
+    assert by_name["status_ok"].params["values"] == ["a", "b"]
+    assert by_name["score_range"].params == {"min": 0, "max": 100}
+    assert by_name["pair_order"].params["expr"] == "lo <= hi"
 
 
 def test_retry_until_ledger_success(spark, tmp_path):
