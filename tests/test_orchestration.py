@@ -318,3 +318,24 @@ def test_backfill_range_composition(spark, tmp_path):
     final = run_daily_pipeline(spark, cfg, {"topcv_jobs": conn}, days[-1])
     assert final["extract"] == {}  # rerun of the last day: fully gated
     assert final["staging_rows"] == 3 and final["warehouse_rows"] == 3
+
+
+def test_backfill_cli_importable():
+    """scripts/run_backfill.py must import cleanly with the scripts
+    dir on sys.path (its `from run_daily import file_connector` is how
+    the CLI resolves when run as a script)."""
+    import importlib.util
+    import os
+    import sys
+
+    scripts = os.path.join(os.path.dirname(__file__), "..", "scripts")
+    sys.path.insert(0, scripts)
+    try:
+        spec = importlib.util.spec_from_file_location(
+            "run_backfill", os.path.join(scripts, "run_backfill.py")
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        assert callable(mod.main)
+    finally:
+        sys.path.remove(scripts)
