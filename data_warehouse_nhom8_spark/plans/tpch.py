@@ -796,7 +796,7 @@ _PARTSUPP_SQL = """
            CAST((p.p_partkey * 53 + t.i * 41) % 20000 + 100 AS BIGINT) AS ps_supplycost_cents,
            CAST((p.p_partkey * 53 + t.i * 41) % 20000 + 100 AS DOUBLE) / 100.0 AS ps_supplycost
     FROM part p
-    CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS i) t
+    CROSS JOIN (VALUES (0), (1), (2), (3)) AS t(i)
     CROSS JOIN (SELECT COUNT(*) AS s_cnt FROM supplier) sc
   )
 """
