@@ -311,9 +311,11 @@ def exact_money_aggs(
 
     `cent_sums`: alias -> (integer-cents Column, divisor) — output is
     CAST(SUM(cents) AS DOUBLE) / divisor. `extra_partial` aggregates
-    (e.g. counts) ride stage 1 and are summed in stage 2;
-    `extra_final` expressions are evaluated over the stage-2 output
-    (refer to sum aliases / extra_partial aliases by name)."""
+    ride stage 1 and are SUMMED in stage 2 — they must be
+    sum-mergeable (counts, sums; a min/max would need a matching
+    merge and is not supported here). `extra_final` expressions are
+    evaluated over the stage-2 output (refer to sum aliases /
+    extra_partial aliases by name)."""
     extra_partial = extra_partial or {}
     partial = df.groupBy(
         *group_cols, F.spark_partition_id().alias("__pid")
