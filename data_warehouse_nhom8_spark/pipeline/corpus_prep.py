@@ -155,3 +155,99 @@ def run_corpus_prep(
                 error_message=str(e)[:500], start_time=start,
             )
         raise
+
+
+def build_training_mix(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_root: str,
+    token_budget: int,
+    seq_len: int = 512,
+    seed: str = "epoch0",
+    strata_col: str = "source",
+    ledger: RunLedger | None = None,
+    run_date: datetime.date | None = None,
+) -> dict:
+    """Data-recipe materialization — the step after corpus prep: turn
+    a cleaned corpus into one epoch's training mix.
+
+    Chain (every piece individually certified): temperature mixture
+    weights over the corpus (q97) → weighted document sample sized to
+    ~`token_budget` tokens (largest-remainder quotas, the q59/q96
+    machinery) → deterministic md5 epoch shuffle (q96; same seed ⇒
+    identical mix, new seed ⇒ new order) → per-shard sequence-packing
+    manifest in shuffle order (q94).
+
+    Outputs under `out_root` (versioned snapshots): `mix_weights/`,
+    `mix_sample/` (sampled docs + shuffle_key), `mix_manifest/`
+    (per-(shard, seq) packing rows). Returns a conservation report:
+    manifest token totals EQUAL the sample's token totals by
+    construction (pytest-gated).
+
+    Scale notes: weights are a dim-sized aggregate; the sample is one
+    WindowGroupLimit pass (cap rows per stratum cross the shuffle);
+    the packing window partitions by the shard column so parallelism
+    = shard count; nothing here scans the corpus more than the two
+    passes (stats + sample)."""
+    from data_warehouse_nhom8_spark.operators.corpus import (
+        deterministic_shuffle_key,
+        sequence_packing_manifest,
+        temperature_mixture_weights,
+        weighted_mixture,
+    )
+
+    t0 = datetime.datetime.now()
+    run_date = run_date or datetime.date.today()
+    log_id = ledger.open_run("training_mix", run_date) if ledger else None
+    try:
+        weights_df = temperature_mixture_weights(
+            docs, token_budget, strata_col=strata_col
+        )
+        stats = docs.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_count_col("text")).alias("n_tokens"),
+        ).collect()[0]
+        if not stats["n_docs"]:
+            raise ValueError("empty corpus")
+        avg_tokens = stats["n_tokens"] / stats["n_docs"]
+        total_rows = max(1, int(token_budget / avg_tokens))
+        weights = {r["source"]: r["mix_weight"] for r in weights_df.collect()}
+
+        sampled = weighted_mixture(
+            docs, strata_col, weights, total_rows, order_key=F.md5("text")
+        )
+        shuffled = deterministic_shuffle_key(sampled, seed=seed)
+        manifest = sequence_packing_manifest(
+            shuffled, seq_len=seq_len, shard_col=strata_col, id_col="shuffle_key"
+        )
+
+        snapshot_overwrite(weights_df, f"{out_root}/mix_weights")
+        snapshot_overwrite(shuffled, f"{out_root}/mix_sample")
+        snapshot_overwrite(manifest, f"{out_root}/mix_manifest")
+
+        sample = snapshot_read(spark, f"{out_root}/mix_sample")
+        man = snapshot_read(spark, f"{out_root}/mix_manifest")
+        sampled_tokens = sample.agg(
+            F.sum(token_count_col("text")).alias("t")
+        ).collect()[0]["t"] or 0
+        packed_tokens = man.agg(F.sum("tokens_started").alias("t")).collect()[0]["t"] or 0
+        report = {
+            "sampled_docs": sample.count(),
+            "sampled_tokens": int(sampled_tokens),
+            "packed_tokens": int(packed_tokens),
+            "n_sequences": man.count(),
+            "token_budget": token_budget,
+        }
+        if ledger:
+            ledger.close_run(
+                log_id, "training_mix", run_date, "Success",
+                rows_processed=report["sampled_docs"], start_time=t0,
+            )
+        return report
+    except Exception as e:
+        if ledger:
+            ledger.close_run(
+                log_id, "training_mix", run_date, "Failed",
+                error_message=str(e)[:500], start_time=t0,
+            )
+        raise

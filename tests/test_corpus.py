@@ -290,3 +290,61 @@ def test_per_source_cap_deterministic_and_seed_sensitive(spark):
     assert a == b           # rerun-stable
     assert a != c           # reseeding reselects
     assert len(a) == len(c) == 12  # 3 sources x cap
+
+
+def test_build_training_mix_end_to_end(spark, tmp_path):
+    """Data-recipe materialization: sampled token mass lands near the
+    budget, the packing manifest conserves every sampled token, the
+    mix respects the temperature weights' ordering (bigger source ->
+    more sampled docs but sub-linearly), and the same seed reproduces
+    the identical mix while a new seed reorders the same documents."""
+    import pyspark.sql.functions as F
+
+    from data_warehouse_nhom8_spark.pipeline.corpus_prep import build_training_mix
+    from data_warehouse_nhom8_spark.pipeline.ledger import RunLedger
+
+    rows = []
+    did = 0
+    for source, n_docs in (("web", 60), ("books", 15), ("code", 5)):
+        for i in range(n_docs):
+            rows.append((did, source, " ".join(f"w{did}x{j}" for j in range(20))))
+            did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    out = str(tmp_path / "mix")
+    ledger = RunLedger(spark, str(tmp_path / "ledger"))
+    report = build_training_mix(
+        spark, docs, out, token_budget=600, seq_len=64, seed="e0", ledger=ledger
+    )
+    # 600-token budget over 20-token docs => ~30 docs sampled
+    assert report["sampled_docs"] == 30
+    assert report["packed_tokens"] == report["sampled_tokens"]  # conservation
+    assert report["sampled_tokens"] == 600
+    assert report["n_sequences"] >= 600 // 64
+
+    from data_warehouse_nhom8_spark.sources.snapshots import snapshot_read
+
+    sample = snapshot_read(spark, f"{out}/mix_sample")
+    per_source = {
+        r["source"]: r["n"]
+        for r in sample.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # temperature flattening: web > books > code, but web gets LESS
+    # than its raw 60/80 share (sqrt flattening)
+    assert per_source["web"] > per_source["books"] > per_source["code"] >= 1
+    assert per_source["web"] / 30 < 60 / 80
+
+    ids1 = sorted(r["doc_id"] for r in sample.collect())
+    order1 = [r["doc_id"] for r in sample.orderBy("shuffle_key").collect()]
+    build_training_mix(spark, docs, out, token_budget=600, seq_len=64, seed="e0")
+    sample2 = snapshot_read(spark, f"{out}/mix_sample")
+    assert sorted(r["doc_id"] for r in sample2.collect()) == ids1  # same seed: same mix
+    assert [r["doc_id"] for r in sample2.orderBy("shuffle_key").collect()] == order1
+
+    build_training_mix(spark, docs, out, token_budget=600, seq_len=64, seed="e1")
+    sample3 = snapshot_read(spark, f"{out}/mix_sample")
+    assert sorted(r["doc_id"] for r in sample3.collect()) == ids1  # same docs
+    assert [r["doc_id"] for r in sample3.orderBy("shuffle_key").collect()] != order1
+
+    latest = {r["process"]: r for r in ledger.latest_status().collect()}
+    assert latest["training_mix"]["status"] == "Success"
