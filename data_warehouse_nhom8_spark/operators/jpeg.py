@@ -298,11 +298,18 @@ def _category(v: int) -> int:
     return int(v).bit_length() if v >= 0 else int(-v).bit_length()
 
 
-def encode_jpeg(arr: np.ndarray, qstep: int = 2, subsample: bool = False) -> bytes:
+def encode_jpeg(
+    arr: np.ndarray, qstep: int = 2, subsample: bool | str = False
+) -> bytes:
     """Encode (h, w, 3) uint8 RGB as baseline JPEG. 4:4:4 by default;
-    `subsample=True` emits 4:2:0 (2x2-mean chroma). With the default
-    qstep=2, flat 8x8-aligned blocks roundtrip exactly (DC = 8*(v-128)
-    is always even; every AC coefficient is zero)."""
+    `subsample=True` or "420" emits 4:2:0 (2x2-mean chroma), "422"
+    emits 4:2:2 (horizontal-only 1x2 mean — exercises the decoder's
+    anisotropic upsampling). With the default qstep=2, flat
+    8x8-aligned blocks roundtrip exactly (DC = 8*(v-128) is always
+    even; every AC coefficient is zero)."""
+    mode = {False: "444", True: "420"}.get(subsample, subsample)
+    if mode not in ("444", "420", "422"):
+        raise ValueError(f"subsample mode {subsample!r}")
     arr = np.asarray(arr, np.float64)
     h, w = arr.shape[:2]
     r, g, b = arr[:, :, 0], arr[:, :, 1], arr[:, :, 2]
@@ -310,13 +317,20 @@ def encode_jpeg(arr: np.ndarray, qstep: int = 2, subsample: bool = False) -> byt
     cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
     cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
 
-    if subsample:
+    if mode == "420":
         hpad, wpad = (h + 1) & ~1, (w + 1) & ~1
         cb = np.pad(cb, ((0, hpad - h), (0, wpad - w)), mode="edge")
         cr = np.pad(cr, ((0, hpad - h), (0, wpad - w)), mode="edge")
         cb = cb.reshape(hpad // 2, 2, wpad // 2, 2).mean(axis=(1, 3))
         cr = cr.reshape(hpad // 2, 2, wpad // 2, 2).mean(axis=(1, 3))
         samp = [(2, 2), (1, 1), (1, 1)]
+    elif mode == "422":
+        wpad = (w + 1) & ~1
+        cb = np.pad(cb, ((0, 0), (0, wpad - w)), mode="edge")
+        cr = np.pad(cr, ((0, 0), (0, wpad - w)), mode="edge")
+        cb = cb.reshape(h, wpad // 2, 2).mean(axis=2)
+        cr = cr.reshape(h, wpad // 2, 2).mean(axis=2)
+        samp = [(2, 1), (1, 1), (1, 1)]
     else:
         samp = [(1, 1), (1, 1), (1, 1)]
     planes = [y, cb, cr]

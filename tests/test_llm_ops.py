@@ -1063,6 +1063,11 @@ def test_jpeg_codec_roundtrips():
 
     flat = np.full((24, 40, 3), [200, 30, 90], np.uint8)
     assert np.array_equal(decode_jpeg(encode_jpeg(flat, subsample=True)), flat)
+    # 4:2:2 exercises the decoder's horizontal-only (anisotropic)
+    # chroma upsampling, including an odd width
+    assert np.array_equal(decode_jpeg(encode_jpeg(flat, subsample="422")), flat)
+    odd_w = np.full((16, 37, 3), [10, 250, 77], np.uint8)
+    assert np.array_equal(decode_jpeg(encode_jpeg(odd_w, subsample="422")), odd_w)
 
     xs = np.linspace(0, 255, 64)
     grad = np.repeat(
