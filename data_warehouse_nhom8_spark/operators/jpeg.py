@@ -299,14 +299,20 @@ def _category(v: int) -> int:
 
 
 def encode_jpeg(
-    arr: np.ndarray, qstep: int = 2, subsample: bool | str = False
+    arr: np.ndarray,
+    qstep: int = 2,
+    subsample: bool | str = False,
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode (h, w, 3) uint8 RGB as baseline JPEG. 4:4:4 by default;
     `subsample=True` or "420" emits 4:2:0 (2x2-mean chroma), "422"
     emits 4:2:2 (horizontal-only 1x2 mean — exercises the decoder's
     anisotropic upsampling). With the default qstep=2, flat
     8x8-aligned blocks roundtrip exactly (DC = 8*(v-128) is always
-    even; every AC coefficient is zero)."""
+    even; every AC coefficient is zero). `restart_interval` > 0 emits
+    a DRI segment and RSTn markers every N MCUs (byte-aligned, DC
+    predictors reset) — the camera-JPEG resync structure, exercising
+    the decoder's segmented entropy stream."""
     mode = {False: "444", True: "420"}.get(subsample, subsample)
     if mode not in ("444", "420", "422"):
         raise ValueError(f"subsample mode {subsample!r}")
@@ -385,6 +391,7 @@ def encode_jpeg(
             code, ln = ac_enc[0x00]  # EOB
             wr.write(code, ln)
 
+    mcu_n, total_mcus = 0, mcuy * mcux
     for my in range(mcuy):
         for mx in range(mcux):
             for ci, (plane, (sh, sv)) in enumerate(zip(padded, samp)):
@@ -393,6 +400,17 @@ def encode_jpeg(
                         put_block(
                             plane, (my * sv + v) * 8, (mx * sh + hh) * 8, ci
                         )
+            mcu_n += 1
+            if (
+                restart_interval
+                and mcu_n % restart_interval == 0
+                and mcu_n < total_mcus
+            ):
+                wr.flush()  # byte-align before the marker
+                wr.out += bytes(
+                    [0xFF, 0xD0 + (mcu_n // restart_interval - 1) % 8]
+                )
+                pred[:] = [0, 0, 0]
     wr.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
@@ -416,6 +434,9 @@ def encode_jpeg(
         + bytes([0x10]) + bytes(_ENC_AC_BITS) + bytes(_ENC_AC_VALS),
     )
     sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    dri = (
+        seg(0xDD, restart_interval.to_bytes(2, "big")) if restart_interval else b""
+    )
     return (
-        b"\xff\xd8" + dqt + sof + dht + sos + bytes(wr.out) + b"\xff\xd9"
+        b"\xff\xd8" + dqt + sof + dri + dht + sos + bytes(wr.out) + b"\xff\xd9"
     )

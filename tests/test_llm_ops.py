@@ -1081,6 +1081,12 @@ def test_jpeg_codec_roundtrips():
     assert do.shape == (19, 37, 3)
     assert np.abs(do.astype(int) - odd.astype(int)).max() <= 1
 
+    # restart markers (DRI/RSTn, the camera-JPEG resync structure):
+    # exact roundtrip at several intervals, including interval 1
+    for ri in (1, 2, 5):
+        dec_r = decode_jpeg(encode_jpeg(img, restart_interval=ri))
+        assert np.abs(dec_r.astype(int) - img.astype(int)).max() <= 1, ri
+
     prog = bytearray(encode_jpeg(img))
     sof = prog.index(b"\xff\xc0")
     prog[sof + 1] = 0xC2  # masquerade as progressive
