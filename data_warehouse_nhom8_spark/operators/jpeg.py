@@ -314,7 +314,7 @@ def encode_jpeg(
     predictors reset) — the camera-JPEG resync structure, exercising
     the decoder's segmented entropy stream."""
     mode = {False: "444", True: "420"}.get(subsample, subsample)
-    if mode not in ("444", "420", "422"):
+    if mode not in ("444", "420", "422", "gray"):
         raise ValueError(f"subsample mode {subsample!r}")
     arr = np.asarray(arr, np.float64)
     h, w = arr.shape[:2]
@@ -337,9 +337,11 @@ def encode_jpeg(
         cb = cb.reshape(h, wpad // 2, 2).mean(axis=2)
         cr = cr.reshape(h, wpad // 2, 2).mean(axis=2)
         samp = [(2, 1), (1, 1), (1, 1)]
+    elif mode == "gray":
+        samp = [(1, 1)]
     else:
         samp = [(1, 1), (1, 1), (1, 1)]
-    planes = [y, cb, cr]
+    planes = [y] if mode == "gray" else [y, cb, cr]
 
     q = np.full(64, qstep, np.int32)
     dc_enc = _encode_codes(_ENC_DC_BITS, _ENC_DC_VALS)
@@ -356,7 +358,7 @@ def encode_jpeg(
         )
 
     wr = _BitWriter()
-    pred = [0, 0, 0]
+    pred = [0] * len(planes)
 
     def put_block(plane, y0, x0, ci):
         block = plane[y0 : y0 + 8, x0 : x0 + 8] - 128.0
@@ -410,19 +412,20 @@ def encode_jpeg(
                 wr.out += bytes(
                     [0xFF, 0xD0 + (mcu_n // restart_interval - 1) % 8]
                 )
-                pred[:] = [0, 0, 0]
+                pred[:] = [0] * len(planes)
     wr.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
         return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
 
     dqt = seg(0xDB, bytes([0]) + bytes(q.astype(np.uint8).tolist()))
+    ncomp = len(planes)
     sof = seg(
         0xC0,
         bytes([8])
         + h.to_bytes(2, "big")
         + w.to_bytes(2, "big")
-        + bytes([3])
+        + bytes([ncomp])
         + b"".join(
             bytes([cid, (sh << 4) | sv, 0])
             for cid, (sh, sv) in zip((1, 2, 3), samp)
@@ -433,7 +436,12 @@ def encode_jpeg(
         bytes([0x00]) + bytes(_ENC_DC_BITS) + bytes(_ENC_DC_VALS)
         + bytes([0x10]) + bytes(_ENC_AC_BITS) + bytes(_ENC_AC_VALS),
     )
-    sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    sos = seg(
+        0xDA,
+        bytes([ncomp])
+        + b"".join(bytes([cid, 0x00]) for cid in (1, 2, 3)[:ncomp])
+        + bytes([0, 63, 0]),
+    )
     dri = (
         seg(0xDD, restart_interval.to_bytes(2, "big")) if restart_interval else b""
     )

@@ -1081,6 +1081,12 @@ def test_jpeg_codec_roundtrips():
     assert do.shape == (19, 37, 3)
     assert np.abs(do.astype(int) - odd.astype(int)).max() <= 1
 
+    # grayscale (1-component) decode: broadcasts to 3 channels exactly
+    gray_rgb = np.repeat(_flat_block_image(3, 5, seed=4)[:, :, :1], 3, axis=2)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(gray_rgb, subsample="gray")), gray_rgb
+    )
+
     # restart markers (DRI/RSTn, the camera-JPEG resync structure):
     # exact roundtrip at several intervals, including interval 1
     for ri in (1, 2, 5):
