@@ -8,14 +8,16 @@ any sampling factors whose h/v divide the maxima (4:4:4, 4:2:2,
 float IDCT via the orthonormal DCT-II basis. Progressive (SOF2) and
 arithmetic coding raise NotImplementedError.
 
-Encoder: the roundtrip twin the tests need — baseline 4:4:4 or 4:2:0,
-fixed quant step (default 2: flat 8x8 blocks roundtrip EXACTLY, since
-their only nonzero coefficient is the always-even DC), simple
-canonical Huffman tables (DC: 12 symbols at 4 bits; AC: the 162
-standard run/size symbols at 8 bits — legal, suboptimal, tiny to
-declare). The decoder takes the tables from the DHT segment, so it
-reads real-world JPEGs with the standard Annex-K tables just the
-same.
+Encoder: the roundtrip twin the tests need — baseline 4:4:4, 4:2:0,
+4:2:2 or grayscale, optional restart markers, fixed quant step
+(default 2: flat 8x8 blocks roundtrip EXACTLY, since their only
+nonzero coefficient is the always-even DC), simple canonical Huffman
+tables (DC: 12 symbols at 4 bits; AC: the 162 standard run/size
+symbols at 8 bits — legal, suboptimal, tiny to declare). The decoder
+takes the tables from the DHT segment, so it reads real-world JPEGs
+with the standard Annex-K tables just the same; every decoder path
+(samplings, grayscale, restarts, rejects) is exercised by
+encoder-generated fixtures in tests.
 
 This is the engine-side codec for `operators.multimodal._decode_image`
 (SURVEY.md §2k X4); the reference stack has no image path at all, so
