@@ -207,6 +207,18 @@ def test_volume_drift_view_flags_collapsed_source(spark, tmp_path):
     assert collapse["drift"] is True and collapse["ratio"] < 1 / 3.0
     assert view[("extract_zero", "2025-05-01")]["drift"] is True  # zero rows
 
+    # explosion (a scraper suddenly 10x — layout change double-counting)
+    for i, rows in enumerate([50, 52, 49, 600]):
+        day = d0 + datetime.timedelta(days=i)
+        lid = led.open_run("extract_burst", day)
+        led.close_run(lid, "extract_burst", day, "Success", rows_processed=rows)
+    view = {
+        (r["process"], str(r["run_date"])): r
+        for r in led.volume_drift_view(window_days=7, factor=3.0).collect()
+    }
+    burst = view[("extract_burst", "2025-05-04")]
+    assert burst["drift"] is True and burst["ratio"] > 3.0
+
 
 def test_daily_expectations_gate(spark, tmp_path):
     """The declarative DQ suite runs over the day's silver rows,
