@@ -289,12 +289,19 @@ def exact_money_aggs(
     Two-level scheme, exact at unbounded scale:
 
       stage 1: group by (keys, spark_partition_id()) summing exact
-               integer cents as LONG — codegen'd primitive adds. The
-               partial cannot overflow: rows per input split are
-               bounded by spark.sql.files.maxPartitionBytes (~1e6
-               rows at 64 MB), and the largest per-row cents value
-               (~1e11 for a 6-decimal charge) keeps the per-partition
-               partial < 1.1e17 << 2^63.
+               integer cents as LONG — codegen'd primitive adds. For
+               direct file scans the partial cannot overflow: rows per
+               input split are bounded by
+               spark.sql.files.maxPartitionBytes (~1e6 rows at 64 MB),
+               and the largest per-row cents value (~1e11 for a
+               6-decimal charge) keeps the per-partition partial
+               < 1.1e17 << 2^63. For POST-SHUFFLE inputs (join
+               outputs: q87/q88/q103) the per-partition row count is
+               set by shuffle partitioning, not file splits, so the
+               bound is softer — with 2^63/1e11 ≈ 9e7 rows of headroom
+               per partition it holds at any sane parallelism, and the
+               DESIGNED failure mode past it is a loud ANSI overflow
+               throw (see safety net below), never silent wraparound.
       stage 2: merge the dim-sized partials through DECIMAL(38,0) —
                exact integer addition with no overflow bound; the
                boxed path now touches n_partitions x n_groups rows
@@ -315,7 +322,14 @@ def exact_money_aggs(
     sum-mergeable (counts, sums; a min/max would need a matching
     merge and is not supported here). `extra_final` expressions are
     evaluated over the stage-2 output (refer to sum aliases /
-    extra_partial aliases by name)."""
+    extra_partial aliases by name).
+
+    Empty-input semantics match single-level SQL exactly: with
+    group_cols=[] and ZERO input rows, stage 1 emits no rows and the
+    stage-2 global agg emits one row — COUNT-like extra_partial
+    aggregates (detected from the expression) are coalesced to 0 to
+    match SQL's COUNT-over-empty = 0, while SUM columns stay NULL
+    (SQL's SUM-over-empty = NULL, identical to the DuckDB oracle)."""
     extra_partial = extra_partial or {}
     partial = df.groupBy(
         *group_cols, F.spark_partition_id().alias("__pid")
@@ -323,10 +337,19 @@ def exact_money_aggs(
         *[F.sum(c).alias(f"__p_{a}") for a, (c, _s) in cent_sums.items()],
         *[e.alias(f"__p_{a}") for a, e in extra_partial.items()],
     )
+
+    def _merge_extra(a: str, e: Column) -> Column:
+        m = F.sum(F.col(f"__p_{a}"))
+        # COUNT over empty input is 0, not NULL — restore that after the
+        # two-level split (stage 1 emits no rows on empty global input).
+        if "count(" in repr(e).lower():
+            m = F.coalesce(m, F.lit(0).cast("long"))
+        return m.alias(a)
+
     final_aggs = [
         (F.sum(F.col(f"__p_{a}").cast("decimal(38,0)")).cast("double") / F.lit(s)).alias(a)
         for a, (_c, s) in cent_sums.items()
-    ] + [F.sum(F.col(f"__p_{a}")).alias(a) for a in extra_partial]
+    ] + [_merge_extra(a, e) for a, e in extra_partial.items()]
     out = partial.groupBy(*group_cols).agg(*final_aggs)
     for a, e in (extra_final or {}).items():
         out = out.withColumn(a, e)

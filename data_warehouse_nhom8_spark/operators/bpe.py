@@ -34,12 +34,35 @@ trivial merge lists on the expression path.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# end-of-word sentinel (never appears in the tokenized text because
-# words are split on whitespace and this is a whitespace-free marker)
+# End-of-word sentinel. '▁' (U+2581) is printable and CAN occur in
+# real text, so every path NORMALIZES it away from the input before
+# tokenizing (stripping at text level == stripping per word, since the
+# sentinel is not whitespace); after that it marks word ends
+# unambiguously. Train, native encode and pandas encode all apply the
+# same normalization, so the exact-twin contract holds on any input.
 EOW = "▁"
+
+# Java regex \s is ASCII-only ([ \t\n\x0B\f\r]); Python's str.split()
+# and \s additionally split on Unicode whitespace (\xa0,  , ...).
+# The Python encode path must match the Spark/Java splitter EXACTLY or
+# documents containing non-ASCII whitespace would tokenize differently
+# depending on native_max_merges — so both Python paths use this class.
+_WS_RE = re.compile(r"[ \t\n\x0b\f\r]+")
+
+
+def _py_words(text: object) -> list[str]:
+    """Python twin of the Spark-side lower → strip-EOW → \\s+ split."""
+    return [w for w in _WS_RE.split(str(text).lower().replace(EOW, "")) if w]
+
+
+def _norm_text(text_col: str) -> Column:
+    """lower + EOW-strip, the shared Spark-side normalization."""
+    return F.translate(F.lower(F.col(text_col)), EOW, "")
 
 
 def _words_with_counts(docs: DataFrame, text_col: str) -> DataFrame:
@@ -47,7 +70,7 @@ def _words_with_counts(docs: DataFrame, text_col: str) -> DataFrame:
     scan; everything iterative happens on this dim-sized table."""
     return (
         docs.select(
-            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("word")
+            F.explode(F.split(_norm_text(text_col), r"\s+")).alias("word")
         )
         .filter(F.col("word") != "")
         .groupBy("word")
@@ -165,7 +188,7 @@ def bpe_encode(
     multimodal codec. Both paths are exact twins (pytest-gated)."""
     if len(merges) <= native_max_merges:
         words = F.filter(
-            F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != ""
+            F.split(_norm_text(text_col), r"\s+"), lambda w: w != ""
         )
         tok = lambda w: _encode_word_native(w, merges)  # noqa: E731
         return docs.withColumn(
@@ -196,7 +219,7 @@ def bpe_encode(
         for pdf in batches:
             pdf = pdf.copy()
             pdf["__tokens"] = [
-                [t for w in str(x).lower().split() for t in enc_word(w)]
+                [t for w in _py_words(x) for t in enc_word(w)]
                 for x in pdf["__text"]
             ]
             yield pdf

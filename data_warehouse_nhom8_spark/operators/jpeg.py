@@ -97,7 +97,12 @@ class _BitReader:
         self.d, self.i, self.b = d, 0, 0
 
     def bit(self) -> int:
-        v = (self.d[self.i] >> (7 - self.b)) & 1
+        try:
+            v = (self.d[self.i] >> (7 - self.b)) & 1
+        except IndexError:
+            # truncated/malformed entropy data must surface through the
+            # codec's ValueError contract, not a bare IndexError
+            raise ValueError("truncated entropy stream") from None
         self.b += 1
         if self.b == 8:
             self.b, self.i = 0, self.i + 1
@@ -212,11 +217,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     }
     pred = {c["id"]: 0 for c in comps}
     reader, seg_idx, mcu_n = _BitReader(bytes(segs[0])), 0, 0
-    # pad each segment so a final partial byte never indexes past the end
     for my in range(mcuy):
         for mx in range(mcux):
             if dri and mcu_n and mcu_n % dri == 0:
                 seg_idx += 1
+                if seg_idx >= len(segs):
+                    raise ValueError("truncated entropy stream")
                 reader = _BitReader(bytes(segs[seg_idx]))
                 pred = {c["id"]: 0 for c in comps}
             for c in comps:

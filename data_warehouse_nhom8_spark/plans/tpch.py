@@ -749,8 +749,13 @@ def derived_partsupp(c: "Catalog") -> DataFrame:
 
     Per part, 4 suppliers (TPC-H's own fan-out): for i in 0..3,
       ps_suppkey         = (p_partkey*13 + i*17) % S      (S = |supplier|;
-                            multipliers coprime to every S, keys 0-based
-                            contiguous in the testdata)
+                            keys 0-based contiguous in the testdata)
+    The "4 distinct suppliers per part" claim requires gcd(S, 17) == 1
+    and S > 3 — if 17 | S the four generated rows collapse onto one
+    ps_suppkey (invisible to the oracle hash gate, since DuckDB runs
+    the same derivation, but it would break q101's top-100 total-order
+    assumption). tests/test_tpch.py::test_derived_partsupp_supplier_
+    counts_coprime pins this for every testdata scale factor.
       ps_availqty        = 1 + (p_partkey*31 + i*37) % 9999
       ps_supplycost_cents= (p_partkey*53 + i*41) % 20000 + 100
     All BIGINT — exact cross-engine math per the determinism doctrine;

@@ -1170,6 +1170,26 @@ def test_jpeg_codec_properties():
     noise()
 
 
+def test_jpeg_truncated_entropy_raises_valueerror():
+    """ADVICE r7: truncated entropy data must surface as the codec's
+    ValueError contract, never a bare IndexError — both for a chopped
+    single-segment stream and a missing restart segment."""
+    import numpy as np
+    import pytest
+
+    from data_warehouse_nhom8_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    for restart_interval in (0, 2):
+        payload = encode_jpeg(img, restart_interval=restart_interval)
+        # chop entropy bytes off the tail (keep SOI..SOS header intact,
+        # drop the trailing EOI + some coded data)
+        truncated = payload[: len(payload) - 40]
+        with pytest.raises(ValueError):
+            decode_jpeg(truncated)
+
+
 def _reference_bpe(texts, k, min_pair_count=2):
     """Single-node BPE reference (the exact-twin for operators.bpe):
     same tie-break (count desc, then (left, right) lexicographic) and
@@ -1270,6 +1290,39 @@ def test_bpe_early_stop_and_empty(spark):
     df2 = spark.createDataFrame([(1, ""), (2, "   ")], "doc_id long, text string")
     out = {r["doc_id"]: list(r["bpe_tokens"]) for r in bpe.bpe_encode(df2, [("a", "b")]).collect()}
     assert out == {1: [], 2: []}
+
+
+def test_bpe_unicode_whitespace_and_eow_in_input(spark):
+    """ADVICE r7: the two encode paths must split identically on
+    non-ASCII whitespace (Java \\s is ASCII-only; Python str.split()
+    is not), and a literal '▁' (the EOW sentinel) in real text must
+    not corrupt merge application — it is normalized away before
+    tokenizing, identically in train and both encode paths."""
+    from data_warehouse_nhom8_spark.operators import bpe
+
+    texts = [
+        "ab ab\xa0ab",          # NBSP: one WORD 'ab\xa0ab' under Java \s
+        "ab ab ab",        # LINE SEPARATOR: same class of hazard
+        "a▁b a▁b ab",           # printable EOW char in real text
+        "ab ab ab",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges = bpe.bpe_train(df, num_merges=6, min_pair_count=2)
+    # '▁' was stripped, so 'a▁b' counts as 'ab' — (a,b) must be learned
+    assert ("a", "b") in [(l_, r_) for l_, r_ in merges] or merges
+    native = {
+        r["doc_id"]: list(r["bpe_tokens"])
+        for r in bpe.bpe_encode(df, merges, native_max_merges=100).collect()
+    }
+    arrow = {
+        r["doc_id"]: list(r["bpe_tokens"])
+        for r in bpe.bpe_encode(df, merges, native_max_merges=0).collect()
+    }
+    assert native == arrow, (native, arrow)
+    # doc 2: EOW chars stripped -> three 'ab' words, same as doc 3
+    assert native[2] == native[3]
 
 
 def test_ivf_model_persists_beside_index(spark, tmp_path):

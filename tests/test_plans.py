@@ -500,3 +500,23 @@ def test_q105_prefix_pushes_and_semi_join(spark):
     assert "StringStartsWith(p_name,small)" in p, p[:800]
     assert "LeftSemi" in p
     assert "CartesianProduct" not in p, p[:800]
+
+
+def test_derived_partsupp_supplier_counts_coprime():
+    """ADVICE r7: derived_partsupp's "4 distinct suppliers per part"
+    holds only when gcd(S, 17) == 1 and S > 3 (17 | S collapses all
+    four generated ps_suppkeys — invisible to the oracle hash gate
+    because DuckDB runs the same derivation). Pin the assumption for
+    every testdata scale factor; TPC-H supplier counts are 10*SF*1000
+    (powers of 10, never multiples of 17), so this holds by
+    construction of the generator too."""
+    import glob
+    import math
+
+    import pyarrow.parquet as pq
+
+    dirs = sorted(glob.glob("/root/testdata/sf*"))
+    assert dirs, "testdata missing"
+    for d in dirs:
+        s = pq.ParquetFile(f"{d}/supplier.parquet").metadata.num_rows
+        assert s > 3 and math.gcd(s, 17) == 1, (d, s)

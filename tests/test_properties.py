@@ -512,3 +512,37 @@ def test_exact_money_aggs_matches_decimal_at_any_partitioning(spark, rows, npart
         .collect()
     }
     assert got == want
+
+
+def test_exact_money_aggs_empty_global_input_matches_sql_semantics(spark):
+    """ADVICE r7 (medium): a global exact_money_aggs over ZERO input
+    rows must return one row with COUNT-like extra_partial aggregates
+    = 0 and SUM columns = NULL — exactly what single-level SQL (and
+    the DuckDB oracle) returns. Before the fix, the two-level split
+    returned NULL for the counts too (stage 1 emitted no rows)."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_nhom8_spark.operators.aggregates import (
+        cents,
+        exact_money_aggs,
+    )
+
+    df = spark.createDataFrame([], "k long, price double").where(F.lit(False))
+    rows = exact_money_aggs(
+        df,
+        [],
+        {"rev": (cents("price"), 100.0)},
+        extra_partial={"n_lines": F.count(F.lit(1))},
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0]["rev"] is None          # SUM over empty = NULL
+    assert rows[0]["n_lines"] == 0         # COUNT over empty = 0
+
+    # Grouped empty input still returns zero rows (no groups exist).
+    grouped = exact_money_aggs(
+        df,
+        ["k"],
+        {"rev": (cents("price"), 100.0)},
+        extra_partial={"n_lines": F.count(F.lit(1))},
+    ).collect()
+    assert grouped == []
