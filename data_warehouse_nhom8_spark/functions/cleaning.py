@@ -106,6 +106,52 @@ def normalize_text(c: Column | str) -> Column:
     return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
 
 
+# Vietnamese + Latin-1 diacritic fold (1:1 translate): every accented
+# lowercase form the reference's utf8mb4 job data carries, mapped to
+# its base letter. Uppercase is handled by lower() first.
+_ACCENTED = (
+    "áàảãạăắằẳẵặâấầẩẫậ"
+    "éèẻẽẹêếềểễệ"
+    "íìỉĩị"
+    "óòỏõọôốồổỗộơớờởỡợ"
+    "úùủũụưứừửữự"
+    "ýỳỷỹỵ"
+    "đ"
+    "äëïöüÿçñ"
+)
+_FOLDED = (
+    "aaaaaaaaaaaaaaaaa"
+    "eeeeeeeeeee"
+    "iiiii"
+    "ooooooooooooooooo"
+    "uuuuuuuuuuu"
+    "yyyyy"
+    "d"
+    "aeiouycn"
+)
+assert len(_ACCENTED) == len(_FOLDED)
+
+
+def canonical_key(c: Column | str) -> Column:
+    """PLAIN-STRING canonical form of a text key: trim → collapse
+    whitespace → lower → fold Vietnamese/Latin diacritics. Binary
+    equality of the result matches `collation_key`'s UNICODE_CI_AI
+    equality on the reference's data domain (Vietnamese job text +
+    Latin-1), and the output is an ordinary STRING — which is what
+    makes it a legal BUCKET column (Spark rejects collated types for
+    bucketing: INVALID_BUCKET_COLUMN_DATA_TYPE). This is the persisted
+    `__nk_*` representation of the bucketed SCD2 warehouse.
+
+    Contract vs `collation_key`: scripts outside the fold table (full-
+    width forms, ligatures, non-Latin accents) fall back to unicode
+    case-insensitive-only matching — documented tradeoff of the
+    bucketed layout, not a general substitute for ICU collation."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.translate(
+        F.lower(F.regexp_replace(F.trim(col), r"\s+", " ")), _ACCENTED, _FOLDED
+    )
+
+
 def collation_key(c: Column | str, collation: str = "UNICODE_CI_AI") -> Column:
     """utf8mb4_unicode_ci-equivalent comparison key via Spark 4 native
     collations: UNICODE_CI_AI is case- AND accent-insensitive, so

@@ -45,6 +45,47 @@ def upsert_last_writer_wins(
     )
 
 
+def upsert_keyed_join(
+    current: DataFrame | None,
+    incoming: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[Column] = (),
+) -> DataFrame:
+    """Exact twin of `upsert_last_writer_wins` with a JOIN-shaped plan
+    — the production merge for bucketed snapshots (pytest-gated
+    equivalence in tests/test_upsert_scd2.py).
+
+    Why a second formulation exists: the window form unions current
+    with the increment and ranks the WHOLE table on the key — one full
+    shuffle of the snapshot per daily merge, every day, forever. This
+    form dedups the increment alone (window over increment-scale
+    rows), then keeps `current` rows via one BROADCAST LEFT ANTI join
+    on the keys: the snapshot side never shuffles, and over a bucketed
+    snapshot (sources.snapshots bucket_by) the whole merge plan is
+    Exchange-free on the table side. At 100 TB: cost is O(increment)
+    shuffle + one table stream, vs O(table) shuffle for the window
+    form.
+
+    Contract: `current` must be unique per key (the invariant every
+    upsert output maintains). The window form additionally dedups an
+    unhealthy current; this form preserves it — feed it snapshots,
+    not raw data."""
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(
+        *(order_by or [F.lit(1)])
+    )
+    inc = (
+        incoming.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    if current is None:
+        return inc
+    kept = current.join(
+        F.broadcast(inc.select(*keys)), on=list(keys), how="left_anti"
+    )
+    return kept.unionByName(inc.select(*current.columns))
+
+
 def insert_ignore(current: DataFrame, incoming: DataFrame, keys: Sequence[str]) -> DataFrame:
     """`mysqldump --insert-ignore` replay semantics (D3): existing keys
     win, duplicates within the increment are dropped arbitrarily."""

@@ -31,7 +31,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from data_warehouse_nhom8_spark.functions.cleaning import collation_key
+from data_warehouse_nhom8_spark.functions.cleaning import canonical_key, collation_key
 
 CURRENT_SENTINEL = "9999-12-31"
 
@@ -47,8 +47,18 @@ def scd2_merge(
     null_safe: bool = True,
     normalize_keys: bool = True,
     collate_compare: bool = True,
+    keep_norm_keys: bool = False,
 ) -> DataFrame:
     """Return the post-merge snapshot (history + current rows).
+
+    `keep_norm_keys=True` PERSISTS the normalized-key columns
+    (`__nk_<key>`) in the output — the bucketed-warehouse contract:
+    the snapshot is bucketed on the normalized keys (the columns the
+    merge actually joins on), so the next day's merge reads a scan
+    already hash-distributed on its join key and the live side never
+    shuffles. When `current` arrives carrying `__nk_*` columns they
+    are REUSED, not recomputed — a recompute would alias away the
+    scan's bucket partitioning and reintroduce the Exchange.
 
     `incoming` must carry the business columns (natural keys +
     compare_cols + any payload); `current` additionally carries
@@ -65,13 +75,23 @@ def scd2_merge(
     sentinel = F.lit(CURRENT_SENTINEL).cast("date")
     eff = F.lit(effective_date).cast("date")
 
+    def norm_expr(k: str):
+        if not normalize_keys:
+            return F.col(k)
+        # keep_norm_keys persists the key for BUCKETING, so it must be
+        # a plain string (collated types are illegal bucket columns):
+        # canonical_key = binary-comparable fold with the same equality
+        # as collation_key on the reference's data domain. The
+        # non-persisted path keeps native ICU collation.
+        return canonical_key(k) if keep_norm_keys else collation_key(k)
+
     def with_norm(df: DataFrame) -> DataFrame:
         # collation_key = native UNICODE_CI_AI (case+accent-insensitive,
         # the utf8mb4_unicode_ci twin) — 'Hà Nội' and 'Ha Noi' are one key
         for k in natural_keys:
-            df = df.withColumn(
-                f"__nk_{k}", collation_key(k) if normalize_keys else F.col(k)
-            )
+            if f"__nk_{k}" in df.columns:
+                continue  # persisted (bucketed snapshot) — reuse as-is
+            df = df.withColumn(f"__nk_{k}", norm_expr(k))
         return df
 
     nk = [f"__nk_{k}" for k in natural_keys]
@@ -87,15 +107,17 @@ def scd2_merge(
     tiebreak = [F.asc_nulls_first(c) for c in incoming.columns]
     inc = latest_per_key(inc_n, nk, tiebreak)
 
+    nk_drop = [] if keep_norm_keys else nk
+
     if current is None:
-        new_rows = inc.drop(*nk)
+        new_rows = inc.drop(*nk_drop) if nk_drop else inc
         return _assign_sks(new_rows, None, sk_col, natural_keys).withColumn(
             expired_col, sentinel
         )
 
     cur = with_norm(current)
     live = cur.filter(F.col(expired_col) == sentinel)
-    dead = cur.filter(F.col(expired_col) != sentinel).drop(*nk)
+    dead = cur.filter(F.col(expired_col) != sentinel).drop(*nk_drop)
 
     inc_cmp = inc.select(
         *nk,
@@ -120,10 +142,10 @@ def scd2_merge(
     inc_cols = [f"__inc_{c}" for c in compare_cols]
     expired_now = (
         j.filter(is_changed)
-        .drop(*inc_cols, "__matched", *nk)
+        .drop(*inc_cols, "__matched", *nk_drop)
         .withColumn(expired_col, eff)
     )
-    still_live = j.filter(~is_changed).drop(*inc_cols, "__matched", *nk)
+    still_live = j.filter(~is_changed).drop(*inc_cols, "__matched", *nk_drop)
 
     # New versions: incoming keys that are brand-new OR whose live row
     # just got expired (changed). Equivalent to anti-join against the
@@ -131,7 +153,7 @@ def scd2_merge(
     unchanged_keys = j.filter(~is_changed).select(*nk)
     new_versions = (
         inc.join(unchanged_keys, on=nk, how="left_anti")
-        .drop(*nk)
+        .drop(*nk_drop)
         .withColumn(expired_col, sentinel)
     )
     new_with_sks = _assign_sks(new_versions, cur.drop(*nk), sk_col, natural_keys)

@@ -81,9 +81,25 @@ def run_daily_pipeline(
     doctor_self: bool = False,
     expectations: list | None = None,
     expectations_enforce: bool = False,
+    bucketed: bool = True,
+    n_buckets: int = 16,
 ) -> dict:
     """Extract → staging → warehouse → datamart for one day.
     Returns per-stage row counts for monitoring.
+
+    `bucketed` (DEFAULT ON, round 8): the staging snapshot is bucketed
+    on `job_id` (the D1 merge key — staging/init_staging_db_v2.sql:69
+    UNIQUE(job_id)) and the warehouse snapshot on the NORMALIZED SCD2
+    natural keys (`__nk_job_title`, `__nk_company_name` — the columns
+    the merge joins on, persisted via scd2_merge(keep_norm_keys=True);
+    load_to_wh.sh:66-67). Every later writer inherits the layout from
+    the snapshot's `_BUCKETS.json` (sticky), so the daily D1 upsert
+    and D2 merge read scans already hash-distributed on their merge
+    keys and the table side plans WITHOUT an Exchange — the storage
+    decision that made the recurring-join probe 4.6x faster at 60M
+    rows (SCALE_NOTES.md). `bucketed=False` keeps/creates plain
+    parquet for tables that are already plain (it never demotes an
+    existing bucketed table — layout is sticky).
 
     `doctor_queries` (name → DataFrame) opts into the pre-submit plan
     review: findings are ledgered per query before any stage runs
@@ -144,19 +160,47 @@ def run_daily_pipeline(
             )
     current = snapshot_read(spark, cfg.staging_path, schemas.STAGING_JOBS)
     staged = upsert_staging(current, silver.select(*[f.name for f in schemas.STAGING_JOBS.fields]))
-    snapshot_overwrite(staged, cfg.staging_path, schemas.STAGING_JOBS)
+    snapshot_overwrite(
+        staged,
+        cfg.staging_path,
+        schemas.STAGING_JOBS,
+        bucket_by=["job_id"] if bucketed else None,
+        n_buckets=n_buckets,
+    )
     staging_df = snapshot_read(spark, cfg.staging_path, schemas.STAGING_JOBS)
     report["staging_rows"] = staging_df.count()
 
     # 3. warehouse SCD2 merge (ledger-gated; snapshot persisted BEFORE
     # the Success row so a crash can't strand a done-but-unwritten day)
     warehouse = snapshot_read(spark, cfg.warehouse_path)
+    from data_warehouse_nhom8_spark.pipeline.warehouse_load import SCD2_NATURAL_KEYS
+    from data_warehouse_nhom8_spark.sources.snapshots import snapshot_bucket_spec
+
+    wh_buckets = [f"__nk_{k}" for k in SCD2_NATURAL_KEYS]
+    # sticky layout: an existing bucketed warehouse keeps its persisted
+    # __nk_* bucket columns even under bucketed=False (never demote)
+    wh_spec = snapshot_bucket_spec(cfg.warehouse_path)
+    keep_nk = bucketed or (
+        wh_spec is not None and any(c.startswith("__nk_") for c in wh_spec["cols"])
+    )
 
     def persist(snapshot):
-        snapshot_overwrite(snapshot, cfg.warehouse_path)
+        snapshot_overwrite(
+            snapshot,
+            cfg.warehouse_path,
+            bucket_by=wh_buckets if bucketed else None,
+            n_buckets=n_buckets,
+        )
         return snapshot_read(spark, cfg.warehouse_path)
 
-    load_day_to_warehouse(staging_df, warehouse, day, ledger=ledger, persist=persist)
+    load_day_to_warehouse(
+        staging_df,
+        warehouse,
+        day,
+        ledger=ledger,
+        persist=persist,
+        keep_norm_keys=keep_nk,
+    )
     wh = snapshot_read(spark, cfg.warehouse_path)
     report["warehouse_rows"] = wh.count()
 

@@ -31,7 +31,7 @@ from data_warehouse_nhom8_spark.functions.cleaning import (
     clean_salary_cols,
     posted_date_col,
 )
-from data_warehouse_nhom8_spark.operators.dedup import upsert_last_writer_wins
+from data_warehouse_nhom8_spark.operators.dedup import upsert_keyed_join
 
 STAGING_PROJECTION = [
     "job_id",
@@ -76,8 +76,14 @@ def transform_raw_jobs(raw: DataFrame, date_dim: DataFrame) -> DataFrame:
 
 def upsert_staging(current: DataFrame | None, transformed: DataFrame) -> DataFrame:
     """D1 merge on the UNIQUE(job_id) contract; within a batch the
-    newest extracted_date wins."""
-    return upsert_last_writer_wins(
+    newest extracted_date wins.
+
+    Production plan (round 8): the JOIN-shaped merge — the snapshot
+    side streams through one broadcast anti join and never shuffles
+    (Exchange-free over the bucketed staging snapshot; the window
+    form, kept as the generic D1 operator, shuffles the whole table
+    per merge). Exact-twin equivalence is pytest-gated."""
+    return upsert_keyed_join(
         current,
         transformed,
         keys=["job_id"],

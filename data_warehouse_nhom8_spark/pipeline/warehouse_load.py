@@ -44,6 +44,7 @@ def load_day_to_warehouse(
     process: str = "load_to_wh",
     null_safe: bool = True,
     persist=None,
+    keep_norm_keys: bool = False,
 ) -> DataFrame:
     """Merge one day's staging increment into the SCD2 `job` table and
     return the new snapshot. Skip-if-done honoured via the ledger.
@@ -68,6 +69,7 @@ def load_day_to_warehouse(
         compare_cols=list(SCD2_COMPARE_COLS),
         effective_date=day.isoformat(),
         null_safe=null_safe,
+        keep_norm_keys=keep_norm_keys,
     )
     if persist is not None:
         snapshot = persist(snapshot)

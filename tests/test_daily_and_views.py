@@ -266,3 +266,58 @@ def test_daily_expectations_gate(spark, tmp_path):
         for row in RunLedger(spark, cfg.ledger_path).latest_status().collect()
     }
     assert latest["dq:staging_silver"]["status"] == "Failed"
+
+
+def test_daily_pipeline_bucketed_twin_of_plain(spark, tmp_path):
+    """The bucketed-by-default pipeline (round 8) must produce exactly
+    the same business state as a plain-parquet run: same staging rows,
+    same warehouse history (ignoring the persisted __nk_* bucket
+    columns), same datamart counts — and the snapshots actually carry
+    the bucket layout."""
+    from data_warehouse_nhom8_spark.sources.snapshots import (
+        snapshot_bucket_spec,
+        snapshot_read,
+    )
+
+    rows = {
+        D1: [("t1", "Dev", "Hà Nội Corp", "10 - 15 triệu"),
+             ("g1", "QA", "Beta", "Tới 20 triệu")],
+        D2: [("t1", "Dev", "ha noi corp", "Trên 25 triệu"),  # CI_AI same company
+             ("t9", "Intern", "ACME", "Thỏa thuận")],
+    }
+
+    def run(tag, bucketed):
+        cfg = EngineConfig(
+            bronze_path=str(tmp_path / tag / "bronze"),
+            staging_path=str(tmp_path / tag / "staging"),
+            warehouse_path=str(tmp_path / tag / "warehouse"),
+            datamart_path=str(tmp_path / tag / "dm"),
+            ledger_path=str(tmp_path / tag / "ledger"),
+        )
+        conns = {"topcv_jobs": mk_connector(rows)}
+        for d in (D1, D2):
+            r = run_daily_pipeline(spark, cfg, conns, d, bucketed=bucketed)
+        return cfg, r
+
+    cfg_b, rb = run("bucketed", True)
+    cfg_p, rp = run("plain", False)
+    assert rb["staging_rows"] == rp["staging_rows"]
+    assert rb["warehouse_rows"] == rp["warehouse_rows"]
+    assert rb["datamart"] == rp["datamart"]
+
+    assert snapshot_bucket_spec(cfg_b.staging_path)["cols"] == ["job_id"]
+    assert snapshot_bucket_spec(cfg_b.warehouse_path)["cols"] == [
+        "__nk_job_title", "__nk_company_name",
+    ]
+    assert snapshot_bucket_spec(cfg_p.staging_path) is None
+    assert snapshot_bucket_spec(cfg_p.warehouse_path) is None
+
+    wh_b = snapshot_read(spark, cfg_b.warehouse_path)
+    wh_p = snapshot_read(spark, cfg_p.warehouse_path)
+    biz = [c for c in wh_p.columns if not c.startswith("__nk_")]
+    assert sorted(map(tuple, wh_b.select(*biz).collect())) == sorted(
+        map(tuple, wh_p.select(*biz).collect())
+    )
+    stg_b = sorted(map(tuple, snapshot_read(spark, cfg_b.staging_path).collect()))
+    stg_p = sorted(map(tuple, snapshot_read(spark, cfg_p.staging_path).collect()))
+    assert stg_b == stg_p

@@ -568,3 +568,135 @@ def test_snapshot_schema_evolution_across_versions(spark, tmp_path):
 
     snapshot_rollback(path, 1)
     assert "flag" not in snapshot_read(spark, path).columns
+
+
+# ---------------------------------------------------------------- bucketed
+
+
+def test_bucketed_snapshot_lifecycle(spark, tmp_path):
+    """Bucketed versioned snapshots (round 8, the production layout):
+    spec is STICKY across writers (inherit with no bucket args),
+    compaction normalizes to file-per-bucket, keyed deletion
+    preserves the layout, and a fresh catalog re-registers from the
+    durable _BUCKETS.json + footers."""
+    from data_warehouse_nhom8_spark.sources.snapshots import (
+        _bucket_table_name,
+        _current_version,
+        snapshot_bucket_spec,
+        snapshot_compact,
+        snapshot_delete_keys,
+    )
+
+    path = str(tmp_path / "tbl")
+    df = (
+        spark.range(0, 5000)
+        .withColumn("k", F.col("id") % 200)
+        .withColumn("v", F.col("id") * 3)
+    )
+    snapshot_overwrite(df, path, bucket_by=["k"], n_buckets=8)
+    assert snapshot_bucket_spec(path) == {"cols": ["k"], "n": 8, "sorted": True}
+
+    # inherit: a writer that doesn't know about bucketing keeps it
+    cur = snapshot_read(spark, path)
+    snapshot_overwrite(cur.withColumn("v", F.col("v") + 1), path)
+    assert snapshot_bucket_spec(path) == {"cols": ["k"], "n": 8, "sorted": True}
+    assert snapshot_read(spark, path).count() == 5000
+
+    # compaction → exactly one file per bucket, layout kept
+    out = snapshot_compact(spark, path)
+    assert out is not None
+    files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    assert len(files) == 8, files
+    assert snapshot_bucket_spec(path) is not None
+
+    # keyed deletion inherits the layout through its rewrite
+    dels = spark.createDataFrame([(0,), (1,)], "k long")
+    res = snapshot_delete_keys(spark, path, dels, ["k"])
+    assert res["deleted_rows"] == 50
+    assert snapshot_bucket_spec(path) is not None
+
+    # fresh catalog (new session) re-registers from the durable spec
+    v = _current_version(path)
+    spark.sql(f"DROP TABLE IF EXISTS {_bucket_table_name(path, v)}")
+    assert snapshot_read(spark, path).count() == 4950
+
+    # explicit demote: bucket_by=[] writes plain parquet
+    snapshot_overwrite(snapshot_read(spark, path), path, bucket_by=[])
+    assert snapshot_bucket_spec(path) is None
+    assert snapshot_read(spark, path).count() == 4950
+
+
+def test_bucketed_snapshot_join_is_colocated(spark, tmp_path):
+    """Two snapshots bucketed on the same key join with ZERO Exchange
+    (broadcast disabled — the both-sides-big regime where bucketing
+    pays; same contract as sources.tables but through the versioned
+    snapshot path)."""
+    pa = str(tmp_path / "a")
+    pb = str(tmp_path / "b")
+    base = spark.range(0, 4000).withColumn("k", F.col("id") % 97)
+    snapshot_overwrite(base.withColumn("v", F.col("id")), pa, bucket_by=["k"], n_buckets=8)
+    snapshot_overwrite(
+        base.select("k").distinct().withColumn("w", F.col("k") * 2),
+        pb,
+        bucket_by=["k"],
+        n_buckets=8,
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = snapshot_read(spark, pa).join(snapshot_read(spark, pb), "k")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert j.count() == 4000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bucketed_upsert_merge_table_side_no_shuffle(spark, tmp_path):
+    """THE production D1 merge gate: over a bucketed staging snapshot,
+    `upsert_keyed_join` plans with NO ShuffleExchange anywhere — the
+    snapshot streams through a broadcast anti join and the bucketed
+    write adds no exchange. (The window-form twin shuffles the whole
+    table: that asymmetry is why the join form is the default.)"""
+    from data_warehouse_nhom8_spark.operators.dedup import upsert_keyed_join
+
+    path = str(tmp_path / "stg")
+    cur = (
+        spark.range(0, 5000)
+        .select(
+            F.col("id").alias("job_id"),
+            (F.col("id") % 7).alias("payload"),
+            F.lit("2026-01-01").cast("date").alias("extracted_date"),
+        )
+    )
+    snapshot_overwrite(cur, path, bucket_by=["job_id"], n_buckets=8)
+    inc = spark.createDataFrame(
+        [(1, 99, "2026-01-02"), (5001, 1, "2026-01-02")],
+        "job_id long, payload long, extracted_date string",
+    ).withColumn("extracted_date", F.col("extracted_date").cast("date"))
+
+    merged = upsert_keyed_join(
+        snapshot_read(spark, path), inc, ["job_id"], [F.desc("extracted_date")]
+    )
+    plan = merged._jdf.queryExecution().executedPlan().toString()
+    # every shuffle is the increment's dedup window (it appears once
+    # per union branch — both increment-scale); the snapshot scan
+    # feeds the broadcast anti join DIRECTLY, so the table side is
+    # Exchange-free (O(increment) vs the window form's O(table))
+    n_shuffles = plan.count("Exchange hashpartitioning")
+    assert 1 <= n_shuffles <= 2, plan
+    # each shuffle subtree bottoms out at the increment's local
+    # relation, never at the snapshot's file scan
+    for chunk in plan.split("Exchange hashpartitioning")[1:]:
+        below = chunk.split("\n\n")[0]
+        assert "snap_" not in below.split("Scan ExistingRDD")[0], plan
+    import re as _re
+
+    assert _re.search(
+        r"BroadcastHashJoin [^\n]*LeftAnti[^\n]*\n[^\n]*FileScan parquet "
+        r"spark_catalog\.default\.snap_",
+        plan,
+    ), plan
+    assert merged.count() == 5001
+    # updated row carries the increment payload
+    assert merged.filter("job_id = 1").collect()[0]["payload"] == 99

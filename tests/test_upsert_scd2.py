@@ -254,3 +254,177 @@ def test_scd2_temporal_join_picks_version_at_fact_date(spark):
     assert out[2]["salary"] == "Trên 25 triệu"            # post-change version
     assert out[3]["salary"] == "10 - 15 triệu"            # never-changed key
     assert out[4]["salary"] is None                       # no version valid yet
+
+
+def test_upsert_keyed_join_is_exact_twin_of_window_form(spark):
+    """The round-8 production D1 merge (join-shaped, table side never
+    shuffles) must return exactly what the window form returns, on
+    updates, inserts, within-batch dups, and a no-op rerun."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_nhom8_spark.operators.dedup import (
+        upsert_keyed_join,
+        upsert_last_writer_wins,
+    )
+
+    cur = spark.createDataFrame(
+        [(1, "a", "2026-01-01"), (2, "b", "2026-01-02"), (3, "c", "2026-01-03")],
+        "k long, v string, d string",
+    )
+    inc = spark.createDataFrame(
+        [
+            (2, "b2", "2026-01-05"),   # update
+            (2, "b1", "2026-01-04"),   # older within-batch dup: loses
+            (9, "z", "2026-01-05"),    # insert
+        ],
+        "k long, v string, d string",
+    )
+    order = [F.desc("d"), F.asc("v")]
+    for c, i in [(cur, inc), (None, inc)]:
+        a = sorted(map(tuple, upsert_keyed_join(c, i, ["k"], order).collect()))
+        b = sorted(map(tuple, upsert_last_writer_wins(c, i, ["k"], order).collect()))
+        assert a == b, (a, b)
+    # rerun with the same increment is a no-op on both forms
+    m1 = upsert_keyed_join(cur, inc, ["k"], order)
+    m2 = upsert_keyed_join(m1, inc, ["k"], order)
+    assert sorted(map(tuple, m1.collect())) == sorted(map(tuple, m2.collect()))
+
+
+def test_canonical_key_matches_collation_key_on_reference_domain(spark):
+    """canonical_key (plain string — bucketable) must induce the same
+    key-equality classes as collation_key (ICU UNICODE_CI_AI — the
+    merge's reference semantics) over Vietnamese + Latin job text."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_nhom8_spark.functions.cleaning import (
+        canonical_key,
+        collation_key,
+    )
+
+    pairs = [
+        ("Hà Nội", "ha noi", True),
+        ("Đà Nẵng", "da nang", True),
+        ("  Kỹ  Sư   Dữ Liệu ", "ky su du lieu", True),
+        ("CÔNG TY TNHH ABC", "công ty tnhh abc", True),
+        ("Montréal Café", "montreal cafe", True),
+        ("Hà Nội", "ha noi 2", False),
+        ("Dev", "Designer", False),
+        ("Hưng Yên", "hung yen", True),
+        ("Thừa Thiên Huế", "thua thien hue", True),
+    ]
+    df = spark.createDataFrame(pairs, "a string, b string, want boolean")
+    got = df.select(
+        "want",
+        (canonical_key("a") == canonical_key("b")).alias("canon_eq"),
+        (collation_key("a") == collation_key("b")).alias("icu_eq"),
+    ).collect()
+    for r in got:
+        assert r["canon_eq"] == r["want"] == r["icu_eq"], dict(r.asDict())
+
+
+def test_scd2_keep_norm_keys_bucketed_merge_twin_and_reuse(spark, tmp_path):
+    """keep_norm_keys=True persists plain-string `__nk_*` columns, the
+    snapshot buckets on them, and the NEXT merge reuses them (no
+    recompute — business results identical to the plain path, SCD2
+    invariants hold, and the persisted columns survive the roundtrip)."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_nhom8_spark.operators.scd2 import (
+        scd2_invariant_violations,
+        scd2_merge,
+    )
+    from data_warehouse_nhom8_spark.sources.snapshots import (
+        snapshot_bucket_spec,
+        snapshot_overwrite,
+        snapshot_read,
+    )
+
+    day1 = spark.createDataFrame(
+        [("Dev", "Hà Nội Corp", "10tr", "2026-01-01"),
+         ("QA", "Beta", "8tr", "2026-01-01")],
+        "job_title string, company_name string, salary string, extracted_date string",
+    ).withColumn("extracted_date", F.col("extracted_date").cast("date"))
+    day2 = spark.createDataFrame(
+        [("dev", "ha noi corp", "12tr", "2026-01-02"),   # same key, changed salary
+         ("Intern", "Beta", "3tr", "2026-01-02")],
+        "job_title string, company_name string, salary string, extracted_date string",
+    ).withColumn("extracted_date", F.col("extracted_date").cast("date"))
+
+    keys, cmp_cols = ["job_title", "company_name"], ["salary"]
+    path = str(tmp_path / "wh")
+
+    s1 = scd2_merge(None, day1, keys, cmp_cols, "2026-01-01", keep_norm_keys=True)
+    assert {"__nk_job_title", "__nk_company_name"} <= set(s1.columns)
+    snapshot_overwrite(
+        s1, path, bucket_by=["__nk_job_title", "__nk_company_name"], n_buckets=4
+    )
+    assert snapshot_bucket_spec(path)["cols"] == ["__nk_job_title", "__nk_company_name"]
+
+    cur = snapshot_read(spark, path)
+    s2 = scd2_merge(cur, day2, keys, cmp_cols, "2026-01-02", keep_norm_keys=True)
+    snapshot_overwrite(s2, path)  # inherits the bucket layout
+    got = snapshot_read(spark, path)
+    assert snapshot_bucket_spec(path) is not None
+
+    # business-twin vs the plain (non-persisted, ICU) path
+    p1 = scd2_merge(None, day1, keys, cmp_cols, "2026-01-01")
+    p2 = scd2_merge(p1, day2, keys, cmp_cols, "2026-01-02")
+    biz = ["job_title", "company_name", "salary", "extracted_date", "job_sk", "expired"]
+    assert sorted(map(tuple, got.select(*biz).collect())) == sorted(
+        map(tuple, p2.select(*biz).collect())
+    )
+    assert scd2_invariant_violations(got, keys).count() == 0
+    # the Dev/Hà Nội key matched case+accent-insensitively: old expired
+    assert got.filter(F.col("expired") != F.lit("9999-12-31").cast("date")).count() == 1
+
+
+def test_scd2_bucketed_current_removes_table_side_exchange(spark, tmp_path):
+    """Plan gate for the bucketed D2 merge: with broadcast disabled
+    (the both-sides-big regime), the merge over a bucketed current
+    plans strictly FEWER shuffles than over the same data as plain
+    parquet — the live side's Exchange on the normalized key is gone
+    because the scan is already hash-distributed on it."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_nhom8_spark.operators.scd2 import scd2_merge
+    from data_warehouse_nhom8_spark.sources.snapshots import (
+        snapshot_overwrite,
+        snapshot_read,
+    )
+
+    base = spark.range(0, 2000).select(
+        F.concat(F.lit("title_"), F.col("id")).alias("job_title"),
+        F.concat(F.lit("co_"), (F.col("id") % 50)).alias("company_name"),
+        F.concat(F.lit("s"), F.col("id")).alias("salary"),
+        F.lit("2026-01-01").cast("date").alias("extracted_date"),
+    )
+    s1 = scd2_merge(
+        None, base, ["job_title", "company_name"], ["salary"], "2026-01-01",
+        keep_norm_keys=True,
+    )
+    b_path, p_path = str(tmp_path / "b"), str(tmp_path / "p")
+    snapshot_overwrite(
+        s1, b_path, bucket_by=["__nk_job_title", "__nk_company_name"], n_buckets=4
+    )
+    snapshot_overwrite(s1, p_path, bucket_by=[])
+
+    inc = base.limit(100).withColumn("salary", F.lit("changed"))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        def n_exchanges(path):
+            m = scd2_merge(
+                snapshot_read(spark, path), inc,
+                ["job_title", "company_name"], ["salary"], "2026-01-02",
+                keep_norm_keys=True,
+            )
+            return (
+                m._jdf.queryExecution().executedPlan().toString().count(
+                    "Exchange hashpartitioning"
+                )
+            )
+
+        nb, np_ = n_exchanges(b_path), n_exchanges(p_path)
+        assert nb < np_, (nb, np_)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
