@@ -164,13 +164,46 @@ def main() -> None:
             )
             return round(best, 2), n_ex
 
+        def q93_core(li, orders):
+            # waiting-supplier core (q93's fact-fact term): late lines
+            # = li ⋈ orders on the ORDER KEY + date residual, then the
+            # per-order min/max set-cardinality agg and the join back
+            # — every shuffle-bearing op keys on l_orderkey, so the
+            # bucketed layout removes all of them
+            late = (
+                li.join(
+                    orders.select("o_orderkey", "o_orderdate"),
+                    F.col("l_orderkey") == F.col("o_orderkey"),
+                )
+                .filter(
+                    F.to_date("l_shipdate")
+                    > F.date_add(F.to_date("o_orderdate"), 90)
+                )
+                .select("l_orderkey", "l_suppkey")
+            )
+            sole = (
+                late.groupBy("l_orderkey")
+                .agg(
+                    F.min("l_suppkey").alias("mn"),
+                    F.max("l_suppkey").alias("mx"),
+                )
+                .filter(F.col("mn") == F.col("mx"))
+            )
+            return late.join(sole, "l_orderkey").agg(
+                F.count(F.lit(1)).alias("n"), F.sum("l_suppkey").alias("s")
+            )
+
         plain_sec, plain_ex = run(lambda: q73_core(li_raw, ord_raw))
+        plain93_sec, plain93_ex = run(lambda: q93_core(li_raw, ord_raw))
         for t in ("probe_li_b", "probe_ord_b"):
             s.sql(f"DROP TABLE IF EXISTS {t}")
         save_bucketed(li_raw, "probe_li_b", ["l_orderkey"], n_buckets=32)
         save_bucketed(ord_raw, "probe_ord_b", ["o_orderkey"], n_buckets=32)
         bucketed_sec, bucketed_ex = run(
             lambda: q73_core(s.table("probe_li_b"), s.table("probe_ord_b"))
+        )
+        b93_sec, b93_ex = run(
+            lambda: q93_core(s.table("probe_li_b"), s.table("probe_ord_b"))
         )
         for t in ("probe_li_b", "probe_ord_b"):  # ~1.2 GB of managed data
             s.sql(f"DROP TABLE IF EXISTS {t}")
@@ -183,6 +216,116 @@ def main() -> None:
                             "sec": bucketed_sec,
                             "shuffle_exchanges": bucketed_ex,
                         },
+                        "q93_plain": {
+                            "sec": plain93_sec,
+                            "shuffle_exchanges": plain93_ex,
+                        },
+                        "q93_bucketed": {
+                            "sec": b93_sec,
+                            "shuffle_exchanges": b93_ex,
+                        },
+                    }
+                }
+            )
+        )
+
+    # PROBE_MERGE=1: the PRODUCTION daily-merge path (D1 upsert through
+    # the versioned snapshot machinery) at probe scale, bucketed vs
+    # plain — the storage decision run_daily_pipeline now defaults to.
+    # A fact-sized snapshot takes a tiny daily increment; the bucketed
+    # table must merge with no table-side shuffle AND write back with
+    # no exchange (layout inherited).
+    if os.environ.get("PROBE_MERGE"):
+        import re as _re2
+
+        from pyspark.sql import functions as F
+
+        from data_warehouse_nhom8_spark.operators.dedup import upsert_keyed_join
+        from data_warehouse_nhom8_spark.sources.snapshots import (
+            snapshot_overwrite,
+            snapshot_read,
+        )
+
+        s = spark.newSession()
+        s.conf.set("spark.sql.shuffle.partitions", str(parts))
+        ords = s.read.parquet(os.path.join(OUT, "orders.parquet"))
+        inc = (
+            ords.sample(0.001, seed=7)
+            .withColumn("o_comment", F.lit("updated-by-probe"))
+        )
+        inc.cache().count()
+        merge_stats = {}
+        for tag, bucket in (("plain", []), ("bucketed", ["o_orderkey"])):
+            snap_path = os.path.join(OUT, f"_merge_{tag}")
+            shutil.rmtree(snap_path, ignore_errors=True)
+            snapshot_overwrite(ords, snap_path, bucket_by=bucket, n_buckets=32)
+            t0 = time.perf_counter()
+            merged = upsert_keyed_join(
+                snapshot_read(s, snap_path), inc, ["o_orderkey"]
+            )
+            plan = merged._jdf.queryExecution().executedPlan().toString()
+            snapshot_overwrite(merged, snap_path)  # inherits layout
+            dt = round(time.perf_counter() - t0, 2)
+            merge_stats[tag] = {
+                "merge_write_sec": dt,
+                "shuffle_exchanges": len(
+                    _re2.findall(r"\bExchange (?:hash|range|Single)", plan)
+                ),
+            }
+            shutil.rmtree(snap_path, ignore_errors=True)
+        inc.unpersist()
+        print(json.dumps({"merge_path": merge_stats}))
+
+    # PROBE_BLOOM=1: should the runtime Bloom-filter join reduction
+    # engage at probe scale? Defaults gate it on a 10 GB application-
+    # side scan; the probe's facts are ~2 GB, so it never fires. Run
+    # the join subset with the gate lowered vs stock and report the
+    # delta — a win here argues for lowering the threshold on
+    # mid-size deployments (it's pinned low in test_joins_sql for the
+    # semantics gate).
+    if os.environ.get("PROBE_BLOOM"):
+        bloom_subset = [
+            "q73_large_volume_customer",
+            "q93_waiting_supplier",
+            "q103_product_profit",
+            "q77_returned_item_revenue",
+        ]
+
+        def run_bloom(lowered: bool) -> dict:
+            s = spark.newSession()
+            s.conf.set("spark.sql.shuffle.partitions", str(parts))
+            if lowered:
+                s.conf.set(
+                    "spark.sql.optimizer.runtime.bloomFilter."
+                    "applicationSideScanSizeThreshold",
+                    "0",
+                )
+                s.conf.set(
+                    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+                    str(64 << 20),
+                )
+            times = {}
+            for name in bloom_subset:  # cold pass — discard
+                QUERIES[name](s, OUT).toArrow()
+            for name in bloom_subset:
+                t0 = time.perf_counter()
+                df = QUERIES[name](s, OUT)
+                df.toArrow()
+                times[name] = round(time.perf_counter() - t0, 2)
+            p_last = df._jdf.queryExecution().executedPlan().toString()
+            return {
+                "total_sec": round(sum(times.values()), 2),
+                "queries": times,
+                "bloom_in_last_plan": "bloom_filter_agg" in p_last
+                or "might_contain" in p_last,
+            }
+
+        print(
+            json.dumps(
+                {
+                    "bloom_probe": {
+                        "stock": run_bloom(False),
+                        "lowered": run_bloom(True),
                     }
                 }
             )
