@@ -57,25 +57,76 @@ def _violation_expr(e: Expect) -> Column:
     return F.sum(F.when(bad, 1).otherwise(0)).cast("long")
 
 
-def check(df: DataFrame, expectations: list[Expect]) -> dict:
-    """violation counts per expectation name, via ONE aggregate pass
-    (`unique` rides the same pass as count − approx-free exact
-    count(DISTINCT col)). Empty input yields all-zero counts."""
+def check(
+    df: DataFrame, expectations: list[Expect], stats: dict | None = None
+) -> dict:
+    """violation counts per expectation name, via ONE aggregate pass.
+
+    `unique` is APPROX-FIRST (round 8, the 100 TB shape): the fused
+    pass carries `approx_count_distinct(col, rsd)` — a mergeable
+    HLL sketch, O(sketch) instead of the exact distinct's full
+    key shuffle. Escalation contract:
+
+      * sketch agrees with count() within rsd        → clean, done in
+        ONE pass (dup mass below sketch resolution is accepted — the
+        documented DQ tolerance; at test/dim scale rsd·count < 1, so
+        ANY duplicate escalates and the result stays exact)
+      * sketch disagrees beyond rsd                  → a second pass
+        computes the exact count(DISTINCT) for the suspect columns
+        only, so reported violation counts are never estimates
+
+    params: {"rsd": 0.01} tunes the sketch; {"exact": True} forces the
+    old exact-in-fused-pass behavior for that expectation. Pass a dict
+    as `stats` to receive {"escalated": [names]} for observability.
+    Empty input yields all-zero counts."""
     aggs, uniques = [], []
     for e in expectations:
         if e.kind == "unique":
             uniques.append(e)
             aggs.append(F.count(e.col).alias(f"__cnt_{e.name}"))
-            aggs.append(F.count_distinct(F.col(e.col)).alias(f"__dst_{e.name}"))
+            if e.params.get("exact"):
+                aggs.append(
+                    F.count_distinct(F.col(e.col)).alias(f"__dst_{e.name}")
+                )
+            else:
+                aggs.append(
+                    F.approx_count_distinct(
+                        e.col, float(e.params.get("rsd", 0.01))
+                    ).alias(f"__apx_{e.name}")
+                )
         else:
             aggs.append(_violation_expr(e).alias(f"__v_{e.name}"))
     row = df.agg(*aggs).collect()[0] if aggs else None
     out = {}
+    suspects = []
     for e in expectations:
         if e.kind == "unique":
-            out[e.name] = int(row[f"__cnt_{e.name}"] - row[f"__dst_{e.name}"])
+            cnt = int(row[f"__cnt_{e.name}"])
+            if e.params.get("exact"):
+                out[e.name] = cnt - int(row[f"__dst_{e.name}"])
+            else:
+                apx = int(row[f"__apx_{e.name}"])
+                rsd = float(e.params.get("rsd", 0.01))
+                if abs(cnt - apx) <= rsd * cnt:
+                    out[e.name] = 0  # clean within sketch resolution
+                else:
+                    suspects.append(e)
         else:
             out[e.name] = int(row[f"__v_{e.name}"] or 0)
+    if suspects:
+        # exact pass ONLY for the columns the sketch flagged — the
+        # expensive Expand/shuffle runs on suspicion, not by default
+        srow = df.agg(
+            *[F.count(e.col).alias(f"__cnt_{e.name}") for e in suspects],
+            *[
+                F.count_distinct(F.col(e.col)).alias(f"__dst_{e.name}")
+                for e in suspects
+            ],
+        ).collect()[0]
+        for e in suspects:
+            out[e.name] = int(srow[f"__cnt_{e.name}"] - srow[f"__dst_{e.name}"])
+    if stats is not None:
+        stats["escalated"] = [e.name for e in suspects]
     return out
 
 

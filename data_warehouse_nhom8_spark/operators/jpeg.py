@@ -1,23 +1,28 @@
 """Baseline JPEG codec, pure Python/numpy (no PIL/opencv in this
 environment).
 
-Decoder: baseline sequential DCT (SOF0/SOF1) — DQT/DHT/SOF/SOS/DRI
+Decoder: baseline sequential DCT (SOF0/SOF1) AND progressive (SOF2,
+round 8: spectral selection + successive approximation, EOB runs,
+correction bits, inter-scan DHT/DQT/DRI) — DQT/DHT/SOF/SOS/DRI
 parsing, arbitrary Huffman tables, byte destuffing, restart markers,
 any sampling factors whose h/v divide the maxima (4:4:4, 4:2:2,
 4:2:0), grayscale or YCbCr, nearest-neighbor chroma upsampling,
-float IDCT via the orthonormal DCT-II basis. Progressive (SOF2) and
-arithmetic coding raise NotImplementedError.
+float IDCT via the orthonormal DCT-II basis. Arithmetic coding and
+hierarchical/lossless SOFs raise NotImplementedError.
 
 Encoder: the roundtrip twin the tests need — baseline 4:4:4, 4:2:0,
 4:2:2 or grayscale, optional restart markers, fixed quant step
 (default 2: flat 8x8 blocks roundtrip EXACTLY, since their only
 nonzero coefficient is the always-even DC), simple canonical Huffman
 tables (DC: 12 symbols at 4 bits; AC: the 162 standard run/size
-symbols at 8 bits — legal, suboptimal, tiny to declare). The decoder
+symbols at 8 bits — legal, suboptimal, tiny to declare); plus a
+PROGRESSIVE encoder (`encode_jpeg_progressive`) whose streams must
+decode bit-identically to the baseline encoder's (both quantize the
+same way — the strongest cross-check the tests gate). The decoder
 takes the tables from the DHT segment, so it reads real-world JPEGs
 with the standard Annex-K tables just the same; every decoder path
-(samplings, grayscale, restarts, rejects) is exercised by
-encoder-generated fixtures in tests.
+(samplings, grayscale, restarts, scan shapes, rejects) is exercised
+by encoder-generated fixtures in tests.
 
 This is the engine-side codec for `operators.multimodal._decode_image`
 (SURVEY.md §2k X4); the reference stack has no image path at all, so
@@ -163,7 +168,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 vals = list(seg[i + 17 : i + 17 + n])
                 hufftabs[(tc, th)] = _canonical_codes(bits, vals)
                 i += 17 + n
-        elif marker in (0xC0, 0xC1):  # SOF0/1: baseline/extended sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             h = int.from_bytes(seg[1:3], "big")
             w = int.from_bytes(seg[3:5], "big")
             ncomp = seg[5]
@@ -171,12 +176,16 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             for ci in range(ncomp):
                 cid, hv, tq = seg[6 + 3 * ci : 9 + 3 * ci]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif 0xC2 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            frame = {"h": h, "w": w, "comps": comps, "progressive": marker == 0xC2}
+        elif 0xC3 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
             raise NotImplementedError(f"non-baseline JPEG (SOF{marker - 0xC0})")
         elif marker == 0xDD:  # DRI
             dri = int.from_bytes(seg, "big")
         elif marker == 0xDA:  # SOS
+            if frame is not None and frame.get("progressive"):
+                # multi-scan path: hand the whole tail (from this SOS
+                # marker) to the progressive decoder
+                return _decode_progressive(d, pos - 2, qt, hufftabs, dri, frame)
             ns = seg[0]
             sel = {}
             for ci in range(ns):
@@ -257,9 +266,14 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                         planes[c["id"]][y0 : y0 + 8, x0 : x0 + 8] = block
             mcu_n += 1
 
-    # upsample to full resolution (nearest), crop, color-convert
+    return _finish_rgb(frame, planes, hmax, vmax)
+
+
+def _finish_rgb(frame: dict, planes: dict, hmax: int, vmax: int) -> np.ndarray:
+    """Upsample to full resolution (nearest), crop, color-convert —
+    shared by the baseline and progressive paths."""
     full = []
-    for c in comps:
+    for c in frame["comps"]:
         p = planes[c["id"]]
         p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
         full.append(p[: frame["h"], : frame["w"]])
@@ -306,21 +320,9 @@ def _category(v: int) -> int:
     return int(v).bit_length() if v >= 0 else int(-v).bit_length()
 
 
-def encode_jpeg(
-    arr: np.ndarray,
-    qstep: int = 2,
-    subsample: bool | str = False,
-    restart_interval: int = 0,
-) -> bytes:
-    """Encode (h, w, 3) uint8 RGB as baseline JPEG. 4:4:4 by default;
-    `subsample=True` or "420" emits 4:2:0 (2x2-mean chroma), "422"
-    emits 4:2:2 (horizontal-only 1x2 mean — exercises the decoder's
-    anisotropic upsampling). With the default qstep=2, flat
-    8x8-aligned blocks roundtrip exactly (DC = 8*(v-128) is always
-    even; every AC coefficient is zero). `restart_interval` > 0 emits
-    a DRI segment and RSTn markers every N MCUs (byte-aligned, DC
-    predictors reset) — the camera-JPEG resync structure, exercising
-    the decoder's segmented entropy stream."""
+def _prep_planes(arr: np.ndarray, subsample):
+    """RGB → (planes, sampling factors, h, w) for the requested mode —
+    shared by the baseline and progressive encoders."""
     mode = {False: "444", True: "420"}.get(subsample, subsample)
     if mode not in ("444", "420", "422", "gray"):
         raise ValueError(f"subsample mode {subsample!r}")
@@ -350,7 +352,25 @@ def encode_jpeg(
     else:
         samp = [(1, 1), (1, 1), (1, 1)]
     planes = [y] if mode == "gray" else [y, cb, cr]
+    return planes, samp, h, w
 
+
+def encode_jpeg(
+    arr: np.ndarray,
+    qstep: int = 2,
+    subsample: bool | str = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode (h, w, 3) uint8 RGB as baseline JPEG. 4:4:4 by default;
+    `subsample=True` or "420" emits 4:2:0 (2x2-mean chroma), "422"
+    emits 4:2:2 (horizontal-only 1x2 mean — exercises the decoder's
+    anisotropic upsampling). With the default qstep=2, flat
+    8x8-aligned blocks roundtrip exactly (DC = 8*(v-128) is always
+    even; every AC coefficient is zero). `restart_interval` > 0 emits
+    a DRI segment and RSTn markers every N MCUs (byte-aligned, DC
+    predictors reset) — the camera-JPEG resync structure, exercising
+    the decoder's segmented entropy stream."""
+    planes, samp, h, w = _prep_planes(arr, subsample)
     q = np.full(64, qstep, np.int32)
     dc_enc = _encode_codes(_ENC_DC_BITS, _ENC_DC_VALS)
     ac_enc = _encode_codes(_ENC_AC_BITS, _ENC_AC_VALS)
@@ -456,3 +476,482 @@ def encode_jpeg(
     return (
         b"\xff\xd8" + dqt + sof + dri + dht + sos + bytes(wr.out) + b"\xff\xd9"
     )
+
+
+# ------------------------------------------------------- progressive decode
+#
+# ITU T.81 Annex G: spectral selection + successive approximation.
+# Coefficients accumulate across scans in zigzag (transmission) order;
+# DC scans may be interleaved, AC scans are single-component. EOB runs
+# span blocks; refinement scans carry correction bits for every
+# already-nonzero coefficient they pass over (including inside EOB
+# runs). Reconstruction is one vectorized dequant+IDCT at the end.
+
+
+def _ac_first(reader, blk, act, Ss, Se, Al, state) -> None:
+    if state["eob"] > 0:
+        state["eob"] -= 1
+        return
+    k = Ss
+    while k <= Se:
+        rs = _huff_decode(reader, act)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:  # ZRL: sixteen zeros
+                k += 16
+                continue
+            state["eob"] = (1 << r) - 1 + (reader.bits(r) if r else 0)
+            return
+        k += r
+        if k > Se:
+            raise ValueError("malformed JPEG: AC band overrun")
+        blk[k] = _extend(reader.bits(s), s) << Al
+        k += 1
+
+
+def _ac_refine(reader, blk, act, Ss, Se, Al, state) -> None:
+    def corr(k: int) -> None:
+        # correction bit: history low bits are zero, so an OR of the
+        # new magnitude bit is an add toward larger magnitude
+        if reader.bit():
+            if blk[k] > 0:
+                blk[k] += 1 << Al
+            else:
+                blk[k] -= 1 << Al
+
+    k = Ss
+    if state["eob"] > 0:
+        state["eob"] -= 1
+        while k <= Se:
+            if blk[k]:
+                corr(k)
+            k += 1
+        return
+    while k <= Se:
+        rs = _huff_decode(reader, act)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r < 15:  # EOBn: refine the rest of the band, then run
+                state["eob"] = (1 << r) - 1 + (reader.bits(r) if r else 0)
+                while k <= Se:
+                    if blk[k]:
+                        corr(k)
+                    k += 1
+                return
+            cnt = 16  # ZRL: pass 16 zero-HISTORY positions
+            while k <= Se and cnt:
+                if blk[k]:
+                    corr(k)
+                else:
+                    cnt -= 1
+                k += 1
+        else:
+            if s != 1:
+                raise ValueError("malformed JPEG: refinement size > 1")
+            newval = (1 << Al) if reader.bit() else -(1 << Al)
+            cnt = r  # r zero-history positions precede the new coef
+            while k <= Se:
+                if blk[k]:
+                    corr(k)
+                else:
+                    if cnt == 0:
+                        break
+                    cnt -= 1
+                k += 1
+            if k > Se:
+                raise ValueError("malformed JPEG: AC band overrun")
+            blk[k] = newval
+            k += 1
+
+
+def _decode_progressive(
+    d: bytes, pos: int, qt: dict, huff: dict, dri: int, frame: dict
+) -> np.ndarray:
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    h, w = frame["h"], frame["w"]
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    for c in comps:
+        c["bw_pad"], c["bh_pad"] = mcux * c["h"], mcuy * c["v"]
+        # non-interleaved scans cover ceil(comp_size/8), NOT MCU-padded
+        c["bw"] = -(-(-(-w * c["h"] // hmax)) // 8)
+        c["bh"] = -(-(-(-h * c["v"] // vmax)) // 8)
+    coefs = {
+        c["id"]: np.zeros((c["bh_pad"], c["bw_pad"], 64), np.int32) for c in comps
+    }
+    byid = {c["id"]: c for c in comps}
+
+    while pos < len(d):
+        if d[pos] != 0xFF:
+            raise ValueError(f"marker expected at {pos}")
+        marker = d[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue
+        ln = int.from_bytes(d[pos : pos + 2], "big")
+        seg = d[pos + 2 : pos + ln]
+        if marker == 0xC4:  # DHT between scans
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 15
+                bits = list(seg[i + 1 : i + 17])
+                n = sum(bits)
+                huff[(tc, th)] = _canonical_codes(bits, list(seg[i + 17 : i + 17 + n]))
+                i += 17 + n
+        elif marker == 0xDB:  # DQT between scans
+            i = 0
+            while i < len(seg):
+                if seg[i] >> 4 != 0:
+                    raise NotImplementedError("16-bit quant tables")
+                qt[seg[i] & 15] = np.frombuffer(seg, np.uint8, 64, i + 1).astype(
+                    np.int32
+                )
+                i += 65
+        elif marker == 0xDD:
+            dri = int.from_bytes(seg, "big")
+        elif marker == 0xDA:
+            ns = seg[0]
+            sel = []
+            for ci in range(ns):
+                sel.append((seg[1 + 2 * ci], seg[2 + 2 * ci] >> 4, seg[2 + 2 * ci] & 15))
+            Ss, Se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            Ah, Al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 15
+            # T.81 G.1: a DC scan has Se=0; AC scans are single-
+            # component with Ss>0. Anything else (e.g. a baseline
+            # stream mislabeled SOF2) fails loud, never mis-decodes.
+            if (Ss == 0) != (Se == 0) or Se > 63 or Ss > Se:
+                raise ValueError("malformed progressive scan header")
+            pos += ln
+            # destuff this scan's entropy bytes, split at restarts
+            segs, i = [bytearray()], pos
+            while i < len(d):
+                b = d[i]
+                if b == 0xFF:
+                    nxt = d[i + 1] if i + 1 < len(d) else 0xD9
+                    if nxt == 0x00:
+                        segs[-1].append(0xFF)
+                        i += 2
+                        continue
+                    if 0xD0 <= nxt <= 0xD7:
+                        segs.append(bytearray())
+                        i += 2
+                        continue
+                    break
+                segs[-1].append(b)
+                i += 1
+            pos = i
+            _decode_prog_scan(
+                segs, sel, Ss, Se, Ah, Al, byid, coefs, huff, dri, mcux, mcuy
+            )
+            continue
+        pos += ln
+
+    # dequantize + IDCT, vectorized over all blocks per component
+    planes = {}
+    for c in comps:
+        q = qt[c["tq"]].astype(np.float64)
+        blk = coefs[c["id"]].astype(np.float64) * q
+        nat = np.zeros_like(blk)
+        nat[:, :, ZIGZAG] = blk
+        nat = nat.reshape(blk.shape[0], blk.shape[1], 8, 8)
+        sp = np.einsum("ij,abjk,kl->abil", _A.T, nat, _A) + 128.0
+        planes[c["id"]] = sp.transpose(0, 2, 1, 3).reshape(
+            blk.shape[0] * 8, blk.shape[1] * 8
+        )
+    return _finish_rgb(frame, planes, hmax, vmax)
+
+
+def _decode_prog_scan(
+    segs, sel, Ss, Se, Ah, Al, byid, coefs, huff, dri, mcux, mcuy
+) -> None:
+    pred = {cid: 0 for cid, _dc, _ac in sel}
+    state = {"eob": 0, "seg": 0}
+    reader = _BitReader(bytes(segs[0]))
+
+    def next_segment():
+        nonlocal reader
+        state["seg"] += 1
+        if state["seg"] >= len(segs):
+            raise ValueError("truncated entropy stream")
+        reader = _BitReader(bytes(segs[state["seg"]]))
+        state["eob"] = 0
+        for k in pred:
+            pred[k] = 0
+
+    # unit list: MCUs (interleaved DC) or single blocks (one component)
+    if len(sel) == 1:
+        cid, dc_t, ac_t = sel[0]
+        c = byid[cid]
+        units = [
+            [(cid, by, bx, dc_t, ac_t)]
+            for by in range(c["bh"])
+            for bx in range(c["bw"])
+        ]
+    else:
+        if Ss != 0:
+            raise ValueError("malformed JPEG: interleaved AC scan")
+        units = []
+        for my in range(mcuy):
+            for mx in range(mcux):
+                unit = []
+                for cid, dc_t, ac_t in sel:
+                    c = byid[cid]
+                    for v in range(c["v"]):
+                        for hh in range(c["h"]):
+                            unit.append(
+                                (cid, my * c["v"] + v, mx * c["h"] + hh, dc_t, ac_t)
+                            )
+                units.append(unit)
+
+    for n, unit in enumerate(units):
+        if dri and n and n % dri == 0:
+            next_segment()
+        for cid, by, bx, dc_t, ac_t in unit:
+            blk = coefs[cid][by, bx]
+            if Ss == 0:
+                if Ah == 0:  # DC first
+                    t = _huff_decode(reader, huff[(0, dc_t)])
+                    diff = _extend(reader.bits(t), t) if t else 0
+                    pred[cid] += diff
+                    blk[0] = pred[cid] << Al
+                elif reader.bit():  # DC refinement: one bit per block
+                    blk[0] = int(blk[0]) | (1 << Al)
+            elif Ah == 0:
+                _ac_first(reader, blk, huff[(1, ac_t)], Ss, Se, Al, state)
+            else:
+                _ac_refine(reader, blk, huff[(1, ac_t)], Ss, Se, Al, state)
+
+
+# ------------------------------------------------------ progressive encode
+#
+# Fixture twin for the progressive decoder: spectral selection (two AC
+# bands) + one successive-approximation level on DC and AC. Since both
+# encoders quantize identically, decode(progressive(img)) must equal
+# decode(baseline(img)) EXACTLY — the roundtrip gate in tests.
+
+# progressive AC table: every (run<<4)|size symbol incl. EOBn (s=0,
+# r=0..14) — 176 symbols, all at 8 bits (legal canonical, tiny)
+_ENC_ACP_BITS = [0] * 7 + [176] + [0] * 8
+_ENC_ACP_VALS = [(r << 4) | s for r in range(16) for s in range(11)]
+
+
+def encode_jpeg_progressive(
+    arr: np.ndarray,
+    qstep: int = 2,
+    subsample: bool | str = False,
+    spectral_split: int = 5,
+    dc_al: int = 1,
+    ac_al: int = 1,
+) -> bytes:
+    """Encode (h, w, 3) uint8 RGB as PROGRESSIVE JPEG (SOF2): an
+    interleaved DC-first scan at Al=dc_al + DC refinement(s) to 0,
+    then per component two spectral AC bands (1..spectral_split,
+    spectral_split+1..63), each first at Al=ac_al and refined to 0 —
+    exercising EOB runs, ZRL-in-refinement, and correction bits."""
+    planes, samp, h, w = _prep_planes(arr, subsample)
+    q = np.full(64, qstep, np.int64)
+    ncomp = len(planes)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+
+    zz = []  # per comp: (BH_pad, BW_pad, 64) quantized, zigzag order
+    dims = []  # per comp: (bh, bw) NON-padded block dims for AC scans
+    for p, (sh, sv) in zip(planes, samp):
+        ph, pw = mcuy * 8 * sv, mcux * 8 * sh
+        pp = np.pad(p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])), mode="edge")
+        BH, BW = ph // 8, pw // 8
+        blocks = pp.reshape(BH, 8, BW, 8).transpose(0, 2, 1, 3) - 128.0
+        co = np.einsum("ij,abjk,kl->abil", _A, blocks, _A.T).reshape(BH, BW, 64)
+        zz.append(np.round(co[:, :, ZIGZAG] / q).astype(np.int64))
+        dims.append((-(-(-(-h * sv // vmax)) // 8), -(-(-(-w * sh // hmax)) // 8)))
+
+    dc_enc = _encode_codes(_ENC_DC_BITS, _ENC_DC_VALS)
+    ac_enc = _encode_codes(_ENC_ACP_BITS, _ENC_ACP_VALS)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    def sos(comp_ids: list[int], Ss: int, Se: int, Ah: int, Al: int) -> bytes:
+        return seg(
+            0xDA,
+            bytes([len(comp_ids)])
+            + b"".join(bytes([cid, 0x00]) for cid in comp_ids)
+            + bytes([Ss, Se, (Ah << 4) | Al]),
+        )
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0]) + bytes(q.astype(np.uint8).tolist()))
+    out += seg(
+        0xC2,
+        bytes([8])
+        + h.to_bytes(2, "big")
+        + w.to_bytes(2, "big")
+        + bytes([ncomp])
+        + b"".join(
+            bytes([cid, (sh << 4) | sv, 0])
+            for cid, (sh, sv) in zip((1, 2, 3), samp)
+        ),
+    )
+    out += seg(
+        0xC4,
+        bytes([0x00]) + bytes(_ENC_DC_BITS) + bytes(_ENC_DC_VALS)
+        + bytes([0x10]) + bytes(_ENC_ACP_BITS) + bytes(_ENC_ACP_VALS),
+    )
+
+    def mcu_blocks():
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci, (sh, sv) in enumerate(samp):
+                    for v in range(sv):
+                        for hh in range(sh):
+                            yield ci, my * sv + v, mx * sh + hh
+
+    # --- DC first (interleaved, point transform = arithmetic shift)
+    for al in range(dc_al, dc_al - 1, -1):  # single first scan at Al=dc_al
+        wr = _BitWriter()
+        pred = [0] * ncomp
+        for ci, by, bx in mcu_blocks():
+            dc = int(zz[ci][by, bx, 0]) >> al
+            diff = dc - pred[ci]
+            pred[ci] = dc
+            t = _category(diff)
+            code, ln = dc_enc[t]
+            wr.write(code, ln)
+            if t:
+                wr.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+        wr.flush()
+        out += sos(list(range(1, ncomp + 1)), 0, 0, 0, al) + bytes(wr.out)
+
+    # --- DC refinements down to 0
+    for al in range(dc_al - 1, -1, -1):
+        wr = _BitWriter()
+        for ci, by, bx in mcu_blocks():
+            wr.write((int(zz[ci][by, bx, 0]) >> al) & 1, 1)
+        wr.flush()
+        out += sos(list(range(1, ncomp + 1)), 0, 0, al + 1, al) + bytes(wr.out)
+
+    bands = [(1, spectral_split), (spectral_split + 1, 63)]
+
+    def ac_first_scan(ci: int, Ss: int, Se: int, al: int) -> bytes:
+        wr = _BitWriter()
+        eobrun = 0
+
+        def flush_eob():
+            nonlocal eobrun
+            if eobrun:
+                r = eobrun.bit_length() - 1
+                code, ln = ac_enc[r << 4]
+                wr.write(code, ln)
+                if r:
+                    wr.write(eobrun - (1 << r), r)
+                eobrun = 0
+
+        bh, bw = dims[ci]
+        for by in range(bh):
+            for bx in range(bw):
+                band = zz[ci][by, bx, Ss : Se + 1]
+                pt = np.sign(band) * (np.abs(band) >> al)
+                nz = np.flatnonzero(pt)
+                if nz.size == 0:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+                    continue
+                flush_eob()
+                run = 0
+                for k in range(int(nz[-1]) + 1):
+                    v = int(pt[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = ac_enc[0xF0]
+                        wr.write(code, ln)
+                        run -= 16
+                    s = _category(v)
+                    code, ln = ac_enc[(run << 4) | s]
+                    wr.write(code, ln)
+                    wr.write(v if v >= 0 else v + (1 << s) - 1, s)
+                    run = 0
+                if int(nz[-1]) < Se - Ss:  # trailing zeros → EOB
+                    eobrun += 1
+        flush_eob()
+        wr.flush()
+        return sos([ci + 1], Ss, Se, 0, al) + bytes(wr.out)
+
+    def ac_refine_scan(ci: int, Ss: int, Se: int, ah: int, al: int) -> bytes:
+        wr = _BitWriter()
+        eobrun = 0
+        pending: list[int] = []
+
+        def flush_eob():
+            nonlocal eobrun, pending
+            if eobrun:
+                r = eobrun.bit_length() - 1
+                code, ln = ac_enc[r << 4]
+                wr.write(code, ln)
+                if r:
+                    wr.write(eobrun - (1 << r), r)
+                for b in pending:
+                    wr.write(b, 1)
+                pending = []
+                eobrun = 0
+
+        bh, bw = dims[ci]
+        for by in range(bh):
+            for bx in range(bw):
+                band = zz[ci][by, bx, Ss : Se + 1]
+                absv = np.abs(band)
+                hist = (absv >> ah) != 0
+                now = (absv >> al) != 0
+                newpos = [int(i) for i in np.flatnonzero(now & ~hist)]
+                corr = [(int(a) >> al) & 1 for a in absv]
+                if not newpos:
+                    eobrun += 1
+                    pending += [corr[i] for i in range(len(band)) if hist[i]]
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+                    continue
+                flush_eob()
+                idx = 0
+                for nxt in newpos:
+                    zeros = [
+                        i for i in range(idx, nxt) if not hist[i]
+                    ]  # zero-HISTORY positions before the new coef
+                    r = len(zeros)
+                    while r > 15:
+                        boundary = zeros[len(zeros) - r + 15] + 1
+                        code, ln = ac_enc[0xF0]
+                        wr.write(code, ln)
+                        for i in range(idx, boundary):
+                            if hist[i]:
+                                wr.write(corr[i], 1)
+                        idx = boundary
+                        r -= 16
+                    code, ln = ac_enc[(r << 4) | 1]
+                    wr.write(code, ln)
+                    wr.write(1 if band[nxt] > 0 else 0, 1)
+                    for i in range(idx, nxt):
+                        if hist[i]:
+                            wr.write(corr[i], 1)
+                    idx = nxt + 1
+                tail_hist = [i for i in range(idx, len(band)) if hist[i]]
+                if idx < len(band):  # anything after the last new coef → EOB
+                    eobrun += 1
+                    pending += [corr[i] for i in tail_hist]
+        flush_eob()
+        wr.flush()
+        return sos([ci + 1], Ss, Se, ah, al) + bytes(wr.out)
+
+    for ci in range(ncomp):
+        for Ss, Se in bands:
+            out += ac_first_scan(ci, Ss, Se, ac_al)
+    for ci in range(ncomp):
+        for Ss, Se in bands:
+            for al in range(ac_al - 1, -1, -1):
+                out += ac_refine_scan(ci, Ss, Se, al + 1, al)
+    return bytes(out + b"\xff\xd9")

@@ -96,3 +96,39 @@ def test_ledger_integration(spark, tmp_path):
     assert latest[("dq:staging", "2025-06-01")]["status"] == "Success"
     failed = latest[("dq:staging", "2025-06-02")]
     assert failed["status"] == "Failed" and "id_not_null" in failed["error_message"]
+
+
+def test_unique_approx_first_escalation_and_single_pass(spark):
+    """Round 8 (ADVICE r7): `unique` rides the fused pass as an HLL
+    sketch. Clean data: ONE aggregate pass, no Expand, no escalation.
+    Duplicated data: the sketch disagrees with count() beyond rsd and
+    a second EXACT pass returns the true violation count. params
+    {"exact": True} keeps the old always-exact behavior."""
+    from data_warehouse_nhom8_spark.operators.expectations import Expect, check
+
+    exp = [Expect("uniq_id", "unique", "id")]
+    clean = spark.range(0, 5000).select(F.col("id"))
+    stats = {}
+    assert check(clean, exp, stats=stats) == {"uniq_id": 0}
+    assert stats["escalated"] == []
+    # the fused plan is sketch-based: no Expand (exact distinct's
+    # rewrite) in the single-pass plan
+    plan = (
+        clean.agg(
+            F.count("id").alias("c"),
+            F.approx_count_distinct("id", 0.01).alias("a"),
+        )
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Expand" not in plan
+
+    dup = clean.union(spark.range(0, 7).select(F.col("id")))
+    stats = {}
+    assert check(dup, exp, stats=stats) == {"uniq_id": 7}
+    assert stats["escalated"] == ["uniq_id"]
+
+    stats = {}
+    assert check(dup, [Expect("uniq_id", "unique", "id", {"exact": True})], stats=stats) == {
+        "uniq_id": 7
+    }
+    assert stats["escalated"] == []

@@ -1048,7 +1048,7 @@ def test_jpeg_codec_roundtrips():
     1 LSB (YCbCr float rounding) in 4:4:4; a whole-flat image is exact
     even in 4:2:0 (constant chroma survives subsampling); gradients
     stay sub-LSB on average; non-multiple-of-8 dims crop right;
-    progressive JPEG is rejected, not mis-decoded."""
+    unsupported SOFs are rejected and mislabeled streams fail loud."""
     import numpy as np
 
     from data_warehouse_nhom8_spark.operators.jpeg import decode_jpeg, encode_jpeg
@@ -1093,11 +1093,18 @@ def test_jpeg_codec_roundtrips():
         dec_r = decode_jpeg(encode_jpeg(img, restart_interval=ri))
         assert np.abs(dec_r.astype(int) - img.astype(int)).max() <= 1, ri
 
-    prog = bytearray(encode_jpeg(img))
-    sof = prog.index(b"\xff\xc0")
-    prog[sof + 1] = 0xC2  # masquerade as progressive
+    # lossless SOF3 still rejected; a baseline stream mislabeled as
+    # progressive (SOF2) fails LOUD (illegal Ss=0/Se=63 scan header),
+    # never mis-decodes
+    bad = bytearray(encode_jpeg(img))
+    sof = bad.index(b"\xff\xc0")
+    bad[sof + 1] = 0xC3
     with pytest.raises(NotImplementedError):
-        decode_jpeg(bytes(prog))
+        decode_jpeg(bytes(bad))
+    mislabeled = bytearray(encode_jpeg(img))
+    mislabeled[sof + 1] = 0xC2
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(mislabeled))
 
 
 def test_resize_jpeg_equals_ppm(spark):
@@ -1168,6 +1175,42 @@ def test_jpeg_codec_properties():
 
     flat_blocks()
     noise()
+
+
+def test_jpeg_progressive_decodes_identical_to_baseline():
+    """Round 8 (VERDICT stretch): progressive (SOF2) decode. The
+    progressive and baseline encoders quantize identically, so their
+    decodes must be BIT-IDENTICAL — across samplings, odd dims, sparse
+    coefficients (long EOB runs), flat images (pure-EOB scans), deeper
+    successive approximation, and spectral-split choices."""
+    import numpy as np
+
+    from data_warehouse_nhom8_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(11)
+    noise = rng.integers(0, 256, (40, 40, 3), dtype=np.uint8)
+    gy = np.linspace(0, 255, 48).astype(np.uint8)
+    grad = np.stack([np.tile(gy, (48, 1))] * 3, axis=2)
+    cases = [
+        (noise[:16, :16], dict(), dict()),
+        (noise[:17, :23], dict(), dict()),                      # odd dims
+        (noise, dict(qstep=16), dict(qstep=16)),                # sparse → EOB runs
+        (np.full((32, 32, 3), 77, np.uint8), dict(), dict()),   # flat → pure EOB
+        (grad, dict(), dict()),                                 # low-band energy
+        (noise, dict(), dict(dc_al=2, ac_al=2)),                # deeper SA
+        (noise, dict(), dict(spectral_split=20)),
+        (noise[:24, :24], dict(subsample="420"), dict(subsample="420", dc_al=2, ac_al=2)),
+        (noise[:20, :18], dict(subsample="422"), dict(subsample="422")),
+        (noise[:16, :16], dict(subsample="gray"), dict(subsample="gray")),
+    ]
+    for img, bkw, pkw in cases:
+        base = decode_jpeg(encode_jpeg(img, **bkw))
+        prog = decode_jpeg(encode_jpeg_progressive(img, **pkw))
+        assert np.array_equal(base, prog), (img.shape, bkw, pkw)
 
 
 def test_jpeg_truncated_entropy_raises_valueerror():
@@ -1290,6 +1333,37 @@ def test_bpe_early_stop_and_empty(spark):
     df2 = spark.createDataFrame([(1, ""), (2, "   ")], "doc_id long, text string")
     out = {r["doc_id"]: list(r["bpe_tokens"]) for r in bpe.bpe_encode(df2, [("a", "b")]).collect()}
     assert out == {1: [], 2: []}
+
+
+def test_bpe_local_and_distributed_trainers_identical(spark):
+    """Round 8: the default one-job local trainer must learn the SAME
+    merge list as the fully-distributed per-merge loop (forced via
+    local_vocab_threshold=0) and the single-node reference — on a
+    corpus with CHAINED merges (new pairs created by one merge win
+    later iterations), the case naive batch-disjoint schemes get
+    wrong."""
+    from data_warehouse_nhom8_spark.operators import bpe
+
+    texts = [
+        "x d e x d e x d e",          # (d,e) then (x,de) chains
+        "a b a b a b c",              # (a,b) then (ab,ab)? no — (ab,a)…
+        "t h e t h e t h e r e",
+        "aaa aaab aab",               # overlapping same-symbol runs
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    local = bpe.bpe_train(df, num_merges=15)
+    dist = bpe.bpe_train(df, num_merges=15, local_vocab_threshold=0)
+    ref = _reference_bpe(texts, 15)
+    assert local == dist == ref, (local, dist, ref)
+    # and encoding under the learned merges matches the reference
+    want = {i: _reference_encode(t, ref) for i, t in enumerate(texts)}
+    got = {
+        r["doc_id"]: list(r["bpe_tokens"])
+        for r in bpe.bpe_encode(df, local, native_max_merges=0).collect()
+    }
+    assert got == want
 
 
 def test_bpe_unicode_whitespace_and_eow_in_input(spark):

@@ -339,3 +339,81 @@ def test_backfill_cli_importable():
         assert callable(mod.main)
     finally:
         sys.path.remove(scripts)
+
+
+def test_backfill_killed_mid_range_resumes_and_maintenance_bounds_files(
+    spark, tmp_path
+):
+    """VERDICT r7 #7: inject a failure at day k of a backfill range
+    (a data-quality abort AFTER extract, BEFORE the warehouse merge —
+    a mid-day kill), then rerun the WHOLE range: completed days are
+    ledger-skipped in seconds, the killed day resumes from its own
+    bronze (idempotent stages), and the maintenance sweep keeps the
+    snapshot's version count at the GC bound and its live file count
+    at the bucket count."""
+    import datetime
+
+    from data_warehouse_nhom8_spark.operators.expectations import Expect
+    from data_warehouse_nhom8_spark.pipeline.config import EngineConfig
+    from data_warehouse_nhom8_spark.pipeline.daily import (
+        run_daily_pipeline,
+        run_weekly_maintenance,
+    )
+    from data_warehouse_nhom8_spark.sources.snapshots import (
+        _current_version,
+        snapshot_versions,
+    )
+
+    cfg = EngineConfig(
+        bronze_path=str(tmp_path / "bronze"),
+        staging_path=str(tmp_path / "staging"),
+        warehouse_path=str(tmp_path / "wh"),
+        datamart_path=str(tmp_path / "dm"),
+        ledger_path=str(tmp_path / "ledger"),
+    )
+    d0 = datetime.date(2025, 5, 1)
+    days = [d0 + datetime.timedelta(days=i) for i in range(3)]
+
+    def conn(source_id, d):
+        comp = "EVIL" if d == days[1] else "ACME"
+        return [
+            {
+                "source_id": source_id, "job_id": f"j{d.day}", "job_title": "Dev",
+                "company_name": comp, "salary": "10 triệu", "location": "HN",
+                "experience_required": "", "job_type": "", "posted_time": "hôm qua",
+                "tags": "", "job_url": f"https://x/j{d.day}", "company_logo": "",
+                "extracted_date": d.isoformat(), "extracted_timestamp": "",
+            }
+        ]
+
+    dq = [Expect("no_evil", "expression", params={"expr": "company_name != 'EVIL'"})]
+
+    # first invocation: dies mid-day-2 (DQ abort between staging
+    # transform and the warehouse merge)
+    import pytest as _pytest
+
+    run_daily_pipeline(spark, cfg, {"topcv_jobs": conn}, days[0],
+                       expectations=dq, expectations_enforce=True)
+    with _pytest.raises(ValueError, match="no_evil"):
+        run_daily_pipeline(spark, cfg, {"topcv_jobs": conn}, days[1],
+                           expectations=dq, expectations_enforce=True)
+
+    # second invocation over the WHOLE range (operator lifts the gate):
+    # day 0 fully ledger-skipped, day 1 resumes from its own bronze
+    r0 = run_daily_pipeline(spark, cfg, {"topcv_jobs": conn}, days[0])
+    assert r0["extract"] == {}  # skip-if-done
+    reports = [run_daily_pipeline(spark, cfg, {"topcv_jobs": conn}, d)
+               for d in days[1:]]
+    assert reports[-1]["staging_rows"] == 3
+    assert reports[-1]["warehouse_rows"] == 3
+
+    # maintenance-every-N sweep: version count at the GC bound, live
+    # bucketed version compacted to file-per-bucket
+    run_weekly_maintenance(spark, cfg)
+    assert len(snapshot_versions(cfg.staging_path)) <= 2
+    v = _current_version(cfg.staging_path)
+    vdir = f"{cfg.staging_path}/v{v:08d}"
+    import os as _os
+
+    files = [f for f in _os.listdir(vdir) if f.endswith(".parquet")]
+    assert len(files) <= 16, files
