@@ -327,7 +327,17 @@ def snapshot_overwrite(
     `bucket_by=[]` to explicitly demote to plain parquet. A bucketed
     write itself needs NO shuffle: each task hashes rows to per-bucket
     files (file count is bounded by compaction, which rewrites
-    file-per-bucket)."""
+    file-per-bucket).
+
+    SIZE `n_buckets` to the table, not the cluster: a bucketed scan
+    yields ONE partition per bucket and AQE cannot re-split it, so an
+    under-bucketed big table turns every downstream sort/join task
+    into a spilling giant — the x1000 probe measured q93-core 2.4x
+    SLOWER bucketed at 32 buckets over 600M rows (19M-row sorts),
+    while the same layout at 60M rows was 2.7x faster. Rule of thumb:
+    n_buckets ≈ uncompressed_bytes / 256 MB, rounded up to a power of
+    two, and re-bucket (bucket_by=cols with a new n_buckets) when the
+    table outgrows it."""
     os.makedirs(path, exist_ok=True)
     cur = _current_version(path)
     legacy = cur is None and has_parquet(path)

@@ -197,8 +197,9 @@ def main() -> None:
         plain93_sec, plain93_ex = run(lambda: q93_core(li_raw, ord_raw))
         for t in ("probe_li_b", "probe_ord_b"):
             s.sql(f"DROP TABLE IF EXISTS {t}")
-        save_bucketed(li_raw, "probe_li_b", ["l_orderkey"], n_buckets=32)
-        save_bucketed(ord_raw, "probe_ord_b", ["o_orderkey"], n_buckets=32)
+        nb = int(os.environ.get("PROBE_BUCKETS", "32"))
+        save_bucketed(li_raw, "probe_li_b", ["l_orderkey"], n_buckets=nb)
+        save_bucketed(ord_raw, "probe_ord_b", ["o_orderkey"], n_buckets=nb)
         bucketed_sec, bucketed_ex = run(
             lambda: q73_core(s.table("probe_li_b"), s.table("probe_ord_b"))
         )

@@ -170,7 +170,10 @@ def test_rotation_keeps_consecutive_round_coverage():
     front = [q for q in ORACLES if q not in green_latest]
     assert len(front) <= 50, (
         f"{len(front)} oracled queries need certification this round but the "
-        "driver window is 50 — too many new/failed queries at once"
+        "driver window is 50 — too many new/failed queries at once. "
+        f"Remaining headroom for NEW oracled queries this round: "
+        f"{50 - len(front)} (negative = remove/merge oracles or grow "
+        "surface through _noracle + exact-twin pytest instead)"
     )
 
 
