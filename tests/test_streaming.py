@@ -806,8 +806,8 @@ def test_sketch_store_mid_epoch_kill_restart_converges(spark, events_dir, events
 
 def test_streaming_doctor_lints_microbatch_plans(spark, tmp_path):
     """VERDICT r7 stretch #9: the doctor checklist runs INSIDE
-    foreachBatch where streaming plans materialize. A seeded cartesian
-    anti-pattern gets a Failed doctor:stream:* ledger row and (with
+    foreachBatch where streaming plans materialize. A seeded fatal
+    anti-pattern (row-at-a-time Python UDF) gets a Failed doctor:stream:* ledger row and (with
     enforce) fails the query loudly on epoch 0; the production
     upsert_sink's clean merge plan gets a Success row."""
     import pytest as _pytest
@@ -827,12 +827,16 @@ def test_streaming_doctor_lints_microbatch_plans(spark, tmp_path):
     )
     b1.write.parquet(str(src / "f1"))
 
-    # seeded anti-pattern: a foreachBatch body that cross-joins
-    dim = spark.createDataFrame([(1,), (2,)], "x long")
+    # seeded anti-pattern: a row-at-a-time Python UDF in the batch
+    # body (BatchEvalPython — deterministically fatal, unlike a
+    # crossJoin which plans as a broadcast nested loop when tiny)
+    from pyspark.sql.functions import udf
+
+    bad_udf = udf(lambda x: x)
     failures = []
 
     def evil(batch, epoch_id):
-        plan = batch.crossJoin(dim)
+        plan = batch.withColumn("bad", bad_udf("k"))
         try:
             lint_microbatch(
                 plan, "evil", ledger=ledger, epoch_id=epoch_id, enforce=True
@@ -850,7 +854,7 @@ def test_streaming_doctor_lints_microbatch_plans(spark, tmp_path):
     )
     with _pytest.raises(Exception):
         q.awaitTermination()
-    assert failures and "cartesian" in failures[0]
+    assert failures and "python-row-udf" in failures[0]
     rows = ledger._read().filter("process = 'doctor:stream:evil'").collect()
     assert any(r["status"] == "Failed" for r in rows)
 
