@@ -6,10 +6,13 @@ feature-extract, frame-sample) runs as Arrow-batched `mapInPandas`
 over the binary column. `resize_images` carries a real pure-python
 codec for the formats decodable without external libraries: binary
 PPM, uncompressed BMP, 8-bit non-interlaced PNG (stdlib zlib), and
-baseline-DCT JPEG (`operators.jpeg`). The featurizer and frame sampler use
-deterministic fakes (clearly marked below) since no audio/video
-codec exists in this environment — the distributed pipeline (schema
-in → batches → schema out) is fully real and tested either way.
+baseline + progressive JPEG (`operators.jpeg`). Since round 8 the
+audio and video faces are REAL too: PCM WAV decode + acoustic
+features (`operators.audio`) and MJPEG-in-AVI demux → frame-sample →
+JPEG decode (`operators.video.sample_frames_decoded` — supersedes
+the metadata-only `sample_frames` stub for MJPEG payloads). The
+generic `extract_features` fallback keeps its deterministic fake
+(clearly marked below) for formats with no in-environment codec.
 
 100 TB notes: binary payloads dominate row size → keep
 `spark.sql.files.maxPartitionBytes` small enough that a batch of rows

@@ -1275,6 +1275,124 @@ def q106_bpe_tokenize_noracle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q107_audio_features_noracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 audio, REAL codec end-to-end: deterministic per-document
+    sine clips are synthesized IN THE WORKERS (Arrow lane), encoded as
+    PCM WAV (`operators.audio.encode_wav`), and featurized by the
+    distributed extractor — `dominant_hz` must come back as exactly
+    the seeded frequency (frequencies sit on the rFFT bin grid by
+    construction). Rows-only for the driver (binary payloads are not
+    SQL-expressible); the feature math itself is exact-twin
+    pytest-gated (test_wav_codec_and_audio_features)."""
+    from data_warehouse_nhom8_spark.operators.audio import extract_audio_features
+    from data_warehouse_nhom8_spark.operators.multimodal import MEDIA_SCHEMA
+
+    c = Catalog(spark, sf_dir)
+    base = c.documents.select("doc_id").orderBy("doc_id").limit(16)
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from data_warehouse_nhom8_spark.operators.audio import encode_wav
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                # 200..960 Hz in 40 Hz steps: every value is a multiple
+                # of the 4 Hz FFT bin (8000 rate / 2000 samples)
+                freq = 200.0 + float(did % 20) * 40.0
+                rate = 8000
+                t = np.arange(rate // 4) / rate
+                rows.append(
+                    {
+                        "media_id": int(did),
+                        "kind": "audio",
+                        "payload": encode_wav(
+                            0.5 * np.sin(2 * np.pi * freq * t), rate
+                        ),
+                        "meta": None,
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "payload", "meta"]
+            )
+
+    media = base.mapInPandas(gen, schema=MEDIA_SCHEMA)
+    return (
+        extract_audio_features(media)
+        .select(
+            "media_id",
+            "sample_rate",
+            "duration_ms",
+            F.round("dominant_hz", 1).alias("dominant_hz"),
+            F.round("rms", 4).alias("rms"),
+        )
+        .orderBy("media_id")
+    )
+
+
+def q108_video_frames_noracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 video, REAL codec end-to-end: per-document MJPEG AVIs are
+    muxed in the workers from encoder-generated JPEG frames (baseline
+    + progressive alternating), then the distributed frame sampler
+    demuxes, decodes every 2nd frame's actual pixels and reports luma
+    statistics. Rows-only for the driver; frame-exact decode parity is
+    pytest-gated (test_avi_mjpeg_demux_and_frame_sampling)."""
+    from data_warehouse_nhom8_spark.operators.multimodal import MEDIA_SCHEMA
+    from data_warehouse_nhom8_spark.operators.video import sample_frames_decoded
+
+    c = Catalog(spark, sf_dir)
+    base = c.documents.select("doc_id").orderBy("doc_id").limit(8)
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from data_warehouse_nhom8_spark.operators.jpeg import (
+            encode_jpeg,
+            encode_jpeg_progressive,
+        )
+        from data_warehouse_nhom8_spark.operators.video import encode_avi_mjpeg
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                frames = []
+                for fi in range(4):
+                    y, x = np.mgrid[0:16, 0:16]
+                    img = ((int(did) * 7 + fi * 13 + x + y) % 256).astype(
+                        np.uint8
+                    )
+                    rgb = np.stack([img, img, img], axis=2)
+                    enc = encode_jpeg if fi % 2 == 0 else encode_jpeg_progressive
+                    frames.append(enc(rgb))
+                rows.append(
+                    {
+                        "media_id": int(did),
+                        "kind": "video",
+                        "payload": encode_avi_mjpeg(frames, fps=5, width=16, height=16),
+                        "meta": None,
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "payload", "meta"]
+            )
+
+    media = base.mapInPandas(gen, schema=MEDIA_SCHEMA)
+    return (
+        sample_frames_decoded(media, every_n=2)
+        .select(
+            "media_id",
+            "frame_idx",
+            "frame_ms",
+            F.round("luma_mean", 3).alias("luma_mean"),
+            F.round("luma_std", 3).alias("luma_std"),
+        )
+        .orderBy("media_id", "frame_idx")
+    )
+
+
 EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q33_exact_dedup_docs": q33_exact_dedup_docs,
     "q34_token_counts": q34_token_counts,
@@ -1327,6 +1445,8 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q99_unigram_surprisal": q99_unigram_surprisal,
     "q100_source_cap": q100_source_cap,
     "q106_bpe_tokenize_noracle": q106_bpe_tokenize_noracle,
+    "q107_audio_features_noracle": q107_audio_features_noracle,
+    "q108_video_frames_noracle": q108_video_frames_noracle,
 }
 
 EXTENSION_ORACLES: dict[str, str] = {

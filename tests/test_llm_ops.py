@@ -1432,3 +1432,146 @@ def test_ivf_model_persists_beside_index(spark, tmp_path):
         .collect()
     ]
     assert got == want and len(got) == 5
+
+
+def test_wav_codec_and_audio_features(spark):
+    """X4 audio: real PCM WAV codec (8/16-bit, mono/stereo, unknown
+    chunks skipped) + acoustic features — a 440 Hz sine measures 440
+    dominant and ~440 zcr; the distributed featurizer yields one row
+    per clip with exact metadata."""
+    import numpy as np
+
+    from data_warehouse_nhom8_spark.operators.audio import (
+        decode_wav,
+        encode_wav,
+        extract_audio_features,
+        wav_features,
+    )
+
+    rate = 16000
+    t = np.arange(rate * 2) / rate
+    sine = 0.5 * np.sin(2 * np.pi * 440 * t)
+    for bits, tol in ((16, 1e-4), (8, 5e-3)):
+        s, r = decode_wav(encode_wav(sine, rate, bits=bits))
+        assert r == rate and s.shape == (rate * 2, 1)
+        assert float(np.abs(s[:, 0] - sine).max()) <= tol
+    f = wav_features(encode_wav(sine, rate))
+    assert f["duration_ms"] == 2000 and f["n_channels"] == 1
+    assert abs(f["dominant_hz"] - 440.0) < 1.0
+    assert abs(f["zcr_hz"] - 440.0) < 2.0
+    assert abs(f["rms"] - 0.5 / np.sqrt(2)) < 1e-3
+
+    # stereo + an extra unknown chunk (real-world WAVs carry LISTs)
+    stereo = np.stack([sine, 0.25 * np.sin(2 * np.pi * 880 * t)], axis=1)
+    wav = encode_wav(stereo, rate)
+    import struct as _struct
+
+    listed = wav[:12] + b"LIST" + _struct.pack("<I", 4) + b"INFO" + wav[12:]
+    listed = b"RIFF" + _struct.pack("<I", len(listed) - 8) + listed[8:]
+    assert wav_features(listed)["n_channels"] == 2
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_wav(b"not a wav at all")
+
+    rows = [
+        (1, "audio", bytearray(encode_wav(sine, rate)),
+         {"mime": "audio/wav", "width": None, "height": None,
+          "duration_ms": None, "source_uri": "s"}),
+        (2, "image", bytearray(b"png..."), None),   # filtered out
+    ]
+    from data_warehouse_nhom8_spark.operators.multimodal import MEDIA_SCHEMA
+
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = extract_audio_features(df).collect()
+    assert len(got) == 1
+    r0 = got[0]
+    assert r0["media_id"] == 1 and r0["sample_rate"] == rate
+    assert r0["duration_ms"] == 2000 and abs(r0["dominant_hz"] - 440.0) < 1.0
+
+
+def test_avi_mjpeg_demux_and_frame_sampling(spark):
+    """X4 video: MJPEG-in-AVI mux/demux roundtrips exactly (mixed
+    baseline + progressive frames), and the distributed frame sampler
+    decodes every n-th frame's real pixels — luma means match the
+    per-image ground truth."""
+    import numpy as np
+
+    from data_warehouse_nhom8_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+    from data_warehouse_nhom8_spark.operators.multimodal import MEDIA_SCHEMA
+    from data_warehouse_nhom8_spark.operators.video import (
+        demux_avi_mjpeg,
+        encode_avi_mjpeg,
+        sample_frames_decoded,
+    )
+
+    rng = np.random.default_rng(5)
+    imgs = [rng.integers(0, 256, (24, 32, 3), dtype=np.uint8) for _ in range(6)]
+    frames = [
+        encode_jpeg(im) if i % 2 == 0 else encode_jpeg_progressive(im)
+        for i, im in enumerate(imgs)
+    ]
+    avi = encode_avi_mjpeg(frames, fps=10, width=32, height=24)
+    out, fps, w, h = demux_avi_mjpeg(avi)
+    assert (len(out), fps, w, h) == (6, 10, 32, 24)
+    assert [bytes(f) for f in out] == frames
+
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        demux_avi_mjpeg(avi.replace(b"MJPG", b"XVID"))
+    with _pytest.raises(ValueError):
+        demux_avi_mjpeg(b"RIFF\x04\x00\x00\x00AVI ")
+
+    rows = [
+        (7, "video", bytearray(avi),
+         {"mime": "video/x-msvideo", "width": 32, "height": 24,
+          "duration_ms": 600, "source_uri": "v"}),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["frame_idx"]: r for r in sample_frames_decoded(df, every_n=2).collect()}
+    assert sorted(got) == [0, 2, 4]
+    for i in sorted(got):
+        luma = decode_jpeg(frames[i]).astype(float) @ [0.299, 0.587, 0.114]
+        assert abs(got[i]["luma_mean"] - float(luma.mean())) < 1e-9
+        assert got[i]["frame_ms"] == i * 100
+        assert (got[i]["width"], got[i]["height"]) == (32, 24)
+
+
+def test_q107_q108_media_queries_exact_twins(spark):
+    """The declared audio/video queries' values are fully determined
+    by their seeded synthesis: q107's dominant_hz equals the per-doc
+    seeded frequency; q108 emits exactly frames 0 and 2 per clip with
+    luma stats equal to decoding the same frames locally."""
+    import numpy as np
+
+    from data_warehouse_nhom8_spark.operators.jpeg import decode_jpeg, encode_jpeg
+    from data_warehouse_nhom8_spark.plans.extensions import (
+        q107_audio_features_noracle,
+        q108_video_frames_noracle,
+    )
+    from tests.conftest import SF_DIR
+
+    a = q107_audio_features_noracle(spark, SF_DIR).collect()
+    assert len(a) == 16
+    for r in a:
+        want = 200.0 + float(r["media_id"] % 20) * 40.0
+        assert r["dominant_hz"] == want, (r["media_id"], r["dominant_hz"], want)
+        assert r["sample_rate"] == 8000 and r["duration_ms"] == 250
+
+    v = q108_video_frames_noracle(spark, SF_DIR).collect()
+    assert len(v) == 16  # 8 clips x frames {0, 2}
+    for r in v:
+        assert r["frame_idx"] in (0, 2)
+        did, fi = r["media_id"], r["frame_idx"]
+        y, x = np.mgrid[0:16, 0:16]
+        img = ((did * 7 + fi * 13 + x + y) % 256).astype(np.uint8)
+        rgb = np.stack([img, img, img], axis=2)
+        luma = decode_jpeg(encode_jpeg(rgb)).astype(float) @ [0.299, 0.587, 0.114]
+        assert r["luma_mean"] == round(float(luma.mean()), 3)
+        assert r["frame_ms"] == fi * 200
