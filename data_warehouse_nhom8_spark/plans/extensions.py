@@ -304,6 +304,10 @@ def prefit_stores(spark: SparkSession, sf_dir: str) -> dict:
     t0 = _time.perf_counter()
     _shared_bpe_merges(spark, sf_dir)
     out["bpe_merges"] = round(_time.perf_counter() - t0, 3)
+
+    t0 = _time.perf_counter()
+    _shared_pq_codes(spark, sf_dir, c.embeddings)[1].count()
+    out["pq_codes"] = round(_time.perf_counter() - t0, 3)
     return out
 
 
@@ -318,7 +322,52 @@ STORE_OF_QUERY = {
     "q39_simhash_neardup_noracle": None,
     "q41_embedding_neardup_noracle": None,
     "q106_bpe_tokenize_noracle": "bpe_merges",
+    "q109_pq_topk_noracle": "pq_codes",
 }
+
+
+def _shared_pq_codes(
+    spark: SparkSession, sf_dir: str, embeddings: DataFrame,
+    m: int = 8, ks: int = 16, iters: int = 3,
+) -> tuple[list, DataFrame]:
+    """Fit-once-query-many for the PQ tier: per-subspace codebooks +
+    the encoded (id, codes) table, session-memoized like the IVF
+    index. At rest the codes table is 8 bytes/vector — the in-memory
+    rerank tier a 100 TB corpus keeps resident while raw vectors stay
+    on disk."""
+    key = ("pq_codes", sf_dir, m, ks, iters)
+    memo = _memo(spark)
+    if key not in memo:
+        books = similarity.pq_fit(embeddings, m=m, ks=ks, iters=iters)
+        codes = similarity.pq_encode(embeddings, books).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        memo[key] = (books, codes)
+    return memo[key]
+
+
+def q109_pq_topk_noracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 memory tier: product-quantization ANN — 8 sub-codebooks of
+    16 codes (64-dim vectors → 8 codes each, 32x smaller than
+    float32), ADC top-10 for the vec_id=0 query via a driver-built
+    lookup table evaluated as a pure-codegen literal expression
+    (map-only scan + TakeOrdered head). Approximate by design, so
+    rows-only for the driver; planted-cluster recall and the
+    ADC == exact-distance-to-reconstruction identity are pytest-gated
+    (test_pq_adc_recovers_planted_neighbours)."""
+    c = Catalog(spark, sf_dir)
+    qvec = c.embeddings.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    books, codes = _shared_pq_codes(spark, sf_dir, c.embeddings)
+    return (
+        similarity.pq_topk_adc(
+            codes.filter(F.col("vec_id") != 0),
+            books,
+            [float(x) for x in qvec],
+            k=10,
+        )
+        .withColumn("adc_dist", F.round("adc_dist", 6))
+        .orderBy("adc_dist", "vec_id")
+    )
 
 
 def q53_incremental_neardup_noracle(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1447,6 +1496,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q106_bpe_tokenize_noracle": q106_bpe_tokenize_noracle,
     "q107_audio_features_noracle": q107_audio_features_noracle,
     "q108_video_frames_noracle": q108_video_frames_noracle,
+    "q109_pq_topk_noracle": q109_pq_topk_noracle,
 }
 
 EXTENSION_ORACLES: dict[str, str] = {

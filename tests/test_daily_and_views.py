@@ -321,3 +321,73 @@ def test_daily_pipeline_bucketed_twin_of_plain(spark, tmp_path):
     stg_b = sorted(map(tuple, snapshot_read(spark, cfg_b.staging_path).collect()))
     stg_p = sorted(map(tuple, snapshot_read(spark, cfg_p.staging_path).collect()))
     assert stg_b == stg_p
+
+
+def test_existing_plain_warehouse_upgrades_to_bucketed(spark, tmp_path):
+    """Adoption path: a deployment with days of PLAIN history switches
+    to the round-8 bucketed default mid-life. The next daily run
+    upgrades both snapshots in place (normalized-key columns appear
+    via schema evolution, layout becomes sticky), business rows are
+    unchanged, and subsequent plain-default reruns never demote."""
+    from data_warehouse_nhom8_spark.sources.snapshots import (
+        snapshot_bucket_spec,
+        snapshot_read,
+    )
+
+    cfg = EngineConfig(
+        bronze_path=str(tmp_path / "bronze"),
+        staging_path=str(tmp_path / "staging"),
+        warehouse_path=str(tmp_path / "warehouse"),
+        datamart_path=str(tmp_path / "dm"),
+        ledger_path=str(tmp_path / "ledger"),
+    )
+    D3 = datetime.date(2025, 3, 12)
+    rows = {
+        D1: [("t1", "Dev", "ACME", "10 - 15 triệu")],
+        D2: [("t2", "QA", "Beta", "Tới 20 triệu")],
+        D3: [("t1", "Dev", "ACME", "Trên 30 triệu"),   # change → SCD2 expire
+             ("t3", "Intern", "Gamma", "Thỏa thuận")],
+    }
+    conns = {"topcv_jobs": mk_connector(rows)}
+
+    # two days of pre-round-8 history (plain parquet)
+    run_daily_pipeline(spark, cfg, conns, D1, bucketed=False)
+    run_daily_pipeline(spark, cfg, conns, D2, bucketed=False)
+    assert snapshot_bucket_spec(cfg.staging_path) is None
+    ident = ["job_title", "company_name", "salary", "extracted_date", "job_sk"]
+    plain_wh = sorted(
+        map(tuple, snapshot_read(spark, cfg.warehouse_path).select(*ident).collect())
+    )
+
+    # day 3 runs under the new default → in-place upgrade
+    r3 = run_daily_pipeline(spark, cfg, conns, D3)  # bucketed=True default
+    assert snapshot_bucket_spec(cfg.staging_path)["cols"] == ["job_id"]
+    assert snapshot_bucket_spec(cfg.warehouse_path)["cols"] == [
+        "__nk_job_title", "__nk_company_name",
+    ]
+    assert r3["staging_rows"] == 3
+    wh = snapshot_read(spark, cfg.warehouse_path)
+    assert {"__nk_job_title", "__nk_company_name"} <= set(wh.columns)
+    # day-1/2 history intact + day-3 change expired the old t1 version
+    assert r3["warehouse_rows"] == 4  # t1 old, t1 new, t2, t3
+    live = wh.filter("expired = DATE'9999-12-31'")
+    assert live.count() == 3
+    # the pre-upgrade versions survive identically (t1-old's `expired`
+    # legitimately moved from the sentinel to the day-3 change date, so
+    # compare the identity columns incl. surrogate keys)
+    upgraded = sorted(
+        map(
+            tuple,
+            wh.select(*ident)
+            .filter("extracted_date < DATE'2025-03-12'")
+            .collect(),
+        )
+    )
+    assert upgraded == plain_wh
+
+    # a later run passing bucketed=False must NOT demote (sticky)
+    D4 = datetime.date(2025, 3, 13)
+    rows[D4] = [("t4", "Dev2", "ACME", "5 triệu")]
+    run_daily_pipeline(spark, cfg, conns, D4, bucketed=False)
+    assert snapshot_bucket_spec(cfg.warehouse_path) is not None
+    assert snapshot_bucket_spec(cfg.staging_path) is not None

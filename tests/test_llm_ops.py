@@ -1575,3 +1575,60 @@ def test_q107_q108_media_queries_exact_twins(spark):
         luma = decode_jpeg(encode_jpeg(rgb)).astype(float) @ [0.299, 0.587, 0.114]
         assert r["luma_mean"] == round(float(luma.mean()), 3)
         assert r["frame_ms"] == fi * 200
+
+
+def test_pq_adc_recovers_planted_neighbours(spark):
+    """X2 memory tier: product quantization. On clustered data the
+    ADC top-k over 8-byte codes must recover the query's planted
+    cluster members; encode is deterministic (same codes both runs);
+    ADC distance of a row equals the exact distance from the query to
+    that row's DECODED (reconstructed) vector — PQ's defining
+    identity; model roundtrips through _MODEL.json."""
+    import numpy as np
+
+    from data_warehouse_nhom8_spark.operators.similarity import (
+        pq_encode,
+        pq_fit,
+        pq_load_model,
+        pq_save_model,
+        pq_topk_adc,
+    )
+
+    rng = np.random.default_rng(17)
+    centers = rng.normal(size=(6, 32)) * 6.0
+    rows = []
+    for i in range(180):
+        c = i % 6
+        rows.append((i, c, [float(x) for x in centers[c] + rng.normal(size=32) * 0.3]))
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<float>")
+
+    books = pq_fit(df, m=8, ks=8, iters=4)
+    assert len(books) == 8 and all(len(b) == 8 for b in books)
+    codes = pq_encode(df, books).cache()
+    c1 = {r["vec_id"]: list(r["codes"]) for r in codes.collect()}
+    c2 = {r["vec_id"]: list(r["codes"]) for r in pq_encode(df, books).collect()}
+    assert c1 == c2  # deterministic encode
+
+    query = [float(x) for x in centers[2]]
+    top = pq_topk_adc(codes, books, query, k=12).collect()
+    hit_labels = [r["vec_id"] % 6 for r in top]
+    assert sum(1 for x in hit_labels if x == 2) >= 10, hit_labels
+
+    # ADC identity: reported distance == exact distance to the
+    # reconstructed vector
+    dsub = 4
+    for r in top[:5]:
+        rec = np.concatenate([np.array(books[j][c1[r["vec_id"]][j]]) for j in range(8)])
+        want = float(((np.array(query) - rec) ** 2).sum())
+        assert abs(r["adc_dist"] - want) < 1e-6
+
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "_MODEL.json")
+        pq_save_model(books, p)
+        assert pq_load_model(p) == books
+
+    # dim not divisible by m fails loud
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        pq_fit(df, m=5)

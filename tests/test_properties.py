@@ -546,3 +546,52 @@ def test_exact_money_aggs_empty_global_input_matches_sql_semantics(spark):
         extra_partial={"n_lines": F.count(F.lit(1))},
     ).collect()
     assert grouped == []
+
+
+@given(
+    st.integers(1, 3),                 # channels
+    st.integers(1, 4000),              # samples
+    st.sampled_from([8000, 16000, 44100]),
+    st.sampled_from([8, 16]),
+    st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=25, deadline=None)
+def test_wav_roundtrip_property(ch, n, rate, bits, seed):
+    """Any float signal in [-1,1] roundtrips through the WAV codec
+    within quantization error (1/127 at 8-bit, 1/32767 at 16-bit),
+    preserving shape and rate."""
+    import numpy as np
+
+    from data_warehouse_nhom8_spark.operators.audio import decode_wav, encode_wav
+
+    rng = np.random.default_rng(seed)
+    sig = rng.uniform(-1, 1, size=(n, ch))
+    out, r = decode_wav(encode_wav(sig, rate, bits=bits))
+    assert r == rate and out.shape == (n, ch)
+    tol = (1.5 / 127.0) if bits == 8 else (1.5 / 32767.0)
+    assert float(np.abs(out - sig).max()) <= tol
+
+
+@given(st.integers(1, 6), st.integers(1, 30), st.integers(0, 2**31 - 1))
+@settings(max_examples=15, deadline=None)
+def test_avi_mjpeg_mux_demux_property(n_frames, fps, seed):
+    """Mux/demux is byte-exact for any frame count/rate, including
+    odd-length JPEG payloads (RIFF word alignment)."""
+    import numpy as np
+
+    from data_warehouse_nhom8_spark.operators.jpeg import encode_jpeg
+    from data_warehouse_nhom8_spark.operators.video import (
+        demux_avi_mjpeg,
+        encode_avi_mjpeg,
+    )
+
+    rng = np.random.default_rng(seed)
+    frames = [
+        encode_jpeg(rng.integers(0, 256, (8, 8, 3), dtype=np.uint8))
+        for _ in range(n_frames)
+    ]
+    out, got_fps, w, h = demux_avi_mjpeg(
+        encode_avi_mjpeg(frames, fps=fps, width=8, height=8)
+    )
+    assert [bytes(f) for f in out] == frames
+    assert (got_fps, w, h) == (round(1_000_000 / (1_000_000 // fps)), 8, 8)

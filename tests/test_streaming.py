@@ -873,3 +873,38 @@ def test_streaming_doctor_lints_microbatch_plans(spark, tmp_path):
     run_available_now(w)
     rows = ledger._read().filter("process = 'doctor:stream:upsert'").collect()
     assert any(r["status"] == "Success" for r in rows)
+
+
+def test_streaming_upsert_preserves_bucketed_layout(spark, tmp_path):
+    """The streaming D1 face inherits the sticky bucket layout: a
+    snapshot created bucketed stays bucketed through foreachBatch
+    micro-batch merges (snapshot_overwrite inherit path), with merge
+    results identical to the plain run."""
+    from data_warehouse_nhom8_spark.sources.snapshots import (
+        snapshot_bucket_spec,
+        snapshot_overwrite,
+    )
+
+    src = tmp_path / "src"
+    snap = str(tmp_path / "snap")
+    seed = spark.createDataFrame(
+        [("z", "seed", "2025-03-01")],
+        "job_id string, salary string, extracted_date string",
+    ).withColumn("extracted_date", F.col("extracted_date").cast("date"))
+    snapshot_overwrite(seed, snap, bucket_by=["job_id"], n_buckets=4)
+
+    b1 = spark.createDataFrame(
+        [("a", "v1", "2025-03-10"), ("z", "newer", "2025-03-10")],
+        "job_id string, salary string, extracted_date string",
+    ).withColumn("extracted_date", F.col("extracted_date").cast("date"))
+    b1.write.parquet(str(src / "f1"))
+
+    stream = jobs.stream_source(spark, str(src / "*"), b1.schema)
+    writer = jobs.upsert_sink(
+        stream, snap, keys=["job_id"], order_by_cols=["extracted_date"],
+        checkpoint=str(tmp_path / "ck"),
+    )
+    jobs.run_available_now(writer)
+    assert snapshot_bucket_spec(snap) == {"cols": ["job_id"], "n": 4, "sorted": True}
+    got = {r["job_id"]: r["salary"] for r in snapshot_read(spark, snap).collect()}
+    assert got == {"a": "v1", "z": "newer"}
