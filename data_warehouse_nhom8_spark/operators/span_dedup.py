@@ -1,0 +1,196 @@
+"""Substring-span deduplication (SURVEY §2k X1/X2 extension — the
+TOKEN-LEVEL dedup tier between exact-doc and near-dup).
+
+Document-level dedup misses the dominant contamination mode of real
+training corpora: long VERBATIM SPANS repeated across otherwise-
+distinct documents (boilerplate, licenses, quoted articles — the
+"Deduplicating Training Data Makes Language Models Better" failure
+mode). This operator finds every maximal token span whose W-token
+windows all occur elsewhere in the corpus, exactly:
+
+  1. every W-token rolling window is hashed (same lambda-variable
+     shingle shape as `operators.neardup` — higher-order lambdas are
+     interpreted, so the token array binds once per document);
+  2. one global groupBy finds window hashes occurring >= min_count
+     times (optionally in >= 2 DISTINCT documents — self-repetition
+     within one doc is q65's repetition signal, a different axis);
+  3. duplicated window POSITIONS join back (semi-join on the hash)
+     and per-document overlapping windows merge into maximal spans
+     with a native sort + fold (per-doc state is position-list-sized,
+     never corpus-sized).
+
+Scale notes: the only corpus-scale shuffles are the window-hash
+groupBy and the join-back on the hash — both key-partitioned,
+skew-safe (a boilerplate hash repeated millions of times groups to
+ONE row before the join-back; the join explodes only true duplicate
+positions). No all-pairs comparison exists; cost is O(total_tokens)
+map-side + O(distinct_windows) shuffle. Windows use md5 over the
+joined gram (not xxhash64) so a cross-engine oracle could reproduce
+counts; the operator itself is exact-twin pytest-verified.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _window_hashes(text: Column, w: int) -> Column:
+    """array<string>: md5 of each W-token rolling window (lowercased,
+    whitespace-split). Documents shorter than w tokens yield a single
+    whole-document window."""
+    toks = F.split(F.lower(F.trim(text)), r"\s+")
+
+    def build(tk: Column) -> Column:
+        idx = F.sequence(F.lit(1), F.greatest(F.size(tk) - (w - 1), F.lit(1)))
+        return F.transform(idx, lambda i: F.md5(F.concat_ws(" ", F.slice(tk, i, w))))
+
+    return F.transform(F.array(toks), build)[0]
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    window: int = 20,
+    min_count: int = 2,
+    across_docs: bool = True,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, span_start, span_end, n_windows) — maximal 0-based
+    token ranges [span_start, span_end) covered by duplicated
+    W-token windows. `across_docs=True` (default) counts a window as
+    duplicated only when it appears in >= 2 distinct documents."""
+    from data_warehouse_nhom8_spark.session import repartition_if_split_starved
+
+    # the gram build is compute-per-byte-heavy interpreted-HOF work —
+    # don't let a single-file input cap it at one task
+    wins = repartition_if_split_starved(
+        docs.select(id_col, text_col)
+    ).select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(_window_hashes(F.col(text_col), window)).alias("__pos", "__h"),
+    )
+    counts = wins.groupBy("__h").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.count_distinct("__id").alias("__docs"),
+    )
+    dup = counts.filter(
+        (F.col("__docs") >= 2) if across_docs else (F.col("__n") >= min_count)
+    ).select("__h")
+    hits = wins.join(dup, "__h").select("__id", "__pos")
+
+    # per-doc merge of overlapping [pos, pos+window) ranges: sorted
+    # positions fold into maximal spans (array of start/end structs)
+    merged = (
+        hits.groupBy("__id")
+        .agg(F.sort_array(F.collect_list("__pos")).alias("__ps"))
+        .select(
+            "__id",
+            F.aggregate(
+                "__ps",
+                F.array().cast("array<struct<s:int,e:int,n:int>>"),
+                lambda acc, p: F.when(
+                    (F.size(acc) > 0)
+                    & (p <= F.element_at(acc, -1)["e"]),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1),
+                        F.array(
+                            F.struct(
+                                F.element_at(acc, -1)["s"].alias("s"),
+                                F.greatest(
+                                    F.element_at(acc, -1)["e"],
+                                    (p + window).cast("int"),
+                                ).alias("e"),
+                                (F.element_at(acc, -1)["n"] + 1).alias("n"),
+                            )
+                        ),
+                    ),
+                ).otherwise(
+                    F.concat(
+                        acc,
+                        F.array(
+                            F.struct(
+                                p.cast("int").alias("s"),
+                                (p + window).cast("int").alias("e"),
+                                F.lit(1).alias("n"),
+                            )
+                        ),
+                    )
+                ),
+            ).alias("__spans"),
+        )
+    )
+    return merged.select(
+        F.col("__id").alias(id_col),
+        F.explode("__spans").alias("__sp"),
+    ).select(
+        id_col,
+        F.col("__sp.s").alias("span_start"),
+        F.col("__sp.e").alias("span_end"),
+        F.col("__sp.n").alias("n_windows"),
+    )
+
+
+def span_dedup_stats(
+    docs: DataFrame,
+    window: int = 20,
+    across_docs: bool = True,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document duplicated-token accounting: (doc_id, n_tokens,
+    dup_tokens, dup_fraction, n_spans). Documents with no duplicated
+    span report zeros (left join against the span table)."""
+    spans = duplicated_spans(
+        docs, window=window, across_docs=across_docs,
+        id_col=id_col, text_col=text_col,
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.sum(F.col("span_end") - F.col("span_start")).alias("dup_tokens"),
+        F.count(F.lit(1)).alias("n_spans"),
+    )
+    toks = docs.select(
+        F.col(id_col),
+        F.size(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("n_tokens"),
+    )
+    return (
+        toks.join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            # spans are window-granular; a short tail doc can be fully
+            # covered by a window longer than the doc — clamp
+            F.least(
+                F.coalesce("dup_tokens", F.lit(0)), F.col("n_tokens")
+            ).alias("dup_tokens"),
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+        )
+        .withColumn(
+            "dup_fraction",
+            F.when(
+                F.col("n_tokens") > 0,
+                F.round(F.col("dup_tokens") / F.col("n_tokens"), 4),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+
+
+def filter_span_duplicates(
+    docs: DataFrame,
+    max_dup_fraction: float = 0.5,
+    window: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus filter: drop documents whose duplicated-span token
+    fraction exceeds the threshold (the standard span-dedup policy —
+    remove the COPIES-heavy documents, keep originals with minor
+    overlap)."""
+    stats = span_dedup_stats(
+        docs, window=window, id_col=id_col, text_col=text_col
+    ).select(id_col, "dup_fraction")
+    return (
+        docs.join(stats, id_col, "left")
+        .filter(F.coalesce(F.col("dup_fraction"), F.lit(0.0)) <= max_dup_fraction)
+        .drop("dup_fraction")
+    )

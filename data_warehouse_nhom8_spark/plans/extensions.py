@@ -1442,6 +1442,35 @@ def q108_video_frames_noracle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q110_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1+ TOKEN-LEVEL dedup (round 8): per-document duplicated-span
+    accounting — every 12-token rolling window occurring in >= 2
+    distinct documents marks its range; overlapping windows merge to
+    maximal spans (`operators.span_dedup`). The DuckDB oracle mirrors
+    the whole pipeline: same regex split, same gram equality classes,
+    and the span merge as a gaps-and-islands window (break when
+    pos - lag(pos) > window ⟺ the Spark fold's p <= last.e merge).
+
+    Scale notes: the only corpus-scale shuffles key on the window
+    hash (groupBy + semi-join-back) — skew-safe because a repeated
+    boilerplate hash groups to ONE row before the join; the per-doc
+    merge folds a position list, never corpus state. No all-pairs."""
+    from data_warehouse_nhom8_spark.operators.span_dedup import span_dedup_stats
+
+    c = Catalog(spark, sf_dir)
+    return (
+        span_dedup_stats(c.documents, window=12)
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.col("dup_tokens").cast("long").alias("dup_tokens"),
+            F.col("n_spans").cast("long").alias("n_spans"),
+            "dup_fraction",
+        )
+        .orderBy("doc_id")
+    )
+
+
 EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q33_exact_dedup_docs": q33_exact_dedup_docs,
     "q34_token_counts": q34_token_counts,
@@ -1497,9 +1526,52 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q107_audio_features_noracle": q107_audio_features_noracle,
     "q108_video_frames_noracle": q108_video_frames_noracle,
     "q109_pq_topk_noracle": q109_pq_topk_noracle,
+    "q110_span_dedup": q110_span_dedup,
 }
 
 EXTENSION_ORACLES: dict[str, str] = {
+    "q110_span_dedup": """
+        WITH t AS (
+          SELECT doc_id,
+                 string_split_regex(lower(trim(text)), '\\s+') AS toks
+          FROM documents
+        ), w AS (
+          SELECT doc_id, i - 1 AS pos,
+                 array_to_string(toks[i:i+11], ' ') AS gram
+          FROM t, UNNEST(range(1, greatest(len(toks) - 12 + 1, 1) + 1)) AS u(i)
+        ), dup AS (
+          SELECT gram FROM w GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+        ), hits AS (
+          SELECT w.doc_id, w.pos FROM w JOIN dup USING (gram)
+        ), lagged AS (
+          SELECT doc_id, pos,
+                 LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+          FROM hits
+        ), isl AS (
+          SELECT doc_id, pos,
+                 SUM(CASE WHEN prev IS NULL OR pos - prev > 12 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos) AS island
+          FROM lagged
+        ), spans AS (
+          SELECT doc_id, MIN(pos) AS s, MAX(pos) + 12 AS e
+          FROM isl GROUP BY doc_id, island
+        ), per AS (
+          SELECT doc_id, CAST(SUM(e - s) AS BIGINT) AS dup_raw,
+                 CAST(COUNT(*) AS BIGINT) AS n_spans
+          FROM spans GROUP BY doc_id
+        ), toks_n AS (
+          SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens FROM t
+        )
+        SELECT toks_n.doc_id, n_tokens,
+               CAST(least(COALESCE(dup_raw, 0), n_tokens) AS BIGINT) AS dup_tokens,
+               COALESCE(n_spans, 0) AS n_spans,
+               CASE WHEN n_tokens > 0
+                    THEN round(CAST(least(COALESCE(dup_raw, 0), n_tokens) AS DOUBLE)
+                               / n_tokens, 4)
+                    ELSE 0.0 END AS dup_fraction
+        FROM toks_n LEFT JOIN per USING (doc_id)
+        ORDER BY doc_id
+    """,
     "q99_unigram_surprisal": """
         WITH tok AS (
           SELECT doc_id,

@@ -1632,3 +1632,67 @@ def test_pq_adc_recovers_planted_neighbours(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         pq_fit(df, m=5)
+
+
+def _ref_spans(texts, w, across_docs=True):
+    """Single-node reference for span dedup: rolling W-token windows,
+    duplicated = window text appearing in >=2 docs (or >=2 times),
+    per-doc merged maximal ranges."""
+    grams = {}
+    per_doc = []
+    for did, t in texts:
+        toks = t.lower().split()
+        ws = [" ".join(toks[i : i + w]) for i in range(max(1, len(toks) - w + 1))]
+        per_doc.append((did, ws, len(toks)))
+        for g in ws:
+            grams.setdefault(g, set()).add(did)
+    spans = {}
+    for did, ws, _n in per_doc:
+        hits = [i for i, g in enumerate(ws) if (len(grams[g]) >= 2 if across_docs else True)]
+        out = []
+        for p in hits:
+            if out and p <= out[-1][1]:
+                out[-1][1] = max(out[-1][1], p + w)
+                out[-1][2] += 1
+            else:
+                out.append([p, p + w, 1])
+        spans[did] = [tuple(x) for x in out]
+    return spans
+
+
+def test_span_dedup_matches_reference(spark):
+    """X1+ span-level dedup: duplicated W-token spans across docs ==
+    the single-node reference (maximal merged ranges), stats clamp at
+    doc length, and the corpus filter drops the copies-heavy doc."""
+    from data_warehouse_nhom8_spark.operators.span_dedup import (
+        duplicated_spans,
+        filter_span_duplicates,
+        span_dedup_stats,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog near the river bank today"
+    texts = [
+        (0, shared + " with extra unique tail content about spark plans"),
+        (1, "intro words first then " + shared + " and a different ending here"),
+        (2, "completely original text about catalyst optimizer internals and shuffles"),
+        (3, shared),  # fully covered by the shared span
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    w = 5
+    got = {}
+    for r in duplicated_spans(df, window=w).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"], r["n_windows"])
+        )
+    want = {k: v for k, v in _ref_spans(texts, w).items() if v}
+    got = {k: sorted(v) for k, v in got.items()}
+    assert got == {k: sorted(v) for k, v in want.items()}, (got, want)
+
+    stats = {r["doc_id"]: r for r in span_dedup_stats(df, window=w).collect()}
+    assert stats[2]["dup_tokens"] == 0 and stats[2]["n_spans"] == 0
+    assert stats[3]["dup_tokens"] == stats[3]["n_tokens"]  # fully duplicated
+    assert stats[3]["dup_fraction"] == 1.0
+    assert 0 < stats[0]["dup_fraction"] < 1.0
+
+    kept = {r["doc_id"] for r in filter_span_duplicates(df, 0.9, window=w).collect()}
+    assert 3 not in kept and {0, 2} <= kept
