@@ -78,47 +78,53 @@ def duplicated_spans(
         (F.col("__docs") >= 2) if across_docs else (F.col("__n") >= min_count)
     ).select("__h")
     hits = wins.join(dup, "__h").select("__id", "__pos")
+    return _positions_to_spans(hits, window, id_col)
 
-    # per-doc merge of overlapping [pos, pos+window) ranges: sorted
-    # positions fold into maximal spans (array of start/end structs)
+
+def _merge_positions_col(col: str, window: int):
+    """Native fold: sorted window positions → array of maximal merged
+    spans (struct<s,e,n>); merge when p <= last.e (overlap OR
+    adjacency — equivalent to the oracle's gaps-and-islands break at
+    p - lag(p) > window, since ends are p+window and monotone)."""
+    return F.aggregate(
+        col,
+        F.array().cast("array<struct<s:int,e:int,n:int>>"),
+        lambda acc, p: F.when(
+            (F.size(acc) > 0) & (p <= F.element_at(acc, -1)["e"]),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(
+                    F.struct(
+                        F.element_at(acc, -1)["s"].alias("s"),
+                        F.greatest(
+                            F.element_at(acc, -1)["e"],
+                            (p + window).cast("int"),
+                        ).alias("e"),
+                        (F.element_at(acc, -1)["n"] + 1).alias("n"),
+                    )
+                ),
+            ),
+        ).otherwise(
+            F.concat(
+                acc,
+                F.array(
+                    F.struct(
+                        p.cast("int").alias("s"),
+                        (p + window).cast("int").alias("e"),
+                        F.lit(1).alias("n"),
+                    )
+                ),
+            )
+        ),
+    )
+
+
+def _positions_to_spans(hits: DataFrame, window: int, id_col: str) -> DataFrame:
+    """(__id, __pos) duplicated-window positions → exploded span rows."""
     merged = (
         hits.groupBy("__id")
         .agg(F.sort_array(F.collect_list("__pos")).alias("__ps"))
-        .select(
-            "__id",
-            F.aggregate(
-                "__ps",
-                F.array().cast("array<struct<s:int,e:int,n:int>>"),
-                lambda acc, p: F.when(
-                    (F.size(acc) > 0)
-                    & (p <= F.element_at(acc, -1)["e"]),
-                    F.concat(
-                        F.slice(acc, 1, F.size(acc) - 1),
-                        F.array(
-                            F.struct(
-                                F.element_at(acc, -1)["s"].alias("s"),
-                                F.greatest(
-                                    F.element_at(acc, -1)["e"],
-                                    (p + window).cast("int"),
-                                ).alias("e"),
-                                (F.element_at(acc, -1)["n"] + 1).alias("n"),
-                            )
-                        ),
-                    ),
-                ).otherwise(
-                    F.concat(
-                        acc,
-                        F.array(
-                            F.struct(
-                                p.cast("int").alias("s"),
-                                (p + window).cast("int").alias("e"),
-                                F.lit(1).alias("n"),
-                            )
-                        ),
-                    )
-                ),
-            ).alias("__spans"),
-        )
+        .select("__id", _merge_positions_col("__ps", window).alias("__spans"))
     )
     return merged.select(
         F.col("__id").alias(id_col),
@@ -194,3 +200,85 @@ def filter_span_duplicates(
         .filter(F.coalesce(F.col("dup_fraction"), F.lit(0.0)) <= max_dup_fraction)
         .drop("dup_fraction")
     )
+
+
+# ----------------------------------------------------- incremental store
+#
+# The daily-pipeline face (same contract as the incremental MinHash
+# detector): a persisted (window_hash, n_docs) count table lets each
+# daily batch detect its duplicated spans against the WHOLE corpus
+# while hashing only its own documents. Counts of distinct docs are
+# exact and additive across disjoint batches, so
+#     incremental(batch | store(corpus)) == full(corpus ∪ batch) ↾ batch
+# exactly (pytest-gated). Persist the store through the versioned
+# snapshots (replay-idempotent when keyed by batch — see the sketch
+# stores in streaming.jobs for the replacement pattern).
+
+
+def span_store_build(
+    docs: DataFrame,
+    window: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(h, n_docs) — per-window-hash DISTINCT document counts. The
+    store is distinct-window-sized (corpus-sublinear after the
+    groupBy) and is the only state the incremental detector needs."""
+    from data_warehouse_nhom8_spark.session import repartition_if_split_starved
+
+    wins = repartition_if_split_starved(docs.select(id_col, text_col)).select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.array_distinct(_window_hashes(F.col(text_col), window))).alias("h"),
+    )
+    return wins.groupBy("h").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+def span_store_update(store: DataFrame | None, batch_store: DataFrame) -> DataFrame:
+    """Merge a batch's counts into the persisted store (counts are
+    additive across disjoint document sets)."""
+    if store is None:
+        return batch_store
+    return (
+        store.unionByName(batch_store)
+        .groupBy("h")
+        .agg(F.sum("n_docs").alias("n_docs"))
+    )
+
+
+def duplicated_spans_incremental(
+    batch_docs: DataFrame,
+    store: DataFrame | None,
+    window: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Duplicated spans WITHIN THE BATCH, judged against corpus ∪
+    batch: a window is duplicated iff its distinct-doc count across
+    the store plus the batch reaches 2. Only the batch is hashed; the
+    corpus contributes its count table (broadcast- or hash-joined on
+    the window hash). Output schema matches `duplicated_spans`."""
+    from data_warehouse_nhom8_spark.session import repartition_if_split_starved
+
+    wins = repartition_if_split_starved(
+        batch_docs.select(id_col, text_col)
+    ).select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(_window_hashes(F.col(text_col), window)).alias("__pos", "__h"),
+    )
+    batch_counts = wins.select("__id", "__h").distinct().groupBy("__h").agg(
+        F.count(F.lit(1)).alias("__bn")
+    )
+    stored = (
+        store.select(F.col("h").alias("__h"), F.col("n_docs").alias("__sn"))
+        if store is not None
+        else None
+    )
+    totals = (
+        batch_counts.join(stored, "__h", "left") if stored is not None else
+        batch_counts.withColumn("__sn", F.lit(0))
+    )
+    dup = totals.filter(
+        F.coalesce(F.col("__sn"), F.lit(0)) + F.col("__bn") >= 2
+    ).select("__h")
+    hits = wins.join(dup, "__h").select("__id", "__pos")
+    return _positions_to_spans(hits, window, id_col)

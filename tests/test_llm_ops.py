@@ -1696,3 +1696,51 @@ def test_span_dedup_matches_reference(spark):
 
     kept = {r["doc_id"] for r in filter_span_duplicates(df, 0.9, window=w).collect()}
     assert 3 not in kept and {0, 2} <= kept
+
+
+def test_span_dedup_incremental_equals_full(spark):
+    """The incremental daily-batch contract: spans of the batch judged
+    against store(corpus) must equal the full detector's spans on
+    corpus ∪ batch restricted to batch docs — and the store update is
+    additive (replaying the same sequence rebuilds the full store)."""
+    from data_warehouse_nhom8_spark.operators.span_dedup import (
+        duplicated_spans,
+        duplicated_spans_incremental,
+        span_store_build,
+        span_store_update,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus_rows = [
+        (0, shared + " original document tail one"),
+        (1, "some other content entirely about join strategies and scans"),
+    ]
+    batch_rows = [
+        (10, "prefix words then " + shared + " and more"),   # dups vs corpus
+        (11, "unique new content appearing exactly once anywhere"),
+        (12, "twin text repeated inside this batch only twice"),
+        (13, "twin text repeated inside this batch only twice"),  # batch-internal dup
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    batch = spark.createDataFrame(batch_rows, "doc_id long, text string")
+    w = 4
+
+    store = span_store_build(corpus, window=w)
+    inc = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_windows"])
+        for r in duplicated_spans_incremental(batch, store, window=w).collect()
+    }
+    full = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_windows"])
+        for r in duplicated_spans(corpus.unionByName(batch), window=w).collect()
+        if r["doc_id"] >= 10
+    }
+    assert inc == full, (inc, full)
+    assert any(d == 12 for d, *_ in inc) and any(d == 13 for d, *_ in inc)
+
+    # store update is additive: corpus+batch store == built-from-scratch
+    merged = span_store_update(store, span_store_build(batch, window=w))
+    scratch = span_store_build(corpus.unionByName(batch), window=w)
+    a = sorted(map(tuple, merged.collect()))
+    b = sorted(map(tuple, scratch.collect()))
+    assert a == b
