@@ -79,11 +79,13 @@ def run_corpus_prep(
     stride: int = 64,
     source_cap: int | None = None,
     max_surprisal_bits: float | None = None,
+    max_span_dup_fraction: float | None = None,
+    span_window: int = 20,
 ) -> dict:
     """One ledger-gated corpus-prep run. Returns per-stage counts;
     {"skipped": True} when the day already succeeded.
 
-    Optional curation stages (both default OFF — the certified q58
+    Optional curation stages (all default OFF — the certified q58
     chain is unchanged when unset):
       source_cap          — keep at most N docs per source before any
                             other stage (operators.corpus.per_source_cap,
@@ -94,6 +96,12 @@ def run_corpus_prep(
                             (operators.text.unigram_surprisal_scores,
                             q99's operator): the cheap statistical
                             gibberish filter — keeps should score LOW.
+      max_span_dup_fraction — drop docs whose duplicated-SPAN token
+                            fraction exceeds the bound
+                            (operators.span_dedup, q110's operator):
+                            the boilerplate/verbatim-copy filter that
+                            doc-level exact dedup cannot see;
+                            `span_window` sets the window length.
     """
     if ledger is not None and ledger.is_done(PROCESS, run_date):
         return {"skipped": True}
@@ -119,6 +127,16 @@ def run_corpus_prep(
                 .select("doc_id")
             )
             corpus = corpus.join(keep, "doc_id", "left_semi")
+        if max_span_dup_fraction is not None:
+            from data_warehouse_nhom8_spark.operators.span_dedup import (
+                filter_span_duplicates,
+            )
+
+            corpus = filter_span_duplicates(
+                corpus,
+                max_dup_fraction=max_span_dup_fraction,
+                window=span_window,
+            )
         snapshot_overwrite(corpus, f"{out_root}/corpus")
         stored = snapshot_read(spark, f"{out_root}/corpus")
 

@@ -306,3 +306,51 @@ def test_corpus_prep_optional_curation_stages(spark, tmp_path):
     dropped_by_gate = {i for i in scores if scores[i] > bound}
     assert dropped_by_gate  # the gate actually fired
     assert cur_ids == set(scores) - dropped_by_gate
+
+
+def test_corpus_prep_span_dedup_stage(spark, tmp_path):
+    """max_span_dup_fraction: OFF by default (byte-equal corpus); when
+    ON it drops exactly the docs whose duplicated-span fraction over
+    the post-gate corpus exceeds the bound (q110's operator as a
+    production pipeline stage)."""
+    import datetime
+
+    from data_warehouse_nhom8_spark.operators.span_dedup import span_dedup_stats
+    from data_warehouse_nhom8_spark.pipeline import corpus_prep
+    from data_warehouse_nhom8_spark.sources import Catalog
+    from data_warehouse_nhom8_spark.sources.snapshots import snapshot_read
+    from tests.conftest import SF_DIR
+
+    docs = Catalog(spark, SF_DIR).documents
+    day = datetime.date(2026, 1, 3)
+
+    base_out = str(tmp_path / "base")
+    corpus_prep.run_corpus_prep(spark, docs, base_out, day)
+    base = snapshot_read(spark, f"{base_out}/corpus")
+    base_ids = {r["doc_id"] for r in base.select("doc_id").collect()}
+
+    # data-driven bound: the median positive dup_fraction of the BASE
+    # corpus, so the stage demonstrably fires (testdata plants near-dups)
+    stats = span_dedup_stats(base, window=8)
+    fracs = sorted(
+        r["dup_fraction"] for r in stats.collect() if r["dup_fraction"] > 0
+    )
+    assert fracs, "fixture needs planted duplication"
+    # strictly below the smallest positive fraction: every doc with ANY
+    # duplicated span must drop (fractions can be uniform across the
+    # planted near-dup family, so a median bound may drop nothing)
+    bound = fracs[0] / 2.0
+
+    cur_out = str(tmp_path / "span")
+    corpus_prep.run_corpus_prep(
+        spark, docs, cur_out, day,
+        max_span_dup_fraction=bound, span_window=8,
+    )
+    cur_ids = {
+        r["doc_id"]
+        for r in snapshot_read(spark, f"{cur_out}/corpus").select("doc_id").collect()
+    }
+    want_dropped = {
+        r["doc_id"] for r in stats.collect() if r["dup_fraction"] > bound
+    }
+    assert want_dropped and cur_ids == base_ids - want_dropped
