@@ -729,3 +729,97 @@ def dedup_within_watermark(
     return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         list(keys)
     )
+
+
+def span_store_sink(
+    stream: DataFrame,
+    store_path: str,
+    checkpoint: str,
+    window: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataStreamWriter:
+    """Streaming maintenance of the span-dedup window-hash store — the
+    incremental face of `operators.span_dedup` (the q110 operator):
+    each micro-batch of documents contributes its per-hash DISTINCT
+    document counts, keyed by epoch, so the batch-side detector
+    (`duplicated_spans_incremental` over `read_span_store`) judges a
+    daily batch against the whole streamed corpus while hashing only
+    that batch. Same epoch-replacement idempotence as the sketch
+    store: a replayed micro-batch REPLACES its own epoch's rows, so
+    the additive counts stay exact under at-least-once delivery."""
+    return (
+        stream.writeStream.foreachBatch(
+            span_store_merge(store_path, window, id_col, text_col)
+        )
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+
+
+def span_store_merge(
+    store_path: str,
+    window: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """The span store's foreachBatch merge as a standalone builder
+    (drivable by the mid-epoch-kill restart tests, like
+    sketch_store_merge / vocab_store_merge)."""
+
+    def merge(batch: DataFrame, epoch_id: int) -> None:
+        from data_warehouse_nhom8_spark.operators.span_dedup import (
+            span_store_build,
+        )
+        from data_warehouse_nhom8_spark.sources.snapshots import (
+            snapshot_overwrite,
+            snapshot_read,
+        )
+
+        spark = batch.sparkSession
+        part = span_store_build(
+            batch, window=window, id_col=id_col, text_col=text_col
+        ).withColumn("epoch", F.lit(epoch_id).cast("long"))
+        current = snapshot_read(spark, store_path)
+        if current is not None:
+            merged = current.filter(F.col("epoch") != epoch_id).unionByName(part)
+        else:
+            merged = part
+        snapshot_overwrite(merged, store_path)
+
+    return merge
+
+
+def read_span_store(spark: SparkSession, store_path: str) -> DataFrame:
+    """(h, n_docs) summed across epochs — the exact count table
+    `duplicated_spans_incremental` consumes (counts are additive over
+    the disjoint per-epoch document sets)."""
+    from data_warehouse_nhom8_spark.sources.snapshots import snapshot_read
+
+    store = snapshot_read(spark, store_path)
+    if store is None:
+        raise FileNotFoundError(
+            f"no committed span store at {store_path}; run span_store_sink "
+            "through at least one micro-batch first"
+        )
+    return store.groupBy("h").agg(F.sum("n_docs").alias("n_docs"))
+
+
+def compact_span_store(spark: SparkSession, store_path: str) -> None:
+    """Fold all epochs into one `epoch = -1` row per hash (counts are
+    additive). OFFLINE only, stream stopped at a committed checkpoint
+    — same contract as compact_sketch_store."""
+    from data_warehouse_nhom8_spark.sources.snapshots import (
+        snapshot_overwrite,
+        snapshot_read,
+    )
+
+    store = snapshot_read(spark, store_path)
+    if store is None:
+        return
+    compacted = (
+        store.groupBy("h")
+        .agg(F.sum("n_docs").alias("n_docs"))
+        .withColumn("epoch", F.lit(-1).cast("long"))
+    )
+    snapshot_overwrite(compacted, store_path)

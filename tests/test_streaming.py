@@ -908,3 +908,79 @@ def test_streaming_upsert_preserves_bucketed_layout(spark, tmp_path):
     assert snapshot_bucket_spec(snap) == {"cols": ["job_id"], "n": 4, "sorted": True}
     got = {r["job_id"]: r["salary"] for r in snapshot_read(spark, snap).collect()}
     assert got == {"a": "v1", "z": "newer"}
+
+
+def test_span_store_streaming_equals_batch_and_replay_converges(spark, tmp_path):
+    """Streaming span-dedup store: two micro-batches of documents
+    through span_store_sink == the batch-built store over all docs;
+    a REPLAYED epoch (same epoch_id driven twice through the exact
+    production merge) leaves the store unchanged; the incremental
+    detector over read_span_store matches the full detector."""
+    from data_warehouse_nhom8_spark.operators.span_dedup import (
+        duplicated_spans,
+        duplicated_spans_incremental,
+        span_store_build,
+    )
+    from data_warehouse_nhom8_spark.streaming.jobs import (
+        compact_span_store,
+        read_span_store,
+        span_store_merge,
+        span_store_sink,
+    )
+
+    shared = "one two three four five six seven eight nine ten"
+    b1_rows = [(0, shared + " tail a"), (1, "totally different words here")]
+    b2_rows = [(2, "prefix " + shared), (3, "more unrelated content")]
+    b1 = spark.createDataFrame(b1_rows, "doc_id long, text string")
+    b2 = spark.createDataFrame(b2_rows, "doc_id long, text string")
+    src = tmp_path / "docs"
+    b1.write.parquet(str(src / "f1"))
+    store = str(tmp_path / "store")
+    w = 4
+
+    def drain():
+        stream = jobs.stream_source(spark, str(src / "*"), b1.schema)
+        q = (
+            span_store_sink(stream, store, str(tmp_path / "ck"), window=w)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    b2.write.parquet(str(src / "f2"))
+    drain()
+
+    got = sorted(map(tuple, read_span_store(spark, store).collect()))
+    want = sorted(
+        map(tuple, span_store_build(b1.unionByName(b2), window=w).collect())
+    )
+    assert got == want
+
+    # replay convergence: re-drive epoch 0's merge with b1 again
+    span_store_merge(store, window=w)(b1, 0)
+    assert sorted(map(tuple, read_span_store(spark, store).collect())) == want
+
+    # offline compaction changes no counts
+    compact_span_store(spark, store)
+    assert sorted(map(tuple, read_span_store(spark, store).collect())) == want
+
+    # incremental detector against the streamed store == full detector
+    batch3 = spark.createDataFrame(
+        [(9, "intro " + shared + " outro"), (10, "fresh unique text")],
+        "doc_id long, text string",
+    )
+    inc = {
+        tuple(r)
+        for r in duplicated_spans_incremental(
+            batch3, read_span_store(spark, store), window=w
+        ).collect()
+    }
+    full = {
+        tuple(r)
+        for r in duplicated_spans(
+            b1.unionByName(b2).unionByName(batch3), window=w
+        ).collect()
+        if r["doc_id"] >= 9
+    }
+    assert inc == full and inc
