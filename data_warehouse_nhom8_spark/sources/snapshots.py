@@ -303,13 +303,32 @@ def snapshot_rollback(path: str, version: int) -> None:
     os.replace(tmp, os.path.join(path, _POINTER))
 
 
+def _auto_bucket_count(
+    path: str, target_bytes: int = 256 << 20, floor: int = 8, ceiling: int = 4096
+) -> int:
+    """Bucket count from the LIVE version's uncompressed bytes
+    (parquet footers): next power of two of bytes/target, clamped.
+    No live version yet → floor (the table will re-bucket upward as
+    it grows past each power of two)."""
+    v = _current_version(path)
+    if v is None:
+        return floor
+    from data_warehouse_nhom8_spark.session import _dir_uncompressed_bytes
+
+    total = _dir_uncompressed_bytes(os.path.join(path, f"v{v:08d}"))
+    n = floor
+    while n < ceiling and n * target_bytes < total:
+        n *= 2
+    return n
+
+
 def snapshot_overwrite(
     df: DataFrame,
     path: str,
     schema: T.StructType | None = None,  # noqa: ARG001 — kept for call parity
     keep: int = 2,
     bucket_by: Sequence[str] | None = None,
-    n_buckets: int = 16,
+    n_buckets: int | str = 16,
     sort: bool = True,
 ) -> str:
     """Distributed write of `df` as the next version, then atomic
@@ -337,7 +356,16 @@ def snapshot_overwrite(
     while the same layout at 60M rows was 2.7x faster. Rule of thumb:
     n_buckets ≈ uncompressed_bytes / 256 MB, rounded up to a power of
     two, and re-bucket (bucket_by=cols with a new n_buckets) when the
-    table outgrows it."""
+    table outgrows it.
+
+    `n_buckets="auto"` applies that rule mechanically: the count is
+    sized from the LIVE version's parquet-footer uncompressed bytes
+    (clamped [8, 4096] powers of two; 8 when no version exists yet),
+    so a growing table re-buckets itself as it crosses each power of
+    two instead of silently riding a count chosen at creation. Note
+    that two tables co-located for joins must share a count — pin it
+    explicitly for join pairs; auto fits the merge-centric snapshot
+    tables whose co-location partner is their own next version."""
     os.makedirs(path, exist_ok=True)
     cur = _current_version(path)
     legacy = cur is None and has_parquet(path)
@@ -345,8 +373,11 @@ def snapshot_overwrite(
         spec = snapshot_bucket_spec(path)
         if spec is not None:
             bucket_by = spec["cols"]
-            n_buckets = spec["n"]
+            if n_buckets != "auto":
+                n_buckets = spec["n"]
             sort = bool(spec.get("sorted", True))
+    if bucket_by and n_buckets == "auto":
+        n_buckets = _auto_bucket_count(path)
     # version counter follows the highest READABLE version, not the
     # pointer: after a rollback v5→v3 the next write becomes v6 and
     # the abandoned-but-complete v4/v5 stay time-travel-readable

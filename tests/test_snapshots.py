@@ -700,3 +700,30 @@ def test_bucketed_upsert_merge_table_side_no_shuffle(spark, tmp_path):
     assert merged.count() == 5001
     # updated row carries the increment payload
     assert merged.filter("job_id = 1").collect()[0]["payload"] == 99
+
+
+def test_auto_bucket_count_grows_with_table(spark, tmp_path):
+    """n_buckets='auto' sizes the bucket count from the live version's
+    uncompressed bytes (floor on first write; power-of-two growth as
+    the table crosses each 256 MB step — exercised with a tiny target
+    via the helper), and the inherited spec keeps the latest count."""
+    from data_warehouse_nhom8_spark.sources.snapshots import (
+        _auto_bucket_count,
+        snapshot_bucket_spec,
+        snapshot_overwrite,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 20000).withColumn("k", F.col("id") % 100)
+    # first write: no live version yet -> floor buckets
+    snapshot_overwrite(df, path, bucket_by=["k"], n_buckets="auto")
+    assert snapshot_bucket_spec(path)["n"] == 8
+
+    # helper applies the power-of-two rule against a tiny target so
+    # the growth path is exercised without writing gigabytes
+    n = _auto_bucket_count(path, target_bytes=1024)
+    assert n > 8 and (n & (n - 1)) == 0  # grew, still a power of two
+
+    # inherit keeps the stored count when n_buckets isn't 'auto'
+    snapshot_overwrite(df.withColumn("v", F.col("id") + 1), path)
+    assert snapshot_bucket_spec(path)["n"] == 8
