@@ -56,6 +56,13 @@ def main() -> None:
         help="comma-separated source ids (reference parity default)",
     )
     ap.add_argument(
+        "--no-bucketed",
+        action="store_true",
+        help="create NEW snapshot tables as plain parquet instead of the "
+        "bucketed default (an existing bucketed table is never demoted — "
+        "layout is sticky)",
+    )
+    ap.add_argument(
         "--doctor",
         action="store_true",
         help="lint the pipeline's own stage plans (staging transform, "
@@ -79,6 +86,7 @@ def main() -> None:
     spark = get_spark("daily")
     report = run_daily_pipeline(
         spark, cfg, connectors, day,
+        bucketed=not args.no_bucketed,
         doctor_self=args.doctor,
         expectations=list(cfg.expectations) or None,
         expectations_enforce=cfg.expectations_enforce,
