@@ -727,3 +727,48 @@ def test_auto_bucket_count_grows_with_table(spark, tmp_path):
     # inherit keeps the stored count when n_buckets isn't 'auto'
     snapshot_overwrite(df.withColumn("v", F.col("id") + 1), path)
     assert snapshot_bucket_spec(path)["n"] == 8
+
+
+def test_bucketed_rollback_time_travel_and_diff(spark, tmp_path):
+    """The bucketed layout composes with the version machinery:
+    time-travel reads re-register version-qualified catalog entries,
+    rollback re-points without touching layout, and the change feed
+    diffs two bucketed versions correctly."""
+    from data_warehouse_nhom8_spark.sources.snapshots import (
+        snapshot_bucket_spec,
+        snapshot_diff,
+        snapshot_rollback,
+        snapshot_versions,
+    )
+
+    path = str(tmp_path / "t")
+    v1 = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    snapshot_overwrite(v1, path, bucket_by=["k"], n_buckets=4, keep=3)
+    v2 = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (4, "d")], "k long, v string"
+    )
+    snapshot_overwrite(v2, path, keep=3)  # inherits buckets
+    assert snapshot_versions(path) == [1, 2]
+    assert snapshot_bucket_spec(path, 1) is not None
+    assert snapshot_bucket_spec(path, 2) is not None
+
+    # time travel through the catalog path
+    old = {r["k"]: r["v"] for r in snapshot_read(spark, path, version=1).collect()}
+    assert old == {1: "a", 2: "b", 3: "c"}
+
+    # change feed across bucketed versions
+    feed = {
+        (r["k"], r["_change"]): r["v"]
+        for r in snapshot_diff(spark, path, 1, 2, keys=["k"]).collect()
+    }
+    assert feed == {(2, "update"): "B", (3, "delete"): "c", (4, "insert"): "d"}
+
+    # rollback re-points; layout and data intact; next write claims v3
+    snapshot_rollback(path, 1)
+    assert {r["k"] for r in snapshot_read(spark, path).collect()} == {1, 2, 3}
+    assert snapshot_bucket_spec(path) is not None
+    snapshot_overwrite(v2, path, keep=3)
+    assert snapshot_versions(path) == [1, 2, 3]
+    assert snapshot_bucket_spec(path, 3)["cols"] == ["k"]
