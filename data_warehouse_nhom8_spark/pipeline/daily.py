@@ -258,7 +258,9 @@ def run_weekly_maintenance(
 
     report = {}
     for name, path in (("staging", cfg.staging_path), ("warehouse", cfg.warehouse_path)):
-        out = snapshot_compact(spark, path)
+        # auto_buckets: the sweep re-sizes a bucketed table's count
+        # from its live bytes (no-op for plain tables)
+        out = snapshot_compact(spark, path, auto_buckets=True)
         report[f"compacted_{name}"] = bool(out)
         if history_keep_days is not None and snapshot_exists(path):
             report[f"vacuumed_{name}"] = len(

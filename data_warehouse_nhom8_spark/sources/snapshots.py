@@ -438,6 +438,7 @@ def snapshot_compact(
     zorder_by: list[str] | None = None,
     stats_cols: list[str] | None = None,
     bloom_cols: list[str] | None = None,
+    auto_buckets: bool = False,
 ) -> str | None:
     """Small-files compaction: rewrite the live version into
     ~target_file_bytes parquet files through the same atomic commit.
@@ -490,17 +491,29 @@ def snapshot_compact(
         # the repartition (distribution satisfied on paper) AND
         # disables the bucketed scan (no join/agg needs it), leaving
         # file-split tasks that fan out to n_tasks x n_buckets files.
-        if len(files) > spec["n"]:
+        # auto_buckets: maintenance is the natural RE-BUCKET point —
+        # recompute the count from the live bytes so a growing table
+        # crosses power-of-two steps during the weekly sweep instead
+        # of riding its creation-time count into the spill regime
+        target_n = _auto_bucket_count(path) if auto_buckets else spec["n"]
+        if len(files) > target_n or target_n != spec["n"]:
             conf_key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
             old_conf = spark.conf.get(conf_key, "true")
             spark.conf.set(conf_key, "false")
             try:
                 rewritten = snapshot_read(spark, path, schema).repartition(
-                    spec["n"], *spec["cols"]
+                    target_n, *spec["cols"]
                 )
                 if spec.get("sorted"):
                     rewritten = rewritten.sortWithinPartitions(*spec["cols"])
-                out = snapshot_overwrite(rewritten, path, schema)
+                out = snapshot_overwrite(
+                    rewritten,
+                    path,
+                    schema,
+                    bucket_by=spec["cols"],
+                    n_buckets=target_n,
+                    sort=bool(spec.get("sorted", True)),
+                )
             finally:
                 spark.conf.set(conf_key, old_conf)
     elif zorder_by:

@@ -595,3 +595,41 @@ def test_avi_mjpeg_mux_demux_property(n_frames, fps, seed):
     )
     assert [bytes(f) for f in out] == frames
     assert (got_fps, w, h) == (round(1_000_000 / (1_000_000 // fps)), 8, 8)
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet="abcĐđ ÁáàảÃãẠạ ÊêếềùưứXYZ  \t",
+            min_size=0,
+            max_size=24,
+        ),
+        min_size=2,
+        max_size=8,
+    )
+)
+@settings(max_examples=20, deadline=None)
+def test_canonical_key_equality_matches_icu_on_fold_domain(spark, texts):
+    """The bucketed-SCD2 contract: within the fold table's domain
+    (Vietnamese + Latin + ASCII + whitespace), binary equality of
+    canonical_key must agree with ICU UNICODE_CI_AI equality of
+    collation_key for EVERY pair — otherwise two rows the merge
+    considers one key could land in different buckets."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_nhom8_spark.functions.cleaning import (
+        canonical_key,
+        collation_key,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "i long, t string")
+    a, b = df.alias("a"), df.alias("b")
+    pairs = a.crossJoin(b).select(
+        (canonical_key(F.col("a.t")) == canonical_key(F.col("b.t"))).alias("canon"),
+        (collation_key(F.col("a.t")) == collation_key(F.col("b.t"))).alias("icu"),
+        F.col("a.t").alias("ta"),
+        F.col("b.t").alias("tb"),
+    )
+    bad = pairs.filter(F.col("canon") != F.col("icu")).collect()
+    assert not bad, [(r["ta"], r["tb"], r["canon"], r["icu"]) for r in bad]

@@ -772,3 +772,33 @@ def test_bucketed_rollback_time_travel_and_diff(spark, tmp_path):
     snapshot_overwrite(v2, path, keep=3)
     assert snapshot_versions(path) == [1, 2, 3]
     assert snapshot_bucket_spec(path, 3)["cols"] == ["k"]
+
+
+def test_compaction_auto_rebuckets_growing_table(spark, tmp_path):
+    """auto_buckets at compaction: the weekly sweep re-sizes a bucketed
+    table's count from its live bytes — exercised by shrinking the
+    helper's target via monkeypatched byte accounting is overkill;
+    instead verify (a) a right-sized table is a no-op, (b) an
+    OVER-bucketed table (spec n >> auto size) re-buckets DOWN to the
+    auto count with identical rows."""
+    from data_warehouse_nhom8_spark.sources.snapshots import (
+        snapshot_bucket_spec,
+        snapshot_compact,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 5000).withColumn("k", F.col("id") % 50)
+    # create with a too-large count for this tiny table
+    snapshot_overwrite(df, path, bucket_by=["k"], n_buckets=64)
+    assert snapshot_bucket_spec(path)["n"] == 64
+    out = snapshot_compact(spark, path, auto_buckets=True)
+    assert out is not None
+    spec = snapshot_bucket_spec(path)
+    assert spec["cols"] == ["k"] and spec["n"] == 8  # auto floor
+    assert snapshot_read(spark, path).count() == 5000
+    # second sweep: right-sized now; only compacts if files > count
+    files = [
+        f for f in os.listdir(out) if f.endswith(".parquet")
+    ]
+    assert len(files) <= 8
+    assert snapshot_compact(spark, path, auto_buckets=True) is None
