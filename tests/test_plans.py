@@ -523,3 +523,20 @@ def test_derived_partsupp_supplier_counts_coprime():
     for d in dirs:
         s = pq.ParquetFile(f"{d}/supplier.parquet").metadata.num_rows
         assert s > 3 and math.gcd(s, 17) == 1, (d, s)
+
+
+def test_q110_span_dedup_skew_safe_shape(spark):
+    """q110's scale contract: the duplicated-hash set reduces through
+    a PARTIAL-aggregated distinct-doc count BEFORE any join back (a
+    hot boilerplate hash becomes one row pre-join), the join-back is
+    an equi join (never cartesian), the per-doc merge is a
+    collect_list aggregate with map-side partials, and no Python eval
+    node exists anywhere."""
+    p = plan_of(spark, "q110_span_dedup")
+    assert "CartesianProduct" not in p and "BatchEvalPython" not in p
+    assert "partial_count(distinct " in p, "dedup count must partial-agg"
+    assert "partial_collect_list" in p, "span merge must partial-agg"
+    import re as _re
+
+    joins = _re.findall(r"(\w+Join\w*) \[", p)
+    assert joins and all("Nested" not in j for j in joins), joins
