@@ -802,3 +802,25 @@ def test_compaction_auto_rebuckets_growing_table(spark, tmp_path):
     ]
     assert len(files) <= 8
     assert snapshot_compact(spark, path, auto_buckets=True) is None
+
+
+def test_bucketed_snapshot_nested_types_reregister(spark, tmp_path):
+    """The catalog re-register path derives DDL from parquet footers —
+    nested types (array, struct, date) must survive a fresh-catalog
+    read of a bucketed version byte-identically."""
+    from data_warehouse_nhom8_spark.sources.snapshots import (
+        _bucket_table_name,
+        _current_version,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, ["a", "b"], {"x": 1, "y": "u"}, "2026-01-01"),
+         (2, [], {"x": 2, "y": None}, "2026-01-02")],
+        "k long, tags array<string>, meta struct<x:int,y:string>, d string",
+    ).withColumn("d", F.col("d").cast("date"))
+    snapshot_overwrite(df, path, bucket_by=["k"], n_buckets=4)
+    spark.sql(f"DROP TABLE IF EXISTS {_bucket_table_name(path, _current_version(path))}")
+    got = snapshot_read(spark, path)
+    assert got.schema == df.schema
+    assert sorted(map(str, got.collect())) == sorted(map(str, df.collect()))
