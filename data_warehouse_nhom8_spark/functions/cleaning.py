@@ -142,14 +142,25 @@ def canonical_key(c: Column | str) -> Column:
     bucketing: INVALID_BUCKET_COLUMN_DATA_TYPE). This is the persisted
     `__nk_*` representation of the bucketed SCD2 warehouse.
 
+    Normalization-form independence (round 9, ADVICE r8): the
+    translate table only covers PRECOMPOSED code points, but real
+    scraped text can arrive in NFD (base letter + combining marks —
+    'e' + U+0301), which ICU equality treats as identical to the NFC
+    form. After the fold, any remaining combining diacritical marks
+    (U+0300–U+036F — the full Vietnamese/Latin-1 set) are stripped,
+    so NFC, NFD and MIXED forms ('ê' + dot-below for 'ệ') all reach
+    the same base-letter key instead of splitting one business key
+    into two SCD2 rows.
+
     Contract vs `collation_key`: scripts outside the fold table (full-
     width forms, ligatures, non-Latin accents) fall back to unicode
     case-insensitive-only matching — documented tradeoff of the
     bucketed layout, not a general substitute for ICU collation."""
     col = F.col(c) if isinstance(c, str) else c
-    return F.translate(
+    folded = F.translate(
         F.lower(F.regexp_replace(F.trim(col), r"\s+", " ")), _ACCENTED, _FOLDED
     )
+    return F.regexp_replace(folded, "[\u0300-\u036f]", "")
 
 
 def collation_key(c: Column | str, collation: str = "UNICODE_CI_AI") -> Column:

@@ -62,37 +62,44 @@ def check(
 ) -> dict:
     """violation counts per expectation name, via ONE aggregate pass.
 
-    `unique` is APPROX-FIRST (round 8, the 100 TB shape): the fused
-    pass carries `approx_count_distinct(col, rsd)` — a mergeable
-    HLL sketch, O(sketch) instead of the exact distinct's full
-    key shuffle. Escalation contract:
+    `unique` is EXACT BY DEFAULT (round 9, the round-8 approx-first
+    default silently weakened existing DQ gates: duplicate mass below
+    rsd·count reported 0 violations with no caller opt-in). The 100 TB
+    shape — `approx_count_distinct(col, rsd)`, a mergeable HLL sketch
+    instead of the exact distinct's full key shuffle — is the OPT-IN
+    `params={"approx": True}`. Its escalation contract:
 
       * sketch agrees with count() within rsd        → clean, done in
         ONE pass (dup mass below sketch resolution is accepted — the
-        documented DQ tolerance; at test/dim scale rsd·count < 1, so
-        ANY duplicate escalates and the result stays exact)
+        documented tolerance the caller opted into; at dim scale
+        rsd·count < 1, so ANY duplicate escalates and stays exact)
       * sketch disagrees beyond rsd                  → a second pass
         computes the exact count(DISTINCT) for the suspect columns
         only, so reported violation counts are never estimates
 
-    params: {"rsd": 0.01} tunes the sketch; {"exact": True} forces the
-    old exact-in-fused-pass behavior for that expectation. Pass a dict
-    as `stats` to receive {"escalated": [names]} for observability.
-    Empty input yields all-zero counts."""
+    params: {"approx": True} opts into the sketch; {"rsd": 0.01}
+    tunes it; {"exact": True} is the (now-default) explicit form,
+    kept for round-8 callers. Pass a dict as `stats` to receive
+    {"escalated": [names]} for observability. Empty input yields
+    all-zero counts."""
+
+    def _approx(e: Expect) -> bool:
+        return bool(e.params.get("approx")) and not e.params.get("exact")
+
     aggs, uniques = [], []
     for e in expectations:
         if e.kind == "unique":
             uniques.append(e)
             aggs.append(F.count(e.col).alias(f"__cnt_{e.name}"))
-            if e.params.get("exact"):
-                aggs.append(
-                    F.count_distinct(F.col(e.col)).alias(f"__dst_{e.name}")
-                )
-            else:
+            if _approx(e):
                 aggs.append(
                     F.approx_count_distinct(
                         e.col, float(e.params.get("rsd", 0.01))
                     ).alias(f"__apx_{e.name}")
+                )
+            else:
+                aggs.append(
+                    F.count_distinct(F.col(e.col)).alias(f"__dst_{e.name}")
                 )
         else:
             aggs.append(_violation_expr(e).alias(f"__v_{e.name}"))
@@ -102,7 +109,7 @@ def check(
     for e in expectations:
         if e.kind == "unique":
             cnt = int(row[f"__cnt_{e.name}"])
-            if e.params.get("exact"):
+            if not _approx(e):
                 out[e.name] = cnt - int(row[f"__dst_{e.name}"])
             else:
                 apx = int(row[f"__apx_{e.name}"])

@@ -55,11 +55,25 @@ def duplicated_spans(
     across_docs: bool = True,
     id_col: str = "doc_id",
     text_col: str = "text",
+    materialize: bool = True,
 ) -> DataFrame:
     """(doc_id, span_start, span_end, n_windows) — maximal 0-based
     token ranges [span_start, span_end) covered by duplicated
     W-token windows. `across_docs=True` (default) counts a window as
-    duplicated only when it appears in >= 2 distinct documents."""
+    duplicated only when it appears in >= 2 distinct documents AND
+    >= min_count times overall (min_count keeps its occurrence-count
+    meaning on both branches; the default 2 makes the conjunction a
+    no-op since 2 distinct docs imply 2 occurrences).
+
+    `materialize` (default on, same contract as
+    `ngram_jaccard_pairs_exact(materialize_postings=)`): the
+    window-hash build feeds BOTH the duplicate-count groupBy and the
+    position join-back, and Catalyst does not share a subtree across
+    a self-join — the lazy plan runs the interpreted-HOF gram build
+    (the most expensive map work here) TWICE. A local checkpoint
+    computes it once; results are identical either way. Pass False on
+    a shared cluster where lineage-truncation (lost executor fails
+    the job instead of recomputing) is the wrong trade."""
     from data_warehouse_nhom8_spark.session import repartition_if_split_starved
 
     # the gram build is compute-per-byte-heavy interpreted-HOF work —
@@ -70,12 +84,16 @@ def duplicated_spans(
         F.col(id_col).alias("__id"),
         F.posexplode(_window_hashes(F.col(text_col), window)).alias("__pos", "__h"),
     )
+    if materialize:
+        wins = wins.localCheckpoint(eager=True)
     counts = wins.groupBy("__h").agg(
         F.count(F.lit(1)).alias("__n"),
         F.count_distinct("__id").alias("__docs"),
     )
     dup = counts.filter(
-        (F.col("__docs") >= 2) if across_docs else (F.col("__n") >= min_count)
+        ((F.col("__docs") >= 2) & (F.col("__n") >= min_count))
+        if across_docs
+        else (F.col("__n") >= min_count)
     ).select("__h")
     hits = wins.join(dup, "__h").select("__id", "__pos")
     return _positions_to_spans(hits, window, id_col)
@@ -143,13 +161,14 @@ def span_dedup_stats(
     across_docs: bool = True,
     id_col: str = "doc_id",
     text_col: str = "text",
+    materialize: bool = True,
 ) -> DataFrame:
     """Per-document duplicated-token accounting: (doc_id, n_tokens,
     dup_tokens, dup_fraction, n_spans). Documents with no duplicated
     span report zeros (left join against the span table)."""
     spans = duplicated_spans(
         docs, window=window, across_docs=across_docs,
-        id_col=id_col, text_col=text_col,
+        id_col=id_col, text_col=text_col, materialize=materialize,
     )
     per_doc = spans.groupBy(id_col).agg(
         F.sum(F.col("span_end") - F.col("span_start")).alias("dup_tokens"),
@@ -256,7 +275,9 @@ def duplicated_spans_incremental(
     batch: a window is duplicated iff its distinct-doc count across
     the store plus the batch reaches 2. Only the batch is hashed; the
     corpus contributes its count table (broadcast- or hash-joined on
-    the window hash). Output schema matches `duplicated_spans`."""
+    the window hash). Output schema matches `duplicated_spans`.
+    The batch gram build feeds both the count and the join-back, so
+    it is locally checkpointed like `duplicated_spans(materialize=)`."""
     from data_warehouse_nhom8_spark.session import repartition_if_split_starved
 
     wins = repartition_if_split_starved(
@@ -264,7 +285,7 @@ def duplicated_spans_incremental(
     ).select(
         F.col(id_col).alias("__id"),
         F.posexplode(_window_hashes(F.col(text_col), window)).alias("__pos", "__h"),
-    )
+    ).localCheckpoint(eager=True)
     batch_counts = wins.select("__id", "__h").distinct().groupBy("__h").agg(
         F.count(F.lit(1)).alias("__bn")
     )

@@ -82,7 +82,7 @@ def run_daily_pipeline(
     expectations: list | None = None,
     expectations_enforce: bool = False,
     bucketed: bool = True,
-    n_buckets: int = 16,
+    n_buckets: int | str | None = None,
 ) -> dict:
     """Extract → staging → warehouse → datamart for one day.
     Returns per-stage row counts for monitoring.
@@ -160,11 +160,18 @@ def run_daily_pipeline(
             )
     current = snapshot_read(spark, cfg.staging_path, schemas.STAGING_JOBS)
     staged = upsert_staging(current, silver.select(*[f.name for f in schemas.STAGING_JOBS.fields]))
+    # layout is declared ONCE, at table creation; every later daily
+    # write inherits the live _BUCKETS.json (ADVICE r8: re-passing the
+    # explicit layout here silently reset the bucket count the weekly
+    # auto re-bucketing had just sized to the table's bytes)
+    from data_warehouse_nhom8_spark.sources.snapshots import snapshot_bucket_spec
+
+    stg_create = bucketed and snapshot_bucket_spec(cfg.staging_path) is None
     snapshot_overwrite(
         staged,
         cfg.staging_path,
         schemas.STAGING_JOBS,
-        bucket_by=["job_id"] if bucketed else None,
+        bucket_by=["job_id"] if stg_create else None,
         n_buckets=n_buckets,
     )
     staging_df = snapshot_read(spark, cfg.staging_path, schemas.STAGING_JOBS)
@@ -184,11 +191,15 @@ def run_daily_pipeline(
         wh_spec is not None and any(c.startswith("__nk_") for c in wh_spec["cols"])
     )
 
+    # same creation-only rule as staging: declare the layout when the
+    # warehouse table doesn't exist yet, inherit the sticky spec after
+    wh_create = bucketed and wh_spec is None
+
     def persist(snapshot):
         snapshot_overwrite(
             snapshot,
             cfg.warehouse_path,
-            bucket_by=wh_buckets if bucketed else None,
+            bucket_by=wh_buckets if wh_create else None,
             n_buckets=n_buckets,
         )
         return snapshot_read(spark, cfg.warehouse_path)

@@ -159,7 +159,23 @@ def snapshot_read(
 
     Also reads a legacy plain parquet dir (pre-versioned layout) so
     existing tables keep working; their next write converts them.
+
+    A caller-supplied `schema` is honored on the bucketed path too:
+    the catalog table is projected/cast to exactly the schema's
+    fields (same type/column contract as the plain-parquet
+    `spark.read.schema` path). When the stored types already match —
+    the steady state — the casts simplify away and the projection is
+    pure aliasing, so the scan's bucket distribution survives; a
+    genuine type difference pays the cast, correctness over layout.
     """
+
+    def conform(df: DataFrame) -> DataFrame:
+        if schema is None or df.schema == schema:
+            return df
+        return df.select(
+            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+        )
+
     if version is not None:
         if version not in snapshot_versions(path):
             raise FileNotFoundError(
@@ -168,7 +184,7 @@ def snapshot_read(
                 "writer to retain more history"
             )
         if snapshot_bucket_spec(path, version) is not None:
-            return spark.table(_ensure_bucket_table(spark, path, version))
+            return conform(spark.table(_ensure_bucket_table(spark, path, version)))
         target = os.path.join(path, f"v{version:08d}")
         r = spark.read.schema(schema) if schema is not None else spark.read
         return r.parquet(target)
@@ -178,7 +194,7 @@ def snapshot_read(
             # bucketed version: read THROUGH the catalog entry so the
             # scan carries the bucket distribution (joins/aggs on the
             # bucket key plan with no Exchange on this side)
-            return spark.table(_ensure_bucket_table(spark, path, v))
+            return conform(spark.table(_ensure_bucket_table(spark, path, v)))
         target = os.path.join(path, f"v{v:08d}")
         r = spark.read.schema(schema) if schema is not None else spark.read
         return r.parquet(target)
@@ -328,7 +344,7 @@ def snapshot_overwrite(
     schema: T.StructType | None = None,  # noqa: ARG001 — kept for call parity
     keep: int = 2,
     bucket_by: Sequence[str] | None = None,
-    n_buckets: int | str = 16,
+    n_buckets: int | str | None = None,
     sort: bool = True,
 ) -> str:
     """Distributed write of `df` as the next version, then atomic
@@ -358,14 +374,23 @@ def snapshot_overwrite(
     two, and re-bucket (bucket_by=cols with a new n_buckets) when the
     table outgrows it.
 
-    `n_buckets="auto"` applies that rule mechanically: the count is
-    sized from the LIVE version's parquet-footer uncompressed bytes
-    (clamped [8, 4096] powers of two; 8 when no version exists yet),
-    so a growing table re-buckets itself as it crosses each power of
-    two instead of silently riding a count chosen at creation. Note
-    that two tables co-located for joins must share a count — pin it
-    explicitly for join pairs; auto fits the merge-centric snapshot
-    tables whose co-location partner is their own next version."""
+    `n_buckets` resolution (round 9 — the DEFAULT is the sizing rule,
+    not a fixed count; the 600M-row probe showed a count chosen at
+    creation can flip the layout win into a 2.4× loss as the table
+    grows):
+
+      * None (default) → inherit the live spec's count when
+        inheriting its layout, else "auto" — so a NEW bucketed table
+        is sized from its own bytes and an existing one keeps its
+        stored count (sticky, co-location stable across writes);
+      * "auto" → re-size from the LIVE version's parquet-footer
+        uncompressed bytes every time (clamped [8, 4096] powers of
+        two; 8 when no version exists yet), the explicit re-bucket
+        knob `snapshot_compact(auto_buckets=True)` also uses;
+      * an int → pinned exactly. Two tables co-located for joins must
+        share a count — pin it for join pairs; auto/None fit the
+        merge-centric snapshot tables whose co-location partner is
+        their own next version."""
     os.makedirs(path, exist_ok=True)
     cur = _current_version(path)
     legacy = cur is None and has_parquet(path)
@@ -373,10 +398,10 @@ def snapshot_overwrite(
         spec = snapshot_bucket_spec(path)
         if spec is not None:
             bucket_by = spec["cols"]
-            if n_buckets != "auto":
+            if n_buckets is None:
                 n_buckets = spec["n"]
             sort = bool(spec.get("sorted", True))
-    if bucket_by and n_buckets == "auto":
+    if bucket_by and (n_buckets is None or n_buckets == "auto"):
         n_buckets = _auto_bucket_count(path)
     # version counter follows the highest READABLE version, not the
     # pointer: after a rollback v5→v3 the next write becomes v6 and

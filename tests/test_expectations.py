@@ -99,14 +99,15 @@ def test_ledger_integration(spark, tmp_path):
 
 
 def test_unique_approx_first_escalation_and_single_pass(spark):
-    """Round 8 (ADVICE r7): `unique` rides the fused pass as an HLL
-    sketch. Clean data: ONE aggregate pass, no Expand, no escalation.
+    """Round 9 (ADVICE r8): `unique` is EXACT by default — the r8
+    approx-first default silently weakened configured DQ gates.
+    params {"approx": True} opts into the HLL-sketch fused pass.
+    Clean data: ONE aggregate pass, no Expand, no escalation.
     Duplicated data: the sketch disagrees with count() beyond rsd and
-    a second EXACT pass returns the true violation count. params
-    {"exact": True} keeps the old always-exact behavior."""
+    a second EXACT pass returns the true violation count."""
     from data_warehouse_nhom8_spark.operators.expectations import Expect, check
 
-    exp = [Expect("uniq_id", "unique", "id")]
+    exp = [Expect("uniq_id", "unique", "id", {"approx": True})]
     clean = spark.range(0, 5000).select(F.col("id"))
     stats = {}
     assert check(clean, exp, stats=stats) == {"uniq_id": 0}
@@ -131,16 +132,21 @@ def test_unique_approx_first_escalation_and_single_pass(spark):
     # at dim scale rsd*count < 1, so ANY duplicate escalates (exact)
     small = spark.range(0, 50).union(spark.range(0, 1))
     stats = {}
-    assert check(small, [Expect("u", "unique", "id")], stats=stats) == {"u": 1}
+    assert check(
+        small, [Expect("u", "unique", "id", {"approx": True})], stats=stats
+    ) == {"u": 1}
     assert stats["escalated"] == ["u"]
 
-    # documented tolerance: dup mass BELOW sketch resolution at scale
-    # is accepted in the single pass; {"exact": True} catches it
+    # documented tolerance OF THE OPT-IN: dup mass below sketch
+    # resolution at scale may be accepted in the single approx pass;
+    # the DEFAULT (no params) is exact and always catches it
     tiny_dup = clean.union(spark.range(0, 7).select(F.col("id")))
     stats = {}
     approx = check(tiny_dup, exp, stats=stats)
-    exact = check(
+    default_exact = check(tiny_dup, [Expect("uniq_id", "unique", "id")])
+    explicit_exact = check(
         tiny_dup, [Expect("uniq_id", "unique", "id", {"exact": True})]
     )
-    assert exact == {"uniq_id": 7}
+    assert default_exact == {"uniq_id": 7}
+    assert explicit_exact == {"uniq_id": 7}
     assert approx["uniq_id"] in (0, 7)  # 0 when within noise, 7 if escalated

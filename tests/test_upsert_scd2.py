@@ -301,6 +301,9 @@ def test_canonical_key_matches_collation_key_on_reference_domain(spark):
         collation_key,
     )
 
+    import unicodedata
+
+    nfd = lambda s: unicodedata.normalize("NFD", s)  # noqa: E731
     pairs = [
         ("Hà Nội", "ha noi", True),
         ("Đà Nẵng", "da nang", True),
@@ -311,6 +314,15 @@ def test_canonical_key_matches_collation_key_on_reference_domain(spark):
         ("Dev", "Designer", False),
         ("Hưng Yên", "hung yen", True),
         ("Thừa Thiên Huế", "thua thien hue", True),
+        # ADVICE r8: decomposed (NFD) input must induce the SAME key
+        # classes — ICU equality is normalization-insensitive, so a
+        # scraped NFD title must not split the business key
+        (nfd("Hà Nội"), "Hà Nội", True),
+        (nfd("Thừa Thiên Huế"), "thua thien hue", True),
+        (nfd("Kỹ Sư Dữ Liệu"), "ky su du lieu", True),
+        ("Qu\u00e2\u0323n 1", "qu\u1eadn 1", True),  # mixed: \u1ead as \u00e2 + dot-below
+        (nfd("Montréal"), "montreal", True),
+        (nfd("Hà Nội"), "ha noi 2", False),
     ]
     df = spark.createDataFrame(pairs, "a string, b string, want boolean")
     got = df.select(
