@@ -55,7 +55,7 @@ def duplicated_spans(
     across_docs: bool = True,
     id_col: str = "doc_id",
     text_col: str = "text",
-    materialize: bool = True,
+    materialize: bool = False,
 ) -> DataFrame:
     """(doc_id, span_start, span_end, n_windows) — maximal 0-based
     token ranges [span_start, span_end) covered by duplicated
@@ -65,15 +65,23 @@ def duplicated_spans(
     meaning on both branches; the default 2 makes the conjunction a
     no-op since 2 distinct docs imply 2 occurrences).
 
-    `materialize` (default on, same contract as
-    `ngram_jaccard_pairs_exact(materialize_postings=)`): the
-    window-hash build feeds BOTH the duplicate-count groupBy and the
-    position join-back, and Catalyst does not share a subtree across
-    a self-join — the lazy plan runs the interpreted-HOF gram build
-    (the most expensive map work here) TWICE. A local checkpoint
-    computes it once; results are identical either way. Pass False on
-    a shared cluster where lineage-truncation (lost executor fails
-    the job instead of recomputing) is the wrong trade."""
+    `materialize`: the window-hash build feeds BOTH the
+    duplicate-count groupBy and the position join-back, and Catalyst
+    does not share a subtree across a self-join — the lazy plan runs
+    the interpreted-HOF gram build TWICE. Checkpointing it (the q50
+    `materialize_postings` cure) was MEASURED and found a WASH at
+    sf0.1 (round 9): one warm gram pass is 0.36 s, but an eager
+    localCheckpoint of the EXPLODED window table (~#tokens rows)
+    costs 0.77 s to write + 0.15 s per read — persisting moves more
+    bytes than recomputing saves, and end-to-end (stats + merge +
+    collect) both settle at ~1.25 s warm because the span-merge
+    stages, not the gram build, dominate. Default stays False: no
+    storage blocks pinned for the DataFrame's lifetime, no eager
+    jobs at plan-build time, and lineage survives executor loss
+    (unlike q50, whose array_distinct-compacted postings feed THREE
+    consumers and measurably win from the checkpoint). Results are
+    identical either way (pytest-gated); flip it for corpora whose
+    per-token compute dominates IO (expensive tokenizers)."""
     from data_warehouse_nhom8_spark.session import repartition_if_split_starved
 
     # the gram build is compute-per-byte-heavy interpreted-HOF work —
@@ -161,7 +169,7 @@ def span_dedup_stats(
     across_docs: bool = True,
     id_col: str = "doc_id",
     text_col: str = "text",
-    materialize: bool = True,
+    materialize: bool = False,
 ) -> DataFrame:
     """Per-document duplicated-token accounting: (doc_id, n_tokens,
     dup_tokens, dup_fraction, n_spans). Documents with no duplicated
@@ -276,8 +284,9 @@ def duplicated_spans_incremental(
     the store plus the batch reaches 2. Only the batch is hashed; the
     corpus contributes its count table (broadcast- or hash-joined on
     the window hash). Output schema matches `duplicated_spans`.
-    The batch gram build feeds both the count and the join-back, so
-    it is locally checkpointed like `duplicated_spans(materialize=)`."""
+    The batch gram build feeds both the count and the join-back;
+    recompute beats checkpointing the exploded windows (measured —
+    see `duplicated_spans(materialize=)`), so the plan stays lazy."""
     from data_warehouse_nhom8_spark.session import repartition_if_split_starved
 
     wins = repartition_if_split_starved(
@@ -285,7 +294,7 @@ def duplicated_spans_incremental(
     ).select(
         F.col(id_col).alias("__id"),
         F.posexplode(_window_hashes(F.col(text_col), window)).alias("__pos", "__h"),
-    ).localCheckpoint(eager=True)
+    )
     batch_counts = wins.select("__id", "__h").distinct().groupBy("__h").agg(
         F.count(F.lit(1)).alias("__bn")
     )

@@ -7,6 +7,7 @@ never pays inference and column pruning works from the first plan.
 
 from __future__ import annotations
 
+import os
 from weakref import WeakKeyDictionary
 
 from pyspark.sql import DataFrame, SparkSession
@@ -53,6 +54,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # A table may be served from a versioned snapshot DIRECTORY
+    # ({sf_dir}/{name}/, e.g. the bench's bucketed production-layout
+    # fixture) instead of a plain {name}.parquet file. The snapshot
+    # reader routes bucketed versions through the catalog so the scan
+    # carries the bucket distribution — this is what lets the whole
+    # query registry run unchanged against the bucketed layout by
+    # just pointing sf_dir at a fixture dir.
+    if not os.path.exists(os.path.join(sf_dir, f"{name}.parquet")):
+        snap = os.path.join(sf_dir, name)
+        if os.path.isdir(snap):
+            from data_warehouse_nhom8_spark.sources.snapshots import snapshot_read
+
+            df = snapshot_read(spark, snap)
+            if df is not None:
+                return df
     if name == "events":
         # scope the legacy conf to this read: the scan captures it at
         # analysis time, and leaving it set session-wide would silently
@@ -86,6 +102,85 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every testdata table as a temp view (for the SQL API)."""
     for name in schemas.TESTDATA_TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+# The production bucketed layout for the testdata facts: the two
+# big co-located-join tables hash-distributed on their join key (the
+# same storage decision the daily pipeline makes for staging/warehouse
+# — SCALE_NOTES.md measured 2.2-4.5x on the recurring orderkey joins
+# at 60M/600M rows). Both sides of a co-located join MUST share the
+# bucket count, so the fixture pins one count for the pair.
+BUCKETED_FIXTURE_KEYS: dict[str, list[str]] = {
+    "lineitem": ["l_orderkey"],
+    "orders": ["o_orderkey"],
+}
+
+
+def build_bucketed_fixture(
+    spark: SparkSession,
+    sf_dir: str,
+    dest: str,
+    keys: dict[str, list[str]] | None = None,
+    n_buckets: int = 8,
+) -> dict:
+    """Materialize a testdata dir in the PRODUCTION layout: the fact
+    tables in `keys` become bucketed versioned snapshots under
+    `{dest}/{table}/`; every other table is symlinked as plain
+    parquet. `load_table`/`Catalog` then serve `dest` transparently,
+    so the whole query registry runs against the bucketed layout by
+    passing `dest` as the sf_dir — the bench's `bucketed_*` lane.
+
+    Idempotent and stamped: a `_FIXTURE.json` records the source dir,
+    per-table mtimes, keys and count; a matching stamp skips the
+    rebuild (the bench pays the build once per testdata generation,
+    and reports it separately — a production deployment pays it at
+    ingest, not per query). Returns {"built": bool, "seconds": s}.
+
+    `n_buckets` defaults to 8 (the auto-sizing floor — right for the
+    sf0.1 bench facts; the 600M-row probe sizing rule says grow it
+    with bytes/256MB for bigger fixtures)."""
+    import json
+    import time
+
+    from data_warehouse_nhom8_spark.sources.snapshots import snapshot_overwrite
+
+    keys = keys if keys is not None else BUCKETED_FIXTURE_KEYS
+    os.makedirs(dest, exist_ok=True)
+    marker = os.path.join(dest, "_FIXTURE.json")
+    stamp = {
+        "sf_dir": os.path.abspath(sf_dir),
+        "n_buckets": n_buckets,
+        "keys": {t: list(c) for t, c in sorted(keys.items())},
+        "mtimes": {
+            t: os.path.getmtime(os.path.join(sf_dir, f"{t}.parquet"))
+            for t in schemas.TESTDATA_TABLES
+        },
+    }
+    if os.path.exists(marker):
+        try:
+            with open(marker) as fh:
+                if json.load(fh) == stamp:
+                    return {"built": False, "seconds": 0.0}
+        except (OSError, ValueError):
+            pass
+    t0 = time.perf_counter()
+    for t in schemas.TESTDATA_TABLES:
+        if t in keys:
+            snapshot_overwrite(
+                load_table(spark, sf_dir, t),
+                os.path.join(dest, t),
+                bucket_by=keys[t],
+                n_buckets=n_buckets,
+            )
+        else:
+            link = os.path.join(dest, f"{t}.parquet")
+            src = os.path.abspath(os.path.join(sf_dir, f"{t}.parquet"))
+            if os.path.lexists(link):
+                os.remove(link)
+            os.symlink(src, link)
+    with open(marker, "w") as fh:
+        json.dump(stamp, fh)
+    return {"built": True, "seconds": round(time.perf_counter() - t0, 3)}
 
 
 class Catalog:

@@ -1697,6 +1697,18 @@ def test_span_dedup_matches_reference(spark):
     kept = {r["doc_id"] for r in filter_span_duplicates(df, 0.9, window=w).collect()}
     assert 3 not in kept and {0, 2} <= kept
 
+    # materialize flag changes the plan (checkpoint vs lazy), never
+    # the result; min_count is honored on the across-docs branch
+    lazy = sorted(map(tuple, duplicated_spans(df, window=w).collect()))
+    ck = sorted(
+        map(tuple, duplicated_spans(df, window=w, materialize=True).collect())
+    )
+    assert lazy == ck
+    # shared span appears in docs 0,1,3 → min_count=4 (occurrences)
+    # must drop windows occurring only 3 times
+    strict = duplicated_spans(df, window=w, min_count=4).collect()
+    assert strict == []
+
 
 def test_span_dedup_incremental_equals_full(spark):
     """The incremental daily-batch contract: spans of the batch judged
