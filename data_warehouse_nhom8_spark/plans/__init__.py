@@ -37,15 +37,35 @@ import json
 import os
 
 from data_warehouse_nhom8_spark.plans.queries import QUERIES as _CORE
+from data_warehouse_nhom8_spark.plans.queries import (
+    RETIRED_QUERIES as _CORE_RETIRED,
+)
 from data_warehouse_nhom8_spark.plans.oracles import ORACLES as _CORE_ORACLES
+from data_warehouse_nhom8_spark.plans.oracles import (
+    RETIRED_ORACLES as _CORE_RETIRED_ORACLES,
+)
 from data_warehouse_nhom8_spark.plans.extensions import (
     EXTENSION_ORACLES,
     EXTENSION_QUERIES,
+    RETIRED_EXTENSION_ORACLES,
+    RETIRED_EXTENSION_QUERIES,
 )
 from data_warehouse_nhom8_spark.plans.tpch import TPCH_ORACLES, TPCH_QUERIES
 
 _ALL_QUERIES = {**_CORE, **EXTENSION_QUERIES, **TPCH_QUERIES}
 ORACLES = {**_CORE_ORACLES, **EXTENSION_ORACLES, **TPCH_ORACLES}
+
+# Rotation-slack accounting (round 9): 95 oracled + 10 noracle. Five
+# redundant oracles were RETIRED to their superset shapes (q05, q14,
+# q26, q43, q44 — see queries.RETIRED_QUERIES / extensions.
+# RETIRED_EXTENSION_QUERIES for the subset→superset mapping); each
+# keeps a per-suite-run DuckDB twin in tests/test_retired_oracles.py.
+# With 95 oracles the two-round halves are 47 (r7-green side) and 48
+# (r8-green side), so EVERY round's derived front now carries >= 2
+# free window slots for new oracled queries — the r8 state (front
+# exactly 50, zero slack) cannot recur until growth uses them up.
+RETIRED_QUERIES = {**_CORE_RETIRED, **RETIRED_EXTENSION_QUERIES}
+RETIRED_ORACLES = {**_CORE_RETIRED_ORACLES, **RETIRED_EXTENSION_ORACLES}
 
 # Round-1 fallback only: with no CORRECTNESS file on disk there is nothing to
 # rotate against, so front the queries that would otherwise sort last.
@@ -116,4 +136,10 @@ def _registry_order(names):
 
 QUERIES = {name: _ALL_QUERIES[name] for name in _registry_order(_ALL_QUERIES)}
 
-__all__ = ["QUERIES", "ORACLES", "latest_correctness_green"]
+__all__ = [
+    "QUERIES",
+    "ORACLES",
+    "RETIRED_QUERIES",
+    "RETIRED_ORACLES",
+    "latest_correctness_green",
+]

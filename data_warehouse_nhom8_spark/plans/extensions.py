@@ -1482,8 +1482,6 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q40_cosine_topk": q40_cosine_topk,
     "q41_embedding_neardup_noracle": q41_embedding_neardup_noracle,
     "q42_multimodal_features": q42_multimodal_features,
-    "q43_approx_distinct": q43_approx_distinct,
-    "q44_rollup": q44_rollup,
     "q45_percentiles": q45_percentiles,
     "q49_cluster_dedup_noracle": q49_cluster_dedup_noracle,
     "q50_ngram_jaccard": q50_ngram_jaccard,
@@ -1683,11 +1681,6 @@ EXTENSION_ORACLES: dict[str, str] = {
           ORDER BY cosine DESC, e.vec_id LIMIT 10
         ) t
     """,
-    "q43_approx_distinct": """
-        SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
-               TRUE AS within_tol
-        FROM events GROUP BY event_type ORDER BY event_type NULLS FIRST
-    """,
     "q33_exact_dedup_docs": """
         SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS n
         FROM documents GROUP BY md5(text) ORDER BY keep_id NULLS FIRST
@@ -1721,11 +1714,6 @@ EXTENSION_ORACLES: dict[str, str] = {
                CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
         FROM documents ORDER BY media_id NULLS FIRST
-    """,
-    "q44_rollup": """
-        SELECT l_returnflag, l_linestatus, COUNT(*) AS n
-        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
-        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST, n NULLS FIRST
     """,
     "q45_percentiles": """
         SELECT o_orderstatus,
@@ -2232,5 +2220,30 @@ EXTENSION_ORACLES: dict[str, str] = {
                MIN(o_totalprice) AS min_value,
                MAX(o_totalprice) AS max_value
         FROM d GROUP BY decile ORDER BY decile
+    """,
+}
+
+
+# Retired from the certification registry (round 9 — rotation-slack
+# recovery): strict subsets of shapes that stay oracled (q43 approx
+# count-distinct ⊂ q62 HLL rollup + Q16 exact daily count-distinct;
+# q44 ROLLUP ⊂ q80 CUBE — both compile to the same Expand machinery).
+# Pytest twin tests/test_retired_oracles.py runs each against its
+# DuckDB oracle at the driver's gate scale every suite run.
+RETIRED_EXTENSION_QUERIES = {
+    "q43_approx_distinct": q43_approx_distinct,
+    "q44_rollup": q44_rollup,
+}
+
+RETIRED_EXTENSION_ORACLES: dict[str, str] = {
+    "q43_approx_distinct": """
+        SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+               TRUE AS within_tol
+        FROM events GROUP BY event_type ORDER BY event_type NULLS FIRST
+    """,
+    "q44_rollup": """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST, n NULLS FIRST
     """,
 }

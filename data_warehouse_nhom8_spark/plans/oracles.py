@@ -32,10 +32,6 @@ ORACLES: dict[str, str] = {
                CAST(day(o_orderdate) AS BIGINT) AS d
         FROM orders ORDER BY o_orderkey NULLS FIRST LIMIT 500
     """,
-    "q05_like_prefix": """
-        SELECT p_partkey, p_brand FROM part WHERE p_brand LIKE 'Brand#1%'
-        ORDER BY p_partkey NULLS FIRST
-    """,
     "q06_validity_filter": """
         SELECT c_custkey FROM customer
         WHERE c_name IS NOT NULL AND c_name <> '' AND c_acctbal > 0
@@ -78,11 +74,6 @@ ORACLES: dict[str, str] = {
     "q13_single_key_agg": """
         SELECT c_mktsegment, COUNT(*) AS total
         FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment NULLS FIRST
-    """,
-    "q14_grouping_sets": """
-        SELECT c_mktsegment, c_nationkey, COUNT(*) AS total
-        FROM customer GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey))
-        ORDER BY c_mktsegment NULLS FIRST, c_nationkey NULLS FIRST, total NULLS FIRST
     """,
     "q15_conditional_agg": """
         SELECT l_returnflag,
@@ -149,10 +140,6 @@ ORACLES: dict[str, str] = {
                     ELSE o_orderdate END AS adj_date
         FROM orders ORDER BY o_orderkey NULLS FIRST LIMIT 1000
     """,
-    "q26_md5_fingerprint": """
-        SELECT doc_id, md5(text) AS h FROM documents
-        ORDER BY doc_id NULLS FIRST LIMIT 500
-    """,
     "q27_props_extract": """
         SELECT event_id, regexp_extract(props, '"([A-Za-z_]+)"', 1) AS first_key
         FROM events ORDER BY event_id NULLS FIRST LIMIT 1000
@@ -189,5 +176,25 @@ ORACLES: dict[str, str] = {
         SELECT lang, COUNT(*) AS n_docs, ROUND(AVG(n_chars), 2) AS avg_len
         FROM documents WHERE n_chars >= 10
         GROUP BY lang ORDER BY lang NULLS FIRST
+    """,
+}
+
+
+# DuckDB twins for the retired-registry queries (see
+# queries.RETIRED_QUERIES): exercised every suite run by
+# tests/test_retired_oracles.py instead of the driver rotation.
+RETIRED_ORACLES: dict[str, str] = {
+    "q05_like_prefix": """
+        SELECT p_partkey, p_brand FROM part WHERE p_brand LIKE 'Brand#1%'
+        ORDER BY p_partkey NULLS FIRST
+    """,
+    "q14_grouping_sets": """
+        SELECT c_mktsegment, c_nationkey, COUNT(*) AS total
+        FROM customer GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey))
+        ORDER BY c_mktsegment NULLS FIRST, c_nationkey NULLS FIRST, total NULLS FIRST
+    """,
+    "q26_md5_fingerprint": """
+        SELECT doc_id, md5(text) AS h FROM documents
+        ORDER BY doc_id NULLS FIRST LIMIT 500
     """,
 }

@@ -492,7 +492,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q02_project_rename": q02_project_rename,
     "q03_partition_day_filter": q03_partition_day_filter,
     "q04_computed_projection": q04_computed_projection,
-    "q05_like_prefix": q05_like_prefix,
     "q06_validity_filter": q06_validity_filter,
     "q07_inner_equijoin": q07_inner_equijoin,
     "q08_broadcast_dim_chain": q08_broadcast_dim_chain,
@@ -501,7 +500,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q11_semi_join": q11_semi_join,
     "q12_correlated_scalar_count": q12_correlated_scalar_count,
     "q13_single_key_agg": q13_single_key_agg,
-    "q14_grouping_sets": q14_grouping_sets,
     "q15_conditional_agg": q15_conditional_agg,
     "q16_daily_rollup": q16_daily_rollup,
     "q17_scalar_agg_gate": q17_scalar_agg_gate,
@@ -513,11 +511,30 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q23_intersect": q23_intersect,
     "q24_regex_extract": q24_regex_extract,
     "q25_relative_date": q25_relative_date,
-    "q26_md5_fingerprint": q26_md5_fingerprint,
     "q27_props_extract": q27_props_extract,
     "q28_tumbling_daily_window": q28_tumbling_daily_window,
     "q29_session_gap": q29_session_gap,
     "q30_keyed_upsert": q30_keyed_upsert,
     "q31_duplicate_detection": q31_duplicate_detection,
     "q32_text_stats": q32_text_stats,
+}
+
+
+# Retired from the certification registry (round 9 — rotation-slack
+# recovery, VERDICT r8 #4): each shape is a strict subset of a query
+# that STAYS oracled, so certifying both spent window slots on the
+# same plan machinery. The functions remain first-class (pytest twin
+# tests/test_retired_oracles.py runs each against its DuckDB oracle
+# at the driver's gate scale every suite run — stricter cadence than
+# the two-round driver rotation they left):
+#   q05 LIKE-prefix pushdown  -> plan-gated PushedFilters everywhere;
+#                                P-row evidence stays on Q01-Q04/Q06
+#   q14 GROUPING SETS (Expand) -> q80 CUBE is the Expand superset;
+#                                A1 evidence stays on Q13
+#   q26 md5 fingerprint        -> q36_doc_fingerprint is the same
+#                                md5-over-documents shape (F10/X1)
+RETIRED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q05_like_prefix": q05_like_prefix,
+    "q14_grouping_sets": q14_grouping_sets,
+    "q26_md5_fingerprint": q26_md5_fingerprint,
 }

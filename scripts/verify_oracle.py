@@ -72,6 +72,13 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     qs, sqls = entrymod.queries(), entrymod.oracle_sql()
+    # retired-from-rotation queries keep their full local gate here
+    # (the driver no longer sees them; tests/test_retired_oracles.py
+    # is the per-suite twin, this is the same-cadence CLI lane)
+    from data_warehouse_nhom8_spark.plans import RETIRED_ORACLES, RETIRED_QUERIES
+
+    qs = {**qs, **RETIRED_QUERIES}
+    sqls = {**sqls, **RETIRED_ORACLES}
     failures = []
     for name, fn in qs.items():
         if only and name not in only:

@@ -27,7 +27,17 @@ def test_column_pruning(spark):
 
 
 def test_like_prefix_pushdown(spark):
-    assert "StringStartsWith(p_brand,Brand#1)" in plan_of(spark, "q05_like_prefix")
+    # q05 retired from the certification registry (round 9) but its
+    # pushdown plan gate stays — the shape is still first-class
+    from data_warehouse_nhom8_spark.plans import RETIRED_QUERIES
+
+    p = (
+        RETIRED_QUERIES["q05_like_prefix"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "StringStartsWith(p_brand,Brand#1)" in p
 
 
 def test_dimension_joins_broadcast(spark):

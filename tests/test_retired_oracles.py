@@ -1,0 +1,112 @@
+"""Retired-oracle twins (round 9 rotation-slack recovery).
+
+Five redundant oracled queries left the driver's certification
+registry because each is a strict subset of a shape that stays
+oracled (plans/__init__.py documents the mapping). Retirement must
+not weaken their correctness guarantee, so this module runs each
+retired query against its DuckDB oracle at the driver's gate scale
+(sf0.01) on EVERY suite run — a stricter cadence than the two-round
+driver rotation they left. The comparison is verify_oracle's own
+canon (byte-strict values, DECIMAL-output ban, order-insensitive AND
+result-order checks), loaded from the script so the two gates cannot
+drift apart.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+
+import duckdb
+import pytest
+from pyspark.sql.types import DecimalType
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF_DIR = "/root/testdata/sf0.01"
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def _verify_oracle_module():
+    spec = importlib.util.spec_from_file_location(
+        "verify_oracle_for_tests", os.path.join(ROOT, "scripts", "verify_oracle.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)  # defines canon(); main() only runs under __main__
+    return mod
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+def test_registry_no_longer_lists_retired(spark):
+    from data_warehouse_nhom8_spark.plans import (
+        ORACLES,
+        QUERIES,
+        RETIRED_ORACLES,
+        RETIRED_QUERIES,
+    )
+
+    assert set(RETIRED_QUERIES) == set(RETIRED_ORACLES)
+    assert not set(RETIRED_QUERIES) & set(QUERIES)
+    assert not set(RETIRED_ORACLES) & set(ORACLES)
+    # the documented post-retirement accounting: 95 oracles split
+    # 47/48 across the rotation halves → slack >= 2 every round
+    assert len(ORACLES) == 95
+
+
+def test_rotation_slack_recovered():
+    """Both derived fronts now leave >= 2 free certification-window
+    slots (the r8 zero-slack state is structurally gone until new
+    oracled queries consume the headroom)."""
+    import json
+
+    from data_warehouse_nhom8_spark.plans import ORACLES, latest_correctness_green
+
+    fname, green = latest_correctness_green()
+    if green is None:
+        pytest.skip("no driver correctness file yet")
+    front = [q for q in ORACLES if q not in green]
+    assert len(front) <= 48, (
+        f"front {len(front)} from {fname} — slack under 2; retire or "
+        "merge redundant oracles before adding more"
+    )
+
+
+def test_retired_queries_match_their_duckdb_oracles(spark, duck):
+    from data_warehouse_nhom8_spark.plans import RETIRED_ORACLES, RETIRED_QUERIES
+
+    canon = _verify_oracle_module().canon
+    problems = []
+    for name, fn in sorted(RETIRED_QUERIES.items()):
+        sdf = fn(spark, SF_DIR)
+        dec = [f.name for f in sdf.schema.fields if isinstance(f.dataType, DecimalType)]
+        if dec:
+            problems.append(f"{name}: DECIMAL output columns {dec}")
+            continue
+        scols = sdf.columns
+        srows = [tuple(canon(v) for v in r) for r in sdf.collect()]
+        cur = duck.execute(RETIRED_ORACLES[name])
+        dcols = [d[0] for d in cur.description]
+        drows = [tuple(canon(v) for v in r) for r in cur.fetchall()]
+        if sorted(scols) != sorted(dcols):
+            problems.append(f"{name}: cols {sorted(scols)} vs {sorted(dcols)}")
+            continue
+        sidx = [scols.index(c) for c in sorted(scols)]
+        didx = [dcols.index(c) for c in sorted(dcols)]
+        so = [tuple(r[i] for i in sidx) for r in srows]
+        do = [tuple(r[i] for i in didx) for r in drows]
+        if sorted(so) != sorted(do):
+            diffs = [(a, b) for a, b in zip(sorted(so), sorted(do)) if a != b][:2]
+            problems.append(f"{name}: values differ {diffs} ({len(so)} vs {len(do)} rows)")
+        elif so != do:
+            problems.append(f"{name}: result order differs")
+    assert not problems, problems
