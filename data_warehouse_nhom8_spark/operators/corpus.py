@@ -548,3 +548,178 @@ def per_source_cap(
         .select(id_col, group_col, "rank_in_source")
         .orderBy(group_col, "rank_in_source")
     )
+
+
+# ------------------------------------------- URL canonicalization
+
+
+def url_canonical_cols(url: Column | str) -> dict[str, Column]:
+    """Web-curation URL canonicalization (the normalize step every
+    crawl-derived corpus runs before URL-level dedup — the reference
+    has no crawl tier; this extends S1's scraped-source story to the
+    Common-Crawl shape). Returns native-expression columns:
+
+      canon_url — scheme stripped, fragment/query stripped, host
+                  lowercased, leading ``www.`` and default ports
+                  (:80/:443) removed, ``/index.html`` collapsed,
+                  trailing slashes trimmed; path case preserved
+                  (paths are case-sensitive; hosts are not)
+      domain    — the canonicalized host alone (per-domain cap key)
+
+    Pure per-row regex projections — whole-stage codegen over the
+    scan, zero shuffle, and every step is byte-identical in DuckDB
+    (simple anchored patterns, no engine-specific regex syntax), so
+    derived queries are fully driver-oracled."""
+    s = F.trim(_c(url))
+    s = F.regexp_replace(s, "#.*", "")  # fragment
+    s = F.regexp_replace(s, r"\?.*", "")  # query string
+    s = F.regexp_replace(s, "^[a-zA-Z][a-zA-Z0-9+.-]*://", "")  # scheme
+    host = F.lower(F.regexp_extract(s, "^[^/]+", 0))
+    host = F.regexp_replace(host, ":(80|443)$", "")  # default ports
+    domain = F.regexp_replace(host, r"^www\.", "")
+    path = F.regexp_replace(s, "^[^/]+", "")  # raw path ('' when none)
+    path = F.regexp_replace(path, r"/index\.html$", "/")
+    path = F.regexp_replace(path, "/+$", "")
+    return {"domain": domain, "canon_url": F.concat(domain, path)}
+
+
+def url_dedup_domain_cap(
+    df: DataFrame,
+    url_col: Column | str = "url",
+    cap: int = 10,
+    seed: str = "url0",
+    id_col: str = "doc_id",
+    salt_buckets: int | None = None,
+) -> DataFrame:
+    """URL-level exact dedup + per-domain cap — the two curation
+    passes a crawl corpus runs back-to-back on the canonicalized URL:
+
+      1. collapse every raw-URL variant of the same canonical URL to
+         ONE document (deterministic winner: lowest md5(id:seed)
+         priority, id tiebreak — engine-portable, reshuffles only
+         when the seed changes);
+      2. keep at most `cap` surviving documents per DOMAIN, same
+         md5-priority order (`per_source_cap`'s policy, composed
+         here so the cap sees the deduped set, not raw variants).
+
+    Returns (id, domain, canon_url, rank_in_domain), rank <= cap.
+
+    Scale notes: pass 1 windows over canon_url — fine-grained keys
+    (a single URL repeats per mirror/recrawl, thousands at worst),
+    no salting needed. Pass 2 windows over domain — the hot-domain
+    skew axis; `salt_buckets=S` bounds any domain's final window to
+    S*cap rows exactly as in `per_source_cap` (a shard winner set is
+    a superset of the global top-cap), pytest-gated equal to the
+    single-window form."""
+    from pyspark.sql import Window
+
+    cols = url_canonical_cols(url_col)
+    pri = F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(seed)))
+    base = df.select(
+        id_col,
+        cols["domain"].alias("domain"),
+        cols["canon_url"].alias("canon_url"),
+    ).withColumn("__pri", pri)
+    w_url = Window.partitionBy("canon_url").orderBy("__pri", id_col)
+    deduped = (
+        base.withColumn("__ru", F.row_number().over(w_url))
+        .filter(F.col("__ru") == 1)
+        .drop("__ru")
+    )
+    if salt_buckets and salt_buckets > 1:
+        shard = F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_buckets))
+        w1 = Window.partitionBy(F.col("domain"), shard).orderBy("__pri", id_col)
+        deduped = (
+            deduped.withColumn("__r1", F.row_number().over(w1))
+            .filter(F.col("__r1") <= cap)
+            .drop("__r1")
+        )
+    w_dom = Window.partitionBy("domain").orderBy("__pri", id_col)
+    return (
+        deduped.withColumn("rank_in_domain", F.row_number().over(w_dom).cast("long"))
+        .filter(F.col("rank_in_domain") <= cap)
+        .select(id_col, "domain", "canon_url", "rank_in_domain")
+        .orderBy("domain", "rank_in_domain")
+    )
+
+
+# --------------------------------------- contamination span fraction
+
+
+def contamination_fraction(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    gram_w: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-LEVEL benchmark contamination: for every corpus doc, the
+    fraction of its tokens covered by `gram_w`-token windows that
+    appear verbatim in ANY benchmark doc — the span-granular upgrade
+    of `contamination_counts`' boolean gate (a doc quoting one
+    benchmark question 1% of its length is salvageable by span
+    excision; a 90%-covered doc is not — the decision needs the
+    FRACTION, not the bit).
+
+    Returns a total decision table (zeros included):
+      (id, n_tokens, cont_tokens, n_spans, cont_fraction)
+    where cont_tokens counts tokens under merged maximal contaminated
+    spans (overlapping windows coalesce exactly as in
+    `operators.span_dedup` — same position→span fold, same
+    gaps-and-islands oracle twin).
+
+    Scale notes: the benchmark gram-digest set is deduped and
+    broadcast (suites are tiny vs the corpus); the corpus side is
+    scan + posexplode + map-side semi-join + per-doc position fold —
+    per-doc state is position-list-sized and the corpus never
+    shuffles raw text. Digests are md5 (DuckDB-reproducible equality
+    classes), matching `_gram_digests`/`span_dedup._window_hashes`
+    byte-for-byte so a store built by `benchmark_gram_store` at the
+    same gram_w can feed this operator too."""
+    from data_warehouse_nhom8_spark.operators.span_dedup import (
+        _positions_to_spans,
+        _window_hashes,
+    )
+    from data_warehouse_nhom8_spark.session import repartition_if_split_starved
+
+    bench_grams = (
+        _gram_digests(benchmark, id_col, text_col, gram_w)
+        .select(F.col("gram").alias("__h"))
+        .distinct()
+    )
+    wins = repartition_if_split_starved(corpus.select(id_col, text_col)).select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(_window_hashes(_c(text_col), gram_w)).alias("__pos", "__h"),
+    )
+    hits = wins.join(F.broadcast(bench_grams), "__h", "left_semi").select(
+        "__id", "__pos"
+    )
+    spans = _positions_to_spans(hits, gram_w, id_col)
+    per_doc = spans.groupBy(id_col).agg(
+        F.sum(F.col("span_end") - F.col("span_start")).alias("__cont"),
+        F.count(F.lit(1)).alias("n_spans"),
+    )
+    toks = corpus.select(
+        F.col(id_col),
+        F.size(F.split(F.lower(F.trim(_c(text_col))), r"\s+")).alias("n_tokens"),
+    )
+    return (
+        toks.join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            # spans are window-granular; a short tail doc can be fully
+            # covered by a window longer than the doc — clamp
+            F.least(F.coalesce("__cont", F.lit(0)), F.col("n_tokens"))
+            .cast("long")
+            .alias("cont_tokens"),
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+        )
+        .withColumn(
+            "cont_fraction",
+            F.when(
+                F.col("n_tokens") > 0,
+                F.round(F.col("cont_tokens") / F.col("n_tokens"), 4),
+            ).otherwise(F.lit(0.0)),
+        )
+    )

@@ -1471,6 +1471,72 @@ def q110_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _messy_url() -> F.Column:
+    """Deterministic messy-URL synthesizer over (doc_id, source) —
+    the documents table carries no URL column, so the
+    canonicalization lane is certified the way q55 certifies the PII
+    lane: a deterministic raw-variant generator both engines compute
+    identically, feeding the real operator. Variants cycle scheme
+    case, www-prefix, host case, default port, /index.html and
+    trailing-slash suffixes, query strings and fragments — every
+    strip rule in `url_canonical_cols` has live inputs at any SF."""
+    did = F.col("doc_id")
+    return F.concat(
+        F.when(did % 3 == 0, F.lit("HTTPS://"))
+        .when(did % 3 == 1, F.lit("http://"))
+        .otherwise(F.lit("https://")),
+        F.when(did % 2 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.when(did % 4 == 0, F.upper("source")).otherwise(F.col("source")),
+        F.lit(".Example.COM"),
+        F.when(did % 5 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/Docs/"),
+        (did % 200).cast("string"),
+        F.when(did % 11 == 0, F.lit("/index.html"))
+        .when(did % 13 == 0, F.lit("/"))
+        .otherwise(F.lit("")),
+        F.when(did % 3 == 0, F.lit("?utm_source=feed&ref=rss")).otherwise(F.lit("")),
+        F.when(did % 7 == 0, F.lit("#section-2")).otherwise(F.lit("")),
+    )
+
+
+def q111_url_dedup_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 (round 10): URL canonicalization + URL-level dedup +
+    per-domain cap — the Common-Crawl curation front door
+    (`operators.corpus.url_canonical_cols` / `url_dedup_domain_cap`).
+    Raw variants of one canonical URL (scheme/www/port/index.html/
+    query/fragment noise) collapse to a deterministic winner, then
+    each domain keeps its md5-priority top-8 — run through the
+    salted two-phase skew-safe path (salt_buckets=4, provably equal
+    to the single-window form). At sf0.01 the synthesizer yields 10
+    canonical URLs per domain from 25 raw docs, so BOTH passes bite.
+    Fully oracled: DuckDB computes the identical regex pipeline."""
+    from data_warehouse_nhom8_spark.operators.corpus import url_dedup_domain_cap
+
+    c = Catalog(spark, sf_dir)
+    docs = c.documents.select("doc_id", _messy_url().alias("url"))
+    return url_dedup_domain_cap(docs, "url", cap=8, seed="url0", salt_buckets=4)
+
+
+def q112_contamination_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 (round 10): token-level benchmark-contamination FRACTION —
+    q57's boolean gate upgraded to per-doc covered-token share
+    (`operators.corpus.contamination_fraction`): corpus windows whose
+    4-gram digests hit the broadcast benchmark gram set mark
+    positions; overlapping windows merge to maximal spans with the
+    span_dedup fold. Same benchmark split as q57 (doc_id % 97),
+    same gram_w=4 calibration (live positives at the gate SF). The
+    DuckDB oracle mirrors the whole pipeline — same regex split,
+    same gram equality classes, span merge as the q110
+    gaps-and-islands window. Total decision table, zeros included."""
+    from data_warehouse_nhom8_spark.operators.corpus import contamination_fraction
+
+    c = Catalog(spark, sf_dir)
+    docs = c.documents
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return contamination_fraction(corpus, bench, gram_w=4).orderBy("doc_id")
+
+
 EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q33_exact_dedup_docs": q33_exact_dedup_docs,
     "q34_token_counts": q34_token_counts,
@@ -1525,9 +1591,114 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q108_video_frames_noracle": q108_video_frames_noracle,
     "q109_pq_topk_noracle": q109_pq_topk_noracle,
     "q110_span_dedup": q110_span_dedup,
+    "q111_url_dedup_cap": q111_url_dedup_cap,
+    "q112_contamination_fraction": q112_contamination_fraction,
 }
 
 EXTENSION_ORACLES: dict[str, str] = {
+    "q111_url_dedup_cap": """
+        WITH u AS (
+          SELECT doc_id,
+            (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://'
+                  WHEN doc_id % 3 = 1 THEN 'http://'
+                  ELSE 'https://' END)
+            || (CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END)
+            || (CASE WHEN doc_id % 4 = 0 THEN upper(source) ELSE source END)
+            || '.Example.COM'
+            || (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END)
+            || '/Docs/' || CAST(doc_id % 200 AS VARCHAR)
+            || (CASE WHEN doc_id % 11 = 0 THEN '/index.html'
+                     WHEN doc_id % 13 = 0 THEN '/' ELSE '' END)
+            || (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&ref=rss' ELSE '' END)
+            || (CASE WHEN doc_id % 7 = 0 THEN '#section-2' ELSE '' END) AS url
+          FROM documents
+        ), s AS (
+          SELECT doc_id,
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(trim(url), '#.*', ''),
+                     '\\?.*', ''),
+                   '^[a-zA-Z][a-zA-Z0-9+.-]*://', '') AS bare
+          FROM u
+        ), c AS (
+          SELECT doc_id,
+                 regexp_replace(
+                   regexp_replace(lower(regexp_extract(bare, '^[^/]+')),
+                                  ':(80|443)$', ''),
+                   '^www\\.', '') AS domain,
+                 regexp_replace(
+                   regexp_replace(regexp_replace(bare, '^[^/]+', ''),
+                                  '/index\\.html$', '/'),
+                   '/+$', '') AS path
+          FROM s
+        ), p AS (
+          SELECT doc_id, domain, domain || path AS canon_url,
+                 md5(CAST(doc_id AS VARCHAR) || ':' || 'url0') AS pri
+          FROM c
+        ), d AS (
+          SELECT doc_id, domain, canon_url, pri,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY canon_url ORDER BY pri, doc_id) AS ru
+          FROM p
+        ), r AS (
+          SELECT doc_id, domain, canon_url,
+                 CAST(ROW_NUMBER() OVER (
+                   PARTITION BY domain ORDER BY pri, doc_id) AS BIGINT)
+                   AS rank_in_domain
+          FROM d WHERE ru = 1
+        )
+        SELECT doc_id, domain, canon_url, rank_in_domain
+        FROM r WHERE rank_in_domain <= 8
+        ORDER BY domain, rank_in_domain
+    """,
+    "q112_contamination_fraction": """
+        WITH t AS (
+          SELECT doc_id,
+                 string_split_regex(lower(trim(text)), '\\s+') AS toks
+          FROM documents
+        ), corp AS (
+          SELECT * FROM t WHERE doc_id % 97 <> 0
+        ), bench AS (
+          SELECT * FROM t WHERE doc_id % 97 = 0
+        ), bg AS (
+          SELECT DISTINCT array_to_string(toks[i:i+3], ' ') AS gram
+          FROM bench, UNNEST(range(1, greatest(len(toks) - 4 + 1, 1) + 1)) AS u(i)
+        ), w AS (
+          SELECT doc_id, i - 1 AS pos,
+                 array_to_string(toks[i:i+3], ' ') AS gram
+          FROM corp, UNNEST(range(1, greatest(len(toks) - 4 + 1, 1) + 1)) AS u(i)
+        ), hits AS (
+          SELECT w.doc_id, w.pos FROM w JOIN bg USING (gram)
+        ), lagged AS (
+          SELECT doc_id, pos,
+                 LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+          FROM hits
+        ), isl AS (
+          SELECT doc_id, pos,
+                 SUM(CASE WHEN prev IS NULL OR pos - prev > 4 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos) AS island
+          FROM lagged
+        ), spans AS (
+          SELECT doc_id, MIN(pos) AS s, MAX(pos) + 4 AS e
+          FROM isl GROUP BY doc_id, island
+        ), per AS (
+          SELECT doc_id, CAST(SUM(e - s) AS BIGINT) AS cont_raw,
+                 CAST(COUNT(*) AS BIGINT) AS n_spans
+          FROM spans GROUP BY doc_id
+        ), toks_n AS (
+          SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens FROM corp
+        )
+        SELECT toks_n.doc_id, n_tokens,
+               CAST(least(COALESCE(cont_raw, 0), n_tokens) AS BIGINT)
+                 AS cont_tokens,
+               COALESCE(n_spans, 0) AS n_spans,
+               CASE WHEN n_tokens > 0
+                    THEN round(CAST(least(COALESCE(cont_raw, 0), n_tokens)
+                                    AS DOUBLE) / n_tokens, 4)
+                    ELSE 0.0 END AS cont_fraction
+        FROM toks_n LEFT JOIN per USING (doc_id)
+        ORDER BY doc_id
+    """,
     "q110_span_dedup": """
         WITH t AS (
           SELECT doc_id,

@@ -348,3 +348,124 @@ def test_build_training_mix_end_to_end(spark, tmp_path):
 
     latest = {r["process"]: r for r in ledger.latest_status().collect()}
     assert latest["training_mix"]["status"] == "Success"
+
+
+def test_url_canonical_cols_rules(spark):
+    """Every strip rule fires exactly where it should — and nowhere
+    else (non-default port kept, www-lookalike host kept, path case
+    preserved, index.html only stripped as a full last segment)."""
+    cases = [
+        # (raw, expected_domain, expected_canon)
+        ("HTTPS://WWW.Ex.COM:443/A/b?q=1#f", "ex.com", "ex.com/A/b"),
+        ("http://ex.com:80/x/", "ex.com", "ex.com/x"),
+        ("https://ex.com:8080/x", "ex.com:8080", "ex.com:8080/x"),  # non-default port kept
+        ("ftp://www.ex.com/f.txt", "ex.com", "ex.com/f.txt"),  # any scheme strips
+        ("ex.com/no/scheme", "ex.com", "ex.com/no/scheme"),
+        ("https://wwwx.ex.com/a", "wwwx.ex.com", "wwwx.ex.com/a"),  # not 'www.'
+        ("https://ex.com/a/index.html", "ex.com", "ex.com/a"),
+        ("https://ex.com/aindex.html", "ex.com", "ex.com/aindex.html"),  # mid-segment kept
+        ("https://ex.com/index.html", "ex.com", "ex.com"),  # root index
+        ("https://ex.com///", "ex.com", "ex.com"),
+        ("  https://ex.com/a  ", "ex.com", "ex.com/a"),  # trimmed
+        ("https://ex.com", "ex.com", "ex.com"),  # no path at all
+        ("https://ex.com/CaSe/MaTtErS", "ex.com", "ex.com/CaSe/MaTtErS"),
+    ]
+    df = spark.createDataFrame([(i, r) for i, (r, _, _) in enumerate(cases)], "i long, url string")
+    cols = corpus.url_canonical_cols("url")
+    got = {
+        r["i"]: (r["domain"], r["canon"])
+        for r in df.select(
+            "i", cols["domain"].alias("domain"), cols["canon_url"].alias("canon")
+        ).collect()
+    }
+    for i, (raw, dom, canon) in enumerate(cases):
+        assert got[i] == (dom, canon), f"{raw!r}: {got[i]} != {(dom, canon)}"
+
+
+def test_url_dedup_domain_cap_salted_equals_single_window(spark):
+    # skewed fixture: one hot domain with 300 distinct URLs, others tiny;
+    # plus raw variants (scheme/www/query noise) of the same canonical URL
+    rows = []
+    for i in range(400):
+        host = "Hot.com" if i < 300 else f"s{i % 5}.com"
+        scheme = "HTTP://www." if i % 2 == 0 else "https://"
+        rows.append((i, f"{scheme}{host}/p/{i}?sid={i}"))
+        rows.append((i + 1000, f"https://{host.lower()}/p/{i}#frag"))  # variant
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    plain = corpus.url_dedup_domain_cap(df, "url", cap=7, salt_buckets=None).collect()
+    salted = corpus.url_dedup_domain_cap(df, "url", cap=7, salt_buckets=8).collect()
+    assert [tuple(r) for r in plain] == [tuple(r) for r in salted]
+    by_dom = {}
+    for r in plain:
+        by_dom.setdefault(r["domain"], []).append(r["rank_in_domain"])
+        # dedup ran before the cap: canonical URLs are unique in the output
+    canons = [r["canon_url"] for r in plain]
+    assert len(canons) == len(set(canons))
+    assert all(sorted(v) == list(range(1, len(v) + 1)) and max(v) <= 7
+               for v in by_dom.values())
+    assert len(by_dom["hot.com"]) == 7  # the hot domain really was capped
+
+
+def test_url_dedup_keeps_one_winner_per_canonical_url(spark):
+    # 4 raw variants of ONE canonical URL -> exactly one survivor,
+    # stable across runs, reselected under a different seed
+    variants = [
+        (1, "https://www.ex.com/a?x=1"),
+        (2, "HTTP://ex.com:80/a#top"),
+        (3, "https://EX.com/a/"),
+        (4, "ex.com/a"),
+    ]
+    df = spark.createDataFrame(variants, "doc_id long, url string")
+    a = corpus.url_dedup_domain_cap(df, "url", cap=5).collect()
+    b = corpus.url_dedup_domain_cap(df, "url", cap=5).collect()
+    assert len(a) == 1 and a[0]["canon_url"] == "ex.com/a"
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    c = corpus.url_dedup_domain_cap(df, "url", cap=5, seed="other").collect()
+    assert len(c) == 1  # still one winner (may be a different doc)
+
+
+def test_contamination_fraction_planted(spark):
+    """A doc quoting a 20-token benchmark run reports exactly that
+    span's coverage; a doc with two separated quotes reports two
+    spans; clean docs report zeros (total decision table)."""
+    bench_text = " ".join(f"b{i}" for i in range(40))
+    clean = " ".join(f"c{i}" for i in range(30))
+    # one 20-token verbatim quote at positions 3..22 of a 26-token doc
+    one = "x y z " + " ".join(f"b{i}" for i in range(10, 30)) + " q r s"
+    # two 8-token quotes separated by 10 clean tokens
+    two = (
+        " ".join(f"b{i}" for i in range(0, 8))
+        + " " + " ".join(f"m{i}" for i in range(10))
+        + " " + " ".join(f"b{i}" for i in range(30, 38))
+    )
+    docs = spark.createDataFrame(
+        [(1, clean), (2, one), (3, two)], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame([(97, bench_text)], "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["cont_tokens"], r["n_spans"], r["cont_fraction"])
+        for r in corpus.contamination_fraction(docs, bench, gram_w=8).collect()
+    }
+    assert got[1] == (30, 0, 0, 0.0)
+    # 13 overlapping 8-gram hits at positions 3..15 merge to one span
+    # [3, 15+8) = 20 covered tokens of 26
+    assert got[2] == (26, 20, 1, round(20 / 26, 4))
+    # each quote: positions p..p (1 hit window of 8) -> 8 tokens; 2 spans
+    assert got[3] == (26, 16, 2, round(16 / 26, 4))
+
+
+def test_contamination_fraction_clamps_short_docs(spark):
+    # short-doc semantics: a doc below gram_w yields ONE whole-doc
+    # window, which matches only a benchmark doc that is itself the
+    # same short text (both sides emit the whole-doc gram). The span
+    # is window-granular (8 wide) but cont_tokens clamps to n_tokens.
+    docs = spark.createDataFrame(
+        [(1, "b1 b2 b3"), (2, "b1 b2 b3 b4")], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame([(97, "b1 b2 b3")], "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["cont_tokens"], r["cont_fraction"])
+        for r in corpus.contamination_fraction(docs, bench, gram_w=8).collect()
+    }
+    assert got[1] == (3, 3, 1.0)  # exact short match, clamped from the 8-wide span
+    assert got[2] == (4, 0, 0.0)  # different whole-doc window -> no hit

@@ -58,9 +58,10 @@ def test_registry_no_longer_lists_retired(spark):
     assert set(RETIRED_QUERIES) == set(RETIRED_ORACLES)
     assert not set(RETIRED_QUERIES) & set(QUERIES)
     assert not set(RETIRED_ORACLES) & set(ORACLES)
-    # the documented post-retirement accounting: 95 oracles split
-    # 47/48 across the rotation halves → slack >= 2 every round
-    assert len(ORACLES) == 95
+    # the documented accounting: 95 post-retirement oracles + the two
+    # round-10 additions (q111/q112, spent from the recovered slack)
+    # split 47/50 across the rotation halves → union still complete
+    assert len(ORACLES) == 97
 
 
 def test_rotation_slack_recovered():
