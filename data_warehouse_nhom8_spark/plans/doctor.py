@@ -27,7 +27,9 @@ def _plan_text(df: DataFrame) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
-def lint_plan(df: DataFrame, max_exchanges: int = 6) -> list[dict]:
+def lint_plan(
+    df: DataFrame, max_exchanges: int = 6, broadcast_frac: float = 0.5
+) -> list[dict]:
     """Return findings as dicts: {"rule", "severity", "detail"}.
 
     Rules:
@@ -56,6 +58,15 @@ def lint_plan(df: DataFrame, max_exchanges: int = 6) -> list[dict]:
                                 boxed-BigDecimal per row; fact-sized
                                 fixed-point sums should use
                                 aggregates.exact_money_aggs (integer cents).
+      large-broadcast    warn   a BroadcastExchange whose build side's
+                                size ESTIMATE exceeds `broadcast_frac` of
+                                autoBroadcastJoinThreshold: near-threshold
+                                auto-broadcasts are the silent 3x of the
+                                mid-scale probes (a ~24 MB orders side
+                                auto-broadcast cost 3x vs shuffle join —
+                                BASELINE.md mid-scale section), and a
+                                forced broadcast() hint on a growing
+                                table fails only AFTER the data grows.
       many-exchanges     info   more than `max_exchanges` shuffles: check
                                 for a reusable partitioning or bucketing.
     """
@@ -164,6 +175,7 @@ def lint_plan(df: DataFrame, max_exchanges: int = 6) -> list[dict]:
                 "exactness, 2-4x measured)",
             }
         )
+    findings.extend(_lint_broadcast_sizes(df, broadcast_frac))
     # count real SHUFFLES only — BroadcastExchange/ReusedExchange are
     # not data movements of the stream side and are often the FIX
     n_ex = len(
@@ -181,6 +193,85 @@ def lint_plan(df: DataFrame, max_exchanges: int = 6) -> list[dict]:
                 "layout",
             }
         )
+    return findings
+
+
+def _parse_size_bytes(v: str) -> int | None:
+    """'10485760b' / '10MB' / '-1' → bytes (None when disabled)."""
+    m = re.fullmatch(r"\s*(-?\d+)\s*([kmgt]?i?b?)\s*", str(v), re.IGNORECASE)
+    if not m:
+        return None
+    n = int(m.group(1))
+    if n < 0:
+        return None
+    unit = m.group(2).lower().rstrip("ib") or "b"
+    return n * {"b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}[unit]
+
+
+def _iter_plan_nodes(node):
+    yield node
+    name = node.getClass().getName()
+    # AQE nodes hide their subtree from children(): descend explicitly
+    # (AdaptiveSparkPlanExec.executedPlan = current plan, the initial
+    # one pre-execution; QueryStageExec.plan = the stage's subtree)
+    if name.endswith("AdaptiveSparkPlanExec"):
+        yield from _iter_plan_nodes(node.executedPlan())
+        return
+    if name.endswith("QueryStageExec"):
+        yield from _iter_plan_nodes(node.plan())
+        return
+    ch = node.children()
+    for i in range(ch.size()):
+        yield from _iter_plan_nodes(ch.apply(i))
+
+
+def _lint_broadcast_sizes(df: DataFrame, broadcast_frac: float = 0.5) -> list[dict]:
+    """Flag BroadcastExchange nodes whose build-side Catalyst size
+    ESTIMATE exceeds `broadcast_frac` x autoBroadcastJoinThreshold
+    (round-9 verdict task 8). Rationale: the threshold is a cliff —
+    the r6 probe's ~24 MB orders side sailed under a raised runtime
+    estimate, auto-broadcast, and lost 3x to the shuffle join it
+    displaced; and an explicit broadcast() hint bypasses the
+    threshold entirely, so a dim that GROWS past broadcastable size
+    fails in production, not in review. Anything within 2x of the
+    cliff deserves a look (a true small dim estimates far below it).
+
+    Uses each BroadcastExchangeExec child's logical-link statistics —
+    the same estimate the planner itself broadcast-decided on. Purely
+    advisory (warn): estimates over-state post-filter sizes, so a
+    flagged plan needs a human, not an abort. Defensive against JVM
+    API drift: any reflection failure yields no findings rather than
+    a lint crash."""
+    findings: list[dict] = []
+    try:
+        thresh = _parse_size_bytes(
+            df.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        )
+        if not thresh:
+            return findings
+        for node in _iter_plan_nodes(df._jdf.queryExecution().executedPlan()):
+            if "BroadcastExchangeExec" not in node.getClass().getName():
+                continue
+            child = node.child()
+            link = child.logicalLink()
+            if not link.isDefined():
+                continue
+            est = int(link.get().stats().sizeInBytes())  # py4j maps BigInt → int
+            if est > broadcast_frac * thresh:
+                findings.append(
+                    {
+                        "rule": "large-broadcast",
+                        "severity": "warn",
+                        "detail": f"broadcast build side estimates {est} bytes "
+                        f"(threshold {thresh}, frac {broadcast_frac}): near- or "
+                        "over-threshold broadcasts lose to shuffle joins (3x at "
+                        "the 60M-row probe) and break when the table grows — "
+                        "verify the side is a bounded dim: "
+                        + child.nodeName(),
+                    }
+                )
+    except Exception:  # py4j/API drift — advisory rule, never crash the lint
+        return findings
     return findings
 
 

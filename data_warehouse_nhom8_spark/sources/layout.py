@@ -422,8 +422,25 @@ def prune_files(
             )
             for col, value in points.items():
                 b = file_blooms.get(col)
-                if b is None or not isinstance(value, int) or isinstance(value, bool):
-                    continue  # no bloom / non-integer probe: keep
+                if b is None:
+                    continue  # no bloom for this column: keep
+                # multi-point probe (semi-join pruning): a list/set of
+                # keys keeps the file iff ANY key may be present — the
+                # file-skip shape of "scan only files that may hold a
+                # candidate id". Non-integer members fail open.
+                if isinstance(value, (list, tuple, set, frozenset)):
+                    vals = [
+                        v for v in value
+                        if isinstance(v, int) and not isinstance(v, bool)
+                    ]
+                    if len(vals) != len(value):
+                        continue  # non-integer probe member: keep
+                    if not any(_bloom_maybe_contains(b, v) for v in vals):
+                        keep = False
+                        break
+                    continue
+                if not isinstance(value, int) or isinstance(value, bool):
+                    continue  # non-integer probe: keep
                 if not _bloom_maybe_contains(b, value):
                     keep = False
                     break

@@ -121,3 +121,24 @@ def test_detects_decimal_buffered_aggregation(spark):
         (F.sum(F.round(F.col("v") * 100).cast("long")).cast("double") / 100.0).alias("t")
     )
     assert "decimal-agg" not in rules_of(lint_plan(cents))
+
+
+def test_detects_near_threshold_broadcast(spark):
+    """A forced broadcast() of a build side whose size estimate sits
+    near/over autoBroadcastJoinThreshold is flagged: the probes
+    measured a ~24 MB auto-broadcast losing 3x to the shuffle join it
+    displaced, and a hinted broadcast on a growing table fails only
+    after the data grows."""
+    big = spark.range(3_000_000).withColumnRenamed("id", "k")  # ~24 MB estimate
+    probe = spark.range(100).join(F.broadcast(big), F.col("id") == F.col("k"))
+    found = [f for f in lint_plan(probe) if f["rule"] == "large-broadcast"]
+    assert found and found[0]["severity"] == "warn"
+    assert_scale_safe(probe)  # advisory: warn, not fatal
+    # tighter frac flags, looser frac (100x threshold) stays quiet
+    assert "large-broadcast" not in rules_of(lint_plan(probe, broadcast_frac=100.0))
+
+
+def test_small_dim_broadcast_is_clean(spark):
+    dim = spark.range(25).withColumnRenamed("id", "k")
+    probe = spark.range(1000).join(F.broadcast(dim), F.col("id") == F.col("k"))
+    assert "large-broadcast" not in rules_of(lint_plan(probe))

@@ -550,3 +550,31 @@ def test_q110_span_dedup_skew_safe_shape(spark):
 
     joins = _re.findall(r"(\w+Join\w*) \[", p)
     assert joins and all("Nested" not in j for j in joins), joins
+
+
+def test_q111_url_dedup_pushes_window_group_limits(spark):
+    """q111's skew contract: the per-domain cap phases push map-side
+    WindowGroupLimits (only ~cap rows per salt shard / domain cross
+    each shuffle — what bounds a hot crawl domain), the URL-dedup
+    window partitions on the fine-grained canon_url key, and the
+    scan reads only the two source columns the synthesizer needs."""
+    p = plan_of(spark, "q111_url_dedup_cap")
+    assert "WindowGroupLimit" in p, p[:800]
+    assert "windowpartitionby=[canon_url" in p.lower().replace(" ", "") or (
+        "canon_url" in p
+    ), p[:800]
+    assert "ReadSchema: struct<doc_id:bigint,source:string>" in p, p[:800]
+    assert "CartesianProduct" not in p and "BatchEvalPython" not in p
+
+
+def test_q112_contamination_fraction_broadcasts_benchmark(spark):
+    """q112's scale contract, the q57+q110 composite: the benchmark
+    gram-digest set broadcasts into a LeftSemi (the corpus's exploded
+    window stream never shuffles into the join), the per-doc span
+    merge is a partial-aggregated collect_list, and nothing goes
+    cartesian or drops to Python eval."""
+    p = plan_of(spark, "q112_contamination_fraction")
+    assert "LeftSemi, BuildRight" in p, p[:800]
+    assert "SortMergeJoin" not in p.split("LeftSemi")[0], "gram join must broadcast"
+    assert "partial_collect_list" in p, "span merge must partial-agg"
+    assert "CartesianProduct" not in p and "BatchEvalPython" not in p

@@ -633,3 +633,75 @@ def test_canonical_key_equality_matches_icu_on_fold_domain(spark, texts):
     )
     bad = pairs.filter(F.col("canon") != F.col("icu")).collect()
     assert not bad, [(r["ta"], r["tb"], r["canon"], r["icu"]) for r in bad]
+
+
+# Vietnamese fold-domain alphabet, PRECOMPOSED (NFC) forms — unicodedata
+# derives the NFD/mixed variants inside the property.
+_VI_NFC = (
+    "aàáảãạăằắẳẵặâầấẩẫậ"
+    "eèéẻẽẹêềếểễệ"
+    "iìíỉĩị oòóỏõọôồốổỗộơờớởỡợ"
+    "uùúủũụưừứửữự yỳýỷỹỵ đĐ"
+    "ABCxyz "
+)
+
+
+@given(
+    st.lists(
+        st.text(alphabet=_VI_NFC, min_size=0, max_size=24),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=20, deadline=None)
+def test_canonical_key_is_normalization_form_independent(spark, texts, seed):
+    """Round-10 property (VERDICT r9 task 7): for random Vietnamese
+    strings, canonical_key(NFC(s)) == canonical_key(NFD(s)) ==
+    canonical_key(mixed-form s) — real scraped text arrives in any
+    normalization form and one business key must never split into
+    two SCD2 rows/buckets. Also pins the ICU side: every form pair
+    is UNICODE_CI_AI-equal via collation_key, so the plain-string
+    key tracks exactly the equality class the reference's
+    utf8mb4_unicode_ci columns would use."""
+    import random
+    import unicodedata
+
+    from pyspark.sql import functions as F
+
+    from data_warehouse_nhom8_spark.functions.cleaning import (
+        canonical_key,
+        collation_key,
+    )
+
+    rng = random.Random(seed)
+
+    def mixed(s: str) -> str:
+        # per-character independent NFC/NFD choice — forms ICU treats
+        # as identical but whose byte sequences interleave both ways
+        return "".join(
+            unicodedata.normalize(rng.choice(("NFC", "NFD")), ch) for ch in s
+        )
+
+    rows = [
+        (
+            i,
+            unicodedata.normalize("NFC", t),
+            unicodedata.normalize("NFD", t),
+            mixed(t),
+        )
+        for i, t in enumerate(texts)
+    ]
+    df = spark.createDataFrame(rows, "i long, nfc string, nfd string, mix string")
+    bad = df.select(
+        "nfc",
+        (
+            (canonical_key("nfc") == canonical_key("nfd"))
+            & (canonical_key("nfc") == canonical_key("mix"))
+        ).alias("canon_ok"),
+        (
+            (collation_key("nfc") == collation_key("nfd"))
+            & (collation_key("nfc") == collation_key("mix"))
+        ).alias("icu_ok"),
+    ).filter(~F.col("canon_ok") | ~F.col("icu_ok")).collect()
+    assert not bad, [(r["nfc"], r["canon_ok"], r["icu_ok"]) for r in bad]
