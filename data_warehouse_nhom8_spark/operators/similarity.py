@@ -80,8 +80,26 @@ def _hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
     return planes
 
 
-def hyperplane_bucket_col(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-bit LSH bucket id (LongType) for a vector column."""
+def hyperplane_bucket_col(vec: Column | str, planes: list[list[float]]) -> Column:
+    """Sign-bit LSH bucket id (LongType) for a vector column.
+
+    Pass the column NAME (str) on latency-sensitive paths: the
+    n_planes x dim plane literals then assemble as ONE SQL string
+    parsed in a single JVM round-trip instead of ~dim x planes py4j
+    `lit` calls — the q53 build-cost finding (round 10) applied to
+    the LSH tier. Same aggregate/zip_with fold, same left-to-right
+    association, repr-roundtripped double literals → bit-identical
+    buckets (pytest-gated), which is what keeps q52 oracled."""
+    if isinstance(vec, str):
+        terms = []
+        for i, plane in enumerate(planes):
+            arr = ",".join(f"{float(x)!r}D" for x in plane)
+            dot = (
+                f"aggregate(zip_with({vec}, array({arr}), (x, y) -> x * y), "
+                "0.0D, (acc, v) -> acc + v)"
+            )
+            terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << i}L ELSE 0L END)")
+        return F.expr("CAST(0 AS BIGINT) + " + " + ".join(terms))
     bucket = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
         p = F.array(*[F.lit(float(x)) for x in plane])
@@ -113,7 +131,7 @@ def cosine_topk_lsh(
     with_bucket = staged.select(
         F.col(id_col),
         "__v",
-        hyperplane_bucket_col(F.col("__v"), planes).alias("__bucket"),
+        hyperplane_bucket_col("__v", planes).alias("__bucket"),
     )
     qbucket = sum(
         (1 << i)
@@ -404,11 +422,15 @@ def embedding_neardup_pairs(
             )
         dim = len(head[0])
     planes = _hyperplanes(dim, n_planes)
-    vec_d = F.col(vec_col).cast("array<double>")
-    b = embeddings.select(
+    # stage the double-cast as a named column (q52's staging note:
+    # an inline cast inside the interpreted per-plane folds re-runs
+    # once per plane), then bucket via the single-parse str path
+    staged = embeddings.select(
         F.col(id_col).alias("id"),
-        vec_d.alias("v"),
-        hyperplane_bucket_col(vec_d, planes).alias("bucket"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    b = staged.select(
+        "id", "v", hyperplane_bucket_col("v", planes).alias("bucket")
     )
     x, y = b.alias("x"), b.alias("y")
     cand = x.join(

@@ -422,7 +422,7 @@ def q52_lsh_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         staged.select(
-            similarity.hyperplane_bucket_col(F.col("__v"), planes).alias("bucket")
+            similarity.hyperplane_bucket_col("__v", planes).alias("bucket")
         )
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n_vectors"))

@@ -1801,3 +1801,37 @@ def test_span_dedup_incremental_equals_full(spark):
     a = sorted(map(tuple, merged.collect()))
     b = sorted(map(tuple, scratch.collect()))
     assert a == b
+
+
+def test_sql_string_expression_fast_paths_bit_identical(spark):
+    """Round-10 build-cost fix: minhash_signature_col and
+    hyperplane_bucket_col accept a column NAME and assemble their
+    expression as one parsed SQL string (single JVM round-trip
+    instead of thousands of py4j calls). The str and Column forms
+    must stay BIT-identical — signatures feed persisted stores and
+    the LSH buckets are driver-oracled (q52)."""
+    from data_warehouse_nhom8_spark.operators import similarity
+
+    rows = [
+        (i, [((i * 31 + d * 7) % 13) - 6.5 for d in range(16)]) for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows, "id long, v array<double>")
+    planes = similarity._hyperplanes(16, 12)
+    got = emb.select(
+        "id",
+        similarity.hyperplane_bucket_col("v", planes).alias("s"),
+        similarity.hyperplane_bucket_col(F.col("v"), planes).alias("c"),
+    ).collect()
+    assert all(r["s"] == r["c"] for r in got)
+
+    hs = spark.createDataFrame(
+        [(i, [(i * 2654435761 + j * 40503) % (2**31 - 1) for j in range(30)])
+         for i in range(40)],
+        "id long, __hs array<long>",
+    )
+    sig = hs.select(
+        "id",
+        neardup.minhash_signature_col("__hs", 64).alias("s"),
+        neardup.minhash_signature_col(F.col("__hs"), 64).alias("c"),
+    ).collect()
+    assert all(r["s"] == r["c"] for r in sig)
