@@ -101,3 +101,72 @@ def gap_filled_daily(
         if c not in value_cols and c not in key_cols and c != day_col
     ]
     return joined.select(*key_cols, day_col, *filled, *passthrough)
+
+
+def sessionize(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_tiebreak: str = "event_id",
+) -> DataFrame:
+    """Batch sessionization (gaps-and-islands): assign every event a
+    per-user `session_idx` that increments whenever the gap since the
+    user's previous event exceeds `gap` — the batch face of the
+    streaming session windows (`streaming.jobs` uses
+    F.session_window; backfills and replays need the deterministic
+    batch twin over the same history).
+
+    The boundary predicate compares TIMESTAMPS directly
+    (`ts > prev + INTERVAL gap`) — microsecond-exact in Spark and
+    DuckDB alike, no epoch-second truncation at the threshold (a
+    cast-to-long boundary can disagree between engines for gaps
+    within 1 s of the threshold). Ordering ties on `ts` break by
+    `order_tiebreak` so the running sum is deterministic.
+
+    Scale notes (100 TB): one scan; both windows partition on the
+    user key (hash-partitioned shuffle, never a global sort); the
+    running-sum state is one long per row. Hot users are bounded by
+    human behavior (events/user, not corpus size); a bot-traffic key
+    should be pre-filtered, not salted — sessions are semantically
+    per-key, so this window cannot be salted without changing the
+    answer."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, order_tiebreak)
+    prev = F.lag(ts_col).over(w)
+    boundary = (
+        prev.isNull()
+        | (F.col(ts_col) > prev + F.expr(f"INTERVAL {gap}"))
+    ).cast("long")
+    return events.withColumn(
+        "session_idx",
+        F.sum(boundary).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+
+
+def session_stats(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-session rollup over `sessionize`: (user, session_idx,
+    session_start, session_end, n_events, total_value). The value sum
+    runs as exact integer cents (2-decimal money semantics) so the
+    result is order-independent and engine-portable — the
+    exact_money_aggs contract applied to the session grain."""
+    s = sessionize(events, gap, user_col, ts_col)
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    return (
+        s.groupBy(user_col, "session_idx")
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(cents) / 100.0).alias("total_value"),
+        )
+    )

@@ -1537,6 +1537,33 @@ def q112_contamination_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_fraction(corpus, bench, gram_w=4).orderBy("doc_id")
 
 
+def q113_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization of the events stream (round 10): per-user
+    gaps-and-islands with an 8-hour inactivity gap — the deterministic
+    batch twin of the streaming session windows (2h row; backfills
+    replay history through THIS, not through a stream). Gap calibrated
+    to the synthetic cadence (median inter-event gap ~7.3 h → 4 766
+    sessions from 10 000 events at sf0.01: boundaries AND multi-event
+    merges both live). Value sums run as exact integer cents; the
+    boundary predicate compares timestamps microsecond-exact in both
+    engines (no epoch truncation at the threshold)."""
+    from data_warehouse_nhom8_spark.operators.timeseries import session_stats
+
+    c = Catalog(spark, sf_dir)
+    return (
+        session_stats(c.events, gap="8 hours")
+        .select(
+            "user_id",
+            F.col("session_idx").cast("long").alias("session_idx"),
+            "session_start",
+            "session_end",
+            F.col("n_events").cast("long").alias("n_events"),
+            "total_value",
+        )
+        .orderBy("user_id", "session_idx")
+    )
+
+
 EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q33_exact_dedup_docs": q33_exact_dedup_docs,
     "q34_token_counts": q34_token_counts,
@@ -1593,9 +1620,32 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q110_span_dedup": q110_span_dedup,
     "q111_url_dedup_cap": q111_url_dedup_cap,
     "q112_contamination_fraction": q112_contamination_fraction,
+    "q113_sessionization": q113_sessionization,
 }
 
 EXTENSION_ORACLES: dict[str, str] = {
+    "q113_sessionization": """
+        WITH l AS (
+          SELECT user_id, ts, event_id,
+                 CAST(ROUND(value * 100) AS BIGINT) AS vc,
+                 LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev
+          FROM events
+        ), s AS (
+          SELECT user_id, ts, vc,
+                 SUM(CASE WHEN prev IS NULL OR ts > prev + INTERVAL 8 HOUR
+                          THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS session_idx
+          FROM l
+        )
+        SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+               MIN(ts) AS session_start, MAX(ts) AS session_end,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(vc) AS DOUBLE) / 100.0 AS total_value
+        FROM s GROUP BY user_id, session_idx
+        ORDER BY user_id, session_idx
+    """,
     "q111_url_dedup_cap": """
         WITH u AS (
           SELECT doc_id,

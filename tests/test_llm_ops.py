@@ -1835,3 +1835,55 @@ def test_sql_string_expression_fast_paths_bit_identical(spark):
         neardup.minhash_signature_col(F.col("__hs"), 64).alias("c"),
     ).collect()
     assert all(r["s"] == r["c"] for r in sig)
+
+
+def test_sessionize_planted_boundaries(spark):
+    """Gaps-and-islands sessionization: planted per-user timelines —
+    events within the gap merge, a gap strictly over the threshold
+    splits, an EXACT-threshold gap merges (boundary is strict '>'),
+    ties on ts order by event_id, and single-event users form one
+    session. Value sums are exact cents."""
+    import datetime as dt
+
+    from data_warehouse_nhom8_spark.operators.timeseries import (
+        session_stats,
+        sessionize,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        # user 1: [0, 10, 40] with gap "30 minutes": 40-10=30 EXACTLY
+        # -> merges (strict >); one session of 3
+        (1, 1, t0, 1.10),
+        (2, 1, t0 + 10 * m, 2.20),
+        (3, 1, t0 + 40 * m, 3.30),
+        # user 2: [0, 31] -> 31 > 30 splits: two sessions
+        (4, 2, t0, 5.00),
+        (5, 2, t0 + 31 * m, 7.00),
+        # user 3: single event
+        (6, 3, t0, 0.01),
+        # user 4: tie on ts — event_id orders deterministically
+        (7, 4, t0, 1.00),
+        (8, 4, t0, 2.00),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp_ntz, value double"
+    )
+    got = {
+        (r["user_id"], r["session_idx"]): (r["n_events"], r["total_value"])
+        for r in session_stats(ev, gap="30 minutes").collect()
+    }
+    assert got == {
+        (1, 1): (3, 6.6),
+        (2, 1): (1, 5.0),
+        (2, 2): (1, 7.0),
+        (3, 1): (1, 0.01),
+        (4, 1): (2, 3.0),
+    }
+    # per-event assignment: session_idx is 1-based and monotone per user
+    per_event = {
+        r["event_id"]: r["session_idx"]
+        for r in sessionize(ev, gap="30 minutes").collect()
+    }
+    assert per_event == {1: 1, 2: 1, 3: 1, 4: 1, 5: 2, 6: 1, 7: 1, 8: 1}

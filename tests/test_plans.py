@@ -578,3 +578,15 @@ def test_q112_contamination_fraction_broadcasts_benchmark(spark):
     assert "SortMergeJoin" not in p.split("LeftSemi")[0], "gram join must broadcast"
     assert "partial_collect_list" in p, "span merge must partial-agg"
     assert "CartesianProduct" not in p and "BatchEvalPython" not in p
+
+
+def test_q113_sessionization_windows_partition_on_user(spark):
+    """q113's scale contract: one events scan, every window partitions
+    on the user key (no Exchange SinglePartition anywhere — a global
+    sort over a 100 TB event stream is the failure mode), and the
+    session rollup aggregates with map-side partials."""
+    p = plan_of(spark, "q113_sessionization")
+    assert "Exchange SinglePartition" not in p, p[:800]
+    assert p.count("FileScan parquet") == 1, "one scan of events"
+    assert "partial_count" in p or "partial_min" in p, "rollup must partial-agg"
+    assert "CartesianProduct" not in p and "BatchEvalPython" not in p

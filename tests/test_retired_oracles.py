@@ -58,10 +58,10 @@ def test_registry_no_longer_lists_retired(spark):
     assert set(RETIRED_QUERIES) == set(RETIRED_ORACLES)
     assert not set(RETIRED_QUERIES) & set(QUERIES)
     assert not set(RETIRED_ORACLES) & set(ORACLES)
-    # the documented accounting: 95 post-retirement oracles + the two
-    # round-10 additions (q111/q112, spent from the recovered slack)
-    # split 47/50 across the rotation halves → union still complete
-    assert len(ORACLES) == 97
+    # the documented accounting: 95 post-retirement oracles + the three
+    # round-10 additions (q111/q112/q113, spending the recovered slack
+    # down to its floor: front 48 <= 50, two-round union complete)
+    assert len(ORACLES) == 98
 
 
 def test_rotation_slack_recovered():
