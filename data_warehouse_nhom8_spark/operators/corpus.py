@@ -689,7 +689,7 @@ def contamination_fraction(
     )
     wins = repartition_if_split_starved(corpus.select(id_col, text_col)).select(
         F.col(id_col).alias("__id"),
-        F.posexplode(_window_hashes(_c(text_col), gram_w)).alias("__pos", "__h"),
+        F.posexplode(_window_hashes(text_col if isinstance(text_col, str) else _c(text_col), gram_w)).alias("__pos", "__h"),
     )
     hits = wins.join(F.broadcast(bench_grams), "__h", "left_semi").select(
         "__id", "__pos"

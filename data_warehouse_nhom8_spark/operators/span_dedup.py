@@ -35,10 +35,22 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _window_hashes(text: Column, w: int) -> Column:
+def _window_hashes(text: Column | str, w: int) -> Column:
     """array<string>: md5 of each W-token rolling window (lowercased,
     whitespace-split). Documents shorter than w tokens yield a single
-    whole-document window."""
+    whole-document window.
+
+    Pass the column NAME (str) on latency-sensitive paths: the whole
+    nested-HOF tree then parses as ONE SQL string in a single JVM
+    round-trip (the round-10 build-cost rule — plan CONSTRUCTION was
+    costing more driver time than execution on the span-dedup family).
+    Same operators, same token binding, bit-identical plans."""
+    if isinstance(text, str):
+        return F.expr(
+            f"transform(array(split(lower(trim({text})), '\\\\s+')), "
+            f"tk -> transform(sequence(1, greatest(size(tk) - {w - 1}, 1)), "
+            f"i -> md5(concat_ws(' ', slice(tk, i, {w})))))[0]"
+        )
     toks = F.split(F.lower(F.trim(text)), r"\s+")
 
     def build(tk: Column) -> Column:
@@ -90,7 +102,7 @@ def duplicated_spans(
         docs.select(id_col, text_col)
     ).select(
         F.col(id_col).alias("__id"),
-        F.posexplode(_window_hashes(F.col(text_col), window)).alias("__pos", "__h"),
+        F.posexplode(_window_hashes(text_col, window)).alias("__pos", "__h"),
     )
     if materialize:
         wins = wins.localCheckpoint(eager=True)
@@ -111,7 +123,33 @@ def _merge_positions_col(col: str, window: int):
     """Native fold: sorted window positions → array of maximal merged
     spans (struct<s,e,n>); merge when p <= last.e (overlap OR
     adjacency — equivalent to the oracle's gaps-and-islands break at
-    p - lag(p) > window, since ends are p+window and monotone)."""
+    p - lag(p) > window, since ends are p+window and monotone).
+
+    Assembled as ONE parsed SQL string (round-10 build-cost rule):
+    the fold tree is ~40 py4j calls in Column form and is rebuilt on
+    every plan construction; the SQL form is a single JVM round-trip
+    and plans identically (same CASE/concat/named_struct operators —
+    certified by the q110/q112 oracles and the exact-twin pytests).
+    The Column twin below is kept for reference and regression
+    comparison."""
+    w = int(window)
+    return F.expr(
+        f"aggregate({col}, "
+        "CAST(array() AS array<struct<s:int,e:int,n:int>>), "
+        "(acc, p) -> CASE WHEN size(acc) > 0 AND p <= element_at(acc, -1).e "
+        "THEN concat(slice(acc, 1, size(acc) - 1), "
+        "array(named_struct('s', element_at(acc, -1).s, "
+        f"'e', greatest(element_at(acc, -1).e, CAST(p + {w} AS INT)), "
+        "'n', element_at(acc, -1).n + 1))) "
+        f"ELSE concat(acc, array(named_struct('s', CAST(p AS INT), "
+        f"'e', CAST(p + {w} AS INT), 'n', 1))) END)"
+    )
+
+
+def _merge_positions_col_column_form(col: str, window: int):
+    """Column-API twin of `_merge_positions_col` — kept for the
+    bit-identity regression test (test_span_merge_sql_form_identical)
+    and as the readable specification of the fold."""
     return F.aggregate(
         col,
         F.array().cast("array<struct<s:int,e:int,n:int>>"),
@@ -255,7 +293,7 @@ def span_store_build(
 
     wins = repartition_if_split_starved(docs.select(id_col, text_col)).select(
         F.col(id_col).alias("__id"),
-        F.explode(F.array_distinct(_window_hashes(F.col(text_col), window))).alias("h"),
+        F.explode(F.array_distinct(_window_hashes(text_col, window))).alias("h"),
     )
     return wins.groupBy("h").agg(F.count(F.lit(1)).alias("n_docs"))
 
@@ -293,7 +331,7 @@ def duplicated_spans_incremental(
         batch_docs.select(id_col, text_col)
     ).select(
         F.col(id_col).alias("__id"),
-        F.posexplode(_window_hashes(F.col(text_col), window)).alias("__pos", "__h"),
+        F.posexplode(_window_hashes(text_col, window)).alias("__pos", "__h"),
     )
     batch_counts = wins.select("__id", "__h").distinct().groupBy("__h").agg(
         F.count(F.lit(1)).alias("__bn")

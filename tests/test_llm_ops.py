@@ -1887,3 +1887,30 @@ def test_sessionize_planted_boundaries(spark):
         for r in sessionize(ev, gap="30 minutes").collect()
     }
     assert per_event == {1: 1, 2: 1, 3: 1, 4: 1, 5: 2, 6: 1, 7: 1, 8: 1}
+
+
+def test_span_merge_sql_form_identical(spark):
+    """The single-parse SQL fold in _merge_positions_col must produce
+    exactly what the Column-API twin produces on adversarial position
+    lists (overlap, adjacency, equal positions, singletons)."""
+    from data_warehouse_nhom8_spark.operators.span_dedup import (
+        _merge_positions_col,
+        _merge_positions_col_column_form,
+    )
+
+    rows = [
+        (1, [0, 5, 11, 40, 44]),
+        (2, [0]),
+        (3, [0, 12, 24, 36]),      # chained exact-adjacency merges (w=12)
+        (4, [0, 13, 27]),          # all separate at w=12
+        (5, [3, 3, 4]),            # duplicate positions
+        (6, []),
+    ]
+    df = spark.createDataFrame(rows, "id long, __ps array<int>")
+    got = df.select(
+        "id",
+        _merge_positions_col("__ps", 12).alias("a"),
+        _merge_positions_col_column_form("__ps", 12).alias("b"),
+    ).collect()
+    for r in got:
+        assert r["a"] == r["b"], (r["id"], r["a"], r["b"])
