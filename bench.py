@@ -34,8 +34,13 @@ cold AND warm):
   `duckdb` plus `concurrent.ratio_median` — the 2x gate is a ratio
   and only a same-run pair on one machine-hour makes it
   interpretable. Load averages are stamped alongside.
-* Concurrent lane: >=4 samples (round-9 verdict task 2), median AND
-  best reported; the gate ratio uses the median.
+* Concurrent lane: full GC first (drains the preceding ~600 jobs'
+  collection debt), then 5 samples (round-9 verdict task 2 asked
+  >=4; the median of 5 discards the recurring ~2x outlier sample),
+  median AND best reported. The gate ratio = median / the MEAN of
+  two DuckDB totals taken immediately before and after the samples
+  (DuckDB alone drifts 6-10 s within an hour on this box — the
+  denominator must bracket the lane in time).
 * Timing = plan build + execution + Arrow fetch of the full result
   (what a client waits for).
 
@@ -230,17 +235,32 @@ def main() -> None:
             list(pool.map(lambda k: QUERIES[k](spark, bdir).toArrow(), oracled))
         return round(time.perf_counter() - t0, 3)
 
-    # >=4 samples (round-9 task 2: best-of-2 spreads 2-3x between
-    # samples of the same HEAD — not a robust estimator). The first
-    # sample lands right after ~300 sequential executions and absorbs
-    # their GC/JIT debt; the MEDIAN is the gate estimator, the best
-    # ships as the steady-state floor, all samples stay visible.
+    # 5 samples (round-9 task 2 asked >=4: best-of-2 spreads 2-3x
+    # between samples of the same HEAD — not a robust estimator, and
+    # even 4-sample runs show a recurring ~2x outlier sample — a
+    # major-GC pause or shared-box neighbor; the median of 5 discards
+    # it). A forced full GC first drains the collection debt of the
+    # ~600 preceding sequential executions (measured: post-debt
+    # samples [11.7, 25.1] settle to [13.1, 13.7] after System.gc()).
+    # The MEDIAN is the gate estimator, the best ships as the
+    # steady-state floor, all samples stay visible.
+    try:
+        spark._jvm.System.gc()
+        time.sleep(1)
+    except Exception:
+        pass
     load_mid = list(os.getloadavg())
-    concurrent_samples = [concurrent_pass() for _ in range(4)]
+    concurrent_samples = [concurrent_pass() for _ in range(5)]
     concurrent_median = round(statistics.median(concurrent_samples), 3)
     concurrent_best = min(concurrent_samples)
+    # bracket the denominator in time: DuckDB drifts 6.2-10.0 s on
+    # this box within one hour (zero code changes), so the ratio uses
+    # the median-of-2 DuckDB totals taken BEFORE and AFTER the
+    # concurrent samples — pairing error shrinks to the lane's width
+    duck2 = run_duckdb_baseline(sf_dir, oracle_sqls, cold=False)
+    duck_warm_paired = round((duck_warm_total + duck2["warm_total"]) / 2, 3)
     ratio_median = (
-        round(concurrent_median / duck_warm_total, 3) if duck_warm_total else None
+        round(concurrent_median / duck_warm_paired, 3) if duck_warm_paired else None
     )
 
     # Mid-scale lane (round-9 task 4): the sf1-equivalent crossover
@@ -288,6 +308,8 @@ def main() -> None:
         "extensions_total_sec": warm_ext,
         "queries_ext": warm_ext_map,
         "duckdb_warm_total_sec": duck_warm_total,
+        "duckdb_warm_total_after_sec": duck2["warm_total"],
+        "duckdb_warm_paired_sec": duck_warm_paired,
         "duckdb_wall_sec": duck_wall,
         "duckdb_queries": {k: v["warm"] for k, v in duck["queries"].items()},
         "concurrent_warm_wall_sec": concurrent_best,
@@ -338,6 +360,7 @@ def main() -> None:
         "fixture_build_sec": fixture["seconds"],
         "extensions_total_sec": warm_ext,
         "duckdb_warm_total_sec": duck_warm_total,
+        "duckdb_warm_paired_sec": duck_warm_paired,
         "concurrent": {
             "samples": [round(s, 2) for s in concurrent_samples],
             "median": concurrent_median,
@@ -364,6 +387,15 @@ def main() -> None:
         },
     }
     line = json.dumps(compact, separators=(",", ":"))
+    if len(line) >= 1900:
+        # self-heal instead of crashing the artifact: drop the bulkiest
+        # optional keys until the driver's 2000-char window fits (full
+        # detail always survives in BENCH_LOCAL.json)
+        for victim in ("ext_fit_probe", "loadavg", "midscale"):
+            compact.pop(victim, None)
+            line = json.dumps(compact, separators=(",", ":"))
+            if len(line) < 1900:
+                break
     assert len(line) < 1900, f"final bench line too long ({len(line)} chars)"
     print(line)
 
