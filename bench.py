@@ -34,13 +34,14 @@ cold AND warm):
   `duckdb` plus `concurrent.ratio_median` — the 2x gate is a ratio
   and only a same-run pair on one machine-hour makes it
   interpretable. Load averages are stamped alongside.
-* Concurrent lane: full GC first (drains the preceding ~600 jobs'
-  collection debt), then 5 samples (round-9 verdict task 2 asked
-  >=4; the median of 5 discards the recurring ~2x outlier sample),
-  median AND best reported. The gate ratio = median / the MEAN of
-  two DuckDB totals taken immediately before and after the samples
-  (DuckDB alone drifts 6-10 s within an hour on this box — the
-  denominator must bracket the lane in time).
+* Concurrent lane: full GC, ONE untimed warm-up concurrent pass
+  (reported as `concurrent.warmup`, excluded from the estimator —
+  it absorbs the JIT/GC debt of the ~600 preceding sequential
+  executions; round-10 verdict task 1a), GC again, then 5 timed
+  samples; median AND best reported. The gate ratio = median / the
+  MEAN of two DuckDB totals taken immediately before and after the
+  samples (DuckDB alone drifts 6-10 s within an hour on this box —
+  the denominator must bracket the lane in time).
 * Timing = plan build + execution + Arrow fetch of the full result
   (what a client waits for).
 
@@ -235,20 +236,28 @@ def main() -> None:
             list(pool.map(lambda k: QUERIES[k](spark, bdir).toArrow(), oracled))
         return round(time.perf_counter() - t0, 3)
 
-    # 5 samples (round-9 task 2 asked >=4: best-of-2 spreads 2-3x
-    # between samples of the same HEAD — not a robust estimator, and
-    # even 4-sample runs show a recurring ~2x outlier sample — a
-    # major-GC pause or shared-box neighbor; the median of 5 discards
-    # it). A forced full GC first drains the collection debt of the
-    # ~600 preceding sequential executions (measured: post-debt
-    # samples [11.7, 25.1] settle to [13.1, 13.7] after System.gc()).
-    # The MEDIAN is the gate estimator, the best ships as the
-    # steady-state floor, all samples stay visible.
-    try:
-        spark._jvm.System.gc()
-        time.sleep(1)
-    except Exception:
-        pass
+    # 5 TIMED samples preceded by ONE UNTIMED warm-up pass (round-10
+    # verdict task 1a). Rationale, with the r10 evidence: the timed
+    # samples follow ~600 sequential executions whose JIT/GC debt the
+    # first 1-2 concurrent passes absorb — r10 samples were
+    # [40.5, 25.9, 10.3, 14.0, 11.6], i.e. two warm-up-shaped outliers
+    # then a ~10-14 s steady state. The gate is defined as
+    # steady-state throughput of a query-serving driver (BASELINE.md),
+    # so the estimator must measure steady state: full GC, one
+    # sacrificial concurrent pass (reported as `warmup_sec`, never in
+    # the median), GC again, then 5 timed samples. The MEDIAN of the
+    # timed 5 is the gate estimator, best ships as the floor, and the
+    # discarded warm-up stays visible in the artifact.
+    def _gc() -> None:
+        try:
+            spark._jvm.System.gc()
+            time.sleep(1)
+        except Exception:
+            pass
+
+    _gc()
+    concurrent_warmup = concurrent_pass()  # untimed-for-the-gate, reported
+    _gc()
     load_mid = list(os.getloadavg())
     concurrent_samples = [concurrent_pass() for _ in range(5)]
     concurrent_median = round(statistics.median(concurrent_samples), 3)
@@ -314,6 +323,7 @@ def main() -> None:
         "duckdb_queries": {k: v["warm"] for k, v in duck["queries"].items()},
         "concurrent_warm_wall_sec": concurrent_best,
         "concurrent_warm_wall_median_sec": concurrent_median,
+        "concurrent_warmup_sec": concurrent_warmup,
         "concurrent_samples": concurrent_samples,
         "concurrent_ratio_median": ratio_median,
         "aqe": aqe,
@@ -362,6 +372,7 @@ def main() -> None:
         "duckdb_warm_total_sec": duck_warm_total,
         "duckdb_warm_paired_sec": duck_warm_paired,
         "concurrent": {
+            "warmup": round(concurrent_warmup, 2),
             "samples": [round(s, 2) for s in concurrent_samples],
             "median": concurrent_median,
             "best": concurrent_best,

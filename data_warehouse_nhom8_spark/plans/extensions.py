@@ -1564,6 +1564,99 @@ def q113_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _scd2_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic SCD2 snapshot built from the orders subset
+    `o_orderkey % 4 == 0`: one version per (custkey, orderdate) with
+    `effective = o_orderdate` and `expired = next version's effective`
+    (LEAD over the key; last version gets the 9999-12-31 sentinel) —
+    the half-open disjoint-interval layout `scd2_merge` maintains
+    (reference loadtowh/load_to_wh.sh:62-87). Tracked attributes are
+    exact: order count and max price in integer cents. Both engines
+    can rebuild this fixture from the same parquet, which is what
+    makes the as-of/temporal-join reads (q114/q115) fully oracleable."""
+    from pyspark.sql import Window
+
+    c = Catalog(spark, sf_dir)
+    v = (
+        c.orders.filter(F.col("o_orderkey") % 4 == 0)
+        .groupBy("o_custkey", F.col("o_orderdate").alias("effective"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.max(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "price_cents"
+            ),
+        )
+    )
+    w = Window.partitionBy("o_custkey").orderBy("effective")
+    return v.withColumn(
+        "expired",
+        F.coalesce(F.lead("effective").over(w), F.lit("9999-12-31").cast("date")),
+    )
+
+
+_SCD2_FIXTURE_SQL = """
+        WITH v AS (
+          SELECT o_custkey, o_orderdate AS effective,
+                 CAST(COUNT(*) AS BIGINT) AS n_orders,
+                 MAX(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS price_cents
+          FROM orders WHERE o_orderkey % 4 = 0
+          GROUP BY o_custkey, o_orderdate
+        ), snap AS (
+          SELECT o_custkey, effective, n_orders, price_cents,
+                 COALESCE(LEAD(effective) OVER (
+                            PARTITION BY o_custkey ORDER BY effective),
+                          DATE '9999-12-31') AS expired
+          FROM v
+        )
+"""
+
+
+def q114_scd2_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2 query side (round 11, verdict task 2): SCD2 POINT-IN-TIME
+    read — `operators.scd2.scd2_as_of` over the deterministic orders
+    SCD2 fixture: the version of every customer key current on
+    1995-06-17 (effective <= d < expired, the half-open interval the
+    merge maintains; reference loadtowh/load_to_wh.sh:62-87 builds
+    the table, this is how reports read it). The filter is two
+    pushable range predicates — at rest this prunes row groups on
+    the date columns' parquet stats."""
+    from data_warehouse_nhom8_spark.operators.scd2 import scd2_as_of
+
+    snap = _scd2_fixture(spark, sf_dir)
+    return (
+        scd2_as_of(snap, "1995-06-17", effective_col="effective")
+        .select("o_custkey", "effective", "expired", "n_orders", "price_cents")
+        .orderBy("o_custkey")
+    )
+
+
+def q115_scd2_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2 query side (round 11, verdict task 2 stretch): historically
+    correct fact enrichment — `operators.scd2.scd2_temporal_join`:
+    each fact order (the disjoint `o_orderkey % 4 == 1` subset) joins
+    the dim VERSION current at its own order date. Left join: facts
+    dated before their customer's first version surface with NULL dim
+    columns (the classic backfill edge). Equi-join on the natural key
+    with the validity residual inside the join — never a range
+    explosion, because versions per key are disjoint half-open
+    intervals (at most one match per fact)."""
+    from data_warehouse_nhom8_spark.operators.scd2 import scd2_temporal_join
+
+    c = Catalog(spark, sf_dir)
+    facts = c.orders.filter(F.col("o_orderkey") % 4 == 1).select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    snap = _scd2_fixture(spark, sf_dir)
+    return scd2_temporal_join(
+        facts,
+        snap,
+        ["o_custkey"],
+        "o_orderdate",
+        effective_col="effective",
+        how="left",
+    ).orderBy("o_orderkey")
+
+
 EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q33_exact_dedup_docs": q33_exact_dedup_docs,
     "q34_token_counts": q34_token_counts,
@@ -1621,9 +1714,31 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q111_url_dedup_cap": q111_url_dedup_cap,
     "q112_contamination_fraction": q112_contamination_fraction,
     "q113_sessionization": q113_sessionization,
+    "q114_scd2_as_of": q114_scd2_as_of,
+    "q115_scd2_temporal_join": q115_scd2_temporal_join,
 }
 
 EXTENSION_ORACLES: dict[str, str] = {
+    "q114_scd2_as_of": _SCD2_FIXTURE_SQL
+    + """
+        SELECT o_custkey, effective, expired, n_orders, price_cents
+        FROM snap
+        WHERE effective <= DATE '1995-06-17'
+          AND DATE '1995-06-17' < expired
+        ORDER BY o_custkey
+    """,
+    "q115_scd2_temporal_join": _SCD2_FIXTURE_SQL
+    + """
+        SELECT f.o_orderkey, f.o_custkey, f.o_orderdate,
+               s.effective, s.expired, s.n_orders, s.price_cents
+        FROM orders f
+        LEFT JOIN snap s
+          ON f.o_custkey = s.o_custkey
+         AND s.effective <= f.o_orderdate
+         AND f.o_orderdate < s.expired
+        WHERE f.o_orderkey % 4 = 1
+        ORDER BY f.o_orderkey
+    """,
     "q113_sessionization": """
         WITH l AS (
           SELECT user_id, ts, event_id,
