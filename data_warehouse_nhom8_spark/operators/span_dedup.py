@@ -77,23 +77,27 @@ def duplicated_spans(
     meaning on both branches; the default 2 makes the conjunction a
     no-op since 2 distinct docs imply 2 occurrences).
 
-    `materialize`: the window-hash build feeds BOTH the
-    duplicate-count groupBy and the position join-back, and Catalyst
-    does not share a subtree across a self-join — the lazy plan runs
-    the interpreted-HOF gram build TWICE. Checkpointing it (the q50
-    `materialize_postings` cure) was MEASURED and found a WASH at
-    sf0.1 (round 9): one warm gram pass is 0.36 s, but an eager
-    localCheckpoint of the EXPLODED window table (~#tokens rows)
-    costs 0.77 s to write + 0.15 s per read — persisting moves more
-    bytes than recomputing saves, and end-to-end (stats + merge +
-    collect) both settle at ~1.25 s warm because the span-merge
-    stages, not the gram build, dominate. Default stays False: no
-    storage blocks pinned for the DataFrame's lifetime, no eager
-    jobs at plan-build time, and lineage survives executor loss
-    (unlike q50, whose array_distinct-compacted postings feed THREE
-    consumers and measurably win from the checkpoint). Results are
-    identical either way (pytest-gated); flip it for corpora whose
-    per-token compute dominates IO (expensive tokenizers)."""
+    Plan shape (round 11 — SINGLE-PASS window form): one gram build,
+    one shuffle. The previous shape (groupBy(__h) duplicate counts,
+    then join the qualifying hashes back to the window table) ran the
+    interpreted-HOF gram build TWICE — Catalyst shares no subtree
+    across a self-join — and shuffled the window table a second time
+    for the join-back. Window aggregates over `partitionBy(__h)`
+    compute the same duplicate test (occurrence count; >= 2 distinct
+    docs as `min(__id) != max(__id)`, cheaper than a count_distinct
+    expand) on ONE shuffle of the window table, then filter in place.
+    Measured at sf0.1 (5000 docs, warm, 8 shuffle partitions):
+    2.5/1.9 s old vs 1.4 s new, bit-identical output (pytest + the
+    q110/q112 oracles gate equality). Skew: a boilerplate hash
+    repeated millions of times hash-clusters to one task here exactly
+    as it did in the join-back form — same exposure, one less pass.
+
+    `materialize` (kept for API stability): eagerly localCheckpoints
+    the exploded window table. With the single-pass form there is no
+    double gram build left to cure, so the default False is simply
+    no pinned storage blocks; flip it only when the plan above this
+    operator is expensive enough to be worth cutting (results are
+    identical either way, pytest-gated)."""
     from data_warehouse_nhom8_spark.session import repartition_if_split_starved
 
     # the gram build is compute-per-byte-heavy interpreted-HOF work —
@@ -106,16 +110,17 @@ def duplicated_spans(
     )
     if materialize:
         wins = wins.localCheckpoint(eager=True)
-    counts = wins.groupBy("__h").agg(
-        F.count(F.lit(1)).alias("__n"),
-        F.count_distinct("__id").alias("__docs"),
+    from pyspark.sql import Window as W
+
+    byh = W.partitionBy("__h")
+    dup_test = F.count(F.lit(1)).over(byh) >= min_count
+    if across_docs:
+        dup_test = dup_test & (F.min("__id").over(byh) != F.max("__id").over(byh))
+    hits = (
+        wins.withColumn("__dup", dup_test)
+        .filter("__dup")
+        .select("__id", "__pos")
     )
-    dup = counts.filter(
-        ((F.col("__docs") >= 2) & (F.col("__n") >= min_count))
-        if across_docs
-        else (F.col("__n") >= min_count)
-    ).select("__h")
-    hits = wins.join(dup, "__h").select("__id", "__pos")
     return _positions_to_spans(hits, window, id_col)
 
 

@@ -536,20 +536,21 @@ def test_derived_partsupp_supplier_counts_coprime():
 
 
 def test_q110_span_dedup_skew_safe_shape(spark):
-    """q110's scale contract: the duplicated-hash set reduces through
-    a PARTIAL-aggregated distinct-doc count BEFORE any join back (a
-    hot boilerplate hash becomes one row pre-join), the join-back is
-    an equi join (never cartesian), the per-doc merge is a
-    collect_list aggregate with map-side partials, and no Python eval
-    node exists anywhere."""
+    """q110's scale contract (single-pass form, round 11): the gram
+    build runs ONCE (exactly one posexplode Generate — the old
+    groupBy+join-back shape ran the interpreted-HOF build twice), the
+    duplicate test is window aggregates over the hash (one shuffle,
+    partitioned on __h; distinct-docs as min!=max, no count_distinct
+    expand), the per-doc merge is a collect_list aggregate with
+    map-side partials, and no Python eval / cartesian node exists."""
     p = plan_of(spark, "q110_span_dedup")
     assert "CartesianProduct" not in p and "BatchEvalPython" not in p
-    assert "partial_count(distinct " in p, "dedup count must partial-agg"
+    assert p.count("posexplode") == 1, "gram build must run exactly once"
+    flat = p.lower().replace(" ", "")
+    assert "partitionby:[__h" in flat or "windowpartitionby=[__h" in flat or (
+        "window" in flat and "__h" in flat
+    ), p[:800]
     assert "partial_collect_list" in p, "span merge must partial-agg"
-    import re as _re
-
-    joins = _re.findall(r"(\w+Join\w*) \[", p)
-    assert joins and all("Nested" not in j for j in joins), joins
 
 
 def test_q111_url_dedup_pushes_window_group_limits(spark):
