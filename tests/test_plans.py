@@ -569,14 +569,19 @@ def test_q111_url_dedup_pushes_window_group_limits(spark):
 
 
 def test_q112_contamination_fraction_broadcasts_benchmark(spark):
-    """q112's scale contract, the q57+q110 composite: the benchmark
-    gram-digest set broadcasts into a LeftSemi (the corpus's exploded
-    window stream never shuffles into the join), the per-doc span
-    merge is a partial-aggregated collect_list, and nothing goes
-    cartesian or drops to Python eval."""
+    """q112's scale contract, the q57+q110 composite (single-scan
+    form, round 11): the benchmark gram-digest set broadcasts into a
+    LEFT marker join (the corpus's exploded window stream never
+    shuffles into the join; bench grams are distinct so no row
+    multiplication), the corpus text is scanned by exactly ONE
+    posexplode window build (token counts ride along — no second
+    scan, no join-back), the per-doc span merge is a
+    partial-aggregated collect_list, and nothing goes cartesian or
+    drops to Python eval."""
     p = plan_of(spark, "q112_contamination_fraction")
-    assert "LeftSemi, BuildRight" in p, p[:800]
-    assert "SortMergeJoin" not in p.split("LeftSemi")[0], "gram join must broadcast"
+    assert "BroadcastHashJoin" in p and "LeftOuter, BuildRight" in p, p[:800]
+    assert "SortMergeJoin" not in p, "gram join must broadcast"
+    assert p.count("posexplode") == 1, "corpus window build must run exactly once"
     assert "partial_collect_list" in p, "span merge must partial-agg"
     assert "CartesianProduct" not in p and "BatchEvalPython" not in p
 
