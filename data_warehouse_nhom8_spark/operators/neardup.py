@@ -397,28 +397,53 @@ def minhash_incremental_pairs(
     )
     all_bands = new_bands.unionByName(old_bands)
     if corpus_band_sizes is not None:
-        # union histogram = static corpus counts + this batch's counts
-        batch_sizes = new_bands.groupBy("band", "bhash").agg(
+        # NEAR-HOT bound (round 11 — the probe's steady-state cost was
+        # this histogram reconciliation): a bucket's union count is
+        # old + new, and the batch histogram's LARGEST per-bucket
+        # count `mx` bounds every `new`, so a bucket can only exceed
+        # the cap when its CORPUS count alone exceeds cap - mx.
+        # Buckets below that line are provably safe with no join at
+        # all, and the near-hot set above it is the skew tail — tiny
+        # at ANY corpus scale by the same argument that makes the cap
+        # a skew guard — so it broadcasts into the batch histogram
+        # instead of full-outer-shuffling the corpus-bucket-count
+        # histogram every probe. `mx` is one driver scalar off the
+        # batch-sized histogram (bounded collect: 1 row). Only
+        # batch-touched buckets need a verdict at all (a candidate
+        # pair requires a batch-side row in the bucket), which keeps
+        # every subsequent join build batch-sized. Identical pair
+        # output (equality pytest + union-histogram numbers both
+        # gate it).
+        batch_hist = new_bands.groupBy("band", "bhash").agg(
             F.count(F.lit(1)).alias("__bn_new")
         )
-        sizes = (
-            corpus_band_sizes.withColumnRenamed("__bn", "__bn_old")
-            .join(batch_sizes, ["band", "bhash"], "full_outer")
-            .select(
-                "band",
-                "bhash",
-                (
-                    F.coalesce(F.col("__bn_old"), F.lit(0))
-                    + F.coalesce(F.col("__bn_new"), F.lit(0))
-                ).alias("__bn"),
-            )
+        mx_row = batch_hist.agg(F.max("__bn_new")).first()[0]
+        mx = int(mx_row) if mx_row is not None else 0
+        near_hot = F.broadcast(
+            corpus_band_sizes.filter(
+                F.col("__bn") > max_bucket_size - mx
+            ).withColumnRenamed("__bn", "__bn_old")
         )
+        ok_buckets = (
+            batch_hist.join(near_hot, ["band", "bhash"], "left")
+            .filter(
+                F.col("__bn_new") + F.coalesce(F.col("__bn_old"), F.lit(0))
+                <= max_bucket_size
+            )
+            .select("band", "bhash")
+        )
+        ok_b = F.broadcast(ok_buckets)
+        nb = new_bands.join(ok_b, on=["band", "bhash"])
+        ab = all_bands.join(ok_b, on=["band", "bhash"])
+        a, b = F.broadcast(nb).alias("a"), ab.alias("b")
     else:
-        sizes = all_bands.groupBy("band", "bhash").agg(F.count(F.lit(1)).alias("__bn"))
-    ok_buckets = sizes.filter(F.col("__bn") <= max_bucket_size).drop("__bn")
-    nb = new_bands.join(ok_buckets, on=["band", "bhash"])
-    ab = all_bands.join(ok_buckets, on=["band", "bhash"])
-    a, b = nb.alias("a"), ab.alias("b")
+        sizes = all_bands.groupBy("band", "bhash").agg(
+            F.count(F.lit(1)).alias("__bn")
+        )
+        ok_buckets = sizes.filter(F.col("__bn") <= max_bucket_size).drop("__bn")
+        nb = new_bands.join(ok_buckets, on=["band", "bhash"])
+        ab = all_bands.join(ok_buckets, on=["band", "bhash"])
+        a, b = nb.alias("a"), ab.alias("b")
     cands = (
         a.join(
             b,
