@@ -293,6 +293,9 @@ def main() -> None:
                 "lineitem_rows": probe["lineitem_rows"],
                 "spark_aqe_off_sec": probe["aqe_off"]["total_sec"],
                 "spark_aqe_on_sec": probe["aqe_on"]["total_sec"],
+                # production layout (round-10 task 3): facts as
+                # bucketed snapshots, what the daily pipeline ships
+                "spark_bucketed_sec": probe.get("bucketed", {}).get("total_sec"),
                 "duckdb_warm_sec": probe["duckdb"]["total_warm_sec"],
                 "n": len(probe["aqe_off"]["queries"]),
             }
