@@ -471,10 +471,17 @@ def minhash_incremental_pairs(
         # parquet-store face (corpus_sig_store_open): hand the loader
         # the materialized candidate id list so it can file-prune the
         # sets tier (stats ranges + multi-point bloom). The collect is
-        # bounded by the candidate count — batch-scale by construction
-        # (every candidate pair touches a batch id) — and `cands` is
-        # already an eager checkpoint, so this adds no extra job.
-        ids = [r["id"] for r in cand_ids.collect()]
+        # CAPPED (ADVICE r10): candidate count is batch-scale in the
+        # typical case (every pair touches a batch id), but a dirty
+        # near-identical batch landing in many shared buckets can
+        # fan the candidate set far past the batch — above the cap
+        # the probe degrades to loader(None), a full (still
+        # snapshot-pruned-by-nothing, but executor-side) sets scan,
+        # instead of a driver OOM building a huge in-filter. `cands`
+        # is already an eager checkpoint, so this adds no extra job.
+        cap = 100_000
+        limited = cand_ids.limit(cap + 1).collect()
+        ids = [r["id"] for r in limited] if len(limited) <= cap else None
         loaded = corpus_sets_loader(ids)
         old_sets = (
             loaded.join(cand_ids, "id", "left_semi").select("id", "__h64")
@@ -967,7 +974,15 @@ def corpus_sig_store_open(spark, path: str) -> dict:
     sets_path = _os.path.join(path, "sets")
     stats = {"files_selected": None, "files_total": None}
 
-    def sets_loader(cand_ids: list) -> DataFrame:
+    def sets_loader(cand_ids: list | None) -> DataFrame:
+        # None = "candidate set too large to enumerate" (the
+        # detector's collect cap): serve the FULL sets tier — an
+        # executor-side scan, no driver in-filter. Distinct from []
+        # (= zero candidates, nothing to load).
+        if cand_ids is None:
+            full = snapshot_read(spark, sets_path)
+            stats["files_selected"], stats["files_total"] = None, None
+            return full
         if not cand_ids:
             df, n, tot = None, 0, 0
         else:

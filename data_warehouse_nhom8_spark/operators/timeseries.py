@@ -112,13 +112,18 @@ def sessionize(
 ) -> DataFrame:
     """Batch sessionization (gaps-and-islands): assign every event a
     per-user `session_idx` that increments whenever the gap since the
-    user's previous event exceeds `gap` — the batch face of the
+    user's previous event reaches `gap` — the batch face of the
     streaming session windows (`streaming.jobs` uses
     F.session_window; backfills and replays need the deterministic
     batch twin over the same history).
 
-    The boundary predicate compares TIMESTAMPS directly
-    (`ts > prev + INTERVAL gap`) — microsecond-exact in Spark and
+    The boundary predicate is `ts >= prev + INTERVAL gap` — the
+    EXACT F.session_window semantics (its window end is exclusive:
+    events merge iff ts < prev + gap), so a backfill replayed
+    through this operator agrees with the live streaming sessions
+    even at exact-gap spacing (ADVICE r10: the previous strict-'>'
+    form merged the exact-threshold event that streaming splits).
+    Timestamps compare directly — microsecond-exact in Spark and
     DuckDB alike, no epoch-second truncation at the threshold (a
     cast-to-long boundary can disagree between engines for gaps
     within 1 s of the threshold). Ordering ties on `ts` break by
@@ -137,7 +142,7 @@ def sessionize(
     prev = F.lag(ts_col).over(w)
     boundary = (
         prev.isNull()
-        | (F.col(ts_col) > prev + F.expr(f"INTERVAL {gap}"))
+        | (F.col(ts_col) >= prev + F.expr(f"INTERVAL {gap}"))
     ).cast("long")
     return events.withColumn(
         "session_idx",

@@ -1748,7 +1748,7 @@ EXTENSION_ORACLES: dict[str, str] = {
           FROM events
         ), s AS (
           SELECT user_id, ts, vc,
-                 SUM(CASE WHEN prev IS NULL OR ts > prev + INTERVAL 8 HOUR
+                 SUM(CASE WHEN prev IS NULL OR ts >= prev + INTERVAL 8 HOUR
                           THEN 1 ELSE 0 END)
                    OVER (PARTITION BY user_id ORDER BY ts, event_id)
                    AS session_idx

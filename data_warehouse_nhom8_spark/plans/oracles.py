@@ -153,7 +153,7 @@ ORACLES: dict[str, str] = {
     "q29_session_gap": """
         SELECT user_id, COUNT(*) AS n_sessions FROM (
           SELECT user_id,
-                 CASE WHEN prev_ts IS NULL OR ts > prev_ts + INTERVAL 30 MINUTE
+                 CASE WHEN prev_ts IS NULL OR ts >= prev_ts + INTERVAL 30 MINUTE
                       THEN 1 ELSE 0 END AS new_s
           FROM (SELECT user_id, ts,
                        LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts

@@ -421,7 +421,10 @@ def q28_tumbling_daily_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q29_session_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows via LAG gap analysis — the batch twin of
-    session_window (SURVEY §2h sliding/session row)."""
+    session_window (SURVEY §2h sliding/session row). Boundary is
+    '>=' — F.session_window's exclusive-end rule, same as
+    `timeseries.sessionize` (ADVICE r10: exact-gap spacing must
+    split in batch exactly as it does live)."""
     c = Catalog(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gaps = c.events.select(
@@ -431,7 +434,7 @@ def q29_session_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     new_s = F.when(
         F.col("prev_ts").isNull()
-        | (F.col("ts") > F.col("prev_ts") + F.expr("INTERVAL 30 MINUTE")),
+        | (F.col("ts") >= F.col("prev_ts") + F.expr("INTERVAL 30 MINUTE")),
         1,
     ).otherwise(0)
     return (

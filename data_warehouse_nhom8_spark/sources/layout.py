@@ -429,6 +429,14 @@ def prune_files(
                 # file-skip shape of "scan only files that may hold a
                 # candidate id". Non-integer members fail open.
                 if isinstance(value, (list, tuple, set, frozenset)):
+                    # EMPTY collection is a DECISION, not an any([])
+                    # accident (ADVICE r10): a multi-point probe IS a
+                    # semi-join — zero candidate keys means zero
+                    # matching rows, so pruning every bloomed file is
+                    # the correct (and cheapest) answer. Callers that
+                    # mean "unknown candidates, scan everything" must
+                    # pass None/omit the column, same as any other
+                    # un-probeable value.
                     vals = [
                         v for v in value
                         if isinstance(v, int) and not isinstance(v, bool)

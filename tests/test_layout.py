@@ -289,6 +289,19 @@ def test_bloom_point_skipping(spark, tmp_path):
     kept_nb, _ = prune_files(vdir, {}, points={"other_col": 3})
     assert len(kept_nb) == total
 
+    # multi-point probes: ANY present id keeps the owning file; an
+    # EMPTY candidate list is semi-join semantics BY DECISION (ADVICE
+    # r10) — zero candidates, zero files; a non-integer member fails
+    # open
+    kept_multi, _ = prune_files(vdir, {}, points={"job_id": [1234, n + 9999]})
+    assert spark.read.parquet(*kept_multi).filter(
+        F.col("job_id") == 1234
+    ).count() == 1
+    kept_empty, _ = prune_files(vdir, {}, points={"job_id": []})
+    assert kept_empty == [], "empty multi-point probe = semi-join: no files"
+    kept_mixed, _ = prune_files(vdir, {}, points={"job_id": [1234, "x"]})
+    assert len(kept_mixed) == total
+
 
 def test_date_upper_bound_covers_whole_day(spark, tmp_path):
     """Intra-day file splits: a DATE used as the upper bound of a

@@ -1839,10 +1839,13 @@ def test_sql_string_expression_fast_paths_bit_identical(spark):
 
 def test_sessionize_planted_boundaries(spark):
     """Gaps-and-islands sessionization: planted per-user timelines —
-    events within the gap merge, a gap strictly over the threshold
-    splits, an EXACT-threshold gap merges (boundary is strict '>'),
-    ties on ts order by event_id, and single-event users form one
-    session. Value sums are exact cents."""
+    events within the gap merge, a gap at the threshold splits, an
+    EXACT-threshold gap SPLITS (boundary is '>=', matching
+    F.session_window's exclusive window end — ADVICE r10: a backfill
+    replayed through this must agree with live streaming sessions at
+    exact-gap spacing), ties on ts order by event_id, and
+    single-event users form one session. Value sums are exact
+    cents."""
     import datetime as dt
 
     from data_warehouse_nhom8_spark.operators.timeseries import (
@@ -1854,7 +1857,7 @@ def test_sessionize_planted_boundaries(spark):
     m = dt.timedelta(minutes=1)
     rows = [
         # user 1: [0, 10, 40] with gap "30 minutes": 40-10=30 EXACTLY
-        # -> merges (strict >); one session of 3
+        # -> splits ('>=', the F.session_window exclusive-end rule)
         (1, 1, t0, 1.10),
         (2, 1, t0 + 10 * m, 2.20),
         (3, 1, t0 + 40 * m, 3.30),
@@ -1875,7 +1878,8 @@ def test_sessionize_planted_boundaries(spark):
         for r in session_stats(ev, gap="30 minutes").collect()
     }
     assert got == {
-        (1, 1): (3, 6.6),
+        (1, 1): (2, 3.3),
+        (1, 2): (1, 3.3),
         (2, 1): (1, 5.0),
         (2, 2): (1, 7.0),
         (3, 1): (1, 0.01),
@@ -1886,7 +1890,7 @@ def test_sessionize_planted_boundaries(spark):
         r["event_id"]: r["session_idx"]
         for r in sessionize(ev, gap="30 minutes").collect()
     }
-    assert per_event == {1: 1, 2: 1, 3: 1, 4: 1, 5: 2, 6: 1, 7: 1, 8: 1}
+    assert per_event == {1: 1, 2: 1, 3: 2, 4: 1, 5: 2, 6: 1, 7: 1, 8: 1}
 
 
 def test_span_merge_sql_form_identical(spark):

@@ -705,3 +705,96 @@ def test_canonical_key_is_normalization_form_independent(spark, texts, seed):
         ).alias("icu_ok"),
     ).filter(~F.col("canon_ok") | ~F.col("icu_ok")).collect()
     assert not bad, [(r["nfc"], r["canon_ok"], r["icu_ok"]) for r in bad]
+
+
+_URL_HOST_ALPHA = "aBcD01"
+_URL_PATH_ALPHA = "aBcD01-_."
+
+
+def _ref_canon(u: str) -> tuple[str, str]:
+    """Python reference implementation of url_canonical_cols' spec —
+    the property's ground truth (the q111 oracle only proves Spark
+    and DuckDB agree with EACH OTHER; this pins what they agree ON)."""
+    s = u.strip()
+    s = re.sub(r"#.*", "", s)
+    s = re.sub(r"\?.*", "", s)
+    s = re.sub(r"^[a-zA-Z][a-zA-Z0-9+.-]*://", "", s)
+    m = re.match(r"^[^/]*", s)
+    host = m.group(0).lower()
+    host = re.sub(r":(80|443)$", "", host)
+    domain = re.sub(r"^www\.", "", host)
+    path = s[len(m.group(0)):]
+    path = re.sub(r"/index\.html$", "/", path)
+    path = re.sub(r"/+$", "", path)
+    return domain, domain + path
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["http://", "HTTPS://", "hTtP://", "ftp://", ""]),
+            st.booleans(),  # www. prefix
+            st.text(alphabet=_URL_HOST_ALPHA, min_size=1, max_size=12),
+            st.sampled_from(["", ":80", ":443", ":8080"]),
+            st.lists(
+                st.text(alphabet=_URL_PATH_ALPHA, min_size=1, max_size=8),
+                min_size=0,
+                max_size=3,
+            ),
+            st.sampled_from(["", "/", "//", "/index.html"]),
+            st.sampled_from(["", "?utm=A&b=C"]),
+            st.sampled_from(["", "#Frag-2"]),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(max_examples=20, deadline=None)
+def test_url_canonicalization_properties(spark, parts):
+    """Round-11 property (VERDICT r10 task 6): for fuzzed URLs built
+    from random scheme-case / www / host-case / default-and-real
+    ports / path segments / index.html / trailing slashes / query /
+    fragment combinations:
+      1. Spark's url_canonical_cols == the Python reference spec
+         (path case PRESERVED, host case folded — checked because the
+         reference keeps the raw path substring verbatim);
+      2. idempotence: canon(canon_url) == canon_url — re-crawling an
+         already-canonical URL must be a fixed point;
+      3. host-case insensitivity: swapcasing the host (and scheme)
+         never changes the output."""
+    from data_warehouse_nhom8_spark.operators.corpus import url_canonical_cols
+
+    urls = []
+    for scheme, www, host, port, segs, tail, q, frag in parts:
+        full_host = ("www." if www else "") + host + ".Example.COM"
+        path = "".join("/" + s for s in segs)
+        urls.append(scheme + full_host + port + path + tail + q + frag)
+
+    rows = []
+    for u in urls:
+        dom, canon = _ref_canon(u)
+        # host-case variant: swap case up to the first '/' past the
+        # scheme (the authority), keep the path bytes untouched
+        m = re.match(r"^([a-zA-Z][a-zA-Z0-9+.-]*://)?([^/]*)(.*)$", u, re.S)
+        variant = (m.group(1) or "").swapcase() + m.group(2).swapcase() + m.group(3)
+        rows.append((u, variant, dom, canon))
+    df = spark.createDataFrame(rows, "u string, v string, ref_dom string, ref_canon string")
+    c1 = url_canonical_cols("u")
+    got = df.select(
+        "u", "v", "ref_dom", "ref_canon",
+        c1["domain"].alias("dom"),
+        c1["canon_url"].alias("canon"),
+    )
+    c2 = url_canonical_cols("canon")
+    c3 = url_canonical_cols("v")
+    bad = (
+        got.select(
+            "u",
+            ((F.col("dom") == F.col("ref_dom")) & (F.col("canon") == F.col("ref_canon"))).alias("spec_ok"),
+            (c2["canon_url"] == F.col("canon")).alias("idem_ok"),
+            (c3["canon_url"] == F.col("canon")).alias("case_ok"),
+        )
+        .filter(~F.col("spec_ok") | ~F.col("idem_ok") | ~F.col("case_ok"))
+        .collect()
+    )
+    assert not bad, [(r["u"], r["spec_ok"], r["idem_ok"], r["case_ok"]) for r in bad]
