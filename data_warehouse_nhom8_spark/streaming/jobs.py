@@ -823,3 +823,111 @@ def compact_span_store(spark: SparkSession, store_path: str) -> None:
         .withColumn("epoch", F.lit(-1).cast("long"))
     )
     snapshot_overwrite(compacted, store_path)
+
+
+def url_store_sink(
+    stream: DataFrame,
+    store_path: str,
+    checkpoint: str,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    seed: str = "url0",
+) -> DataStreamWriter:
+    """Streaming canonical-URL FIRST-SEEN registry — the crawl-tier
+    face of `operators.corpus.url_dedup_domain_cap` (the q111
+    operator; round-10 verdict task 7): each micro-batch of crawled
+    documents canonicalizes its URLs, picks the batch's deterministic
+    winner per canon_url (the batch operator's md5-priority rule),
+    and admits only URLs NEVER SEEN in any earlier epoch. The store
+    holds one (canon_url, domain, doc_id, epoch) row per admitted
+    URL — URL-registry-sized, NO corpus text, so recrawl batches
+    dedup against the whole history without rescanning the corpus.
+
+    First-seen semantics across epochs (earlier crawl wins — the
+    curation contract for recrawls: the corpus already shipped the
+    first copy), md5-priority within an epoch (exactly the batch
+    operator's winner). Equality with a batch run that ranks by
+    (epoch, md5-pri, id) is pytest-gated; the per-domain cap stays a
+    batch/corpus-level policy applied over `read_url_store` output.
+
+    Same epoch-replacement idempotence as the span store: a replayed
+    micro-batch first DROPS its own epoch's rows, so at-least-once
+    delivery converges. Scale: the anti-join keys on canon_url —
+    at 100 TB keep the store bucketed on canon_url (snapshot layout)
+    so only the batch side shuffles."""
+    return (
+        stream.writeStream.foreachBatch(
+            url_store_merge(store_path, url_col, id_col, seed)
+        )
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+
+
+def url_store_merge(
+    store_path: str,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    seed: str = "url0",
+):
+    """The URL registry's foreachBatch merge as a standalone builder
+    (drivable by the mid-epoch-kill restart tests, like
+    span_store_merge / sketch_store_merge)."""
+
+    def merge(batch: DataFrame, epoch_id: int) -> None:
+        from pyspark.sql import Window
+
+        from data_warehouse_nhom8_spark.operators.corpus import (
+            url_canonical_cols,
+        )
+        from data_warehouse_nhom8_spark.sources.snapshots import (
+            snapshot_overwrite,
+            snapshot_read,
+        )
+
+        spark = batch.sparkSession
+        cols = url_canonical_cols(url_col)
+        pri = F.md5(
+            F.concat_ws(":", F.col(id_col).cast("string"), F.lit(seed))
+        )
+        w = Window.partitionBy("canon_url").orderBy("__pri", id_col)
+        batch_winners = (
+            batch.select(
+                F.col(id_col).alias("doc_id"),
+                cols["domain"].alias("domain"),
+                cols["canon_url"].alias("canon_url"),
+            )
+            .withColumn("__pri", pri)
+            .withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") == 1)
+            .select("canon_url", "domain", "doc_id")
+            .withColumn("epoch", F.lit(epoch_id).cast("long"))
+        )
+        current = snapshot_read(spark, store_path)
+        if current is not None:
+            prior = current.filter(F.col("epoch") != epoch_id)
+            fresh = batch_winners.join(
+                prior.select("canon_url"), "canon_url", "left_anti"
+            )
+            merged = prior.unionByName(fresh)
+        else:
+            merged = batch_winners
+        snapshot_overwrite(merged, store_path)
+
+    return merge
+
+
+def read_url_store(spark: SparkSession, store_path: str) -> DataFrame:
+    """(canon_url, domain, doc_id, epoch) — the first-seen URL
+    registry: exactly one row per canonical URL ever admitted (the
+    merge only inserts never-seen URLs, so no cross-epoch fold is
+    needed — the store IS the registry)."""
+    from data_warehouse_nhom8_spark.sources.snapshots import snapshot_read
+
+    store = snapshot_read(spark, store_path)
+    if store is None:
+        raise FileNotFoundError(
+            f"no committed url store at {store_path}; run url_store_sink "
+            "through at least one micro-batch first"
+        )
+    return store

@@ -984,3 +984,96 @@ def test_span_store_streaming_equals_batch_and_replay_converges(spark, tmp_path)
         if r["doc_id"] >= 9
     }
     assert inc == full and inc
+
+
+def test_url_store_first_seen_streaming_equals_batch_and_replay(spark, tmp_path):
+    """Streaming canonical-URL first-seen registry (round-11, VERDICT
+    r10 task 7): crawl batches through url_store_sink == a batch run
+    ranking every doc by (epoch, md5-pri, id) per canon_url; a
+    REPLAYED epoch (production merge re-driven with the same
+    epoch_id) leaves the registry unchanged; draining an empty source
+    is a no-op; recrawled URLs (same canon_url, later epoch) never
+    displace the first sighting."""
+    from pyspark.sql import Window
+
+    from data_warehouse_nhom8_spark.operators.corpus import url_canonical_cols
+    from data_warehouse_nhom8_spark.streaming.jobs import (
+        read_url_store,
+        url_store_merge,
+        url_store_sink,
+    )
+
+    # b2 recrawls b1's URL 'a/1' under different raw variants and adds
+    # fresh URLs; duplicate canon within b2 exercises the batch winner
+    b1_rows = [
+        (1, "HTTP://WWW.A.example.com:80/1/index.html"),
+        (2, "https://b.Example.com/Two/"),
+    ]
+    b2_rows = [
+        (3, "http://a.example.COM/1"),          # recrawl of b1's first
+        (4, "https://c.example.com/Three?q=1"), # fresh
+        (5, "https://c.example.com/Three#f"),   # same canon as id 4
+    ]
+    schema = "doc_id long, url string"
+    b1 = spark.createDataFrame(b1_rows, schema)
+    b2 = spark.createDataFrame(b2_rows, schema)
+    src = tmp_path / "crawl"
+    b1.write.parquet(str(src / "f1"))
+    store = str(tmp_path / "urlstore")
+
+    def drain():
+        stream = jobs.stream_source(spark, str(src / "*"), b1.schema)
+        q = (
+            url_store_sink(stream, store, str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    b2.write.parquet(str(src / "f2"))
+    drain()
+
+    got = {
+        r["canon_url"]: (r["doc_id"], r["epoch"])
+        for r in read_url_store(spark, store).collect()
+    }
+
+    # batch twin: rank all docs by (epoch, md5 pri, id) per canon_url
+    from pyspark.sql import functions as F  # noqa: F811
+
+    allb = b1.withColumn("e", F.lit(0)).unionByName(b2.withColumn("e", F.lit(1)))
+    cols = url_canonical_cols("url")
+    pri = F.md5(F.concat_ws(":", F.col("doc_id").cast("string"), F.lit("url0")))
+    w = Window.partitionBy("canon_url").orderBy("e", "__pri", "doc_id")
+    want = {
+        r["canon_url"]: (r["doc_id"], r["e"])
+        for r in allb.select(
+            "doc_id", "e", cols["canon_url"].alias("canon_url")
+        )
+        .withColumn("__pri", pri)
+        .withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .collect()
+    }
+    assert got == want
+    # the recrawl kept the FIRST sighting, and both fresh canon URLs
+    # resolved one winner each
+    assert got["a.example.com/1"][1] == 0
+    assert len(got) == 3
+
+    # replay convergence: re-drive epoch 1's merge with b2 again
+    url_store_merge(store)(b2, 1)
+    got2 = {
+        r["canon_url"]: (r["doc_id"], r["epoch"])
+        for r in read_url_store(spark, store).collect()
+    }
+    assert got2 == want
+
+    # drained empty source: no-op
+    drain()
+    got3 = {
+        r["canon_url"]: (r["doc_id"], r["epoch"])
+        for r in read_url_store(spark, store).collect()
+    }
+    assert got3 == want
