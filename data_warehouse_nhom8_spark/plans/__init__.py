@@ -55,15 +55,17 @@ from data_warehouse_nhom8_spark.plans.tpch import TPCH_ORACLES, TPCH_QUERIES
 _ALL_QUERIES = {**_CORE, **EXTENSION_QUERIES, **TPCH_QUERIES}
 ORACLES = {**_CORE_ORACLES, **EXTENSION_ORACLES, **TPCH_ORACLES}
 
-# Rotation-slack accounting (round 9): 95 oracled + 10 noracle. Five
-# redundant oracles were RETIRED to their superset shapes (q05, q14,
-# q26, q43, q44 — see queries.RETIRED_QUERIES / extensions.
-# RETIRED_EXTENSION_QUERIES for the subset→superset mapping); each
-# keeps a per-suite-run DuckDB twin in tests/test_retired_oracles.py.
-# With 95 oracles the two-round halves are 47 (r7-green side) and 48
-# (r8-green side), so EVERY round's derived front now carries >= 2
-# free window slots for new oracled queries — the r8 state (front
-# exactly 50, zero slack) cannot recur until growth uses them up.
+# Rotation-slack accounting (round 11): 98 oracled + 10 noracle.
+# Seven redundant oracles have been RETIRED to their superset shapes
+# (r9: q05, q14, q26, q43, q44; r11: q07 -> q48, q11 -> q93/q105 —
+# see queries.RETIRED_QUERIES / extensions.RETIRED_EXTENSION_QUERIES
+# for the subset→superset mapping); each keeps a per-suite-run DuckDB
+# twin in tests/test_retired_oracles.py. Growth spends slack, junk
+# retires to refill it: r10 added q111-q113 (slack 5 -> 2), r11 added
+# the SCD2 pair q114/q115 and funded it by retiring q07/q11 from the
+# r9-certified half, so the derived front is 48 <= 50 with 2 free
+# slots and the two-round union stays complete by construction
+# (tests/test_retired_oracles.py::test_rotation_slack_recovered).
 RETIRED_QUERIES = {**_CORE_RETIRED, **RETIRED_EXTENSION_QUERIES}
 RETIRED_ORACLES = {**_CORE_RETIRED_ORACLES, **RETIRED_EXTENSION_ORACLES}
 

@@ -37,12 +37,6 @@ ORACLES: dict[str, str] = {
         WHERE c_name IS NOT NULL AND c_name <> '' AND c_acctbal > 0
         ORDER BY c_custkey NULLS FIRST
     """,
-    "q07_inner_equijoin": """
-        SELECT o.o_orderkey, c.c_custkey, c.c_mktsegment
-        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-        WHERE c.c_mktsegment = 'BUILDING'
-        ORDER BY o.o_orderkey NULLS FIRST, c.c_custkey NULLS FIRST LIMIT 2000
-    """,
     "q08_broadcast_dim_chain": """
         SELECT c.c_custkey, n.n_name, r.r_name
         FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -60,11 +54,6 @@ ORACLES: dict[str, str] = {
         WHERE NOT EXISTS (SELECT 1 FROM orders o
                           WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
         ORDER BY c.c_custkey NULLS FIRST
-    """,
-    "q11_semi_join": """
-        SELECT p.p_partkey FROM part p
-        WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
-        ORDER BY p.p_partkey NULLS FIRST LIMIT 2000
     """,
     "q12_correlated_scalar_count": """
         SELECT o.o_orderkey,
@@ -187,6 +176,17 @@ RETIRED_ORACLES: dict[str, str] = {
     "q05_like_prefix": """
         SELECT p_partkey, p_brand FROM part WHERE p_brand LIKE 'Brand#1%'
         ORDER BY p_partkey NULLS FIRST
+    """,
+    "q07_inner_equijoin": """
+        SELECT o.o_orderkey, c.c_custkey, c.c_mktsegment
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_mktsegment = 'BUILDING'
+        ORDER BY o.o_orderkey NULLS FIRST, c.c_custkey NULLS FIRST LIMIT 2000
+    """,
+    "q11_semi_join": """
+        SELECT p.p_partkey FROM part p
+        WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+        ORDER BY p.p_partkey NULLS FIRST LIMIT 2000
     """,
     "q14_grouping_sets": """
         SELECT c_mktsegment, c_nationkey, COUNT(*) AS total

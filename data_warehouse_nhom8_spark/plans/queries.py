@@ -496,11 +496,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q03_partition_day_filter": q03_partition_day_filter,
     "q04_computed_projection": q04_computed_projection,
     "q06_validity_filter": q06_validity_filter,
-    "q07_inner_equijoin": q07_inner_equijoin,
     "q08_broadcast_dim_chain": q08_broadcast_dim_chain,
     "q09_theta_change_join": q09_theta_change_join,
     "q10_anti_join": q10_anti_join,
-    "q11_semi_join": q11_semi_join,
     "q12_correlated_scalar_count": q12_correlated_scalar_count,
     "q13_single_key_agg": q13_single_key_agg,
     "q15_conditional_agg": q15_conditional_agg,
@@ -536,8 +534,22 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 #                                A1 evidence stays on Q13
 #   q26 md5 fingerprint        -> q36_doc_fingerprint is the same
 #                                md5-over-documents shape (F10/X1)
+# Round 11 (funding the q114/q115 SCD2 window slots — both retirees
+# are from the r9-certified rotation half, so the derived front
+# shrinks and two consecutive rounds still cover the registry):
+#   q07 inner equi-join        -> q48 5-way join is the strict
+#                                superset (two inner equi-joins on
+#                                the same orders⋈customer keys plus
+#                                three more); J1 evidence stays on
+#                                q09/q10/q12 + every TPC-H shape
+#   q11 EXISTS semi-join       -> q93 (Q21) runs LeftSemi AND
+#                                LeftAnti self-joins on lineitem,
+#                                q105 a LeftSemi on supplier; J5
+#                                evidence stays plan-gated there
 RETIRED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q05_like_prefix": q05_like_prefix,
+    "q07_inner_equijoin": q07_inner_equijoin,
+    "q11_semi_join": q11_semi_join,
     "q14_grouping_sets": q14_grouping_sets,
     "q26_md5_fingerprint": q26_md5_fingerprint,
 }

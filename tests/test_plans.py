@@ -58,8 +58,18 @@ def test_aggregates_are_partial(spark):
 
 
 def test_anti_semi_join_types(spark):
+    from data_warehouse_nhom8_spark.plans import RETIRED_QUERIES
+
     assert "LeftAnti" in plan_of(spark, "q10_anti_join")
-    assert "LeftSemi" in plan_of(spark, "q11_semi_join")
+    # q11 retired to the q93/q105 supersets (round 11) but its
+    # LeftSemi plan shape stays gated here
+    p11 = (
+        RETIRED_QUERIES["q11_semi_join"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "LeftSemi" in p11
 
 
 def test_whole_stage_codegen_everywhere(spark):

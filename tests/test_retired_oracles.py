@@ -58,9 +58,11 @@ def test_registry_no_longer_lists_retired(spark):
     assert set(RETIRED_QUERIES) == set(RETIRED_ORACLES)
     assert not set(RETIRED_QUERIES) & set(QUERIES)
     assert not set(RETIRED_ORACLES) & set(ORACLES)
-    # the documented accounting: 95 post-retirement oracles + the three
-    # round-10 additions (q111/q112/q113, spending the recovered slack
-    # down to its floor: front 48 <= 50, two-round union complete)
+    # the documented accounting: 98 active after round 10 (95
+    # post-retirement + q111/q112/q113), plus the round-11 SCD2 pair
+    # (q114/q115), minus the round-11 retirements that funded their
+    # window slots (q07 -> q48 superset, q11 -> q93/q105 supersets —
+    # both from the r9-certified half so the derived front shrinks)
     assert len(ORACLES) == 98
 
 
