@@ -365,13 +365,21 @@ def minhash_incremental_pairs(
     from data_warehouse_nhom8_spark.session import repartition_for_compute
 
     new_docs = repartition_for_compute(new_docs)
-    # ONE eager job materializes both batch artifacts (hash sets for
-    # the verify step, signatures for banding): shingling runs once
-    # and the per-call barrier count drops — each localCheckpoint is a
+    # ONE job materializes both batch artifacts (hash sets for the
+    # verify step, signatures for banding): shingling runs once and
+    # the per-call barrier count stays low — each localCheckpoint is a
     # full job round-trip, and on a ~1k-doc daily batch the barriers
-    # cost as much as the compute. The folded hash array is staged as
-    # a NAMED column before the k permutation mins fan out (staging
-    # rule from minhash_signature_col's docstring).
+    # cost as much as the compute. In the store path the checkpoint is
+    # LAZY (round 11): the `mx` histogram collect below is then the
+    # single first consumer, so its job writes the checkpoint as a
+    # side effect — one barrier instead of two, race-free because no
+    # other consumer runs concurrently with it. Without a store
+    # histogram the first consumer is the cands job, whose broadcast
+    # thread and probe side would RACE to materialize (measured
+    # slower than the extra barrier), so that path stays eager. The
+    # folded hash array is staged as a NAMED column before the k
+    # permutation mins fan out (staging rule from
+    # minhash_signature_col's docstring).
     staged = (
         new_docs.select(
             F.col(id_col).alias("id"),
@@ -382,7 +390,7 @@ def minhash_incremental_pairs(
         )
         .select("id", "__h64", F.transform("__h64", lambda h: F.abs(h) % _P).alias("__hs"))
         .select("id", "__h64", minhash_signature_col("__hs", k).alias("sig"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=corpus_band_sizes is None)
     )
     new_sets = staged.select("id", "__h64")
     new_sigs = staged.select("id", "sig")
@@ -506,7 +514,13 @@ def minhash_incremental_pairs(
                 ).alias("__h64"),
             )
         )
-    sets = new_sets.unionByName(old_sets).localCheckpoint(eager=True)
+    # NOT checkpointed (round 11): both inputs are already barriers
+    # (new_sets reads the staged checkpoint, old_sets is a broadcast
+    # semi-join of the persisted store sets against checkpointed
+    # cand ids), so the verify job's two consumers just re-run two
+    # cheap scans — cheaper than the 0.5 s job round-trip the eager
+    # checkpoint cost here (measured at sf0.1).
+    sets = new_sets.unionByName(old_sets)
     out = (
         cands.join(sets.select(F.col("id").alias("id_a"), F.col("__h64").alias("__ha")), "id_a")
         .join(sets.select(F.col("id").alias("id_b"), F.col("__h64").alias("__hb")), "id_b")
