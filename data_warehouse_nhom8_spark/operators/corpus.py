@@ -683,7 +683,46 @@ def contamination_fraction(
     Digests are md5 (DuckDB-reproducible equality classes), matching
     `_gram_digests`/`span_dedup._window_hashes` byte-for-byte so a
     store built by `benchmark_gram_store` at the same gram_w can
-    feed this operator too."""
+    feed this operator too.
+
+    NULL-text rows have no token windows and are dropped (the
+    `_window_hashes` ≥1-window rule applies to non-null text only);
+    filter or impute upstream if the corpus can carry them."""
+    folded = _contamination_folded(corpus, benchmark, gram_w, id_col, text_col)
+    return folded.select(
+        id_col,
+        "n_tokens",
+        # spans are window-granular; a short tail doc can be fully
+        # covered by a window longer than the doc — clamp
+        F.least(
+            F.expr("aggregate(__spans, 0, (a, x) -> a + (x.e - x.s))"),
+            F.col("n_tokens"),
+        )
+        .cast("long")
+        .alias("cont_tokens"),
+        F.size("__spans").cast("long").alias("n_spans"),
+    ).withColumn(
+        "cont_fraction",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(F.col("cont_tokens") / F.col("n_tokens"), 4),
+        ).otherwise(F.lit(0.0)),
+    )
+
+
+def _contamination_folded(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    gram_w: int,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Shared single-scan core of `contamination_fraction` and
+    `decontaminate_scrub`: (id, n_tokens, __spans) per corpus doc,
+    where __spans is the array of merged maximal contaminated spans
+    (struct<s,e,n>, window-granular, token positions 0-based).
+    See `contamination_fraction`'s scale notes — one corpus scan,
+    broadcast benchmark gram set, per-doc position fold."""
     from data_warehouse_nhom8_spark.operators.span_dedup import (
         _merge_positions_col,
         _window_hashes,
@@ -714,27 +753,67 @@ def contamination_fraction(
             F.collect_list(F.when(F.col("__m") == 1, F.col("__pos")))
         ).alias("__ps"),
     )
-    folded = per_doc.select(
+    return per_doc.select(
         F.col("__id").alias(id_col),
         "n_tokens",
         _merge_positions_col("__ps", gram_w).alias("__spans"),
     )
-    return folded.select(
-        id_col,
-        "n_tokens",
-        # spans are window-granular; a short tail doc can be fully
-        # covered by a window longer than the doc — clamp
-        F.least(
-            F.expr("aggregate(__spans, 0, (a, x) -> a + (x.e - x.s))"),
-            F.col("n_tokens"),
+
+
+def decontaminate_scrub(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    gram_w: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-level benchmark decontamination SCRUB — the excision
+    step `contamination_fraction` measures for: every token covered
+    by a merged contaminated span is REMOVED and the document is
+    re-emitted with the surviving tokens (original casing preserved;
+    whitespace normalized to single spaces — the span positions are
+    defined on the lowercased whitespace-split token stream, and the
+    original token at each position is what survives). The
+    production recipe is fraction-gate + scrub: docs past a
+    contamination threshold drop entirely (`contamination_fraction`
+    feeds that filter); lightly-quoted docs keep their clean bulk
+    through this operator instead of being discarded.
+
+    Returns a total table (every non-null-text corpus doc):
+      (id, n_tokens, kept_tokens, removed_tokens, n_spans, clean_text)
+    with kept_tokens + removed_tokens == n_tokens, removed_tokens ==
+    the clamped cont_tokens of `contamination_fraction` (same spans,
+    same window-granular clamp at doc end), and clean_text == ''
+    when a short doc's single whole-doc window is contaminated.
+
+    Scale notes: span derivation is the shared single-scan core
+    (broadcast benchmark grams, corpus text never shuffles). The
+    join-back ships ONLY contaminated docs' span arrays (hits-only —
+    clean docs take the left-join miss path and pass through
+    untouched), so the join's build side is the contaminated subset,
+    not the corpus; on the snapshot layout bucketed by id the probe
+    side's text stays put. Token excision is a native two-arg
+    `filter` lambda over the split array — per-row, codegen, no UDF."""
+    spans = (
+        _contamination_folded(corpus, benchmark, gram_w, id_col, text_col)
+        .filter(F.size("__spans") > 0)
+        .select(id_col, "__spans")
+    )
+    joined = corpus.select(id_col, text_col).join(spans, id_col, "left")
+    otoks = F.split(F.trim(_c(text_col)), r"\s+")
+    covered = lambda i: F.exists(  # noqa: E731 — named for the two uses below
+        F.col("__spans"), lambda sp: (i >= sp["s"]) & (i < sp["e"])
+    )
+    kept = F.when(
+        F.col("__spans").isNull(), otoks
+    ).otherwise(F.filter(otoks, lambda tok, i: ~covered(i)))
+    return (
+        joined.select(
+            id_col,
+            F.size(otoks).cast("long").alias("n_tokens"),
+            F.size(kept).cast("long").alias("kept_tokens"),
+            (F.size(otoks) - F.size(kept)).cast("long").alias("removed_tokens"),
+            F.coalesce(F.size("__spans"), F.lit(0)).cast("long").alias("n_spans"),
+            F.concat_ws(" ", kept).alias("clean_text"),
         )
-        .cast("long")
-        .alias("cont_tokens"),
-        F.size("__spans").cast("long").alias("n_spans"),
-    ).withColumn(
-        "cont_fraction",
-        F.when(
-            F.col("n_tokens") > 0,
-            F.round(F.col("cont_tokens") / F.col("n_tokens"), 4),
-        ).otherwise(F.lit(0.0)),
     )

@@ -394,6 +394,28 @@ def q53_incremental_neardup_noracle(spark: SparkSession, sf_dir: str) -> DataFra
     ).orderBy("id_a", "id_b")
 
 
+def q116_decontaminate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 (round 11): token-level decontamination SCRUB — the
+    excision step q112's fraction measures for
+    (`operators.corpus.decontaminate_scrub`): every token under a
+    merged contaminated span is removed and the doc re-emitted with
+    its surviving tokens (original casing, single-space joined).
+    Same benchmark split (doc_id % 97) and gram_w=4 calibration as
+    q112, so the removed_tokens column here equals q112's clamped
+    cont_tokens doc-for-doc. The DuckDB oracle mirrors the whole
+    pipeline — same regex split, gram equality classes, q110-style
+    gaps-and-islands span merge, then tokens-with-ordinality
+    anti-joined against the covered positions and string_agg'd back
+    in order. Total table, clean docs pass through untouched."""
+    from data_warehouse_nhom8_spark.operators.corpus import decontaminate_scrub
+
+    c = Catalog(spark, sf_dir)
+    docs = c.documents
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return decontaminate_scrub(corpus, bench, gram_w=4).orderBy("doc_id")
+
+
 _LSH_DIM, _LSH_PLANES = 64, 12
 
 
@@ -1716,6 +1738,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q113_sessionization": q113_sessionization,
     "q114_scd2_as_of": q114_scd2_as_of,
     "q115_scd2_temporal_join": q115_scd2_temporal_join,
+    "q116_decontaminate_scrub": q116_decontaminate_scrub,
 }
 
 EXTENSION_ORACLES: dict[str, str] = {
@@ -1738,6 +1761,67 @@ EXTENSION_ORACLES: dict[str, str] = {
          AND f.o_orderdate < s.expired
         WHERE f.o_orderkey % 4 = 1
         ORDER BY f.o_orderkey
+    """,
+    "q116_decontaminate_scrub": """
+        WITH t AS (
+          SELECT doc_id,
+                 string_split_regex(trim(text), '\\s+') AS otoks,
+                 string_split_regex(lower(trim(text)), '\\s+') AS toks
+          FROM documents
+        ), corp AS (
+          SELECT * FROM t WHERE doc_id % 97 <> 0
+        ), bench AS (
+          SELECT * FROM t WHERE doc_id % 97 = 0
+        ), bg AS (
+          SELECT DISTINCT array_to_string(toks[i:i+3], ' ') AS gram
+          FROM bench, UNNEST(range(1, greatest(len(toks) - 4 + 1, 1) + 1)) AS u(i)
+        ), w AS (
+          SELECT doc_id, i - 1 AS pos,
+                 array_to_string(toks[i:i+3], ' ') AS gram
+          FROM corp, UNNEST(range(1, greatest(len(toks) - 4 + 1, 1) + 1)) AS u(i)
+        ), hits AS (
+          SELECT w.doc_id, w.pos FROM w JOIN bg USING (gram)
+        ), lagged AS (
+          SELECT doc_id, pos,
+                 LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+          FROM hits
+        ), isl AS (
+          SELECT doc_id, pos,
+                 SUM(CASE WHEN prev IS NULL OR pos - prev > 4 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos) AS island
+          FROM lagged
+        ), spans AS (
+          SELECT doc_id, MIN(pos) AS s, MAX(pos) + 4 AS e
+          FROM isl GROUP BY doc_id, island
+        ), ns AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans
+          FROM spans GROUP BY doc_id
+        ), covered AS (
+          SELECT DISTINCT doc_id, p
+          FROM spans, UNNEST(range(s, e)) AS r(p)
+        ), tok AS (
+          SELECT c.doc_id, u.i - 1 AS p, c.otoks[u.i] AS tok
+          FROM corp c, UNNEST(range(1, len(c.otoks) + 1)) AS u(i)
+        ), kept AS (
+          SELECT tok.doc_id,
+                 CAST(COUNT(*) AS BIGINT) AS kept_tokens,
+                 string_agg(tok.tok, ' ' ORDER BY tok.p) AS clean_text
+          FROM tok LEFT JOIN covered cv
+            ON tok.doc_id = cv.doc_id AND tok.p = cv.p
+          WHERE cv.doc_id IS NULL
+          GROUP BY tok.doc_id
+        )
+        SELECT c.doc_id,
+               CAST(len(c.otoks) AS BIGINT) AS n_tokens,
+               COALESCE(kept.kept_tokens, 0) AS kept_tokens,
+               CAST(len(c.otoks) AS BIGINT) - COALESCE(kept.kept_tokens, 0)
+                 AS removed_tokens,
+               COALESCE(ns.n_spans, 0) AS n_spans,
+               COALESCE(kept.clean_text, '') AS clean_text
+        FROM corp c
+        LEFT JOIN kept USING (doc_id)
+        LEFT JOIN ns USING (doc_id)
+        ORDER BY c.doc_id
     """,
     "q113_sessionization": """
         WITH l AS (

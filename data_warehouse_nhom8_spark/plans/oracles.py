@@ -37,12 +37,6 @@ ORACLES: dict[str, str] = {
         WHERE c_name IS NOT NULL AND c_name <> '' AND c_acctbal > 0
         ORDER BY c_custkey NULLS FIRST
     """,
-    "q08_broadcast_dim_chain": """
-        SELECT c.c_custkey, n.n_name, r.r_name
-        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
-                        JOIN region r ON n.n_regionkey = r.r_regionkey
-        ORDER BY c.c_custkey NULLS FIRST LIMIT 2000
-    """,
     "q09_theta_change_join": """
         SELECT l.l_orderkey, l.l_linenumber
         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -182,6 +176,12 @@ RETIRED_ORACLES: dict[str, str] = {
         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         WHERE c.c_mktsegment = 'BUILDING'
         ORDER BY o.o_orderkey NULLS FIRST, c.c_custkey NULLS FIRST LIMIT 2000
+    """,
+    "q08_broadcast_dim_chain": """
+        SELECT c.c_custkey, n.n_name, r.r_name
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+                        JOIN region r ON n.n_regionkey = r.r_regionkey
+        ORDER BY c.c_custkey NULLS FIRST LIMIT 2000
     """,
     "q11_semi_join": """
         SELECT p.p_partkey FROM part p

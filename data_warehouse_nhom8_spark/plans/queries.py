@@ -496,7 +496,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q03_partition_day_filter": q03_partition_day_filter,
     "q04_computed_projection": q04_computed_projection,
     "q06_validity_filter": q06_validity_filter,
-    "q08_broadcast_dim_chain": q08_broadcast_dim_chain,
     "q09_theta_change_join": q09_theta_change_join,
     "q10_anti_join": q10_anti_join,
     "q12_correlated_scalar_count": q12_correlated_scalar_count,
@@ -546,9 +545,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 #                                LeftAnti self-joins on lineitem,
 #                                q105 a LeftSemi on supplier; J5
 #                                evidence stays plan-gated there
+#   q08 broadcast dim chain    -> q48 (Q5) joins the identical
+#                                customer⋈nation⋈region chain (plus
+#                                orders/lineitem/supplier) with the
+#                                dims broadcast; funds the q116
+#                                decontaminate-scrub slot. J2's
+#                                2-broadcast plan gate stays on the
+#                                retired shape in test_plans
 RETIRED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q05_like_prefix": q05_like_prefix,
     "q07_inner_equijoin": q07_inner_equijoin,
+    "q08_broadcast_dim_chain": q08_broadcast_dim_chain,
     "q11_semi_join": q11_semi_join,
     "q14_grouping_sets": q14_grouping_sets,
     "q26_md5_fingerprint": q26_md5_fingerprint,

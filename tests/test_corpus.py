@@ -454,6 +454,43 @@ def test_contamination_fraction_planted(spark):
     assert got[3] == (26, 16, 2, round(16 / 26, 4))
 
 
+def test_decontaminate_scrub_planted(spark):
+    """Scrub removes exactly the merged-span tokens (original casing
+    kept, single-space joined); clean docs pass through untouched;
+    removed_tokens agrees with contamination_fraction's clamped
+    cont_tokens doc-for-doc; a fully-covered short doc scrubs to ''."""
+    bench_text = " ".join(f"b{i}" for i in range(40))
+    clean = " ".join(f"C{i}" for i in range(30))  # uppercase: casing survives
+    one = "X y z " + " ".join(f"b{i}" for i in range(10, 30)) + " q r S"
+    short = "b1 b2 b3"
+    docs = spark.createDataFrame(
+        [(1, clean), (2, one), (3, short)], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame(
+        [(97, bench_text), (98, "b1 b2 b3")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r
+        for r in corpus.decontaminate_scrub(docs, bench, gram_w=8).collect()
+    }
+    # clean doc: untouched, original casing
+    assert got[1]["clean_text"] == clean
+    assert (got[1]["kept_tokens"], got[1]["removed_tokens"], got[1]["n_spans"]) == (30, 0, 0)
+    # quoted doc: span [3, 23) excised, flanks survive with casing
+    assert got[2]["clean_text"] == "X y z q r S"
+    assert (got[2]["n_tokens"], got[2]["kept_tokens"], got[2]["removed_tokens"]) == (26, 6, 20)
+    # fully-covered short doc: scrubs to empty string
+    assert got[3]["clean_text"] == ""
+    assert (got[3]["kept_tokens"], got[3]["removed_tokens"]) == (0, 3)
+    # cross-operator contract: removed == clamped cont_tokens
+    frac = {
+        r["doc_id"]: r["cont_tokens"]
+        for r in corpus.contamination_fraction(docs, bench, gram_w=8).collect()
+    }
+    for d, row in got.items():
+        assert row["removed_tokens"] == frac[d], d
+
+
 def test_contamination_fraction_clamps_short_docs(spark):
     # short-doc semantics: a doc below gram_w yields ONE whole-doc
     # window, which matches only a benchmark doc that is itself the
