@@ -800,20 +800,36 @@ def decontaminate_scrub(
         .select(id_col, "__spans")
     )
     joined = corpus.select(id_col, text_col).join(spans, id_col, "left")
-    otoks = F.split(F.trim(_c(text_col)), r"\s+")
-    covered = lambda i: F.exists(  # noqa: E731 — named for the two uses below
-        F.col("__spans"), lambda sp: (i >= sp["s"]) & (i < sp["e"])
-    )
-    kept = F.when(
-        F.col("__spans").isNull(), otoks
-    ).otherwise(F.filter(otoks, lambda tok, i: ~covered(i)))
-    return (
-        joined.select(
-            id_col,
-            F.size(otoks).cast("long").alias("n_tokens"),
-            F.size(kept).cast("long").alias("kept_tokens"),
-            (F.size(otoks) - F.size(kept)).cast("long").alias("removed_tokens"),
-            F.coalesce(F.size("__spans"), F.lit(0)).cast("long").alias("n_spans"),
-            F.concat_ws(" ", kept).alias("clean_text"),
+    # stage the token array AND the filtered survivors as NAMED columns
+    # (the q52/minhash staging rule): each is referenced 2-3x below and
+    # the excision filter is O(tokens x spans) per row — inlined, the
+    # plan runs it once per referencing output column (verified in the
+    # collapsed plan); multi-referenced non-cheap aliases survive
+    # CollapseProject, so the filter runs once per row
+    staged = joined.select(
+        id_col,
+        "__spans",
+        F.split(F.trim(_c(text_col)), r"\s+").alias("__ot"),
+    ).select(
+        id_col,
+        "__spans",
+        "__ot",
+        F.when(F.col("__spans").isNull(), F.col("__ot"))
+        .otherwise(
+            F.filter(
+                F.col("__ot"),
+                lambda tok, i: ~F.exists(
+                    F.col("__spans"), lambda sp: (i >= sp["s"]) & (i < sp["e"])
+                ),
+            )
         )
+        .alias("__kept"),
+    )
+    return staged.select(
+        id_col,
+        F.size("__ot").cast("long").alias("n_tokens"),
+        F.size("__kept").cast("long").alias("kept_tokens"),
+        (F.size("__ot") - F.size("__kept")).cast("long").alias("removed_tokens"),
+        F.coalesce(F.size("__spans"), F.lit(0)).cast("long").alias("n_spans"),
+        F.concat_ws(" ", F.col("__kept")).alias("clean_text"),
     )
