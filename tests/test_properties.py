@@ -798,3 +798,91 @@ def test_url_canonicalization_properties(spark, parts):
         .collect()
     )
     assert not bad, [(r["u"], r["spec_ok"], r["idem_ok"], r["case_ok"]) for r in bad]
+
+
+# ----------------------------------------------------- decontamination scrub
+
+
+def _ref_scrub(corpus, bench, w):
+    """Python reference of decontaminate_scrub's spec — ground truth
+    for the property (the q116 oracle only proves Spark and DuckDB
+    agree with EACH OTHER; this pins what they agree ON): windows on
+    the lowercased whitespace-split stream (short docs emit one
+    whole-doc window), merged spans by the p <= last.e rule, original
+    tokens surviving at uncovered positions, single-space joined."""
+
+    def toks(t):
+        return re.split(r"\s+", t.strip())
+
+    def windows(tk):
+        low = [x.lower() for x in tk]
+        return [
+            " ".join(low[i : i + w])
+            for i in range(max(len(low) - w + 1, 1))
+        ]
+
+    bg = {g for _, t in bench for g in windows(toks(t))}
+    out = {}
+    for i, t in corpus:
+        ot = toks(t)
+        hit = [p for p, g in enumerate(windows(ot)) if g in bg]
+        spans = []
+        for p in hit:
+            if spans and p <= spans[-1][1]:
+                spans[-1][1] = max(spans[-1][1], p + w)
+            else:
+                spans.append([p, p + w])
+        covered = {q for s, e in spans for q in range(s, e)}
+        kept = [x for p, x in enumerate(ot) if p not in covered]
+        out[i] = (
+            len(ot),
+            len(kept),
+            len(ot) - len(kept),
+            len(spans),
+            " ".join(kept),
+        )
+    return out
+
+
+_SCRUB_WORDS = ["aa", "Bb", "cc", "DD", "e", "ff", "g7"]
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from(_SCRUB_WORDS), min_size=0, max_size=24),
+        min_size=1,
+        max_size=6,
+    ),
+    st.lists(
+        st.lists(st.sampled_from(_SCRUB_WORDS), min_size=1, max_size=10),
+        min_size=1,
+        max_size=2,
+    ),
+    st.integers(2, 5),
+)
+@settings(max_examples=15, deadline=None)
+def test_decontaminate_scrub_matches_reference(spark, corpus_toks, bench_toks, w):
+    """For fuzzed corpora over a tiny shared vocabulary (so benchmark
+    collisions actually occur) and gram widths 2..5: Spark's
+    decontaminate_scrub == the Python reference on every column —
+    token accounting (kept + removed == n), merged span count, and
+    the surviving text byte-for-byte (original casing preserved at
+    uncovered positions)."""
+    from data_warehouse_nhom8_spark.operators.corpus import decontaminate_scrub
+
+    corpus = [(i, " ".join(ts)) for i, ts in enumerate(corpus_toks)]
+    bench = [(1000 + i, " ".join(ts)) for i, ts in enumerate(bench_toks)]
+    ref = _ref_scrub(corpus, bench, w)
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    bdf = spark.createDataFrame(bench, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"],
+            r["kept_tokens"],
+            r["removed_tokens"],
+            r["n_spans"],
+            r["clean_text"],
+        )
+        for r in decontaminate_scrub(docs, bdf, gram_w=w).collect()
+    }
+    assert got == ref
