@@ -648,10 +648,11 @@ def url_dedup_domain_cap(
 
 def contamination_fraction(
     corpus: DataFrame,
-    benchmark: DataFrame,
+    benchmark: DataFrame | None = None,
     gram_w: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    bench_grams: DataFrame | str | None = None,
 ) -> DataFrame:
     """Token-LEVEL benchmark contamination: for every corpus doc, the
     fraction of its tokens covered by `gram_w`-token windows that
@@ -688,7 +689,9 @@ def contamination_fraction(
     NULL-text rows have no token windows and are dropped (the
     `_window_hashes` ≥1-window rule applies to non-null text only);
     filter or impute upstream if the corpus can carry them."""
-    folded = _contamination_folded(corpus, benchmark, gram_w, id_col, text_col)
+    folded = _contamination_folded(
+        corpus, benchmark, gram_w, id_col, text_col, bench_grams=bench_grams
+    )
     return folded.select(
         id_col,
         "n_tokens",
@@ -712,28 +715,42 @@ def contamination_fraction(
 
 def _contamination_folded(
     corpus: DataFrame,
-    benchmark: DataFrame,
+    benchmark: DataFrame | None,
     gram_w: int,
     id_col: str,
     text_col: str,
+    bench_grams: DataFrame | str | None = None,
 ) -> DataFrame:
     """Shared single-scan core of `contamination_fraction` and
     `decontaminate_scrub`: (id, n_tokens, __spans) per corpus doc,
     where __spans is the array of merged maximal contaminated spans
     (struct<s,e,n>, window-granular, token positions 0-based).
     See `contamination_fraction`'s scale notes — one corpus scan,
-    broadcast benchmark gram set, per-doc position fold."""
+    broadcast benchmark gram set, per-doc position fold. `bench_grams`
+    follows `contamination_counts`' contract: a PATH string opens a
+    `benchmark_gram_store` (gram_w/tokenizer validated), a DataFrame
+    is trusted as-is, and exactly one of benchmark / bench_grams must
+    be passed."""
     from data_warehouse_nhom8_spark.operators.span_dedup import (
         _merge_positions_col,
         _window_hashes,
     )
     from data_warehouse_nhom8_spark.session import repartition_if_split_starved
 
+    if (benchmark is None) == (bench_grams is None):
+        raise ValueError("pass exactly one of benchmark / bench_grams")
+    if isinstance(bench_grams, str):
+        bench_grams = read_benchmark_gram_store(
+            corpus.sparkSession, bench_grams, gram_w
+        )
+    if bench_grams is None:
+        bench_grams = (
+            _gram_digests(benchmark, id_col, text_col, gram_w)
+            .select("gram")
+            .distinct()
+        )
     bench_grams = (
-        _gram_digests(benchmark, id_col, text_col, gram_w)
-        .select(F.col("gram").alias("__h"))
-        .distinct()
-        .withColumn("__m", F.lit(1))
+        bench_grams.select(F.col("gram").alias("__h")).withColumn("__m", F.lit(1))
     )
     wins = repartition_if_split_starved(corpus.select(id_col, text_col)).select(
         F.col(id_col).alias("__id"),
@@ -762,10 +779,11 @@ def _contamination_folded(
 
 def decontaminate_scrub(
     corpus: DataFrame,
-    benchmark: DataFrame,
+    benchmark: DataFrame | None = None,
     gram_w: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    bench_grams: DataFrame | str | None = None,
 ) -> DataFrame:
     """Token-level benchmark decontamination SCRUB — the excision
     step `contamination_fraction` measures for: every token covered
@@ -795,7 +813,9 @@ def decontaminate_scrub(
     side's text stays put. Token excision is a native two-arg
     `filter` lambda over the split array — per-row, codegen, no UDF."""
     spans = (
-        _contamination_folded(corpus, benchmark, gram_w, id_col, text_col)
+        _contamination_folded(
+            corpus, benchmark, gram_w, id_col, text_col, bench_grams=bench_grams
+        )
         .filter(F.size("__spans") > 0)
         .select(id_col, "__spans")
     )
@@ -833,3 +853,50 @@ def decontaminate_scrub(
         F.coalesce(F.size("__spans"), F.lit(0)).cast("long").alias("n_spans"),
         F.concat_ws(" ", F.col("__kept")).alias("clean_text"),
     )
+
+
+def decontaminate_gate(
+    docs: DataFrame,
+    benchmark: DataFrame | None = None,
+    gram_w: int = 8,
+    max_cont_fraction: float | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_grams: DataFrame | str | None = None,
+) -> DataFrame:
+    """The production decontamination STAGE: scrub + drop gate in one
+    call, schema-preserving — `text_col` is replaced by the scrubbed
+    survivors and every other column passes through, so the result
+    slots into any pipeline position (`pipeline.corpus_prep` and the
+    streaming ingest sink both use it).
+
+    `max_cont_fraction` (None = keep everything scrubbed): docs whose
+    REMOVED-token fraction exceeds the bound are dropped entirely —
+    past-salvage docs (a 90%-benchmark doc is not a training doc with
+    the quotes cut out; the q112 fraction rationale). The comparison
+    is exact-integer (removed * 10000 <= bound-in-bp * n_tokens), no
+    float boundary ambiguity.
+
+    Scale: one extra id-equi-join of docs against the scrub output
+    (both id-keyed — co-partitioned on the bucketed snapshot layout);
+    the scrub itself never shuffles corpus text (see
+    `decontaminate_scrub`)."""
+    scrubbed = decontaminate_scrub(
+        docs,
+        benchmark,
+        gram_w=gram_w,
+        id_col=id_col,
+        text_col=text_col,
+        bench_grams=bench_grams,
+    )
+    if max_cont_fraction is not None:
+        bp = int(round(max_cont_fraction * 10000))
+        scrubbed = scrubbed.filter(
+            F.col("removed_tokens") * 10000 <= F.lit(bp) * F.col("n_tokens")
+        )
+    replaced = docs.drop(text_col).join(
+        scrubbed.select(id_col, F.col("clean_text").alias(text_col)),
+        id_col,
+        "inner",
+    )
+    return replaced.select(*docs.columns)

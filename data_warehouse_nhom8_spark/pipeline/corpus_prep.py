@@ -81,6 +81,9 @@ def run_corpus_prep(
     max_surprisal_bits: float | None = None,
     max_span_dup_fraction: float | None = None,
     span_window: int = 20,
+    bench_grams: str | None = None,
+    decontam_gram_w: int = 8,
+    max_cont_fraction: float | None = None,
 ) -> dict:
     """One ledger-gated corpus-prep run. Returns per-stage counts;
     {"skipped": True} when the day already succeeded.
@@ -102,6 +105,16 @@ def run_corpus_prep(
                             the boilerplate/verbatim-copy filter that
                             doc-level exact dedup cannot see;
                             `span_window` sets the window length.
+      bench_grams         — PATH to a `benchmark_gram_store` output:
+                            each doc is decontamination-SCRUBBED
+                            (operators.corpus.decontaminate_gate,
+                            q116's operator) BEFORE any other stage,
+                            so quality gates and chunking see the
+                            clean text; `max_cont_fraction` drops
+                            past-salvage docs whose removed-token
+                            share exceeds the bound (q112 rationale).
+                            The store path keeps the daily run from
+                            re-digesting an unchanged suite.
     """
     if ledger is not None and ledger.is_done(PROCESS, run_date):
         return {"skipped": True}
@@ -115,6 +128,17 @@ def run_corpus_prep(
                 docs, cap=source_cap, salt_buckets=8
             ).select("doc_id")
             docs = docs.join(kept_ids, "doc_id", "left_semi")
+        if bench_grams is not None:
+            from data_warehouse_nhom8_spark.operators.corpus import (
+                decontaminate_gate,
+            )
+
+            docs = decontaminate_gate(
+                docs,
+                bench_grams=bench_grams,
+                gram_w=decontam_gram_w,
+                max_cont_fraction=max_cont_fraction,
+            )
         corpus = prepare_corpus_df(docs, min_tokens=min_tokens)
         if max_surprisal_bits is not None:
             from data_warehouse_nhom8_spark.operators.text import (

@@ -503,6 +503,9 @@ def corpus_ingest_sink(
     min_tokens: int = 30,
     chunk_tokens: int = 128,
     stride: int = 64,
+    bench_grams: str | None = None,
+    decontam_gram_w: int = 8,
+    max_cont_fraction: float | None = None,
 ) -> DataStreamWriter:
     """Streaming corpus prep — the streaming face of
     `pipeline.corpus_prep`: each micro-batch of raw documents runs
@@ -518,7 +521,15 @@ def corpus_ingest_sink(
     content-level dedup (same text, different ids) is a composition,
     not a re-implementation: pipe the stream through
     `streaming.stateful.first_seen_filter` keyed on
-    `text.fingerprint_col` before this sink."""
+    `text.fingerprint_col` before this sink.
+
+    Decontamination-on-ingest (round 11): pass `bench_grams` (a
+    `benchmark_gram_store` PATH — static between suite changes, so
+    no per-batch re-digesting) and each micro-batch is scrubbed
+    through `operators.corpus.decontaminate_gate` BEFORE prep —
+    quality gates and chunking see the clean text, exactly as the
+    batch job does with the same arguments (equality pytest-gated);
+    `max_cont_fraction` drops past-salvage docs at the door."""
     from data_warehouse_nhom8_spark.operators.corpus import chunk_documents
     from data_warehouse_nhom8_spark.pipeline.corpus_prep import prepare_corpus_df
 
@@ -529,6 +540,17 @@ def corpus_ingest_sink(
         )
 
         spark = batch.sparkSession
+        if bench_grams is not None:
+            from data_warehouse_nhom8_spark.operators.corpus import (
+                decontaminate_gate,
+            )
+
+            batch = decontaminate_gate(
+                batch,
+                bench_grams=bench_grams,
+                gram_w=decontam_gram_w,
+                max_cont_fraction=max_cont_fraction,
+            )
         prepped = prepare_corpus_df(batch, min_tokens=min_tokens)
         current = snapshot_read(spark, corpus_path)
         merged = upsert_last_writer_wins(

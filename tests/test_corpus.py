@@ -491,6 +491,48 @@ def test_decontaminate_scrub_planted(spark):
         assert row["removed_tokens"] == frac[d], d
 
 
+def test_decontaminate_gate_scrubs_and_drops(spark, tmp_path):
+    """Schema-preserving stage: text replaced by the scrub survivors,
+    other columns untouched; the drop gate removes past-salvage docs
+    by EXACT integer comparison; the benchmark_gram_store path form
+    feeds the same spans as the DataFrame form."""
+    bench_text = " ".join(f"b{i}" for i in range(40))
+    clean = " ".join(f"c{i}" for i in range(30))
+    # 20 of 26 tokens contaminated -> fraction ~0.769
+    heavy = "x y z " + " ".join(f"b{i}" for i in range(10, 30)) + " q r s"
+    # 8 of 26 contaminated -> fraction ~0.308
+    light = (
+        " ".join(f"b{i}" for i in range(0, 8))
+        + " " + " ".join(f"m{i}" for i in range(18))
+    )
+    docs = spark.createDataFrame(
+        [(1, clean, "src0"), (2, heavy, "srcA"), (3, light, "srcB")],
+        "doc_id long, text string, source string",
+    )
+    bench = spark.createDataFrame([(97, bench_text)], "doc_id long, text string")
+    store = str(tmp_path / "bg_store")
+    corpus.benchmark_gram_store(bench, store, gram_w=8)
+
+    out = {
+        r["doc_id"]: r
+        for r in corpus.decontaminate_gate(
+            docs, bench_grams=store, gram_w=8, max_cont_fraction=0.5
+        ).collect()
+    }
+    assert set(out) == {1, 3}  # heavy (0.769 > 0.5) dropped at the door
+    assert out[1]["text"] == clean and out[1]["source"] == "src0"
+    assert out[3]["text"] == " ".join(f"m{i}" for i in range(18))
+    assert out[3]["source"] == "srcB"
+    # column order preserved
+    got_cols = corpus.decontaminate_gate(docs, bench, gram_w=8).columns
+    assert got_cols == ["doc_id", "text", "source"]
+    # boundary bracketing, integer-bp exact: 20/26 = 0.76923...
+    kept = corpus.decontaminate_gate(docs, bench, gram_w=8, max_cont_fraction=0.7693)
+    assert {r["doc_id"] for r in kept.collect()} == {1, 2, 3}
+    cut = corpus.decontaminate_gate(docs, bench, gram_w=8, max_cont_fraction=0.7692)
+    assert {r["doc_id"] for r in cut.collect()} == {1, 3}
+
+
 def test_contamination_fraction_clamps_short_docs(spark):
     # short-doc semantics: a doc below gram_w yields ONE whole-doc
     # window, which matches only a benchmark doc that is itself the

@@ -1077,3 +1077,73 @@ def test_url_store_first_seen_streaming_equals_batch_and_replay(spark, tmp_path)
         for r in read_url_store(spark, store).collect()
     }
     assert got3 == want
+
+
+def test_streaming_decontam_ingest_equals_batch_job(spark, tmp_path):
+    """Decontamination-on-ingest: streaming corpus prep with a
+    benchmark gram store must equal the batch run_corpus_prep with
+    the SAME bench_grams/max_cont_fraction on the union — scrubbed
+    text, drop-gated docs, chunks — and a drained replay converges."""
+    import datetime
+
+    from data_warehouse_nhom8_spark.operators.corpus import benchmark_gram_store
+    from data_warehouse_nhom8_spark.pipeline import corpus_prep
+
+    bench_text = " ".join(f"bm{i}" for i in range(60))
+    bench = spark.createDataFrame(
+        [(9001, bench_text)], "doc_id long, text string"
+    )
+    store = str(tmp_path / "bg_store")
+    benchmark_gram_store(bench, store, gram_w=8)
+
+    filler = lambda i: " ".join(f"w{i}t{j}" for j in range(40))  # noqa: E731
+    texts = [
+        (0, "the quick brown fox " + filler(0) + " of a day"),  # clean
+        # light quote: scrubbed, survives the gate
+        (1, "the story begins " + " ".join(f"bm{i}" for i in range(10, 18))
+            + " " + filler(1)),
+        # heavy quote: past salvage, dropped at the door
+        (2, " ".join(f"bm{i}" for i in range(5, 55)) + " tail x"),
+        (3, "another clean doc " + filler(3) + " end of text"),
+    ]
+    all_docs = spark.createDataFrame(texts, "doc_id long, text string")
+    kw = dict(chunk_tokens=16, stride=8, bench_grams=store,
+              decontam_gram_w=8, max_cont_fraction=0.5)
+
+    ref_out = str(tmp_path / "batch")
+    corpus_prep.run_corpus_prep(
+        spark, all_docs, ref_out, datetime.date(2026, 1, 1), **kw
+    )
+    want_corpus = {tuple(r) for r in snapshot_read(spark, f"{ref_out}/corpus").collect()}
+    want_chunks = {tuple(r) for r in snapshot_read(spark, f"{ref_out}/chunks").collect()}
+    assert want_corpus and want_chunks
+    assert 2 not in {t[0] for t in want_corpus}  # heavy doc gated out
+    # the light doc's stored text is the SCRUBBED form
+    light_text = next(t[1] for t in want_corpus if t[0] == 1)
+    assert "bm10" not in light_text and "the story begins" in light_text
+
+    src = tmp_path / "docs"
+    spark.createDataFrame(texts[:2], "doc_id long, text string").write.parquet(str(src / "b1"))
+    corpus_path = str(tmp_path / "corpus")
+    chunks_path = str(tmp_path / "chunks")
+
+    def drain():
+        stream = jobs.stream_source(
+            spark, str(src / "*"), all_docs.schema, max_files_per_trigger=1
+        )
+        writer = jobs.corpus_ingest_sink(
+            stream, corpus_path, chunks_path,
+            checkpoint=str(tmp_path / "ck"), **kw
+        )
+        jobs.run_available_now(writer)
+
+    drain()
+    spark.createDataFrame(texts[2:], "doc_id long, text string").write.parquet(str(src / "b2"))
+    drain()
+    got_corpus = {tuple(r) for r in snapshot_read(spark, corpus_path).collect()}
+    got_chunks = {tuple(r) for r in snapshot_read(spark, chunks_path).collect()}
+    assert got_corpus == want_corpus
+    assert got_chunks == want_chunks
+
+    drain()  # replay: nothing new, state unchanged
+    assert {tuple(r) for r in snapshot_read(spark, corpus_path).collect()} == want_corpus
