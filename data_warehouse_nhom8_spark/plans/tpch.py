@@ -915,7 +915,8 @@ def _partsupp_fits_broadcast(sf_dir: str, threshold_bytes: int = 10 << 20) -> bo
     broadcast under the session's default autoBroadcastJoinThreshold
     (10 MB), shuffle otherwise. TPC-H scales part linearly with SF —
     at 100 TB this returns False and the (partkey, suppkey) shuffle
-    join stands; AQE (on above 1 GiB per auto_aqe) re-derives the
+    join stands; AQE (on above auto_aqe's local threshold, and always
+    on a real cluster) re-derives the
     same decision at runtime for mid scales. Metadata-only read,
     memoized per path."""
     return _part_rows_cached(os.path.abspath(sf_dir)) * 4 * 48 < threshold_bytes

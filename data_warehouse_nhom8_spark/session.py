@@ -100,18 +100,32 @@ def _dir_uncompressed_bytes(data_dir: str) -> int:
     return total
 
 
-def auto_aqe(data_dir: str, threshold_bytes: int = 1 << 30) -> bool:
-    """Data-driven AQE policy. AQE's runtime re-planning costs one
-    driver barrier per shuffle stage (~100-300 ms each locally); its
-    payoff — fixing mis-sized shuffles and skew at runtime — only
-    exists when the static estimate can be meaningfully wrong. Below
-    ~1 GiB, `auto_shuffle_partitions` has already right-sized the plan
-    from file stats and every stage barrier is pure latency; above it
-    (and on any real cluster) AQE stays on. Measured at sf0.1: AQE off
-    saves ~15-20% wall on the oracled suite with identical results.
-    Threshold follows UNCOMPRESSED bytes (same rationale as
-    auto_shuffle_partitions: the plan's work scales with decompressed
-    width, not the on-disk footprint).
+def auto_aqe(data_dir: str, threshold_bytes: int = 1 << 33) -> bool:
+    """Data-driven AQE policy for LOCAL sessions. AQE's runtime
+    re-planning costs one driver barrier per shuffle stage (~100-300
+    ms each locally); its payoff — fixing mis-sized shuffles and skew
+    at runtime — only exists when the static estimate can be
+    meaningfully wrong. This engine sizes shuffles statically from
+    parquet footers (`auto_shuffle_partitions`) and makes the
+    borderline join-side calls from footer row counts
+    (`tpch._partsupp_fits_broadcast`), so locally there is nothing
+    left for AQE to correct and every barrier is pure latency.
+
+    Measured (round 11, AQE-off vs AQE-on wall, identical results):
+    sf0.1 0.02 GiB: 32.5 vs 36.4 s; x10 probe 0.17 GiB: 10.1 vs
+    11.8 s; x100 probe 1.6 GiB / 60M-row lineitem: 47.4 vs 62.6 s —
+    the x100 regression concentrates in the join-heavy shapes
+    (q48 5.6→11.9, q73 7.1→14.3). Round 10 measured the OPPOSITE at
+    x10 (AQE-on 15.3 vs off 27.3) — the round-11 stats-driven static
+    plans made AQE's runtime conversions redundant, which is why the
+    threshold moved from 1 GiB to 8 GiB: below it the static plan is
+    footer-stat-sized and AQE only adds barriers; above it (and on
+    any real cluster, where stats go stale, tenants interfere, and
+    skew is live) AQE is the right default — a cluster deployment
+    sets spark.sql.adaptive.enabled explicitly and this local policy
+    never runs. Threshold follows UNCOMPRESSED bytes (same rationale
+    as auto_shuffle_partitions: the plan's work scales with
+    decompressed width, not the on-disk footprint).
     """
     return _dir_uncompressed_bytes(data_dir) > threshold_bytes
 
