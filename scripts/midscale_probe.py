@@ -359,14 +359,17 @@ def main() -> None:
     # PRODUCTION-LAYOUT lane (round-10 verdict task 3): the same join
     # subset against the facts as BUCKETED versioned snapshots — the
     # layout run_daily_pipeline actually ships. Same machinery as the
-    # bench headline fixture; AQE on (the auto policy at this scale).
+    # bench headline fixture; AQE follows the auto policy (round 11:
+    # off below 8 GiB locally — the r10 hard-coded True charged the
+    # lane ~30% of pure AQE barrier cost at x100, see SCALE_NOTES).
     # Build cost reported separately — ingest pays it, not queries.
+    from data_warehouse_nhom8_spark.session import auto_aqe
     from data_warehouse_nhom8_spark.sources.testdata import build_bucketed_fixture
 
     bdir = os.environ.get("PROBE_BUCKETED_DIR", OUT.rstrip("/") + "_bucketed")
     fixture = build_bucketed_fixture(spark, OUT, bdir)
     result["bucketed"] = dict(
-        run_mode(True, bdir), fixture_build_sec=fixture["seconds"]
+        run_mode(auto_aqe(OUT), bdir), fixture_build_sec=fixture["seconds"]
     )
 
     # PROBE_DUCKDB=1: time the DuckDB oracle SQL for the same subset on
