@@ -248,6 +248,36 @@ def test_simhash_agg_formulation_matches_fold(spark, docs):
     assert fast == fold
 
 
+def test_simhash_unpack_sql_form_identical(spark, docs):
+    """The single-parse SQL unpack (round-11 build-cost fast path)
+    must be bit-identical to its Column-API twin on real signatures
+    — including documents exercising bit 63's MIN_VALUE literal."""
+    from data_warehouse_nhom8_spark.operators.neardup import (
+        _simhash_fold_packed,
+        _simhash_unpack_sig,
+        _simhash_unpack_sig_column_form,
+    )
+    from data_warehouse_nhom8_spark.session import repartition_for_compute
+
+    hashed = repartition_for_compute(docs).select(
+        F.col("doc_id").alias("id"),
+        F.transform(
+            F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), r"\s+")),
+            lambda w: F.xxhash64(w),
+        ).alias("__th"),
+    )
+    packed = hashed.select(*_simhash_fold_packed())
+    both = packed.select(
+        "id",
+        _simhash_unpack_sig().alias("sql_form"),
+        _simhash_unpack_sig_column_form().alias("col_form"),
+    )
+    assert both.filter(F.col("sql_form") != F.col("col_form")).count() == 0
+    # at least one signature with the sign bit set proves the
+    # shiftleft(1L, 63) wrap matches the MIN_VALUE literal path
+    assert both.filter(F.col("sql_form") < 0).count() > 0
+
+
 def test_cosine_topk_matches_numpy(spark):
     rng = np.random.default_rng(7)
     vecs = rng.normal(size=(200, 16)).astype("float32")
