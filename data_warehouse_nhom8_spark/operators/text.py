@@ -524,3 +524,59 @@ def unigram_surprisal_scores(
         )
         .orderBy(id_col)
     )
+
+
+# ------------------------------------------------------ HTML extraction
+
+def html_text_cols(html: Column | str = "html") -> dict[str, Column]:
+    """Crawl-tier HTML → text extraction as pure native regex
+    projections — the step every crawl pipeline runs before any of
+    this module's text operators see a token. No parser library, no
+    UDF: a regex pipeline in the Java-regex ∩ RE2 common subset
+    (same portability contract as `corpus.pii_redact_cols`), so
+    DuckDB computes the identical extraction — equality is pinned by
+    a per-suite DuckDB twin pytest on synthesized HTML (the q111
+    messy-URL certification pattern). `[\\s\\S]*?` stands in for
+    dotall-`.` (no inline flags needed in either engine); `(?i)`
+    covers tag-case variance.
+
+    Pipeline order matters and is part of the spec:
+      1. <script>/<style> blocks drop WITH their content (code and
+         CSS are not text), non-greedy per block;
+      2. HTML comments drop with content;
+      3. every remaining tag becomes ONE space (so '</p><p>' splits
+         words instead of gluing them);
+      4. the five XML entities + &nbsp; decode (&amp; LAST — the
+         double-escape '&amp;lt;' correctly yields literal '&lt;');
+      5. whitespace collapses to single spaces, trimmed.
+
+    Returns projections over the SAME html column (each independent,
+    codegen-resident, zero shuffle at any scale):
+      text     — the extracted text
+      title    — first <title> content ('' when absent)
+      n_links  — count of href attributes (link density is a
+                 quality-gate feature: boilerplate/nav pages are
+                 link-dense and text-poor)
+    """
+    h = _c(html)
+    no_script = F.regexp_replace(h, r"(?i)<script[^>]*>[\s\S]*?</script>", " ")
+    no_style = F.regexp_replace(no_script, r"(?i)<style[^>]*>[\s\S]*?</style>", " ")
+    no_comment = F.regexp_replace(no_style, r"<!--[\s\S]*?-->", " ")
+    no_tags = F.regexp_replace(no_comment, r"<[^>]*>", " ")
+    decoded = no_tags
+    for ent, ch in (
+        ("&nbsp;", " "),
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+        ("&apos;", "'"),
+        ("&amp;", "&"),  # last: '&amp;lt;' must yield literal '&lt;'
+    ):
+        decoded = F.replace(decoded, F.lit(ent), F.lit(ch))
+    text = F.trim(F.regexp_replace(decoded, r"\s+", " "))
+    title = F.regexp_extract(h, r"(?i)<title[^>]*>([\s\S]*?)</title>", 1)
+    n_links = F.size(
+        F.regexp_extract_all(h, F.lit(r"(?i)\bhref\s*=\s*(\"[^\"]*\"|'[^']*')"), 1)
+    ).cast("long")
+    return {"text": text, "title": F.trim(title), "n_links": n_links}

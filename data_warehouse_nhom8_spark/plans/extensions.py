@@ -416,6 +416,56 @@ def q116_decontaminate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate_scrub(corpus, bench, gram_w=4).orderBy("doc_id")
 
 
+def _synth_html_col() -> "F.Column":
+    """Deterministic HTML scaffold around each document's text — the
+    q111 messy-URL certification pattern: the fixture ships no HTML
+    column, so the query synthesizes one IN-ENGINE (title, comment,
+    style+script blocks that must drop with content, an
+    entity-escaped marker, doc_id-numbered links; every doc_id%3==0
+    doc gets a second link so link density varies)."""
+    did = F.col("doc_id").cast("string")
+    return F.concat(
+        F.lit("<html><!-- crawl "), did,
+        F.lit(" --><head><TITLE>Doc "), did,
+        F.lit("</TITLE><style>p{color:red}</style></head><body><p>"),
+        F.col("text"),
+        F.lit("</p><script>var x=1; if (x &lt; 2) {}</script>"),
+        F.lit('<a href="https://ex.com/'), did, F.lit('">x</a>'),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.lit("<a href='https://ex.com/alt'>y</a>"),
+        ).otherwise(F.lit("")),
+        F.lit(" &amp;amp; tail &lt;b&gt;</body></html>"),
+    )
+
+
+def q117_html_extract_noracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 (round 11): crawl-tier HTML → text extraction
+    (`operators.text.html_text_cols`) over synthesized HTML — the
+    step every crawl pipeline runs before tokenization. Rows-only
+    for the driver; FULL value equality against a DuckDB twin
+    running the identical synthesis + regex pipeline (RE2 ∩ Java
+    subset, global-replace flags) is pytest-gated per suite run
+    (tests/test_corpus.py::test_html_extract_matches_duckdb_twin),
+    including the spec's ordering traps: script/style content drops,
+    '</p><p>' word-splits, and '&amp;lt;' double-escape decodes to
+    literal '&lt;'."""
+    from data_warehouse_nhom8_spark.operators.text import html_text_cols
+
+    c = Catalog(spark, sf_dir)
+    cols = html_text_cols(_synth_html_col())
+    return (
+        c.documents.select(
+            "doc_id",
+            cols["title"].alias("title"),
+            cols["n_links"].alias("n_links"),
+            cols["text"].alias("clean_text"),
+        )
+        .orderBy("doc_id")
+        .limit(500)
+    )
+
+
 _LSH_DIM, _LSH_PLANES = 64, 12
 
 
@@ -1739,6 +1789,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q114_scd2_as_of": q114_scd2_as_of,
     "q115_scd2_temporal_join": q115_scd2_temporal_join,
     "q116_decontaminate_scrub": q116_decontaminate_scrub,
+    "q117_html_extract_noracle": q117_html_extract_noracle,
 }
 
 EXTENSION_ORACLES: dict[str, str] = {

@@ -548,3 +548,51 @@ def test_contamination_fraction_clamps_short_docs(spark):
     }
     assert got[1] == (3, 3, 1.0)  # exact short match, clamped from the 8-wide span
     assert got[2] == (4, 0, 0.0)  # different whole-doc window -> no hit
+
+
+def test_html_extract_matches_duckdb_twin(spark, duck):
+    """q117's full value equality (the driver sees rows-only): the
+    DuckDB twin synthesizes the identical HTML scaffold and runs the
+    identical regex pipeline (RE2 ∩ Java subset; DuckDB needs the
+    explicit 'g' flag where Spark's regexp_replace is global by
+    default). Pins the ordering traps: script/style content drops,
+    tags become word-splitting spaces, '&amp;lt;' double-escape
+    decodes to literal '&lt;', link count varies by doc."""
+    from data_warehouse_nhom8_spark.plans.extensions import (
+        q117_html_extract_noracle,
+    )
+    from tests.conftest import SF_DIR
+
+    got = [
+        (r["doc_id"], r["title"], r["n_links"], r["clean_text"])
+        for r in q117_html_extract_noracle(spark, SF_DIR).collect()
+    ]
+    html = (
+        "'<html><!-- crawl ' || CAST(doc_id AS VARCHAR) || ' --><head><TITLE>Doc ' "
+        "|| CAST(doc_id AS VARCHAR) || "
+        "'</TITLE><style>p{color:red}</style></head><body><p>' || text || "
+        "'</p><script>var x=1; if (x &lt; 2) {}</script>' || "
+        "'<a href=\"https://ex.com/' || CAST(doc_id AS VARCHAR) || '\">x</a>' || "
+        "CASE WHEN doc_id % 3 = 0 THEN '<a href=''https://ex.com/alt''>y</a>' "
+        "ELSE '' END || ' &amp;amp; tail &lt;b&gt;</body></html>'"
+    )
+    stripped = f"regexp_replace({html}, '(?i)<script[^>]*>[\\s\\S]*?</script>', ' ', 'g')"
+    stripped = f"regexp_replace({stripped}, '(?i)<style[^>]*>[\\s\\S]*?</style>', ' ', 'g')"
+    stripped = f"regexp_replace({stripped}, '<!--[\\s\\S]*?-->', ' ', 'g')"
+    stripped = f"regexp_replace({stripped}, '<[^>]*>', ' ', 'g')"
+    for ent, ch in (
+        ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+        ("&#39;", "''"), ("&apos;", "''"), ("&amp;", "&"),
+    ):
+        stripped = f"replace({stripped}, '{ent}', '{ch}')"
+    clean = f"trim(regexp_replace({stripped}, '\\s+', ' ', 'g'))"
+    sql = f"""
+        SELECT doc_id,
+               trim(regexp_extract({html}, '(?i)<title[^>]*>([\\s\\S]*?)</title>', 1)) AS title,
+               CAST(len(regexp_extract_all({html},
+                 '(?i)\\bhref\\s*=\\s*("[^"]*"|''[^'']*'')', 1)) AS BIGINT) AS n_links,
+               {clean} AS clean_text
+        FROM documents ORDER BY doc_id LIMIT 500
+    """
+    want = [tuple(r) for r in duck.execute(sql).fetchall()]
+    assert got == want
