@@ -554,9 +554,11 @@ def html_text_cols(html: Column | str = "html") -> dict[str, Column]:
     codegen-resident, zero shuffle at any scale):
       text     — the extracted text
       title    — first <title> content ('' when absent)
-      n_links  — count of href attributes (link density is a
-                 quality-gate feature: boilerplate/nav pages are
-                 link-dense and text-poor)
+      n_links  — count of <a ... href=...> anchors (link density is
+                 a quality-gate feature: boilerplate/nav pages are
+                 link-dense and text-poor). Anchored to the <a tag so
+                 a document QUOTING 'href="x"' in body text doesn't
+                 count as a link.
     """
     h = _c(html)
     no_script = F.regexp_replace(h, r"(?i)<script[^>]*>[\s\S]*?</script>", " ")
@@ -577,6 +579,8 @@ def html_text_cols(html: Column | str = "html") -> dict[str, Column]:
     text = F.trim(F.regexp_replace(decoded, r"\s+", " "))
     title = F.regexp_extract(h, r"(?i)<title[^>]*>([\s\S]*?)</title>", 1)
     n_links = F.size(
-        F.regexp_extract_all(h, F.lit(r"(?i)\bhref\s*=\s*(\"[^\"]*\"|'[^']*')"), 1)
+        F.regexp_extract_all(
+            h, F.lit(r"(?i)<a\b[^>]*\bhref\s*=\s*(\"[^\"]*\"|'[^']*')"), 1
+        )
     ).cast("long")
     return {"text": text, "title": F.trim(title), "n_links": n_links}

@@ -590,7 +590,7 @@ def test_html_extract_matches_duckdb_twin(spark, duck):
         SELECT doc_id,
                trim(regexp_extract({html}, '(?i)<title[^>]*>([\\s\\S]*?)</title>', 1)) AS title,
                CAST(len(regexp_extract_all({html},
-                 '(?i)\\bhref\\s*=\\s*("[^"]*"|''[^'']*'')', 1)) AS BIGINT) AS n_links,
+                 '(?i)<a\\b[^>]*\\bhref\\s*=\\s*("[^"]*"|''[^'']*'')', 1)) AS BIGINT) AS n_links,
                {clean} AS clean_text
         FROM documents ORDER BY doc_id LIMIT 500
     """
