@@ -953,3 +953,106 @@ def read_url_store(spark: SparkSession, store_path: str) -> DataFrame:
             "through at least one micro-batch first"
         )
     return store
+
+
+def ivf_store_sink(
+    stream: DataFrame,
+    model_path: str,
+    store_path: str,
+    checkpoint: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataStreamWriter:
+    """Streaming ANN-index ingest — the crawl-tier face of the IVF
+    index (`operators.similarity`): each micro-batch of embeddings is
+    assigned to its nearest cell against a FIXED offline-fit centroid
+    model (`ivf_save_model` output at `model_path` — production fits
+    on an initial corpus and refits between compactions, exactly the
+    near-dup signature store's cadence) and admitted into the store
+    with FIRST-SEEN id semantics: a vector for an id already indexed
+    in an EARLIER epoch is ignored (a document embeds once; this also
+    sidesteps the cross-cell tombstone a last-writer-wins re-embed
+    would need — re-embedding pipelines rebuild the index with
+    `ivf_write_index` at the next refit instead).
+
+    Same epoch-replacement idempotence as the other store faces: a
+    replayed micro-batch drops its own epoch's rows first, so
+    at-least-once delivery converges (pytest-gated, plus
+    probe-equality vs a one-shot batch index on the union).
+
+    Scale: assignment is map-only (k·d fold per vector, no shuffle);
+    the first-seen anti-join keys on the id. At rest keep the store
+    bucketed/range-laid by `cluster` (snapshot layout) so probes
+    prune to the probed cells — `read_ivf_store` hands the table to
+    `cosine_topk_ivf_probe`, whose cell filter then skips files by
+    the stats manifest exactly like the at-rest `ivf_write_index`
+    layout prunes partitions."""
+    return (
+        stream.writeStream.foreachBatch(
+            ivf_store_merge(model_path, store_path, id_col, vec_col)
+        )
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+
+
+def ivf_store_merge(
+    model_path: str,
+    store_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """The IVF ingest's foreachBatch merge as a standalone builder
+    (drivable by the mid-epoch-kill restart tests, like the other
+    store faces)."""
+
+    def merge(batch: DataFrame, epoch_id: int) -> None:
+        from data_warehouse_nhom8_spark.operators.similarity import (
+            ivf_assign,
+            ivf_load_model,
+        )
+        from data_warehouse_nhom8_spark.sources.snapshots import (
+            snapshot_overwrite,
+            snapshot_read,
+        )
+
+        spark = batch.sparkSession
+        centroids = ivf_load_model(model_path)
+        assigned = (
+            ivf_assign(batch, centroids, id_col=id_col, vec_col=vec_col)
+            .select(
+                F.col(id_col).alias("id"),
+                F.col("__v").alias("v"),
+                "cluster",
+            )
+            .withColumn("epoch", F.lit(epoch_id).cast("long"))
+        )
+        current = snapshot_read(spark, store_path)
+        if current is not None:
+            prior = current.filter(F.col("epoch") != epoch_id)
+            fresh = assigned.join(
+                prior.select(F.col("id")), "id", "left_anti"
+            )
+            merged = prior.unionByName(fresh)
+        else:
+            merged = assigned
+        snapshot_overwrite(merged, store_path)
+
+    return merge
+
+
+def read_ivf_store(spark: SparkSession, store_path: str, id_col: str = "vec_id") -> DataFrame:
+    """(id_col, __v, cluster) — the streamed IVF index in exactly the
+    shape `cosine_topk_ivf_probe` consumes (one row per id ever
+    admitted; the merge only inserts never-seen ids)."""
+    from data_warehouse_nhom8_spark.sources.snapshots import snapshot_read
+
+    store = snapshot_read(spark, store_path)
+    if store is None:
+        raise FileNotFoundError(
+            f"no committed ivf store at {store_path}; run ivf_store_sink "
+            "through at least one micro-batch first"
+        )
+    return store.select(
+        F.col("id").alias(id_col), F.col("v").alias("__v"), "cluster"
+    )

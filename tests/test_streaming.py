@@ -1147,3 +1147,85 @@ def test_streaming_decontam_ingest_equals_batch_job(spark, tmp_path):
 
     drain()  # replay: nothing new, state unchanged
     assert {tuple(r) for r in snapshot_read(spark, corpus_path).collect()} == want_corpus
+
+
+def test_ivf_store_streaming_ingest_equals_batch_index(spark, tmp_path):
+    """Streaming ANN ingest (round 11): embeddings arriving in two
+    micro-batches, assigned against a FIXED offline-fit model, must
+    serve the SAME top-k as the one-shot batch index on the union;
+    a replayed epoch leaves the store unchanged; a re-sent id from a
+    later epoch is ignored (first-seen)."""
+    import numpy as np
+
+    from data_warehouse_nhom8_spark.operators.similarity import (
+        cosine_topk_ivf_probe,
+        ivf_assign,
+        ivf_fit_centroids,
+        ivf_save_model,
+    )
+    from data_warehouse_nhom8_spark.streaming.jobs import (
+        ivf_store_merge,
+        ivf_store_sink,
+        read_ivf_store,
+    )
+
+    rng = np.random.default_rng(23)
+    vecs = rng.normal(size=(120, 8)).astype("float32")
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    schema = "vec_id long, embedding array<float>"
+    all_df = spark.createDataFrame(rows, schema)
+
+    model_path = str(tmp_path / "ivf_model")
+    centroids = ivf_fit_centroids(all_df, n_centroids=4, iters=3)
+    ivf_save_model(centroids, model_path)
+
+    src = tmp_path / "emb"
+    spark.createDataFrame(rows[:70], schema).write.parquet(str(src / "f1"))
+    store = str(tmp_path / "ivfstore")
+
+    def drain():
+        stream = jobs.stream_source(spark, str(src / "*"), all_df.schema)
+        q = (
+            ivf_store_sink(stream, model_path, store, str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    spark.createDataFrame(rows[70:], schema).write.parquet(str(src / "f2"))
+    drain()
+
+    q_vec = [float(x) for x in vecs[0]]
+    got = [
+        (r["vec_id"], r["cosine"])
+        for r in cosine_topk_ivf_probe(
+            read_ivf_store(spark, store), centroids, q_vec, k=5, n_probe=2
+        ).collect()
+    ]
+    # batch twin: the same probe over a one-shot assignment of the union
+    want_index = ivf_assign(all_df, centroids)
+    want = [
+        (r["vec_id"], r["cosine"])
+        for r in cosine_topk_ivf_probe(
+            want_index.withColumnRenamed("__v", "v").withColumnRenamed("v", "__v"),
+            centroids, q_vec, k=5, n_probe=2,
+        ).collect()
+    ]
+    assert got == want and len(got) == 5
+
+    def snap():
+        return {
+            (r["vec_id"], tuple(r["__v"]), r["cluster"])
+            for r in read_ivf_store(spark, store).collect()
+        }
+
+    before = snap()
+    # replay convergence: re-drive epoch 1's merge with the same batch
+    ivf_store_merge(model_path, store)(spark.createDataFrame(rows[70:], schema), 1)
+    assert snap() == before
+    # first-seen: id 0 re-sent in a later epoch (even with a DIFFERENT
+    # vector) is ignored — the original row stands
+    mutated = [(0, [float(x) for x in rng.normal(size=8)])]
+    ivf_store_merge(model_path, store)(spark.createDataFrame(mutated, schema), 7)
+    assert snap() == before
