@@ -886,3 +886,84 @@ def test_decontaminate_scrub_matches_reference(spark, corpus_toks, bench_toks, w
         for r in decontaminate_scrub(docs, bdf, gram_w=w).collect()
     }
     assert got == ref
+
+
+# --------------------------------------------------- HTML extraction
+
+
+def _ref_html_text(h: str) -> tuple[str, str, int]:
+    """Python reference of html_text_cols' spec (ground truth for the
+    property — the DuckDB twin proves cross-engine agreement, this
+    pins what they agree ON): same pipeline, same order, same regex
+    dialect subset."""
+    s = re.sub(r"(?i)<script[^>]*>[\s\S]*?</script>", " ", h)
+    s = re.sub(r"(?i)<style[^>]*>[\s\S]*?</style>", " ", s)
+    s = re.sub(r"<!--[\s\S]*?-->", " ", s)
+    s = re.sub(r"<[^>]*>", " ", s)
+    for ent, ch in (
+        ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+        ("&#39;", "'"), ("&apos;", "'"), ("&amp;", "&"),
+    ):
+        s = s.replace(ent, ch)
+    text = re.sub(r"\s+", " ", s).strip()
+    m = re.search(r"(?i)<title[^>]*>([\s\S]*?)</title>", h)
+    title = (m.group(1) if m else "").strip()
+    n_links = len(
+        re.findall(r"(?i)<a\b[^>]*\bhref\s*=\s*(\"[^\"]*\"|'[^']*')", h)
+    )
+    return text, title, n_links
+
+
+_HTML_PIECES = [
+    "plain words here",
+    "x &amp; y",
+    "&amp;lt; double escape",
+    "&nbsp;gap&nbsp;",
+    "<p>para</p>",
+    "<P CLASS='a'>attr tag</P>",
+    "<br/>",
+    "<script>var q = '<p>not text</p>';</script>",
+    "<SCRIPT src='x.js'>ignored()</SCRIPT>",
+    "<style>p { color: red }</style>",
+    "<!-- a comment <b>with tags</b> -->",
+    "<a href=\"https://e.com/1\">link</a>",
+    "<a class='z' href='https://e.com/2'>link2</a>",
+    "href=\"quoted-not-a-link\"",
+    "<title>Inner Title</title>",
+    "  spaced   out  ",
+]
+
+
+@given(
+    st.lists(st.sampled_from(_HTML_PIECES), min_size=1, max_size=12),
+    st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=15, deadline=None)
+def test_html_text_cols_matches_reference(spark, pieces, seed):
+    """Fuzzed HTML assembled from adversarial pieces (script/style
+    blocks wrapping tag-looking text, comments holding tags, double
+    escapes, quoted href OUTSIDE an <a> tag, repeated titles): Spark's
+    html_text_cols == the Python reference on text, title, and link
+    count."""
+    import random
+
+    from data_warehouse_nhom8_spark.operators.text import html_text_cols
+
+    rng = random.Random(seed)
+    docs = []
+    for i in range(4):
+        sample = [p for p in pieces if rng.random() < 0.8] or pieces[:1]
+        docs.append((i, "<html><body>" + "".join(sample) + "</body></html>"))
+    df = spark.createDataFrame(docs, "doc_id long, html string")
+    cols = html_text_cols("html")
+    got = {
+        r["doc_id"]: (r["t"], r["ti"], r["n"])
+        for r in df.select(
+            "doc_id",
+            cols["text"].alias("t"),
+            cols["title"].alias("ti"),
+            cols["n_links"].alias("n"),
+        ).collect()
+    }
+    want = {i: _ref_html_text(h) for i, h in docs}
+    assert got == want
