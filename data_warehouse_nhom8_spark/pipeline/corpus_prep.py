@@ -84,6 +84,7 @@ def run_corpus_prep(
     bench_grams: str | None = None,
     decontam_gram_w: int = 8,
     max_cont_fraction: float | None = None,
+    html_col: str | None = None,
 ) -> dict:
     """One ledger-gated corpus-prep run. Returns per-stage counts;
     {"skipped": True} when the day already succeeded.
@@ -115,12 +116,29 @@ def run_corpus_prep(
                             share exceeds the bound (q112 rationale).
                             The store path keeps the daily run from
                             re-digesting an unchanged suite.
+      html_col            — name of a raw-HTML column: the run opens
+                            with crawl-tier extraction
+                            (operators.text.html_text_cols, q117's
+                            operator) — `text` is REPLACED by the
+                            extracted text and the markup column is
+                            dropped, so dedup/decontam/quality see
+                            text, never markup. Callers wanting
+                            title/link-density features select
+                            html_text_cols themselves before the run
+                            (prep's projection carries only the
+                            certified q58 columns).
     """
     if ledger is not None and ledger.is_done(PROCESS, run_date):
         return {"skipped": True}
     start = datetime.datetime.now()
     log_id = ledger.open_run(PROCESS, run_date) if ledger is not None else None
     try:
+        if html_col is not None:
+            from data_warehouse_nhom8_spark.operators.text import html_text_cols
+
+            cols = html_text_cols(html_col)
+            keep = [c for c in docs.columns if c not in (html_col, "text")]
+            docs = docs.select(*keep, cols["text"].alias("text"))
         if source_cap is not None:
             from data_warehouse_nhom8_spark.operators.corpus import per_source_cap
 

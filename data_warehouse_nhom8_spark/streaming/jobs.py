@@ -506,6 +506,7 @@ def corpus_ingest_sink(
     bench_grams: str | None = None,
     decontam_gram_w: int = 8,
     max_cont_fraction: float | None = None,
+    html_col: str | None = None,
 ) -> DataStreamWriter:
     """Streaming corpus prep — the streaming face of
     `pipeline.corpus_prep`: each micro-batch of raw documents runs
@@ -529,7 +530,14 @@ def corpus_ingest_sink(
     through `operators.corpus.decontaminate_gate` BEFORE prep —
     quality gates and chunking see the clean text, exactly as the
     batch job does with the same arguments (equality pytest-gated);
-    `max_cont_fraction` drops past-salvage docs at the door."""
+    `max_cont_fraction` drops past-salvage docs at the door.
+
+    HTML ingest (round 11): `html_col` names a raw-HTML column — each
+    micro-batch opens with crawl-tier extraction
+    (`operators.text.html_text_cols`, q117's operator), exactly as
+    the batch job does with the same argument (equality
+    pytest-gated), so every downstream stage sees text, never
+    markup."""
     from data_warehouse_nhom8_spark.operators.corpus import chunk_documents
     from data_warehouse_nhom8_spark.pipeline.corpus_prep import prepare_corpus_df
 
@@ -540,6 +548,12 @@ def corpus_ingest_sink(
         )
 
         spark = batch.sparkSession
+        if html_col is not None:
+            from data_warehouse_nhom8_spark.operators.text import html_text_cols
+
+            cols = html_text_cols(html_col)
+            keep = [c for c in batch.columns if c not in (html_col, "text")]
+            batch = batch.select(*keep, cols["text"].alias("text"))
         if bench_grams is not None:
             from data_warehouse_nhom8_spark.operators.corpus import (
                 decontaminate_gate,

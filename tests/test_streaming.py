@@ -1229,3 +1229,58 @@ def test_ivf_store_streaming_ingest_equals_batch_index(spark, tmp_path):
     mutated = [(0, [float(x) for x in rng.normal(size=8)])]
     ivf_store_merge(model_path, store)(spark.createDataFrame(mutated, schema), 7)
     assert snap() == before
+
+
+def test_streaming_html_ingest_equals_batch_job(spark, tmp_path):
+    """HTML-on-ingest: streaming corpus prep over raw-HTML batches
+    must equal the batch run_corpus_prep with the same html_col on
+    the union — markup stripped before quality gates, so a doc whose
+    TEXT passes but whose markup would fail length gates is judged on
+    text."""
+    import datetime
+
+    from data_warehouse_nhom8_spark.pipeline import corpus_prep
+
+    def wrap(i, body):
+        return (
+            i,
+            f"<html><head><title>D{i}</title><style>p{{x}}</style></head>"
+            f"<body><p>{body}</p><script>var a=1;</script></body></html>",
+        )
+
+    texts = [
+        wrap(i, "the quick brown fox " + " ".join(f"w{i}t{j}" for j in range(40)) + " of a day")
+        for i in range(6)
+    ]
+    all_docs = spark.createDataFrame(texts, "doc_id long, html string")
+    kw = dict(chunk_tokens=16, stride=8, html_col="html")
+
+    ref_out = str(tmp_path / "batch")
+    corpus_prep.run_corpus_prep(
+        spark, all_docs, ref_out, datetime.date(2026, 1, 2), **kw
+    )
+    want_corpus = {tuple(r) for r in snapshot_read(spark, f"{ref_out}/corpus").collect()}
+    assert want_corpus
+    # markup never reaches the corpus table
+    assert all("<" not in t[1] for t in want_corpus)
+
+    src = tmp_path / "docs"
+    spark.createDataFrame(texts[:3], "doc_id long, html string").write.parquet(str(src / "b1"))
+    corpus_path = str(tmp_path / "corpus")
+    chunks_path = str(tmp_path / "chunks")
+
+    def drain():
+        stream = jobs.stream_source(
+            spark, str(src / "*"), all_docs.schema, max_files_per_trigger=1
+        )
+        writer = jobs.corpus_ingest_sink(
+            stream, corpus_path, chunks_path,
+            checkpoint=str(tmp_path / "ck"), **kw
+        )
+        jobs.run_available_now(writer)
+
+    drain()
+    spark.createDataFrame(texts[3:], "doc_id long, html string").write.parquet(str(src / "b2"))
+    drain()
+    got_corpus = {tuple(r) for r in snapshot_read(spark, corpus_path).collect()}
+    assert got_corpus == want_corpus
