@@ -161,6 +161,40 @@ def lint_plan(
                 "to sums, cast outputs to double (oracle-hash contract)",
             }
         )
+    # Sentinel-date outputs: a DATE/TIMESTAMP output column combined
+    # with a plan literal outside pandas' ns-timestamp year range
+    # [1678, 2261] (e.g. the SCD2 current-row sentinel 9999-12-31)
+    # kills any pandas-normalizing consumer with OutOfBoundsDatetime —
+    # the q114/q115 round-11 driver failure class. Static best-effort:
+    # only literals visible in the plan text are caught; verify_oracle
+    # value-checks the real output.
+    from pyspark.sql.types import DateType, TimestampType
+
+    dtcols = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (DateType, TimestampType))
+    ]
+    if dtcols:
+        oob_lits = sorted(
+            {
+                m
+                for m in re.findall(r"\b(\d{4})-\d{2}-\d{2}\b", p)
+                if not (1678 <= int(m) <= 2261)
+            }
+        )
+        if oob_lits:
+            findings.append(
+                {
+                    "rule": "sentinel-date-output",
+                    "severity": "warn",
+                    "detail": f"date/timestamp output columns {dtcols} with "
+                    f"out-of-pandas-bounds year literal(s) {oob_lits} in the "
+                    "plan: pandas ns timestamps cap at 2262 — project "
+                    "sentinel-carrying dates as ISO strings "
+                    "(date_format(..., 'yyyy-MM-dd'))",
+                }
+            )
     # DECIMAL-buffered aggregation: exact, but >18-digit sum buffers
     # box to Java BigDecimal per input row — the 60M-row probe
     # measured 2-4x vs integer-cents staging on fact-sized aggs

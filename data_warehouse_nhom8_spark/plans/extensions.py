@@ -439,17 +439,19 @@ def _synth_html_col() -> "F.Column":
     )
 
 
-def q117_html_extract_noracle(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X3 (round 11): crawl-tier HTML → text extraction
-    (`operators.text.html_text_cols`) over synthesized HTML — the
-    step every crawl pipeline runs before tokenization. Rows-only
-    for the driver; FULL value equality against a DuckDB twin
-    running the identical synthesis + regex pipeline (RE2 ∩ Java
-    subset, global-replace flags) is pytest-gated per suite run
-    (tests/test_corpus.py::test_html_extract_matches_duckdb_twin),
-    including the spec's ordering traps: script/style content drops,
-    '</p><p>' word-splits, and '&amp;lt;' double-escape decodes to
-    literal '&lt;'."""
+def q117_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 (round 11; ORACLED round 12, verdict task 6): crawl-tier
+    HTML → text extraction (`operators.text.html_text_cols`) over
+    synthesized HTML — the step every crawl pipeline runs before
+    tokenization. The DuckDB oracle (below, same builder the pytest
+    twin used) synthesizes the identical HTML scaffold and runs the
+    identical regex pipeline (RE2 ∩ Java subset; DuckDB needs the
+    explicit 'g' flag where Spark's regexp_replace is global by
+    default), including the spec's ordering traps: script/style
+    content drops, '</p><p>' word-splits, and '&amp;lt;'
+    double-escape decodes to literal '&lt;'. Slot funded by retiring
+    q06 (⊂ q73's validity-filter shape) per the rotation-slack
+    protocol."""
     from data_warehouse_nhom8_spark.operators.text import html_text_cols
 
     c = Catalog(spark, sf_dir)
@@ -1691,13 +1693,24 @@ def q114_scd2_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge maintains; reference loadtowh/load_to_wh.sh:62-87 builds
     the table, this is how reports read it). The filter is two
     pushable range predicates — at rest this prunes row groups on
-    the date columns' parquet stats."""
+    the date columns' parquet stats.
+
+    Output contract (round 12): effective/expired are projected as ISO
+    STRINGS, never DATE — the SCD2 current-row sentinel 9999-12-31
+    overflows pandas' ns timestamps (max year 2262) in any
+    pandas-normalizing consumer, exactly the round-1 no-DECIMAL rule."""
     from data_warehouse_nhom8_spark.operators.scd2 import scd2_as_of
 
     snap = _scd2_fixture(spark, sf_dir)
     return (
         scd2_as_of(snap, "1995-06-17", effective_col="effective")
-        .select("o_custkey", "effective", "expired", "n_orders", "price_cents")
+        .select(
+            "o_custkey",
+            F.date_format("effective", "yyyy-MM-dd").alias("effective"),
+            F.date_format("expired", "yyyy-MM-dd").alias("expired"),
+            "n_orders",
+            "price_cents",
+        )
         .orderBy("o_custkey")
     )
 
@@ -1711,7 +1724,12 @@ def q115_scd2_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     columns (the classic backfill edge). Equi-join on the natural key
     with the validity residual inside the join — never a range
     explosion, because versions per key are disjoint half-open
-    intervals (at most one match per fact)."""
+    intervals (at most one match per fact).
+
+    Output contract (round 12): effective/expired projected as ISO
+    strings (pandas-ns-safe; the 9999-12-31 sentinel overflows pandas
+    timestamps). NULL dim rows from the left join stay NULL —
+    date_format(NULL) is NULL in both engines."""
     from data_warehouse_nhom8_spark.operators.scd2 import scd2_temporal_join
 
     c = Catalog(spark, sf_dir)
@@ -1719,14 +1737,26 @@ def q115_scd2_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_custkey", "o_orderdate"
     )
     snap = _scd2_fixture(spark, sf_dir)
-    return scd2_temporal_join(
-        facts,
-        snap,
-        ["o_custkey"],
-        "o_orderdate",
-        effective_col="effective",
-        how="left",
-    ).orderBy("o_orderkey")
+    return (
+        scd2_temporal_join(
+            facts,
+            snap,
+            ["o_custkey"],
+            "o_orderdate",
+            effective_col="effective",
+            how="left",
+        )
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderdate",
+            F.date_format("effective", "yyyy-MM-dd").alias("effective"),
+            F.date_format("expired", "yyyy-MM-dd").alias("expired"),
+            "n_orders",
+            "price_cents",
+        )
+        .orderBy("o_orderkey")
+    )
 
 
 EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1789,13 +1819,61 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q114_scd2_as_of": q114_scd2_as_of,
     "q115_scd2_temporal_join": q115_scd2_temporal_join,
     "q116_decontaminate_scrub": q116_decontaminate_scrub,
-    "q117_html_extract_noracle": q117_html_extract_noracle,
+    "q117_html_extract": q117_html_extract,
 }
 
+
+def _q117_oracle_sql() -> str:
+    """DuckDB twin of q117: synthesizes the same HTML scaffold as
+    `_synth_html_col()` and mirrors `operators.text.html_text_cols`
+    step-for-step (strip script → style → comments → tags, decode
+    entities in the documented order, collapse whitespace; title and
+    n_links read the RAW html by spec — see html_text_cols). Built
+    programmatically so the pipeline-order spec lives in ONE place
+    instead of a hand-expanded 2 KB literal."""
+    html = (
+        "'<html><!-- crawl ' || CAST(doc_id AS VARCHAR) || ' --><head><TITLE>Doc ' "
+        "|| CAST(doc_id AS VARCHAR) || "
+        "'</TITLE><style>p{color:red}</style></head><body><p>' || text || "
+        "'</p><script>var x=1; if (x &lt; 2) {}</script>' || "
+        "'<a href=\"https://ex.com/' || CAST(doc_id AS VARCHAR) || '\">x</a>' || "
+        "CASE WHEN doc_id % 3 = 0 THEN '<a href=''https://ex.com/alt''>y</a>' "
+        "ELSE '' END || ' &amp;amp; tail &lt;b&gt;</body></html>'"
+    )
+    s = f"regexp_replace({html}, '(?i)<script[^>]*>[\\s\\S]*?</script>', ' ', 'g')"
+    s = f"regexp_replace({s}, '(?i)<style[^>]*>[\\s\\S]*?</style>', ' ', 'g')"
+    s = f"regexp_replace({s}, '<!--[\\s\\S]*?-->', ' ', 'g')"
+    s = f"regexp_replace({s}, '<[^>]*>', ' ', 'g')"
+    for ent, ch in (
+        ("&nbsp;", " "),
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "''"),
+        ("&apos;", "''"),
+        ("&amp;", "&"),
+    ):
+        s = f"replace({s}, '{ent}', '{ch}')"
+    clean = f"trim(regexp_replace({s}, '\\s+', ' ', 'g'))"
+    return f"""
+        SELECT doc_id,
+               trim(regexp_extract({html},
+                 '(?i)<title[^>]*>([\\s\\S]*?)</title>', 1)) AS title,
+               CAST(len(regexp_extract_all({html},
+                 '(?i)<a\\b[^>]*\\bhref\\s*=\\s*("[^"]*"|''[^'']*'')', 1))
+                 AS BIGINT) AS n_links,
+               {clean} AS clean_text
+        FROM documents ORDER BY doc_id LIMIT 500
+    """
+
 EXTENSION_ORACLES: dict[str, str] = {
+    "q117_html_extract": _q117_oracle_sql(),
     "q114_scd2_as_of": _SCD2_FIXTURE_SQL
     + """
-        SELECT o_custkey, effective, expired, n_orders, price_cents
+        SELECT o_custkey,
+               strftime(effective, '%Y-%m-%d') AS effective,
+               strftime(expired, '%Y-%m-%d') AS expired,
+               n_orders, price_cents
         FROM snap
         WHERE effective <= DATE '1995-06-17'
           AND DATE '1995-06-17' < expired
@@ -1804,7 +1882,9 @@ EXTENSION_ORACLES: dict[str, str] = {
     "q115_scd2_temporal_join": _SCD2_FIXTURE_SQL
     + """
         SELECT f.o_orderkey, f.o_custkey, f.o_orderdate,
-               s.effective, s.expired, s.n_orders, s.price_cents
+               strftime(s.effective, '%Y-%m-%d') AS effective,
+               strftime(s.expired, '%Y-%m-%d') AS expired,
+               s.n_orders, s.price_cents
         FROM orders f
         LEFT JOIN snap s
           ON f.o_custkey = s.o_custkey

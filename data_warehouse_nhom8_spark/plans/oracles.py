@@ -32,11 +32,6 @@ ORACLES: dict[str, str] = {
                CAST(day(o_orderdate) AS BIGINT) AS d
         FROM orders ORDER BY o_orderkey NULLS FIRST LIMIT 500
     """,
-    "q06_validity_filter": """
-        SELECT c_custkey FROM customer
-        WHERE c_name IS NOT NULL AND c_name <> '' AND c_acctbal > 0
-        ORDER BY c_custkey NULLS FIRST
-    """,
     "q09_theta_change_join": """
         SELECT l.l_orderkey, l.l_linenumber
         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -167,6 +162,11 @@ ORACLES: dict[str, str] = {
 # queries.RETIRED_QUERIES): exercised every suite run by
 # tests/test_retired_oracles.py instead of the driver rotation.
 RETIRED_ORACLES: dict[str, str] = {
+    "q06_validity_filter": """
+        SELECT c_custkey FROM customer
+        WHERE c_name IS NOT NULL AND c_name <> '' AND c_acctbal > 0
+        ORDER BY c_custkey NULLS FIRST
+    """,
     "q05_like_prefix": """
         SELECT p_partkey, p_brand FROM part WHERE p_brand LIKE 'Brand#1%'
         ORDER BY p_partkey NULLS FIRST

@@ -495,7 +495,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q02_project_rename": q02_project_rename,
     "q03_partition_day_filter": q03_partition_day_filter,
     "q04_computed_projection": q04_computed_projection,
-    "q06_validity_filter": q06_validity_filter,
     "q09_theta_change_join": q09_theta_change_join,
     "q10_anti_join": q10_anti_join,
     "q12_correlated_scalar_count": q12_correlated_scalar_count,
@@ -552,8 +551,19 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 #                                decontaminate-scrub slot. J2's
 #                                2-broadcast plan gate stays on the
 #                                retired shape in test_plans
+# Round 12 (funding the q117 html-extract window slot; q06 sits in
+# the r10-certified rotation half so retiring it shrinks the derived
+# front by one and keeps the front inside the 50-row window):
+#   q06 null/validity filter   -> q73 filters the same customer table
+#                                through the identical
+#                                isNotNull+inequality predicate class
+#                                inside a fact join; P8 evidence also
+#                                stays on every quarantine CSV path
+#                                (sources/csv_partitioned.py) and the
+#                                per-suite DuckDB twin
 RETIRED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q05_like_prefix": q05_like_prefix,
+    "q06_validity_filter": q06_validity_filter,
     "q07_inner_equijoin": q07_inner_equijoin,
     "q08_broadcast_dim_chain": q08_broadcast_dim_chain,
     "q11_semi_join": q11_semi_join,

@@ -13,6 +13,13 @@ on DuckDB over the same parquet tables, then compares:
      even when numerically equal (q01/q03/q46/q48 failed round 1 with
      rows+schema green), so oracled queries must emit DOUBLE — keep
      DECIMAL internal to sums only.
+  5. HARD FAIL if any output date/timestamp value (either engine, any
+     nesting) falls outside pandas' ns-timestamp range [1678, 2261]:
+     the driver normalizes results through pandas, whose to_datetime
+     raises OutOfBoundsDatetime on e.g. the SCD2 sentinel 9999-12-31
+     BEFORE any comparison runs (q114/q115 died this way in round 11
+     while this mimic, which canonicalizes via isoformat, passed them).
+     Sentinel-carrying outputs must project dates as ISO strings.
 
 Canon is byte-strict: no Decimal.normalize(), type-prefixed, repr-level
 floats. A pass here can still theoretically diverge from the driver,
@@ -37,6 +44,31 @@ sys.path.insert(0, ".")
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
+
+
+# pandas Timestamp ns bounds: 1677-09-21 .. 2262-04-11; we gate on whole
+# years with margin so any date the driver's pandas normalization would
+# reject fails HERE first.
+PD_MIN_YEAR, PD_MAX_YEAR = 1678, 2261
+
+
+def oob_dates(cols, raw_rows):
+    """Column names carrying a date/datetime outside pandas ns bounds
+    (recurses into list/tuple cells — array<date> counts too)."""
+
+    def bad(v):
+        if isinstance(v, (datetime.datetime, datetime.date)):
+            return not (PD_MIN_YEAR <= v.year <= PD_MAX_YEAR)
+        if isinstance(v, (list, tuple)):
+            return any(bad(x) for x in v)
+        return False
+
+    out = set()
+    for row in raw_rows:
+        for c, v in zip(cols, row):
+            if c not in out and bad(v):
+                out.add(c)
+    return sorted(out)
 
 
 def canon(v):
@@ -90,7 +122,8 @@ def main():
             dec_cols = [
                 f.name for f in sdf.schema.fields if isinstance(f.dataType, DecimalType)
             ]
-            srows = [tuple(canon(v) for v in row) for row in sdf.collect()]
+            sraw = sdf.collect()
+            srows = [tuple(canon(v) for v in row) for row in sraw]
         except Exception as e:
             failures.append(name)
             print(f"FAIL {name}: spark error: {e}")
@@ -102,16 +135,36 @@ def main():
                 "risk; cast to double (keep decimal internal to sums)"
             )
             continue
+        oob = oob_dates(scols, sraw)
+        if oob:
+            failures.append(name)
+            print(
+                f"FAIL {name}: date/timestamp column(s) {oob} outside pandas "
+                f"ns bounds [{PD_MIN_YEAR},{PD_MAX_YEAR}] — the driver's pandas "
+                "normalization raises OutOfBoundsDatetime; project sentinel "
+                "dates as ISO strings"
+            )
+            continue
         if name not in sqls:
             print(f"SKIP {name}: no oracle (rows-only: {len(srows)} rows)")
             continue
         try:
             cur = con.execute(sqls[name])
             dcols = [d[0] for d in cur.description]
-            drows = [tuple(canon(v) for v in row) for row in cur.fetchall()]
+            draw = cur.fetchall()
+            drows = [tuple(canon(v) for v in row) for row in draw]
         except Exception as e:
             failures.append(name)
             print(f"FAIL {name}: duckdb error: {e}")
+            continue
+        doob = oob_dates(dcols, draw)
+        if doob:
+            failures.append(name)
+            print(
+                f"FAIL {name}: ORACLE date column(s) {doob} outside pandas ns "
+                "bounds — the driver pandas-normalizes the oracle side too; "
+                "strftime sentinel dates to ISO strings in the SQL"
+            )
             continue
 
         problems = []

@@ -142,3 +142,26 @@ def test_small_dim_broadcast_is_clean(spark):
     dim = spark.range(25).withColumnRenamed("id", "k")
     probe = spark.range(1000).join(F.broadcast(dim), F.col("id") == F.col("k"))
     assert "large-broadcast" not in rules_of(lint_plan(probe))
+
+
+def test_detects_sentinel_date_output(spark):
+    """A DATE output column whose plan carries an out-of-pandas-bounds
+    literal (the SCD2 9999-12-31 current-row sentinel) gets the warn —
+    the q114/q115 round-11 driver-failure class; projecting the same
+    column as an ISO string clears it."""
+    df = spark.range(5).select(
+        "id", F.lit("9999-12-31").cast("date").alias("expired")
+    )
+    assert "sentinel-date-output" in rules_of(lint_plan(df))
+    s = spark.range(5).select(
+        "id",
+        F.date_format(F.lit("9999-12-31").cast("date"), "yyyy-MM-dd").alias("expired"),
+    )
+    assert "sentinel-date-output" not in rules_of(lint_plan(s))
+
+
+def test_in_bounds_date_output_is_clean(spark):
+    df = spark.range(5).select(
+        "id", F.lit("1995-06-17").cast("date").alias("d")
+    )
+    assert "sentinel-date-output" not in rules_of(lint_plan(df))

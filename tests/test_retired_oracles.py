@@ -62,7 +62,9 @@ def test_registry_no_longer_lists_retired(spark):
     # post-retirement + q111/q112/q113), plus the round-11 SCD2 pair
     # (q114/q115), minus the round-11 retirements that funded their
     # window slots (q07 -> q48 superset, q11 -> q93/q105 supersets —
-    # both from the r9-certified half so the derived front shrinks)
+    # both from the r9-certified half so the derived front shrinks);
+    # round 12 is net-zero: q117 html-extract promoted to oracled,
+    # funded by retiring q06 (-> q73 superset, r10-certified half)
     assert len(ORACLES) == 98
 
 
@@ -113,3 +115,47 @@ def test_retired_queries_match_their_duckdb_oracles(spark, duck):
         elif so != do:
             problems.append(f"{name}: result order differs")
     assert not problems, problems
+
+
+def test_verify_mimic_hard_fails_out_of_pandas_bounds_dates(spark):
+    """Round-12 blind-spot closure (verdict task 2): the local mimic
+    canonicalized dates via isoformat and so PASSED the SCD2 sentinel
+    outputs the driver's pandas normalization dies on
+    (OutOfBoundsDatetime at year 9999 — pandas ns timestamps cap at
+    2262). verify_oracle.oob_dates must flag exactly that class, at
+    top level and nested inside arrays, and stay quiet in-bounds."""
+    import datetime
+
+    mod = _verify_oracle_module()
+    cols = ["k", "expired", "arr"]
+    sentinel = datetime.date(9999, 12, 31)
+    ok = datetime.date(1995, 6, 17)
+    assert mod.oob_dates(cols, [(1, sentinel, [ok])]) == ["expired"]
+    assert mod.oob_dates(cols, [(1, ok, [sentinel])]) == ["arr"]
+    assert mod.oob_dates(cols, [(1, ok, [ok])]) == []
+    # timestamps too, and the lower bound (pandas min year 1678)
+    assert mod.oob_dates(["t"], [(datetime.datetime(2263, 1, 1),)]) == ["t"]
+    assert mod.oob_dates(["t"], [(datetime.date(1677, 9, 21),)]) == ["t"]
+    # a deliberately sentinel-emitting Spark query trips the gate
+    df = spark.range(3).select(
+        "id", __import__("pyspark.sql.functions", fromlist=["lit"]).lit(
+            "9999-12-31"
+        ).cast("date").alias("expired")
+    )
+    raw = df.collect()
+    assert mod.oob_dates(df.columns, raw) == ["expired"]
+
+
+def test_scd2_oracled_outputs_are_pandas_safe(spark):
+    """q114/q115 (round-12 recertification) emit NO date/timestamp
+    columns outside pandas bounds — effective/expired are ISO strings
+    end-to-end, so the driver's normalization cannot overflow."""
+    from data_warehouse_nhom8_spark.plans import QUERIES
+
+    mod = _verify_oracle_module()
+    for q in ("q114_scd2_as_of", "q115_scd2_temporal_join"):
+        df = QUERIES[q](spark, SF_DIR)
+        types = dict(df.dtypes)
+        assert types["effective"] == "string", (q, types)
+        assert types["expired"] == "string", (q, types)
+        assert mod.oob_dates(df.columns, df.collect()) == []
