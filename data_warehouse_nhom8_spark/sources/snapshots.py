@@ -777,3 +777,164 @@ def snapshot_vacuum(
             f"vacuum incomplete at {path}: removed {removed}, FAILED {failed}"
         )
     return {"removed": removed, "kept": kept}
+
+
+# ---------------------------------------------------------------------------
+# Epoch-append commits (round 12, verdict task 3) — the O(batch) write
+# path for the streaming store faces.
+#
+# The versioned-snapshot overwrite above is the right commit for
+# read-modify-write tables, but the streaming stores (URL registry,
+# span/sketch/vocab counts, IVF index, heavy-hitter candidates) only
+# ever ADD disjoint per-epoch row sets: their merges were doing
+# snapshot_read → union → full snapshot_overwrite per micro-batch,
+# which is O(store) I/O per epoch — at 100 TB a URL registry is
+# 10^9-10^10 rows, and rewriting it (plus retaining versions until
+# vacuum) every micro-batch is the scale-killer the round-11 review
+# flagged. The epoch log makes every merge O(batch):
+#
+#     {path}/
+#       _CURRENT, v00000001/        # optional BASE (compaction output)
+#       epochs/
+#         e000000000007_a0001/      # epoch 7's committed file set
+#           part-*.parquet
+#           _COMPLETE               # marker = the commit
+#
+#   * WRITE  — `epoch_append(df, path, epoch_id)` writes the batch's
+#     rows as a new ATTEMPT directory for that epoch and commits it by
+#     fsyncing a _COMPLETE marker. I/O is the batch's bytes, never the
+#     store's.
+#   * REPLAY — at-least-once delivery re-runs a micro-batch whose
+#     store write landed but whose checkpoint didn't. The re-run's
+#     epoch_append supersedes the earlier attempt (readers take the
+#     HIGHEST complete attempt per epoch), so the store converges to
+#     exactly-once state — the same epoch-replacement contract the
+#     overwrite-based merges had, now without rewriting history.
+#     The superseded attempt is GC'd (previous 1 kept for in-flight
+#     readers, mirroring the version GC's keep=2 discipline).
+#   * READ   — `epoch_read` = base snapshot ∪ latest complete attempt
+#     per epoch, one multi-path parquet scan for all epochs.
+#     `exclude_epoch` lets a merge read "the store without my own
+#     epoch" (the first-seen anti-join input) with no filter on a
+#     stored epoch column needed.
+#   * FOLD   — `epoch_compact` folds base + epochs into the next BASE
+#     version via the atomic snapshot commit, then drops exactly the
+#     epoch dirs it folded. OFFLINE (stream stopped at a committed
+#     checkpoint), same discipline as the store-level compact_* jobs.
+#
+# This is precisely a table format's append-commit + manifest-compact
+# split (Iceberg fast-append / Delta blind append); the snapshot
+# pointer stays the base's commit and the epoch markers are the
+# append commits.
+# ---------------------------------------------------------------------------
+
+_EPOCHS_DIRNAME = "epochs"
+_EPOCH_RE = re.compile(r"^e(\d{12})_a(\d{4})$")
+
+
+def _epoch_attempts(path: str) -> dict[int, list[int]]:
+    """{epoch_id: sorted committed attempt numbers} under `path`."""
+    root = os.path.join(path, _EPOCHS_DIRNAME)
+    out: dict[int, list[int]] = {}
+    if not os.path.isdir(root):
+        return out
+    for name in os.listdir(root):
+        m = _EPOCH_RE.match(name)
+        if m and os.path.exists(os.path.join(root, name, _COMPLETE)):
+            out.setdefault(int(m.group(1)), []).append(int(m.group(2)))
+    return {e: sorted(a) for e, a in out.items()}
+
+
+def _epoch_dir(path: str, epoch_id: int, attempt: int) -> str:
+    return os.path.join(
+        path, _EPOCHS_DIRNAME, f"e{epoch_id:012d}_a{attempt:04d}"
+    )
+
+
+def epoch_ids(path: str) -> list[int]:
+    """Committed epoch ids (ascending)."""
+    return sorted(_epoch_attempts(path))
+
+
+def epoch_append(df: DataFrame, path: str, epoch_id: int) -> str:
+    """Commit `df` as THE row set of `epoch_id` — O(batch) I/O.
+
+    A second call for the same epoch (an at-least-once replay)
+    REPLACES the earlier attempt: the new attempt dir is written in
+    full, the marker commits it, and readers always take the highest
+    complete attempt. Crash mid-write leaves a marker-less dir —
+    debris, invisible to readers, overwritten by the retry."""
+    attempts = _epoch_attempts(path).get(epoch_id, [])
+    nxt = (attempts[-1] if attempts else 0) + 1
+    adir = _epoch_dir(path, epoch_id, nxt)
+    # mode=overwrite clears marker-less debris of a crashed SAME attempt
+    df.write.mode("overwrite").parquet(adir)
+    marker = os.path.join(adir, _COMPLETE)
+    with open(marker, "w") as fh:
+        fh.write(os.path.basename(adir))
+        fh.flush()
+        os.fsync(fh.fileno())  # the commit
+    # GC superseded attempts, keeping the immediately-previous one for
+    # any in-flight reader that resolved its file list before this
+    # commit (the version GC's keep=2 rationale)
+    for old in attempts[:-1]:
+        shutil.rmtree(_epoch_dir(path, epoch_id, old), ignore_errors=True)
+    return adir
+
+
+def epoch_read(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    exclude_epoch: int | None = None,
+) -> DataFrame | None:
+    """Base snapshot ∪ committed epochs, or None when neither exists.
+
+    `exclude_epoch` omits that epoch's files — a replaying merge reads
+    'the store without my own epoch' to recompute its delta without
+    the previous attempt poisoning a first-seen anti-join. All epoch
+    dirs go into ONE multi-path parquet scan (they share the writer's
+    schema), so plan size stays O(1) in epoch count."""
+    base = snapshot_read(spark, path, schema)
+    dirs = [
+        _epoch_dir(path, e, attempts[-1])
+        for e, attempts in sorted(_epoch_attempts(path).items())
+        if e != exclude_epoch
+    ]
+    if not dirs:
+        return base
+    r = spark.read.schema(schema) if schema is not None else spark.read
+    delta = r.parquet(*dirs)
+    return delta if base is None else base.unionByName(delta)
+
+
+def epoch_compact(
+    spark: SparkSession,
+    path: str,
+    fold=None,
+    **overwrite_kwargs,
+) -> str | None:
+    """Fold base + epochs into the next BASE version, then drop the
+    folded epoch dirs. Returns the committed version dir (None when
+    the store is empty). `fold` (DataFrame -> DataFrame) is the
+    store's associativity step — sketch union, count sum, identity
+    for disjoint-row stores.
+
+    OFFLINE only (stream stopped at a committed checkpoint): replay
+    idempotence relies on a re-run replacing its own epoch's files,
+    and compaction folds those rows into a base the replay would no
+    longer replace. The epoch dirs stay intact until the base commit
+    lands (they are the fold's scan input — same
+    no-read-your-own-delete rule as the version swap), and only the
+    dirs captured BEFORE the fold are dropped."""
+    folded_ids = epoch_ids(path)
+    df = epoch_read(spark, path)
+    if df is None:
+        return None
+    if fold is not None:
+        df = fold(df)
+    vdir = snapshot_overwrite(df, path, **overwrite_kwargs)
+    for e in folded_ids:
+        for a in _epoch_attempts(path).get(e, []):
+            shutil.rmtree(_epoch_dir(path, e, a), ignore_errors=True)
+    return vdir

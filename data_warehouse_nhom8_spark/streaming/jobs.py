@@ -300,14 +300,18 @@ def sketch_rollup_sink(
     the store with `read_sketch_rollup` and never touch the fact
     stream.
 
-    Replay idempotence comes from the epoch key: a re-run micro-batch
-    REPLACES its own (cell, epoch) rows rather than unioning twice,
-    so both the distinct estimates and n_rows stay exact under the
-    file source's at-least-once delivery. The store grows one row per
-    cell per epoch (constant-size sketches); `read_sketch_rollup`
-    unions across epochs at query time, and a periodic compaction can
-    re-group epochs without changing any estimate (sketch union is
-    associative)."""
+    Replay idempotence comes from the epoch-append commit
+    (`snapshots.epoch_append`): a re-run micro-batch REPLACES its own
+    epoch's file set rather than unioning twice, so both the distinct
+    estimates and n_rows stay exact under the file source's
+    at-least-once delivery. Merge I/O is O(batch) — one sketch row
+    per fine cell written as that epoch's files; the store is NEVER
+    rewritten on the hot path (round-12 fix: the old
+    read→union→overwrite merge rewrote the whole store per epoch —
+    O(store) I/O that kills a 100 TB streaming lane).
+    `read_sketch_rollup` unions base + epochs at query time, and
+    `compact_sketch_store` re-groups epochs offline without changing
+    any estimate (sketch union is associative)."""
 
     return (
         stream.writeStream.foreachBatch(
@@ -328,22 +332,13 @@ def sketch_store_merge(
     Spark's re-delivery converge."""
 
     def merge(batch: DataFrame, epoch_id: int) -> None:
-        from data_warehouse_nhom8_spark.sources.snapshots import (
-            snapshot_overwrite,
-            snapshot_read,
-        )
+        from data_warehouse_nhom8_spark.sources.snapshots import epoch_append
 
-        spark = batch.sparkSession
         cells = batch.groupBy(*fine_keys).agg(
             F.hll_sketch_agg(distinct_col).alias("sketch"),
             F.count(F.lit(1)).alias("n_rows"),
         ).withColumn("epoch", F.lit(epoch_id).cast("long"))
-        current = snapshot_read(spark, store_path)
-        if current is not None:
-            merged = current.filter(F.col("epoch") != epoch_id).unionByName(cells)
-        else:
-            merged = cells
-        snapshot_overwrite(merged, store_path)
+        epoch_append(cells, store_path, epoch_id)
 
     return merge
 
@@ -357,9 +352,9 @@ def read_sketch_rollup(
     """Answer a coarse distinct rollup from the streaming sketch store
     alone: union the per-(cell, epoch) sketches up to `coarse_keys`.
     Same output shape as `hll_sketch_rollup`'s coarse table."""
-    from data_warehouse_nhom8_spark.sources.snapshots import snapshot_read
+    from data_warehouse_nhom8_spark.sources.snapshots import epoch_read
 
-    store = snapshot_read(spark, store_path)
+    store = epoch_read(spark, store_path)
     if store is None:
         raise FileNotFoundError(
             f"no committed sketch store at {store_path}; run sketch_rollup_sink "
@@ -381,23 +376,23 @@ def compact_sketch_store(
 
     Run OFFLINE, with the stream stopped at a committed checkpoint:
     replay idempotence relies on a micro-batch replacing its own
-    epoch's rows, and compaction folds historical epochs into one
-    `epoch = -1` row that a replayed batch would no longer replace.
-    After a clean stop there is no uncommitted batch to replay, and
-    the restarted stream's new epochs never collide with -1."""
-    from data_warehouse_nhom8_spark.sources.snapshots import (
-        snapshot_overwrite,
-        snapshot_read,
-    )
+    epoch's file set, and compaction folds historical epochs into a
+    BASE version (`epoch = -1` rows) a replayed batch would no longer
+    replace. After a clean stop there is no uncommitted batch to
+    replay, and the restarted stream's new epochs never collide with
+    -1."""
+    from data_warehouse_nhom8_spark.sources.snapshots import epoch_compact
 
-    store = snapshot_read(spark, store_path)
-    if store is None:
-        return
-    compacted = store.groupBy(*fine_keys).agg(
-        F.hll_union_agg("sketch").alias("sketch"),
-        F.sum("n_rows").alias("n_rows"),
-    ).withColumn("epoch", F.lit(-1).cast("long"))
-    snapshot_overwrite(compacted, store_path)
+    epoch_compact(
+        spark,
+        store_path,
+        fold=lambda store: store.groupBy(*fine_keys)
+        .agg(
+            F.hll_union_agg("sketch").alias("sketch"),
+            F.sum("n_rows").alias("n_rows"),
+        )
+        .withColumn("epoch", F.lit(-1).cast("long")),
+    )
 
 
 def vocab_store_sink(
@@ -415,9 +410,11 @@ def vocab_store_sink(
     (`text.surprisal_against_vocab`) never re-tokenizes the corpus.
 
     Same replay contract as `sketch_rollup_sink`: a re-run micro-batch
-    REPLACES its own epoch's rows, keeping counts exact under the file
-    source's at-least-once delivery; `compact_vocab_store` folds
-    epochs offline (count addition is associative)."""
+    REPLACES its own epoch's file set (`snapshots.epoch_append`),
+    keeping counts exact under the file source's at-least-once
+    delivery with O(batch) merge I/O — the store is never rewritten
+    on the hot path; `compact_vocab_store` folds epochs offline
+    (count addition is associative)."""
     return (
         stream.writeStream.foreachBatch(vocab_store_merge(store_path, id_col, text_col))
         .option("checkpointLocation", checkpoint)
@@ -433,21 +430,12 @@ def vocab_store_merge(store_path: str, id_col: str = "doc_id", text_col: str = "
     from data_warehouse_nhom8_spark.operators.text import vocab_counts
 
     def merge(batch: DataFrame, epoch_id: int) -> None:
-        from data_warehouse_nhom8_spark.sources.snapshots import (
-            snapshot_overwrite,
-            snapshot_read,
-        )
+        from data_warehouse_nhom8_spark.sources.snapshots import epoch_append
 
-        spark = batch.sparkSession
         counts = vocab_counts(batch, id_col, text_col).withColumn(
             "epoch", F.lit(epoch_id).cast("long")
         )
-        current = snapshot_read(spark, store_path)
-        if current is not None:
-            merged = current.filter(F.col("epoch") != epoch_id).unionByName(counts)
-        else:
-            merged = counts
-        snapshot_overwrite(merged, store_path)
+        epoch_append(counts, store_path, epoch_id)
 
     return merge
 
@@ -456,9 +444,9 @@ def read_vocab_store(spark: SparkSession, store_path: str) -> DataFrame:
     """(token, n) summed across epochs — the vocabulary table
     `text.surprisal_against_vocab` scores against; equal to
     `text.vocab_counts` over everything ingested (pytest-gated)."""
-    from data_warehouse_nhom8_spark.sources.snapshots import snapshot_read
+    from data_warehouse_nhom8_spark.sources.snapshots import epoch_read
 
-    store = snapshot_read(spark, store_path)
+    store = epoch_read(spark, store_path)
     if store is None:
         raise FileNotFoundError(
             f"no committed vocab store at {store_path}; run vocab_store_sink "
@@ -468,24 +456,19 @@ def read_vocab_store(spark: SparkSession, store_path: str) -> DataFrame:
 
 
 def compact_vocab_store(spark: SparkSession, store_path: str) -> None:
-    """Fold all epochs into one row per token (count addition is
-    associative — every downstream surprisal score unchanged). Run
-    OFFLINE with the stream stopped at a committed checkpoint, same
-    discipline as `compact_sketch_store`."""
-    from data_warehouse_nhom8_spark.sources.snapshots import (
-        snapshot_overwrite,
-        snapshot_read,
-    )
+    """Fold all epochs into a base version with one row per token
+    (count addition is associative — every downstream surprisal score
+    unchanged). Run OFFLINE with the stream stopped at a committed
+    checkpoint, same discipline as `compact_sketch_store`."""
+    from data_warehouse_nhom8_spark.sources.snapshots import epoch_compact
 
-    store = snapshot_read(spark, store_path)
-    if store is None:
-        return
-    compacted = (
-        store.groupBy("token")
+    epoch_compact(
+        spark,
+        store_path,
+        fold=lambda store: store.groupBy("token")
         .agg(F.sum("n").cast("long").alias("n"))
-        .withColumn("epoch", F.lit(-1).cast("long"))
+        .withColumn("epoch", F.lit(-1).cast("long")),
     )
-    snapshot_overwrite(compacted, store_path)
 
 
 def run_available_now(writer: DataStreamWriter) -> None:
@@ -511,11 +494,18 @@ def corpus_ingest_sink(
     """Streaming corpus prep — the streaming face of
     `pipeline.corpus_prep`: each micro-batch of raw documents runs
     the SAME certified plan (quality gate → lang-ID → split, the
-    q58 chain) and merges by doc_id (last-writer-wins) into the
-    corpus snapshot; the batch's chunks merge by (doc_id, chunk_id)
-    into the chunks snapshot. Replays converge: both merges are
-    keyed and idempotent, so the at-least-once file source is
-    effectively exactly-once here.
+    q58 chain) and commits the batch's prepped docs / chunks as
+    epoch-append file sets (`snapshots.epoch_append` — O(batch)
+    merge I/O; round 12: the old keyed-upsert rewrite was O(corpus)
+    per micro-batch, the one thing a 100 TB crawl lane cannot
+    afford). Last-writer-wins by doc_id (and (doc_id, chunk_id) for
+    chunks) is resolved AT READ TIME by `read_corpus_store` /
+    `read_chunks_store` — later epoch beats earlier (exactly the old
+    incoming-beats-current upsert), n_tokens / chunk_fp break ties
+    within an epoch; `compact_corpus_store` materializes the
+    resolution offline. Replays converge: a re-run micro-batch
+    replaces its own epoch's files, so the at-least-once file source
+    is effectively exactly-once here.
 
     Dedup semantics: exact dedup runs WITHIN each micro-batch plus
     id-keyed last-writer-wins ACROSS batches. Cross-batch
@@ -542,12 +532,8 @@ def corpus_ingest_sink(
     from data_warehouse_nhom8_spark.pipeline.corpus_prep import prepare_corpus_df
 
     def merge(batch: DataFrame, epoch_id: int) -> None:
-        from data_warehouse_nhom8_spark.sources.snapshots import (
-            snapshot_overwrite,
-            snapshot_read,
-        )
+        from data_warehouse_nhom8_spark.sources.snapshots import epoch_append
 
-        spark = batch.sparkSession
         if html_col is not None:
             from data_warehouse_nhom8_spark.operators.text import html_text_cols
 
@@ -566,26 +552,94 @@ def corpus_ingest_sink(
                 max_cont_fraction=max_cont_fraction,
             )
         prepped = prepare_corpus_df(batch, min_tokens=min_tokens)
-        current = snapshot_read(spark, corpus_path)
-        merged = upsert_last_writer_wins(
-            current, prepped, ["doc_id"], [F.desc("n_tokens")]
-        )
-        snapshot_overwrite(merged, corpus_path)
+        tagged = prepped.withColumn("epoch", F.lit(epoch_id).cast("long"))
+        # corpus first: a crash between the two appends re-runs the
+        # micro-batch (at-least-once), and both appends replace their
+        # own epoch's files — idempotent either way
+        epoch_append(tagged, corpus_path, epoch_id)
 
         new_chunks = chunk_documents(
             prepped, chunk_tokens=chunk_tokens, stride=stride
-        )
-        cur_chunks = snapshot_read(spark, chunks_path)
-        merged_chunks = upsert_last_writer_wins(
-            cur_chunks, new_chunks, ["doc_id", "chunk_id"], [F.desc("chunk_fp")]
-        )
-        snapshot_overwrite(merged_chunks, chunks_path)
+        ).withColumn("epoch", F.lit(epoch_id).cast("long"))
+        epoch_append(new_chunks, chunks_path, epoch_id)
 
     return (
         stream.writeStream.foreachBatch(merge)
         .option("checkpointLocation", checkpoint)
         .outputMode("update")
     )
+
+
+def _lww_resolve(store: DataFrame, keys: Sequence[str], tiebreak) -> DataFrame:
+    """Winner per key across epochs: later epoch beats earlier (the
+    old upsert's incoming-beats-current), `tiebreak` orders within an
+    epoch. Drops the storage-only epoch column so readers see exactly
+    the batch pipeline's schema."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(F.desc("epoch"), *tiebreak)
+    return (
+        store.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "epoch")
+    )
+
+
+def read_corpus_store(spark: SparkSession, corpus_path: str) -> DataFrame:
+    """The streamed corpus, last-writer-wins resolved per doc_id —
+    equal to the batch `prepare_corpus_df` output over everything
+    ingested (pytest-gated). The epoch column is storage-internal and
+    dropped here."""
+    from data_warehouse_nhom8_spark.sources.snapshots import epoch_read
+
+    store = epoch_read(spark, corpus_path)
+    if store is None:
+        raise FileNotFoundError(
+            f"no committed corpus store at {corpus_path}; run "
+            "corpus_ingest_sink through at least one micro-batch first"
+        )
+    return _lww_resolve(store, ["doc_id"], [F.desc("n_tokens")])
+
+
+def read_chunks_store(spark: SparkSession, chunks_path: str) -> DataFrame:
+    """The streamed chunk table, last-writer-wins resolved per
+    (doc_id, chunk_id) — equal to the batch `chunk_documents` output
+    over the resolved corpus (pytest-gated)."""
+    from data_warehouse_nhom8_spark.sources.snapshots import epoch_read
+
+    store = epoch_read(spark, chunks_path)
+    if store is None:
+        raise FileNotFoundError(
+            f"no committed chunks store at {chunks_path}; run "
+            "corpus_ingest_sink through at least one micro-batch first"
+        )
+    return _lww_resolve(store, ["doc_id", "chunk_id"], [F.desc("chunk_fp")])
+
+
+def compact_corpus_store(
+    spark: SparkSession, corpus_path: str, chunks_path: str | None = None
+) -> None:
+    """Materialize the LWW resolution into a base version and drop the
+    folded epochs — corpus and (optionally) chunks. The resolved rows
+    keep `epoch = -1` storage tags so later live epochs still beat
+    them at read time. OFFLINE only, stream stopped at a committed
+    checkpoint — same discipline as `compact_sketch_store`."""
+    from data_warehouse_nhom8_spark.sources.snapshots import epoch_compact
+
+    def fold_for(keys, tiebreak):
+        return lambda store: _lww_resolve(store, keys, tiebreak).withColumn(
+            "epoch", F.lit(-1).cast("long")
+        )
+
+    epoch_compact(
+        spark, corpus_path, fold=fold_for(["doc_id"], [F.desc("n_tokens")])
+    )
+    if chunks_path is not None:
+        epoch_compact(
+            spark,
+            chunks_path,
+            fold=fold_for(["doc_id", "chunk_id"], [F.desc("chunk_fp")]),
+        )
 
 
 def freq_head_sink(
@@ -601,7 +655,9 @@ def freq_head_sink(
     micro-batch counts its (fine cell, item) pairs, keeps the local
     top-m per cell, and merges them into the persisted store keyed by
     (cell, item, epoch). Replay-idempotent the same way as
-    `sketch_rollup_sink`: a re-run batch REPLACES its own epoch's rows.
+    `sketch_rollup_sink`: a re-run batch REPLACES its own epoch's file
+    set (`snapshots.epoch_append` — O(batch) merge I/O, the store is
+    never rewritten on the hot path).
 
     The per-(cell, epoch) truncation composes with the batch
     operator's bound — each epoch acts as one more "cell" in the
@@ -610,24 +666,15 @@ def freq_head_sink(
     equals the exact batch answer (pinned in test_streaming)."""
     def merge(batch: DataFrame, epoch_id: int) -> None:
         from data_warehouse_nhom8_spark.operators.aggregates import local_topm
-        from data_warehouse_nhom8_spark.sources.snapshots import (
-            snapshot_overwrite,
-            snapshot_read,
-        )
+        from data_warehouse_nhom8_spark.sources.snapshots import epoch_append
 
-        spark = batch.sparkSession
         counts = batch.groupBy(*fine_keys, item_col).agg(
             F.count(F.lit(1)).alias("cnt")
         )
         cells = local_topm(counts, list(fine_keys), "cnt", item_col, m).withColumn(
             "epoch", F.lit(epoch_id).cast("long")
         )
-        current = snapshot_read(spark, store_path)
-        if current is not None:
-            merged = current.filter(F.col("epoch") != epoch_id).unionByName(cells)
-        else:
-            merged = cells
-        snapshot_overwrite(merged, store_path)
+        epoch_append(cells, store_path, epoch_id)
 
     return (
         stream.writeStream.foreachBatch(merge)
@@ -648,9 +695,9 @@ def read_freq_head(
     keep k. Same output shape as `freq_candidate_rollup`'s head."""
     from pyspark.sql.window import Window
 
-    from data_warehouse_nhom8_spark.sources.snapshots import snapshot_read
+    from data_warehouse_nhom8_spark.sources.snapshots import epoch_read
 
-    store = snapshot_read(spark, store_path)
+    store = epoch_read(spark, store_path)
     if store is None:
         raise FileNotFoundError(
             f"no committed candidate store at {store_path}; run freq_head_sink "
@@ -678,19 +725,15 @@ def compact_freq_store(
     contract as `compact_sketch_store` — run with the stream stopped
     at a committed checkpoint; folded rows take `epoch = -1`."""
     from data_warehouse_nhom8_spark.operators.aggregates import local_topm
-    from data_warehouse_nhom8_spark.sources.snapshots import (
-        snapshot_overwrite,
-        snapshot_read,
-    )
+    from data_warehouse_nhom8_spark.sources.snapshots import epoch_compact
 
-    store = snapshot_read(spark, store_path)
-    if store is None:
-        return
-    merged = store.groupBy(*fine_keys, item_col).agg(F.sum("cnt").alias("cnt"))
-    compacted = local_topm(merged, list(fine_keys), "cnt", item_col, m).withColumn(
-        "epoch", F.lit(-1).cast("long")
-    )
-    snapshot_overwrite(compacted, store_path)
+    def fold(store: DataFrame) -> DataFrame:
+        merged = store.groupBy(*fine_keys, item_col).agg(F.sum("cnt").alias("cnt"))
+        return local_topm(merged, list(fine_keys), "cnt", item_col, m).withColumn(
+            "epoch", F.lit(-1).cast("long")
+        )
+
+    epoch_compact(spark, store_path, fold=fold)
 
 
 def interval_stream_join(
@@ -782,8 +825,10 @@ def span_store_sink(
     (`duplicated_spans_incremental` over `read_span_store`) judges a
     daily batch against the whole streamed corpus while hashing only
     that batch. Same epoch-replacement idempotence as the sketch
-    store: a replayed micro-batch REPLACES its own epoch's rows, so
-    the additive counts stay exact under at-least-once delivery."""
+    store: a replayed micro-batch REPLACES its own epoch's file set
+    (`snapshots.epoch_append` — O(batch) merge I/O, the store is
+    never rewritten on the hot path), so the additive counts stay
+    exact under at-least-once delivery."""
     return (
         stream.writeStream.foreachBatch(
             span_store_merge(store_path, window, id_col, text_col)
@@ -807,21 +852,12 @@ def span_store_merge(
         from data_warehouse_nhom8_spark.operators.span_dedup import (
             span_store_build,
         )
-        from data_warehouse_nhom8_spark.sources.snapshots import (
-            snapshot_overwrite,
-            snapshot_read,
-        )
+        from data_warehouse_nhom8_spark.sources.snapshots import epoch_append
 
-        spark = batch.sparkSession
         part = span_store_build(
             batch, window=window, id_col=id_col, text_col=text_col
         ).withColumn("epoch", F.lit(epoch_id).cast("long"))
-        current = snapshot_read(spark, store_path)
-        if current is not None:
-            merged = current.filter(F.col("epoch") != epoch_id).unionByName(part)
-        else:
-            merged = part
-        snapshot_overwrite(merged, store_path)
+        epoch_append(part, store_path, epoch_id)
 
     return merge
 
@@ -830,9 +866,9 @@ def read_span_store(spark: SparkSession, store_path: str) -> DataFrame:
     """(h, n_docs) summed across epochs — the exact count table
     `duplicated_spans_incremental` consumes (counts are additive over
     the disjoint per-epoch document sets)."""
-    from data_warehouse_nhom8_spark.sources.snapshots import snapshot_read
+    from data_warehouse_nhom8_spark.sources.snapshots import epoch_read
 
-    store = snapshot_read(spark, store_path)
+    store = epoch_read(spark, store_path)
     if store is None:
         raise FileNotFoundError(
             f"no committed span store at {store_path}; run span_store_sink "
@@ -842,23 +878,18 @@ def read_span_store(spark: SparkSession, store_path: str) -> DataFrame:
 
 
 def compact_span_store(spark: SparkSession, store_path: str) -> None:
-    """Fold all epochs into one `epoch = -1` row per hash (counts are
-    additive). OFFLINE only, stream stopped at a committed checkpoint
-    — same contract as compact_sketch_store."""
-    from data_warehouse_nhom8_spark.sources.snapshots import (
-        snapshot_overwrite,
-        snapshot_read,
-    )
+    """Fold all epochs into a base version with one `epoch = -1` row
+    per hash (counts are additive). OFFLINE only, stream stopped at a
+    committed checkpoint — same contract as compact_sketch_store."""
+    from data_warehouse_nhom8_spark.sources.snapshots import epoch_compact
 
-    store = snapshot_read(spark, store_path)
-    if store is None:
-        return
-    compacted = (
-        store.groupBy("h")
+    epoch_compact(
+        spark,
+        store_path,
+        fold=lambda store: store.groupBy("h")
         .agg(F.sum("n_docs").alias("n_docs"))
-        .withColumn("epoch", F.lit(-1).cast("long"))
+        .withColumn("epoch", F.lit(-1).cast("long")),
     )
-    snapshot_overwrite(compacted, store_path)
 
 
 def url_store_sink(
@@ -887,10 +918,15 @@ def url_store_sink(
     batch/corpus-level policy applied over `read_url_store` output.
 
     Same epoch-replacement idempotence as the span store: a replayed
-    micro-batch first DROPS its own epoch's rows, so at-least-once
-    delivery converges. Scale: the anti-join keys on canon_url —
-    at 100 TB keep the store bucketed on canon_url (snapshot layout)
-    so only the batch side shuffles."""
+    micro-batch recomputes its delta against the store WITHOUT its
+    own epoch (`epoch_read(exclude_epoch=...)`) and its epoch-append
+    supersedes the earlier attempt, so at-least-once delivery
+    converges. Merge WRITE is O(batch) — only the admitted rows land
+    as that epoch's files; the registry is never rewritten on the hot
+    path (round-12 fix). The anti-join READ keys on canon_url — at
+    100 TB keep the compacted base bucketed on canon_url
+    (`compact_url_store` passes bucket_by) so only the batch side
+    shuffles."""
     return (
         stream.writeStream.foreachBatch(
             url_store_merge(store_path, url_col, id_col, seed)
@@ -917,8 +953,8 @@ def url_store_merge(
             url_canonical_cols,
         )
         from data_warehouse_nhom8_spark.sources.snapshots import (
-            snapshot_overwrite,
-            snapshot_read,
+            epoch_append,
+            epoch_read,
         )
 
         spark = batch.sparkSession
@@ -939,16 +975,14 @@ def url_store_merge(
             .select("canon_url", "domain", "doc_id")
             .withColumn("epoch", F.lit(epoch_id).cast("long"))
         )
-        current = snapshot_read(spark, store_path)
-        if current is not None:
-            prior = current.filter(F.col("epoch") != epoch_id)
+        prior = epoch_read(spark, store_path, exclude_epoch=epoch_id)
+        if prior is not None:
             fresh = batch_winners.join(
                 prior.select("canon_url"), "canon_url", "left_anti"
             )
-            merged = prior.unionByName(fresh)
         else:
-            merged = batch_winners
-        snapshot_overwrite(merged, store_path)
+            fresh = batch_winners
+        epoch_append(fresh, store_path, epoch_id)
 
     return merge
 
@@ -958,15 +992,27 @@ def read_url_store(spark: SparkSession, store_path: str) -> DataFrame:
     registry: exactly one row per canonical URL ever admitted (the
     merge only inserts never-seen URLs, so no cross-epoch fold is
     needed — the store IS the registry)."""
-    from data_warehouse_nhom8_spark.sources.snapshots import snapshot_read
+    from data_warehouse_nhom8_spark.sources.snapshots import epoch_read
 
-    store = snapshot_read(spark, store_path)
+    store = epoch_read(spark, store_path)
     if store is None:
         raise FileNotFoundError(
             f"no committed url store at {store_path}; run url_store_sink "
             "through at least one micro-batch first"
         )
     return store
+
+
+def compact_url_store(spark: SparkSession, store_path: str) -> None:
+    """Fold the registry's epoch files into one bucketed base version
+    (rows are disjoint across epochs — the fold is identity, this is
+    pure file-count/layout maintenance). Bucketing the base on
+    canon_url means the merge's first-seen anti-join no longer
+    shuffles the store side. OFFLINE only, stream stopped at a
+    committed checkpoint — same contract as compact_sketch_store."""
+    from data_warehouse_nhom8_spark.sources.snapshots import epoch_compact
+
+    epoch_compact(spark, store_path, bucket_by=["canon_url"])
 
 
 def ivf_store_sink(
@@ -990,9 +1036,11 @@ def ivf_store_sink(
     `ivf_write_index` at the next refit instead).
 
     Same epoch-replacement idempotence as the other store faces: a
-    replayed micro-batch drops its own epoch's rows first, so
-    at-least-once delivery converges (pytest-gated, plus
-    probe-equality vs a one-shot batch index on the union).
+    replayed micro-batch recomputes its delta against the store
+    without its own epoch and its epoch-append supersedes the earlier
+    attempt, so at-least-once delivery converges (pytest-gated, plus
+    probe-equality vs a one-shot batch index on the union). Merge
+    write is O(batch) — the index is never rewritten on the hot path.
 
     Scale: assignment is map-only (k·d fold per vector, no shuffle);
     the first-seen anti-join keys on the id. At rest keep the store
@@ -1021,13 +1069,15 @@ def ivf_store_merge(
     store faces)."""
 
     def merge(batch: DataFrame, epoch_id: int) -> None:
+        from pyspark.sql import Window
+
         from data_warehouse_nhom8_spark.operators.similarity import (
             ivf_assign,
             ivf_load_model,
         )
         from data_warehouse_nhom8_spark.sources.snapshots import (
-            snapshot_overwrite,
-            snapshot_read,
+            epoch_append,
+            epoch_read,
         )
 
         spark = batch.sparkSession
@@ -1041,16 +1091,26 @@ def ivf_store_merge(
             )
             .withColumn("epoch", F.lit(epoch_id).cast("long"))
         )
-        current = snapshot_read(spark, store_path)
-        if current is not None:
-            prior = current.filter(F.col("epoch") != epoch_id)
+        # one deterministic winner per id WITHIN the batch (mirrors
+        # url_store_merge's in-batch row_number winner): duplicate ids
+        # arriving in a single micro-batch would otherwise all pass
+        # the prior-epochs anti-join and violate read_ivf_store's
+        # one-row-per-id-ever-admitted contract. Tiebreak on the
+        # vector bytes' md5 — stable across partitionings.
+        w = Window.partitionBy("id").orderBy(F.md5(F.col("v").cast("string")))
+        assigned = (
+            assigned.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") == 1)
+            .drop("__r")
+        )
+        prior = epoch_read(spark, store_path, exclude_epoch=epoch_id)
+        if prior is not None:
             fresh = assigned.join(
                 prior.select(F.col("id")), "id", "left_anti"
             )
-            merged = prior.unionByName(fresh)
         else:
-            merged = assigned
-        snapshot_overwrite(merged, store_path)
+            fresh = assigned
+        epoch_append(fresh, store_path, epoch_id)
 
     return merge
 
@@ -1058,10 +1118,11 @@ def ivf_store_merge(
 def read_ivf_store(spark: SparkSession, store_path: str, id_col: str = "vec_id") -> DataFrame:
     """(id_col, __v, cluster) — the streamed IVF index in exactly the
     shape `cosine_topk_ivf_probe` consumes (one row per id ever
-    admitted; the merge only inserts never-seen ids)."""
-    from data_warehouse_nhom8_spark.sources.snapshots import snapshot_read
+    admitted; the merge only inserts never-seen ids — within a batch
+    a deterministic row_number winner, across batches first-seen)."""
+    from data_warehouse_nhom8_spark.sources.snapshots import epoch_read
 
-    store = snapshot_read(spark, store_path)
+    store = epoch_read(spark, store_path)
     if store is None:
         raise FileNotFoundError(
             f"no committed ivf store at {store_path}; run ivf_store_sink "
@@ -1070,3 +1131,13 @@ def read_ivf_store(spark: SparkSession, store_path: str, id_col: str = "vec_id")
     return store.select(
         F.col("id").alias(id_col), F.col("v").alias("__v"), "cluster"
     )
+
+
+def compact_ivf_store(spark: SparkSession, store_path: str) -> None:
+    """Fold the index's epoch files into one base version (rows are
+    disjoint across epochs — identity fold; file-count maintenance
+    so probes list O(1) dirs). OFFLINE only, stream stopped at a
+    committed checkpoint."""
+    from data_warehouse_nhom8_spark.sources.snapshots import epoch_compact
+
+    epoch_compact(spark, store_path)

@@ -824,3 +824,92 @@ def test_bucketed_snapshot_nested_types_reregister(spark, tmp_path):
     got = snapshot_read(spark, path)
     assert got.schema == df.schema
     assert sorted(map(str, got.collect())) == sorted(map(str, df.collect()))
+
+
+def _dir_parquet_bytes(d):
+    total = 0
+    for root, _, files in os.walk(d):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def test_epoch_append_read_and_replay_supersede(spark, tmp_path):
+    """The epoch-append commit (round 12): each epoch lands as its own
+    file set; epoch_read unions base + epochs; a re-run of the SAME
+    epoch (at-least-once replay) supersedes the earlier attempt so the
+    store converges; exclude_epoch hides exactly one epoch."""
+    from data_warehouse_nhom8_spark.sources.snapshots import (
+        epoch_append,
+        epoch_ids,
+        epoch_read,
+    )
+
+    path = str(tmp_path / "store")
+    e0 = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    e1 = spark.createDataFrame([(3, "c")], "k long, v string")
+    epoch_append(e0, path, 0)
+    epoch_append(e1, path, 1)
+    assert epoch_ids(path) == [0, 1]
+    got = {tuple(r) for r in epoch_read(spark, path).collect()}
+    assert got == {(1, "a"), (2, "b"), (3, "c")}
+    # exclude_epoch: the merge's "store without my own epoch" view
+    got0 = {tuple(r) for r in epoch_read(spark, path, exclude_epoch=1).collect()}
+    assert got0 == {(1, "a"), (2, "b")}
+    # replay of epoch 1 with different rows REPLACES, never doubles
+    e1b = spark.createDataFrame([(3, "c"), (4, "d")], "k long, v string")
+    epoch_append(e1b, path, 1)
+    got = {tuple(r) for r in epoch_read(spark, path).collect()}
+    assert got == {(1, "a"), (2, "b"), (3, "c"), (4, "d")}
+    assert epoch_ids(path) == [0, 1]
+
+
+def test_epoch_append_io_is_batch_sized_not_store_sized(spark, tmp_path):
+    """The scale contract the epoch log exists for: committing a small
+    epoch on top of a large store writes ~the batch's bytes, NOT the
+    store's (the old read→union→overwrite merge rewrote everything).
+    Asserted on actual parquet bytes on disk."""
+    from data_warehouse_nhom8_spark.sources.snapshots import (
+        epoch_append,
+        epoch_read,
+    )
+
+    path = str(tmp_path / "store")
+    big = spark.range(200_000).select(
+        F.col("id").alias("k"), F.md5(F.col("id").cast("string")).alias("v")
+    )
+    big_dir = epoch_append(big, path, 0)
+    big_bytes = _dir_parquet_bytes(big_dir)
+    small = spark.createDataFrame([(10**9, "tiny")], "k long, v string")
+    small_dir = epoch_append(small, path, 1)
+    small_bytes = _dir_parquet_bytes(small_dir)
+    assert small_bytes < big_bytes / 20, (small_bytes, big_bytes)
+    assert epoch_read(spark, path).count() == 200_001
+
+
+def test_epoch_compact_folds_into_base_and_drops_epochs(spark, tmp_path):
+    """epoch_compact commits the fold as a BASE snapshot version and
+    removes exactly the folded epoch dirs; reads before/after agree;
+    post-compaction appends union on top of the base."""
+    from data_warehouse_nhom8_spark.sources.snapshots import (
+        epoch_append,
+        epoch_compact,
+        epoch_ids,
+        epoch_read,
+        snapshot_read,
+    )
+
+    path = str(tmp_path / "store")
+    for e in range(3):
+        epoch_append(
+            spark.createDataFrame([(e, e * 10)], "k long, n long"), path, e
+        )
+    before = {tuple(r) for r in epoch_read(spark, path).collect()}
+    epoch_compact(spark, path)
+    assert epoch_ids(path) == []
+    assert {tuple(r) for r in snapshot_read(spark, path).collect()} == before
+    assert {tuple(r) for r in epoch_read(spark, path).collect()} == before
+    # new epochs stack on the compacted base
+    epoch_append(spark.createDataFrame([(99, 990)], "k long, n long"), path, 7)
+    assert {tuple(r) for r in epoch_read(spark, path).collect()} == before | {(99, 990)}

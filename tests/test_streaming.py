@@ -7,7 +7,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from data_warehouse_nhom8_spark.sources import load_table
-from data_warehouse_nhom8_spark.sources.snapshots import snapshot_read
+from data_warehouse_nhom8_spark.sources.snapshots import epoch_read, snapshot_read
 from data_warehouse_nhom8_spark.streaming import jobs
 from tests.conftest import SF_DIR
 
@@ -255,13 +255,13 @@ def test_streaming_corpus_ingest_equals_batch_job(spark, tmp_path):
     drain()
     spark.createDataFrame(texts[5:], "doc_id long, text string").write.parquet(str(src / "b2"))
     drain()
-    got_corpus = {tuple(r) for r in snapshot_read(spark, corpus_path).collect()}
-    got_chunks = {tuple(r) for r in snapshot_read(spark, chunks_path).collect()}
+    got_corpus = {tuple(r) for r in jobs.read_corpus_store(spark, corpus_path).collect()}
+    got_chunks = {tuple(r) for r in jobs.read_chunks_store(spark, chunks_path).collect()}
     assert got_corpus == want_corpus
     assert got_chunks == want_chunks
 
     drain()  # replay: nothing new, state unchanged
-    assert {tuple(r) for r in snapshot_read(spark, corpus_path).collect()} == want_corpus
+    assert {tuple(r) for r in jobs.read_corpus_store(spark, corpus_path).collect()} == want_corpus
 
 
 def test_streaming_sketch_rollup_equals_batch(spark, events_dir, events_schema, tmp_path):
@@ -299,7 +299,7 @@ def test_streaming_sketch_rollup_equals_batch(spark, events_dir, events_schema, 
         assert got_rows == rows, (t, got_rows, rows)  # n_rows exactly-once
         assert abs(est - n) <= max(2, 0.05 * n), (t, est, n)
 
-    before = {tuple(r) for r in snapshot_read(spark, store).collect()}
+    before = {tuple(r) for r in epoch_read(spark, store).collect()}
     jobs.run_available_now(
         jobs.sketch_rollup_sink(
             jobs.stream_source(spark, events_dir, events_schema),
@@ -307,7 +307,7 @@ def test_streaming_sketch_rollup_equals_batch(spark, events_dir, events_schema, 
             checkpoint=ck,
         )
     )
-    after = {tuple(r) for r in snapshot_read(spark, store).collect()}
+    after = {tuple(r) for r in epoch_read(spark, store).collect()}
     assert before == after
 
 
@@ -327,7 +327,7 @@ def test_sketch_store_compaction_preserves_rollups(spark, events_dir, events_sch
         r["event_type"]: (r["est_distinct"], r["n_rows"])
         for r in jobs.read_sketch_rollup(spark, store, ["event_type"]).collect()
     }
-    n_cells_before = snapshot_read(spark, store).count()
+    n_cells_before = epoch_read(spark, store).count()
 
     jobs.compact_sketch_store(spark, store, ["event_type"])
 
@@ -335,7 +335,7 @@ def test_sketch_store_compaction_preserves_rollups(spark, events_dir, events_sch
         r["event_type"]: (r["est_distinct"], r["n_rows"])
         for r in jobs.read_sketch_rollup(spark, store, ["event_type"]).collect()
     }
-    compacted = snapshot_read(spark, store)
+    compacted = epoch_read(spark, store)
     assert after == before
     assert compacted.count() == len(before) <= n_cells_before
     assert {r["epoch"] for r in compacted.collect()} == {-1}
@@ -377,7 +377,7 @@ def test_streaming_freq_head_equals_batch(spark, events_dir, events_schema, tmp_
     }
     assert got == want and len(want) > 0
 
-    before = {tuple(r) for r in snapshot_read(spark, store).collect()}
+    before = {tuple(r) for r in epoch_read(spark, store).collect()}
     jobs.run_available_now(
         jobs.freq_head_sink(
             jobs.stream_source(spark, events_dir, events_schema),
@@ -385,7 +385,7 @@ def test_streaming_freq_head_equals_batch(spark, events_dir, events_schema, tmp_
             checkpoint=ck, m=100_000,
         )
     )
-    after = {tuple(r) for r in snapshot_read(spark, store).collect()}
+    after = {tuple(r) for r in epoch_read(spark, store).collect()}
     assert before == after
 
 
@@ -406,16 +406,16 @@ def test_freq_store_compaction_preserves_heads(spark, events_dir, events_schema,
         (r["event_type"], r["rank"]): (r["user_id"], r["lb_count"])
         for r in jobs.read_freq_head(spark, store, ["event_type"], "user_id", k=5).collect()
     }
-    n_before = snapshot_read(spark, store).count()
+    n_before = epoch_read(spark, store).count()
     jobs.compact_freq_store(spark, store, ["event_type"], "user_id", m=100_000)
     after = {
         (r["event_type"], r["rank"]): (r["user_id"], r["lb_count"])
         for r in jobs.read_freq_head(spark, store, ["event_type"], "user_id", k=5).collect()
     }
-    n_after = snapshot_read(spark, store).count()
+    n_after = epoch_read(spark, store).count()
     assert after == before
     assert n_after <= n_before
-    assert {r["epoch"] for r in snapshot_read(spark, store).collect()} == {-1}
+    assert {r["epoch"] for r in epoch_read(spark, store).collect()} == {-1}
 
 
 def test_interval_stream_join_equals_batch(spark, events_dir, events_schema, tmp_path):
@@ -675,12 +675,12 @@ def test_streaming_vocab_store_equals_batch_and_scores(spark, tmp_path):
     ]
     assert got_scores == want_scores
 
-    before = {tuple(r) for r in snapshot_read(spark, store).collect()}
+    before = {tuple(r) for r in epoch_read(spark, store).collect()}
     drain()  # replay: nothing new, store unchanged
-    assert {tuple(r) for r in snapshot_read(spark, store).collect()} == before
+    assert {tuple(r) for r in epoch_read(spark, store).collect()} == before
 
     jobs.compact_vocab_store(spark, store)
-    compacted = snapshot_read(spark, store)
+    compacted = epoch_read(spark, store)
     assert {r["epoch"] for r in compacted.collect()} == {-1}
     assert {tuple(r) for r in jobs.read_vocab_store(spark, store).collect()} == want_vocab
     assert [
@@ -1140,13 +1140,13 @@ def test_streaming_decontam_ingest_equals_batch_job(spark, tmp_path):
     drain()
     spark.createDataFrame(texts[2:], "doc_id long, text string").write.parquet(str(src / "b2"))
     drain()
-    got_corpus = {tuple(r) for r in snapshot_read(spark, corpus_path).collect()}
-    got_chunks = {tuple(r) for r in snapshot_read(spark, chunks_path).collect()}
+    got_corpus = {tuple(r) for r in jobs.read_corpus_store(spark, corpus_path).collect()}
+    got_chunks = {tuple(r) for r in jobs.read_chunks_store(spark, chunks_path).collect()}
     assert got_corpus == want_corpus
     assert got_chunks == want_chunks
 
     drain()  # replay: nothing new, state unchanged
-    assert {tuple(r) for r in snapshot_read(spark, corpus_path).collect()} == want_corpus
+    assert {tuple(r) for r in jobs.read_corpus_store(spark, corpus_path).collect()} == want_corpus
 
 
 def test_ivf_store_streaming_ingest_equals_batch_index(spark, tmp_path):
@@ -1231,6 +1231,53 @@ def test_ivf_store_streaming_ingest_equals_batch_index(spark, tmp_path):
     assert snap() == before
 
 
+def test_ivf_store_dedups_duplicate_ids_within_one_batch(spark, tmp_path):
+    """Round-12 ADVICE fix: duplicate vec_ids arriving in a SINGLE
+    micro-batch must admit exactly one deterministic row (previously
+    the merge only anti-joined against PRIOR epochs, so in-batch
+    duplicates all landed, violating read_ivf_store's
+    one-row-per-id-ever contract and duplicating probe results)."""
+    import numpy as np
+
+    from data_warehouse_nhom8_spark.operators.similarity import (
+        ivf_fit_centroids,
+        ivf_save_model,
+    )
+    from data_warehouse_nhom8_spark.streaming.jobs import (
+        ivf_store_merge,
+        read_ivf_store,
+    )
+
+    rng = np.random.default_rng(7)
+    base = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(20)]
+    schema = "vec_id long, embedding array<float>"
+    all_df = spark.createDataFrame(base, schema)
+    model_path = str(tmp_path / "model")
+    ivf_save_model(ivf_fit_centroids(all_df, n_centroids=2, iters=2), model_path)
+    store = str(tmp_path / "store")
+
+    dup_vec_a = [float(x) for x in rng.normal(size=8)]
+    dup_vec_b = [float(x) for x in rng.normal(size=8)]
+    batch = base[:5] + [(99, dup_vec_a), (99, dup_vec_b), (99, dup_vec_a)]
+    merge = ivf_store_merge(model_path, store)
+    merge(spark.createDataFrame(batch, schema), 0)
+
+    rows = read_ivf_store(spark, store).collect()
+    ids = [r["vec_id"] for r in rows]
+    assert sorted(ids) == sorted(set(ids)), "duplicate id admitted"
+    assert ids.count(99) == 1
+    winner = next(tuple(r["__v"]) for r in rows if r["vec_id"] == 99)
+    # deterministic winner: re-running the same batch as a replay
+    # (same epoch) and as a fresh store yields the same row
+    merge(spark.createDataFrame(batch, schema), 0)
+    again = next(
+        tuple(r["__v"])
+        for r in read_ivf_store(spark, store).collect()
+        if r["vec_id"] == 99
+    )
+    assert again == winner
+
+
 def test_streaming_html_ingest_equals_batch_job(spark, tmp_path):
     """HTML-on-ingest: streaming corpus prep over raw-HTML batches
     must equal the batch run_corpus_prep with the same html_col on
@@ -1282,5 +1329,5 @@ def test_streaming_html_ingest_equals_batch_job(spark, tmp_path):
     drain()
     spark.createDataFrame(texts[3:], "doc_id long, html string").write.parquet(str(src / "b2"))
     drain()
-    got_corpus = {tuple(r) for r in snapshot_read(spark, corpus_path).collect()}
+    got_corpus = {tuple(r) for r in jobs.read_corpus_store(spark, corpus_path).collect()}
     assert got_corpus == want_corpus
