@@ -797,7 +797,13 @@ def decontaminate_scrub(
     feeds that filter); lightly-quoted docs keep their clean bulk
     through this operator instead of being discarded.
 
-    Returns a total table (every non-null-text corpus doc):
+    Returns a total table over every NON-NULL-text corpus doc —
+    NULL-text rows are dropped here (round 12: the scrub CURATES, so
+    a doc with no text is not a document; `contamination_fraction`
+    stays total because it MEASURES, reporting NULL n_tokens for
+    such rows. Previously NULL-text rows leaked through the left
+    join with NULL counts and behaved differently with vs without
+    the downstream gate's bound):
       (id, n_tokens, kept_tokens, removed_tokens, n_spans, clean_text)
     with kept_tokens + removed_tokens == n_tokens, removed_tokens ==
     the clamped cont_tokens of `contamination_fraction` (same spans,
@@ -819,7 +825,11 @@ def decontaminate_scrub(
         .filter(F.size("__spans") > 0)
         .select(id_col, "__spans")
     )
-    joined = corpus.select(id_col, text_col).join(spans, id_col, "left")
+    joined = (
+        corpus.select(id_col, text_col)
+        .filter(_c(text_col).isNotNull())
+        .join(spans, id_col, "left")
+    )
     # stage the token array AND the filtered survivors as NAMED columns
     # (the q52/minhash staging rule): each is referenced 2-3x below and
     # the excision filter is O(tokens x spans) per row — inlined, the
@@ -875,7 +885,9 @@ def decontaminate_gate(
     past-salvage docs (a 90%-benchmark doc is not a training doc with
     the quotes cut out; the q112 fraction rationale). The comparison
     is exact-integer (removed * 10000 <= bound-in-bp * n_tokens), no
-    float boundary ambiguity.
+    float boundary ambiguity. NULL-text docs drop in BOTH modes (the
+    scrub excludes them — round 12; previously they survived as
+    empty-text docs when no bound was set but dropped when one was).
 
     Scale: one extra id-equi-join of docs against the scrub output
     (both id-keyed — co-partitioned on the bucketed snapshot layout);

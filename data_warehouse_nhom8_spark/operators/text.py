@@ -559,6 +559,16 @@ def html_text_cols(html: Column | str = "html") -> dict[str, Column]:
                  link-dense and text-poor). Anchored to the <a tag so
                  a document QUOTING 'href="x"' in body text doesn't
                  count as a link.
+
+    Scope of title/n_links — RAW html, by spec: both read the input
+    BEFORE the script/style/comment strip, so a <title> or <a href>
+    inside a comment or script block IS captured/counted even though
+    the same content is excluded from `text`. Deliberate for the
+    quality-gate use (a link is markup weight whether or not it's
+    commented out; JS-built anchors in script bodies are exactly the
+    link-density signal); the DuckDB twin and the Python hypothesis
+    reference encode the same raw-html scope, and q117's oracle
+    certifies it.
     """
     h = _c(html)
     no_script = F.regexp_replace(h, r"(?i)<script[^>]*>[\s\S]*?</script>", " ")

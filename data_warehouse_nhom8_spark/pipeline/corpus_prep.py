@@ -109,9 +109,16 @@ def run_corpus_prep(
       bench_grams         — PATH to a `benchmark_gram_store` output:
                             each doc is decontamination-SCRUBBED
                             (operators.corpus.decontaminate_gate,
-                            q116's operator) BEFORE any other stage,
-                            so quality gates and chunking see the
-                            clean text; `max_cont_fraction` drops
+                            q116's operator) after HTML extraction
+                            and the source cap but BEFORE prep and
+                            every quality stage — quality gates and
+                            chunking see the clean text. (The cap
+                            deliberately runs first: it ranks RAW
+                            ingest volume per source; running it on
+                            scrubbed survivors would let a heavily
+                            contaminated source backfill its quota
+                            with docs the gate was about to drop.)
+                            `max_cont_fraction` drops
                             past-salvage docs whose removed-token
                             share exceeds the bound (q112 rationale).
                             The store path keeps the daily run from

@@ -576,3 +576,31 @@ def test_html_extract_matches_duckdb_twin(spark, duck):
         for r in duck.execute(EXTENSION_ORACLES["q117_html_extract"]).fetchall()
     ]
     assert got == want
+
+
+def test_decontaminate_scrub_and_gate_drop_null_text_consistently(spark):
+    """Round-12 ADVICE fix: NULL-text docs drop in the scrub (matching
+    contamination_fraction's semantics), so decontaminate_gate behaves
+    IDENTICALLY with and without max_cont_fraction — previously the
+    NULL rows leaked through the scrub's left join with NULL counts
+    and only the bounded gate dropped them (NULL comparison)."""
+    bench = spark.createDataFrame([(97, "b1 b2 b3")], "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(1, "clean words here", "s"), (2, None, "s"), (3, "b1 b2 b3", "s")],
+        "doc_id long, text string, src string",
+    )
+    scrubbed = corpus.decontaminate_scrub(docs, bench, gram_w=8)
+    assert {r["doc_id"] for r in scrubbed.collect()} == {1, 3}
+    # contamination_fraction stays TOTAL (it measures, it doesn't
+    # curate): the NULL-text row reports NULL n_tokens / 0 cont
+    frac = {
+        r["doc_id"]: (r["n_tokens"], r["cont_tokens"])
+        for r in corpus.contamination_fraction(docs, bench, gram_w=8).collect()
+    }
+    assert frac[2] == (None, 0)
+    unbounded = corpus.decontaminate_gate(docs, bench, gram_w=8)
+    # bound 1.0 keeps even the fully-contaminated doc — it isolates
+    # the NULL-text behavior from the fraction gate itself
+    bounded = corpus.decontaminate_gate(docs, bench, gram_w=8, max_cont_fraction=1.0)
+    assert {r["doc_id"] for r in unbounded.collect()} == {1, 3}
+    assert {r["doc_id"] for r in bounded.collect()} == {1, 3}
