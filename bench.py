@@ -158,10 +158,29 @@ def main() -> None:
         t0 = time.perf_counter()
         plain_results[name] = QUERIES[name](spark, sf_dir).toArrow()
         warm_plain[name] = round(time.perf_counter() - t0, 3)
+    load_ext = list(os.getloadavg())  # per-lane stamp (round-12 task 4b)
+    ext_samples: dict[str, list[float]] = {}
     for name in extension:  # extensions: plain dir only (tables unbucketed)
         t0 = time.perf_counter()
         QUERIES[name](spark, sf_dir).toArrow()
         warm_ext_map[name] = round(time.perf_counter() - t0, 3)
+        ext_samples[name] = [warm_ext_map[name]]
+    # Store-backed probes (q53-class) are steady-state estimators with
+    # committed idle baselines; a transiently loaded box (driver side
+    # work, page-cache churn) inflated the r10/r11 artifacts 1.4-1.6x
+    # over the same HEAD's idle runs. Estimator = min of two samples:
+    # the second run immediately follows, so a contended first sample
+    # doesn't ship as the probe's declared steady state (both samples
+    # stay visible in the artifact).
+    from data_warehouse_nhom8_spark.plans.extensions import STORE_OF_QUERY
+
+    for name in extension:
+        if STORE_OF_QUERY.get(name):
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).toArrow()
+            second = round(time.perf_counter() - t0, 3)
+            ext_samples[name].append(second)
+            warm_ext_map[name] = min(warm_ext_map[name], second)
 
     def canon_rows(tbl) -> list[str]:
         cols = sorted(tbl.column_names)
@@ -179,10 +198,28 @@ def main() -> None:
             layout_mismatch.append(name)
     del plain_results
     pass_warmup()
+    load_buck = list(os.getloadavg())  # lane-start stamp (round-12 task 5)
     for name in oracled:  # warm, production bucketed layout → headline
         t0 = time.perf_counter()
         QUERIES[name](spark, bdir).toArrow()
         warm_buck[name] = round(time.perf_counter() - t0, 3)
+    # Contention defense (round-12 task 5): the r11 artifact carried a
+    # 6.79 s bucketed q45 vs 0.66 s for the SAME plan in the plain lane
+    # of the SAME run — transient box load, not the layout. Any
+    # bucketed time >3x its plain-lane counterpart (same data, same
+    # query, near-identical plan) re-runs ONCE and keeps the min; the
+    # rerun list ships in the artifact, and `contended` flags a lane
+    # that started on a loaded box (1-min loadavg over 8 — bench's own
+    # sequential lanes idle ~2-4 on this 32-core box).
+    bucketed_reruns: dict[str, list[float]] = {}
+    for name in oracled:
+        if warm_buck[name] > 3 * max(warm_plain[name], 0.05):
+            t0 = time.perf_counter()
+            QUERIES[name](spark, bdir).toArrow()
+            second = round(time.perf_counter() - t0, 3)
+            bucketed_reruns[name] = [warm_buck[name], second]
+            warm_buck[name] = min(warm_buck[name], second)
+    contended = load_buck[0] > 8.0
 
     warm_oracle_plain = round(sum(warm_plain.values()), 3)
     warm_oracle_buck = round(sum(warm_buck.values()), 3)
@@ -317,8 +354,11 @@ def main() -> None:
         "queries_plain": warm_plain,
         "layout_mismatches": layout_mismatch,
         "bucketed_fixture": fixture,
+        "bucketed_reruns": bucketed_reruns,
+        "contended": contended,
         "extensions_total_sec": warm_ext,
         "queries_ext": warm_ext_map,
+        "ext_probe_samples": {k: v for k, v in ext_samples.items() if len(v) > 1},
         "duckdb_warm_total_sec": duck_warm_total,
         "duckdb_warm_total_after_sec": duck2["warm_total"],
         "duckdb_warm_paired_sec": duck_warm_paired,
@@ -333,7 +373,13 @@ def main() -> None:
         "aqe_on_warm_total_sec": aqe_on_warm_total,
         "n_queries": len(cold),
         "midscale": midscale,
-        "loadavg": {"start": load_start, "mid": load_mid, "end": load_end},
+        "loadavg": {
+            "start": load_start,
+            "ext_lane": load_ext,
+            "bucketed_lane": load_buck,
+            "mid": load_mid,
+            "end": load_end,
+        },
         "store_fit_sec": store_fit,
         "extensions_fit_probe": {
             q: {
@@ -370,6 +416,8 @@ def main() -> None:
         "cold_total_sec": cold_oracle,
         "plain_warm_total_sec": warm_oracle_plain,
         "layout_mismatches": len(layout_mismatch),
+        "contended": contended,
+        "n_reruns": len(bucketed_reruns),
         "fixture_build_sec": fixture["seconds"],
         "extensions_total_sec": warm_ext,
         "duckdb_warm_total_sec": duck_warm_total,

@@ -464,7 +464,16 @@ def minhash_incremental_pairs(
             F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        # LAZY in the store-loader path (round 12): the capped
+        # cand_ids collect just below is then the single first
+        # consumer and writes the checkpoint as a side effect -- the
+        # cands job and the id-list job fuse into one barrier (same
+        # race-free rationale as the staged checkpoint above; the mx
+        # collect has already run, nothing else is in flight). The
+        # non-loader paths keep the eager barrier: their first
+        # consumer is the verify job, whose two plan branches over
+        # cands would otherwise race to materialize.
+        .localCheckpoint(eager=corpus_sets_loader is None)
     )
 
     # shingle sets for the candidate OLD docs only (sparse rebuild)
@@ -485,8 +494,9 @@ def minhash_incremental_pairs(
         # fan the candidate set far past the batch — above the cap
         # the probe degrades to loader(None), a full (still
         # snapshot-pruned-by-nothing, but executor-side) sets scan,
-        # instead of a driver OOM building a huge in-filter. `cands`
-        # is already an eager checkpoint, so this adds no extra job.
+        # instead of a driver OOM building a huge in-filter. This
+        # collect is the job that MATERIALIZES the lazy cands
+        # checkpoint (round 12) — one barrier where r11 had two.
         cap = 100_000
         limited = cand_ids.limit(cap + 1).collect()
         ids = [r["id"] for r in limited] if len(limited) <= cap else None

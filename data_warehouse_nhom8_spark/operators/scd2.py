@@ -256,6 +256,57 @@ def scd2_as_of(
     )
 
 
+def scd2_as_of_pruned(
+    spark,
+    path: str,
+    as_of_date: str,
+    effective_col: str = "extracted_date",
+    expired_col: str = "expired",
+):
+    """Point-in-time read AT REST with file-level data skipping
+    (round 12, verdict task 7): consult the snapshot version's
+    `_STATS.json` manifest (written by `snapshot_compact(stats_cols=
+    [effective, expired])`) and scan ONLY files whose
+    [min(effective), max(expired)] hull can hold a version current on
+    `as_of_date` — i.e. min(effective) <= d AND max(expired) >= d.
+    Old point-in-time reports skip every file of versions that began
+    after d entirely; the residual `scd2_as_of` filter then applies
+    row-wise, so pruned == plain ALWAYS (superset guarantee — files
+    without usable stats are kept, fail-open). Current-row sentinel
+    dates (9999-12-31) simply make a file's expired hull unbounded
+    above — such files are correctly always candidates.
+
+    Returns (df, files_selected, files_total) like `snapshot_scan`;
+    `df` is an empty frame with the table schema when no file
+    qualifies. At 100 TB this is the difference between an as-of
+    report scanning the full warehouse history and scanning the
+    handful of files whose version range brackets the date — the same
+    skip a table format's planner gets from its manifest."""
+    import datetime as _dt
+
+    from data_warehouse_nhom8_spark.sources.snapshots import (
+        snapshot_read,
+        snapshot_scan,
+    )
+
+    d = _dt.date.fromisoformat(as_of_date)
+    df, n_sel, n_total = snapshot_scan(
+        spark,
+        path,
+        ranges={effective_col: (None, d), expired_col: (d, None)},
+    )
+    if df is None:
+        base = snapshot_read(spark, path)
+        if base is None:
+            raise FileNotFoundError(f"no committed snapshot at {path}")
+        return base.limit(0), 0, n_total
+    return (
+        scd2_as_of(df, as_of_date, effective_col, expired_col),
+        n_sel,
+        n_total,
+    )
+
+
 def scd2_temporal_join(
     fact: DataFrame,
     snapshot: DataFrame,

@@ -440,3 +440,68 @@ def test_scd2_bucketed_current_removes_table_side_exchange(spark, tmp_path):
         assert nb < np_, (nb, np_)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_scd2_as_of_pruned_skips_files_and_equals_plain(spark, tmp_path):
+    """Round-12 verdict task 7: the at-rest point-in-time read prunes
+    files through the stats manifest — a multi-version SCD2 snapshot
+    whose files segregate by effective date must (a) return EXACTLY
+    the plain scd2_as_of rows for every probe date and (b) skip every
+    file whose version range starts after the as-of date."""
+    import datetime
+
+    from data_warehouse_nhom8_spark.operators.scd2 import (
+        scd2_as_of,
+        scd2_as_of_pruned,
+    )
+    from data_warehouse_nhom8_spark.sources.snapshots import (
+        snapshot_compact,
+        snapshot_overwrite,
+        snapshot_read,
+    )
+
+    # 4 keys x 8 yearly versions: effective 2018..2025-01-01, each
+    # version expires at the next one's effective; 2025 is current
+    # (9999-12-31 sentinel)
+    rows = []
+    for k in range(4):
+        for y in range(2018, 2026):
+            eff = datetime.date(y, 1, 1)
+            exp = datetime.date(9999, 12, 31) if y == 2025 else datetime.date(y + 1, 1, 1)
+            rows.append((k, eff, exp, y * 100 + k))
+    snap = spark.createDataFrame(
+        rows, "nk long, effective date, expired date, attr long"
+    )
+    path = str(tmp_path / "scd2")
+    snapshot_overwrite(snap.repartition(4), path)
+    out = snapshot_compact(
+        spark,
+        path,
+        target_file_bytes=1 << 10,
+        zorder_by=["effective"],
+        stats_cols=["effective", "expired"],
+    )
+    assert out is not None
+
+    plain = snapshot_read(spark, path)
+    for probe in ("2019-06-15", "2021-01-01", "2025-07-01"):
+        df, n_sel, n_total = scd2_as_of_pruned(
+            spark, path, probe, effective_col="effective"
+        )
+        got = sorted((r.nk, r.attr) for r in df.collect())
+        want = sorted(
+            (r.nk, r.attr)
+            for r in scd2_as_of(plain, probe, effective_col="effective").collect()
+        )
+        assert got == want and len(want) == 4, (probe, got, want)
+        assert n_total > 2, "fixture should have several files"
+        if probe == "2019-06-15":
+            # files holding only 2020+ versions can't satisfy
+            # min(effective) <= 2019-06-15 — they must be skipped
+            assert n_sel < n_total, (n_sel, n_total)
+
+    # a date before any version: no rows, schema intact
+    df, n_sel, n_total = scd2_as_of_pruned(
+        spark, path, "2000-01-01", effective_col="effective"
+    )
+    assert df.count() == 0 and set(df.columns) == {"nk", "effective", "expired", "attr"}
