@@ -244,8 +244,15 @@ def neardup_ingest_sink(
     into the pairs snapshot keyed by (id_a, id_b), and the state
     advances atomically. Feeding batches one at a time produces
     exactly the full batch detector's pair set (pytest-gated), and
-    replays converge: re-ingested batches overwrite the same state
-    rows and re-derive the same pairs. Assumes an append-only corpus
+    replays converge: a re-run micro-batch replaces its own epoch's
+    file sets in BOTH stores (epoch-append commits — round 12: the
+    old merges rewrote the full signature state AND the full pair
+    table per micro-batch, O(corpus) I/O on the hot path; now only
+    the batch's state rows and the batch's pairs land as that
+    epoch's files). Reads go through `read_sig_state` /
+    `read_neardup_pairs`, which resolve last-writer-wins per key
+    across epochs (later epoch beats earlier — exactly the old
+    incoming-beats-current upsert). Assumes an append-only corpus
     (the LLM-ingest shape): re-ingesting a CHANGED text under an
     existing id updates its state row but does not retract pairs the
     old text produced."""
@@ -254,13 +261,10 @@ def neardup_ingest_sink(
     )
 
     def merge(batch: DataFrame, epoch_id: int) -> None:
-        from data_warehouse_nhom8_spark.sources.snapshots import (
-            snapshot_overwrite,
-            snapshot_read,
-        )
+        from data_warehouse_nhom8_spark.sources.snapshots import epoch_append
 
         spark = batch.sparkSession
-        store = snapshot_read(spark, state_path)
+        store = read_sig_state(spark, state_path, exclude_epoch=epoch_id)
         pairs, new_store = minhash_incremental_with_state(
             batch,
             store,
@@ -270,20 +274,60 @@ def neardup_ingest_sink(
             shingle_w=shingle_w,
             max_bucket_size=max_bucket_size,
         )
-        current_pairs = snapshot_read(spark, pairs_path)
-        merged = upsert_last_writer_wins(
-            current_pairs, pairs, ["id_a", "id_b"], [F.desc("jaccard")]
+        # the batch's state delta: new_store = kept_old ∪ batch rows,
+        # and kept_old excludes batch ids by construction, so a semi
+        # join on the batch's ids selects exactly the batch's rows —
+        # the WRITE is batch-sized (the store is only ever read)
+        batch_ids = batch.select(F.col("doc_id").alias("id")).distinct()
+        delta = new_store.join(batch_ids, "id", "left_semi").withColumn(
+            "epoch", F.lit(epoch_id).cast("long")
         )
-        # state first: a crash between the two writes re-runs the
-        # micro-batch (at-least-once), and both merges are idempotent
-        snapshot_overwrite(new_store, state_path)
-        snapshot_overwrite(merged, pairs_path)
+        # state first: a crash between the two appends re-runs the
+        # micro-batch (at-least-once), and both appends replace their
+        # own epoch's files — idempotent either way
+        epoch_append(delta, state_path, epoch_id)
+        epoch_append(
+            pairs.withColumn("epoch", F.lit(epoch_id).cast("long")),
+            pairs_path,
+            epoch_id,
+        )
 
     return (
         stream.writeStream.foreachBatch(merge)
         .option("checkpointLocation", checkpoint)
         .outputMode("update")
     )
+
+
+def read_sig_state(
+    spark: SparkSession, state_path: str, exclude_epoch: int | None = None
+) -> DataFrame | None:
+    """(id, sig, h64) — the near-dup signature state, last-writer-wins
+    resolved per id across epochs (re-ingested ids take their newest
+    epoch's row). None when nothing is committed yet. The epoch
+    column is storage-internal and dropped here."""
+    from data_warehouse_nhom8_spark.sources.snapshots import epoch_read
+
+    store = epoch_read(spark, state_path, exclude_epoch=exclude_epoch)
+    if store is None:
+        return None
+    return _lww_resolve(store, ["id"], [])
+
+
+def read_neardup_pairs(spark: SparkSession, pairs_path: str) -> DataFrame:
+    """(id_a, id_b, jaccard) — the accumulated near-dup pair table,
+    one row per pair: later epochs beat earlier for a re-derived pair
+    (the old upsert's incoming-beats-current), jaccard descending
+    breaks ties within an epoch."""
+    from data_warehouse_nhom8_spark.sources.snapshots import epoch_read
+
+    store = epoch_read(spark, pairs_path)
+    if store is None:
+        raise FileNotFoundError(
+            f"no committed pairs at {pairs_path}; run neardup_ingest_sink "
+            "through at least one micro-batch first"
+        )
+    return _lww_resolve(store, ["id_a", "id_b"], [F.desc("jaccard")])
 
 
 def sketch_rollup_sink(

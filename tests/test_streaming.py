@@ -197,19 +197,19 @@ def test_streaming_neardup_ingest_equals_batch_detector(spark, tmp_path):
 
     got = {
         (r["id_a"], r["id_b"], r["jaccard"])
-        for r in snapshot_read(spark, pairs).collect()
+        for r in jobs.read_neardup_pairs(spark, pairs).collect()
     }
     assert got == want
-    assert snapshot_read(spark, state).count() == 6
+    assert jobs.read_sig_state(spark, state).count() == 6
 
     # replay everything under a FRESH checkpoint: state converges
     drain(str(tmp_path / "ck2"))
     got2 = {
         (r["id_a"], r["id_b"], r["jaccard"])
-        for r in snapshot_read(spark, pairs).collect()
+        for r in jobs.read_neardup_pairs(spark, pairs).collect()
     }
     assert got2 == want
-    assert snapshot_read(spark, state).count() == 6
+    assert jobs.read_sig_state(spark, state).count() == 6
 
 
 def test_streaming_corpus_ingest_equals_batch_job(spark, tmp_path):
