@@ -1871,8 +1871,8 @@ EXTENSION_ORACLES: dict[str, str] = {
     "q114_scd2_as_of": _SCD2_FIXTURE_SQL
     + """
         SELECT o_custkey,
-               strftime(effective, '%Y-%m-%d') AS effective,
-               strftime(expired, '%Y-%m-%d') AS expired,
+               CAST(CAST(effective AS DATE) AS STRING) AS effective,
+               CAST(CAST(expired AS DATE) AS STRING) AS expired,
                n_orders, price_cents
         FROM snap
         WHERE effective <= DATE '1995-06-17'
@@ -1882,8 +1882,8 @@ EXTENSION_ORACLES: dict[str, str] = {
     "q115_scd2_temporal_join": _SCD2_FIXTURE_SQL
     + """
         SELECT f.o_orderkey, f.o_custkey, f.o_orderdate,
-               strftime(s.effective, '%Y-%m-%d') AS effective,
-               strftime(s.expired, '%Y-%m-%d') AS expired,
+               CAST(CAST(s.effective AS DATE) AS STRING) AS effective,
+               CAST(CAST(s.expired AS DATE) AS STRING) AS expired,
                s.n_orders, s.price_cents
         FROM orders f
         LEFT JOIN snap s

@@ -938,3 +938,38 @@ def epoch_compact(
         for a in _epoch_attempts(path).get(e, []):
             shutil.rmtree(_epoch_dir(path, e, a), ignore_errors=True)
     return vdir
+
+
+def epoch_delete_keys(
+    spark: SparkSession,
+    path: str,
+    delete_keys: DataFrame,
+    key_cols: Sequence[str],
+    **overwrite_kwargs,
+) -> dict:
+    """GDPR-grade keyed deletion for an epoch-append store: fold base +
+    epochs into a new BASE version with every matching row removed,
+    then drop the folded epoch dirs (they contained the doomed rows'
+    files — leaving them would defeat the deletion). History is NOT
+    retained: like `snapshot_delete_keys(purge_history=True)`, the
+    pre-delete version dirs GC immediately (keep=1), because a delete
+    whose data survives in time travel isn't a delete.
+
+    OFFLINE like every epoch fold (stream stopped at a committed
+    checkpoint). Returns {"deleted": n, "remaining": n}. At scale this
+    is one anti-join + one base rewrite — the same cost as a scheduled
+    compaction, which is where erasure batches belong anyway."""
+    before_df = epoch_read(spark, path)
+    if before_df is None:
+        return {"deleted": 0, "remaining": 0}
+    before = before_df.count()
+    keys = delete_keys.select(*key_cols).distinct()
+    overwrite_kwargs.setdefault("keep", 1)
+    epoch_compact(
+        spark,
+        path,
+        fold=lambda df: df.join(F.broadcast(keys), list(key_cols), "left_anti"),
+        **overwrite_kwargs,
+    )
+    after = epoch_read(spark, path).count()
+    return {"deleted": before - after, "remaining": after}

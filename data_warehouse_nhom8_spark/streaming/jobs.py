@@ -189,6 +189,17 @@ def upsert_sink(
     Idempotent under micro-batch replay (merge by key), which is what
     makes the at-least-once file source effectively exactly-once here.
 
+    Why this face stays copy-on-write while the store faces moved to
+    epoch-append commits (round 12): this sink maintains a GENERAL
+    warehouse table whose whole point is that every downstream reader
+    sees plain `snapshot_read` semantics — time travel, change feed,
+    GDPR deletes, bucketed layout all hang off the version chain. A
+    keyed MERGE is a rewrite in every table format too (copy-on-write
+    Iceberg/Delta MERGE); the scale lever here is the bucketed layout
+    (only the increment shuffles — see upsert_keyed_join) and, at
+    partition grain, dynamic partition overwrite. The epoch log is
+    for APPEND-shaped stores with dedicated read faces.
+
     `doctor_name` opts the sink into the first-epoch plan lint
     (`lint_microbatch`): the merged plan is reviewed before the write
     and findings ledger as ``doctor:stream:<name>``.

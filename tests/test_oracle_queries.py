@@ -69,5 +69,9 @@ def test_sql_surface_matches_dataframe_plans(spark):
     assert not mismatched, mismatched
     # the measured portable count — a previously-portable oracle
     # regressing out of the SQL surface must fail here, not hide in
-    # the dialect skip (59 measured when the gate was added)
-    assert ran >= 59, f"only {ran} oracle SQL strings ran on Spark SQL"
+    # the dialect skip (59 measured when the gate was added; 58 since
+    # round 12: q06 retired to its q73 superset [-1], q114/q115's
+    # sentinel-safe outputs use the portable CAST(date AS STRING)
+    # [ISO in both engines, so they STAY on the surface], and the new
+    # q117 oracle is DuckDB-dialect by necessity [regex 'g' flags])
+    assert ran >= 58, f"only {ran} oracle SQL strings ran on Spark SQL"

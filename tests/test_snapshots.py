@@ -913,3 +913,42 @@ def test_epoch_compact_folds_into_base_and_drops_epochs(spark, tmp_path):
     # new epochs stack on the compacted base
     epoch_append(spark.createDataFrame([(99, 990)], "k long, n long"), path, 7)
     assert {tuple(r) for r in epoch_read(spark, path).collect()} == before | {(99, 990)}
+
+
+def test_epoch_delete_keys_purges_rows_and_epoch_files(spark, tmp_path):
+    """GDPR deletion on an epoch store: matching rows vanish from the
+    read face, the folded epoch dirs (which physically held them) are
+    gone, and pre-delete versions are not retained for time travel —
+    a delete whose data survives somewhere isn't a delete."""
+    import os
+
+    from data_warehouse_nhom8_spark.sources.snapshots import (
+        epoch_append,
+        epoch_delete_keys,
+        epoch_ids,
+        epoch_read,
+        snapshot_versions,
+    )
+
+    path = str(tmp_path / "store")
+    for e in range(3):
+        epoch_append(
+            spark.createDataFrame(
+                [(e * 10 + i, f"u{i}") for i in range(4)], "k long, user string"
+            ),
+            path,
+            e,
+        )
+    doomed = spark.createDataFrame([("u1",), ("u3",)], "user string")
+    out = epoch_delete_keys(spark, path, doomed, ["user"])
+    assert out == {"deleted": 6, "remaining": 6}
+    got = {r["user"] for r in epoch_read(spark, path).collect()}
+    assert got == {"u0", "u2"}
+    assert epoch_ids(path) == []  # the doomed rows' files are gone
+    assert len(snapshot_versions(path)) == 1  # no pre-delete history
+    # byte-level: no parquet file under the store still holds 'u1'
+    for root, _, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                with open(os.path.join(root, f), "rb") as fh:
+                    assert b"u1" not in fh.read()
