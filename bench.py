@@ -452,8 +452,11 @@ def main() -> None:
     if len(line) >= 1900:
         # self-heal instead of crashing the artifact: drop the bulkiest
         # optional keys until the driver's 2000-char window fits (full
-        # detail always survives in BENCH_LOCAL.json)
-        for victim in ("ext_fit_probe", "loadavg", "midscale"):
+        # detail always survives in BENCH_LOCAL.json). ext_fit_probe
+        # goes LAST — it carries the q53 probe estimator the per-round
+        # review reads, and the r12 run proved dropping it first loses
+        # exactly the number that mattered.
+        for victim in ("loadavg", "midscale", "ext_fit_probe"):
             compact.pop(victim, None)
             line = json.dumps(compact, separators=(",", ":"))
             if len(line) < 1900:
