@@ -1331,3 +1331,45 @@ def test_streaming_html_ingest_equals_batch_job(spark, tmp_path):
     drain()
     got_corpus = {tuple(r) for r in jobs.read_corpus_store(spark, corpus_path).collect()}
     assert got_corpus == want_corpus
+
+
+def test_compacted_url_store_antijoin_shuffles_only_the_batch(spark, tmp_path):
+    """The 100 TB claim in url_store_merge's docstring, pinned in the
+    plan: after compact_url_store (bucketed base on canon_url), the
+    first-seen anti-join carries the store's bucket distribution — the
+    ONLY hashpartitioning exchange is the batch side. Broadcast is
+    disabled so the dim-sized test store can't cheat its way out of
+    the join shape a 10^10-row registry would face."""
+    import re
+
+    from data_warehouse_nhom8_spark.sources.snapshots import (
+        epoch_append,
+        epoch_read,
+    )
+
+    s = spark.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    store = str(tmp_path / "url")
+    rows = s.range(50_000).select(
+        F.concat(F.lit("https://ex.com/"), F.col("id").cast("string")).alias(
+            "canon_url"
+        ),
+        F.lit("ex.com").alias("domain"),
+        F.col("id").alias("doc_id"),
+        F.lit(0).cast("long").alias("epoch"),
+    )
+    epoch_append(rows, store, 0)
+    jobs.compact_url_store(s, store)
+    prior = epoch_read(s, store)
+    batch = s.range(100).select(
+        F.concat(F.lit("https://ex.com/x"), F.col("id").cast("string")).alias(
+            "canon_url"
+        )
+    )
+    fresh = batch.join(prior.select("canon_url"), "canon_url", "left_anti")
+    p = fresh._jdf.queryExecution().executedPlan().toString()
+    n_hash_ex = len(re.findall(r"Exchange hashpartitioning", p))
+    assert n_hash_ex == 1, p  # the batch side; the bucketed store stays put
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
+    assert fresh.count() == 100  # all new URLs admitted (disjoint prefix)
