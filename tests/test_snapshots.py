@@ -952,3 +952,24 @@ def test_epoch_delete_keys_purges_rows_and_epoch_files(spark, tmp_path):
             if f.endswith(".parquet"):
                 with open(os.path.join(root, f), "rb") as fh:
                     assert b"u1" not in fh.read()
+
+
+def test_epoch_append_empty_batch_is_readable(spark, tmp_path):
+    """An all-duplicates micro-batch appends an EMPTY epoch (the URL
+    first-seen merge's common steady state). Spark writes a
+    schema-carrying part file even for zero rows, so epoch_read's
+    multi-path scan must keep working across empty epochs — and a
+    later non-empty epoch stacks normally."""
+    from data_warehouse_nhom8_spark.sources.snapshots import (
+        epoch_append,
+        epoch_ids,
+        epoch_read,
+    )
+
+    path = str(tmp_path / "store")
+    epoch_append(spark.createDataFrame([(1, "a")], "k long, v string"), path, 0)
+    epoch_append(spark.createDataFrame([], "k long, v string"), path, 1)
+    assert epoch_ids(path) == [0, 1]
+    assert {tuple(r) for r in epoch_read(spark, path).collect()} == {(1, "a")}
+    epoch_append(spark.createDataFrame([(2, "b")], "k long, v string"), path, 2)
+    assert {tuple(r) for r in epoch_read(spark, path).collect()} == {(1, "a"), (2, "b")}
