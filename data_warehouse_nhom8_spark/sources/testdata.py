@@ -121,7 +121,7 @@ def build_bucketed_fixture(
     sf_dir: str,
     dest: str,
     keys: dict[str, list[str]] | None = None,
-    n_buckets: int = 8,
+    n_buckets: int | None = None,
 ) -> dict:
     """Materialize a testdata dir in the PRODUCTION layout: the fact
     tables in `keys` become bucketed versioned snapshots under
@@ -136,20 +136,63 @@ def build_bucketed_fixture(
     and reports it separately — a production deployment pays it at
     ingest, not per query). Returns {"built": bool, "seconds": s}.
 
-    `n_buckets` defaults to 8 (the auto-sizing floor — right for the
-    sf0.1 bench facts; the 600M-row probe sizing rule says grow it
-    with bytes/256MB for bigger fixtures)."""
+    `n_buckets=None` (default) sizes each fact from its SOURCE
+    parquet's footer-uncompressed bytes with the snapshot sizing rule
+    (bytes/256 MB, next power of two, clamp [8, 4096]) — the x100
+    probe exposed the old fixed-8 default as the r8 under-bucketing
+    pathology in miniature (60M-row lineitem in 8 buckets = 7.5M-row
+    sort tasks on 32 cores; q93-bucketed read SLOWER than plain).
+    Pass an int to pin (co-located pairs at sf0.1 still resolve to
+    the same 8-bucket floor either way, so the bench layout is
+    unchanged there)."""
     import json
     import time
 
+    from data_warehouse_nhom8_spark.session import _dir_uncompressed_bytes
     from data_warehouse_nhom8_spark.sources.snapshots import snapshot_overwrite
 
+    def _size_from_source(table: str) -> int:
+        # ~64 MB uncompressed per bucket (the shuffle-sizing rule, not
+        # the 256 MB at-rest file target): a bucketed scan yields ONE
+        # task per bucket that AQE cannot re-split, so buckets are the
+        # COMPUTE grain here — the x100 probe measured q93 20% slower
+        # on 8 buckets (7.5M-row sort tasks) than plain 64-partition
+        # shuffles. Single-file tables (driver testdata) footer-read
+        # directly; _dir_uncompressed_bytes walks directories.
+        src = os.path.join(sf_dir, f"{table}.parquet")
+        if os.path.isfile(src):
+            try:
+                import pyarrow.parquet as pq
+
+                md = pq.ParquetFile(src).metadata
+                total = sum(
+                    md.row_group(i).total_byte_size
+                    for i in range(md.num_row_groups)
+                )
+            except Exception:
+                total = os.path.getsize(src)
+        else:
+            total = _dir_uncompressed_bytes(src)
+        n = 8
+        while n < 4096 and n * (64 << 20) < total:
+            n *= 2
+        return n
+
     keys = keys if keys is not None else BUCKETED_FIXTURE_KEYS
+    counts = {
+        t: (n_buckets if n_buckets is not None else _size_from_source(t))
+        for t in keys
+    }
+    # co-located join pairs must share a count: lift every bucketed
+    # fact to the max so l_orderkey==o_orderkey stays exchange-free
+    if counts:
+        shared = max(counts.values())
+        counts = {t: shared for t in counts}
     os.makedirs(dest, exist_ok=True)
     marker = os.path.join(dest, "_FIXTURE.json")
     stamp = {
         "sf_dir": os.path.abspath(sf_dir),
-        "n_buckets": n_buckets,
+        "n_buckets": counts,
         "keys": {t: list(c) for t, c in sorted(keys.items())},
         "mtimes": {
             t: os.path.getmtime(os.path.join(sf_dir, f"{t}.parquet"))
@@ -170,7 +213,7 @@ def build_bucketed_fixture(
                 load_table(spark, sf_dir, t),
                 os.path.join(dest, t),
                 bucket_by=keys[t],
-                n_buckets=n_buckets,
+                n_buckets=counts[t],
             )
         else:
             link = os.path.join(dest, f"{t}.parquet")
