@@ -346,6 +346,7 @@ def snapshot_overwrite(
     bucket_by: Sequence[str] | None = None,
     n_buckets: int | str | None = None,
     sort: bool = True,
+    prepartition: bool = False,
 ) -> str:
     """Distributed write of `df` as the next version, then atomic
     pointer swap. Returns the committed version dir. Never collects:
@@ -363,6 +364,17 @@ def snapshot_overwrite(
     write itself needs NO shuffle: each task hashes rows to per-bucket
     files (file count is bounded by compaction, which rewrites
     file-per-bucket).
+
+    `prepartition=True` (round 12) shuffles the input onto the bucket
+    hash BEFORE the write (repartition(n, *bucket_by) — the same
+    Murmur3 hash the bucket id uses, so each task holds exactly one
+    bucket's rows and writes ONE file). The default no-shuffle write
+    emits up to tasks × buckets files, fine for increment-sized
+    merges (compaction bounds it) but explosive on a bulk BACKFILL:
+    the 600M-row probe's 256-bucket build died on temp-file disk with
+    ~100 × 256 staged files. Use it for backfills and fixture builds;
+    leave it off for recurring increment writes (one shuffle of a
+    daily increment costs more than its few extra files).
 
     SIZE `n_buckets` to the table, not the cluster: a bucketed scan
     yields ONE partition per bucket and AQE cannot re-split it, so an
@@ -417,6 +429,8 @@ def snapshot_overwrite(
         # reached it): external-table drop leaves files; rmtree both
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         shutil.rmtree(vdir, ignore_errors=True)
+        if prepartition:
+            df = df.repartition(int(n_buckets), *[F.col(c) for c in bucket_by])
         w = (
             df.write.mode("overwrite")
             .format("parquet")

@@ -209,11 +209,16 @@ def build_bucketed_fixture(
     t0 = time.perf_counter()
     for t in schemas.TESTDATA_TABLES:
         if t in keys:
+            # prepartition: a fixture build is a bulk backfill — one
+            # shuffle onto the bucket hash writes ONE file per bucket
+            # instead of tasks x buckets staged files (the 600M-row
+            # build's disk killer)
             snapshot_overwrite(
                 load_table(spark, sf_dir, t),
                 os.path.join(dest, t),
                 bucket_by=keys[t],
                 n_buckets=counts[t],
+                prepartition=True,
             )
         else:
             link = os.path.join(dest, f"{t}.parquet")
