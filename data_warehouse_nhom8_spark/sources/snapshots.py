@@ -896,6 +896,33 @@ def epoch_append(df: DataFrame, path: str, epoch_id: int) -> str:
     return adir
 
 
+def epoch_read_parts(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    exclude_epoch: int | None = None,
+) -> tuple[DataFrame | None, DataFrame | None]:
+    """(base, epochs) as SEPARATE DataFrames (either None when absent).
+
+    The split matters for joins: unioning a BUCKETED base with plain
+    epoch files erases the base's hash distribution, so a join against
+    the union shuffles the whole store. Joining the parts sequentially
+    keeps the base co-located (only the other side shuffles) while the
+    epoch tail — bounded by compaction cadence — joins on its own,
+    usually broadcast-sized. `epoch_read` is the convenience union for
+    aggregating readers that don't care about distribution."""
+    base = snapshot_read(spark, path, schema)
+    dirs = [
+        _epoch_dir(path, e, attempts[-1])
+        for e, attempts in sorted(_epoch_attempts(path).items())
+        if e != exclude_epoch
+    ]
+    if not dirs:
+        return base, None
+    r = spark.read.schema(schema) if schema is not None else spark.read
+    return base, r.parquet(*dirs)
+
+
 def epoch_read(
     spark: SparkSession,
     path: str,
@@ -909,16 +936,9 @@ def epoch_read(
     the previous attempt poisoning a first-seen anti-join. All epoch
     dirs go into ONE multi-path parquet scan (they share the writer's
     schema), so plan size stays O(1) in epoch count."""
-    base = snapshot_read(spark, path, schema)
-    dirs = [
-        _epoch_dir(path, e, attempts[-1])
-        for e, attempts in sorted(_epoch_attempts(path).items())
-        if e != exclude_epoch
-    ]
-    if not dirs:
+    base, delta = epoch_read_parts(spark, path, schema, exclude_epoch)
+    if delta is None:
         return base
-    r = spark.read.schema(schema) if schema is not None else spark.read
-    delta = r.parquet(*dirs)
     return delta if base is None else base.unionByName(delta)
 
 

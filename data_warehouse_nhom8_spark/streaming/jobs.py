@@ -1009,7 +1009,7 @@ def url_store_merge(
         )
         from data_warehouse_nhom8_spark.sources.snapshots import (
             epoch_append,
-            epoch_read,
+            epoch_read_parts,
         )
 
         spark = batch.sparkSession
@@ -1030,13 +1030,19 @@ def url_store_merge(
             .select("canon_url", "domain", "doc_id")
             .withColumn("epoch", F.lit(epoch_id).cast("long"))
         )
-        prior = epoch_read(spark, store_path, exclude_epoch=epoch_id)
-        if prior is not None:
-            fresh = batch_winners.join(
-                prior.select("canon_url"), "canon_url", "left_anti"
-            )
-        else:
-            fresh = batch_winners
+        # SPLIT anti-join (round 12): anti vs the base and the epoch
+        # tail separately — unioning a bucketed base with plain epoch
+        # files would erase its distribution and shuffle the whole
+        # registry every batch; sequentially, the base stays put
+        # (batch-sized shuffle onto its buckets) and the epoch tail
+        # (bounded by compaction cadence) joins broadcast-sized.
+        # Anti against A∪B ≡ anti A then anti B.
+        base, tail = epoch_read_parts(spark, store_path, exclude_epoch=epoch_id)
+        fresh = batch_winners
+        if base is not None:
+            fresh = fresh.join(base.select("canon_url"), "canon_url", "left_anti")
+        if tail is not None:
+            fresh = fresh.join(tail.select("canon_url"), "canon_url", "left_anti")
         epoch_append(fresh, store_path, epoch_id)
 
     return merge
@@ -1132,7 +1138,7 @@ def ivf_store_merge(
         )
         from data_warehouse_nhom8_spark.sources.snapshots import (
             epoch_append,
-            epoch_read,
+            epoch_read_parts,
         )
 
         spark = batch.sparkSession
@@ -1158,13 +1164,14 @@ def ivf_store_merge(
             .filter(F.col("__r") == 1)
             .drop("__r")
         )
-        prior = epoch_read(spark, store_path, exclude_epoch=epoch_id)
-        if prior is not None:
-            fresh = assigned.join(
-                prior.select(F.col("id")), "id", "left_anti"
-            )
-        else:
-            fresh = assigned
+        # split anti-join, same rationale as url_store_merge: the
+        # bucketed base never shuffles, the epoch tail joins on its own
+        base, tail = epoch_read_parts(spark, store_path, exclude_epoch=epoch_id)
+        fresh = assigned
+        if base is not None:
+            fresh = fresh.join(base.select(F.col("id")), "id", "left_anti")
+        if tail is not None:
+            fresh = fresh.join(tail.select(F.col("id")), "id", "left_anti")
         epoch_append(fresh, store_path, epoch_id)
 
     return merge

@@ -1373,3 +1373,29 @@ def test_compacted_url_store_antijoin_shuffles_only_the_batch(spark, tmp_path):
     assert n_hash_ex == 1, p  # the batch side; the bucketed store stays put
     assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
     assert fresh.count() == 100  # all new URLs admitted (disjoint prefix)
+
+    # MID-STREAM (round 12 split anti-join): live epochs on top of the
+    # bucketed base must NOT cost the base its distribution — the
+    # merge antis the parts sequentially, so the plan still carries
+    # exactly one batch-side exchange per base-anti (the epoch tail is
+    # broadcast-sized and adds no hashpartitioning of the store).
+    from data_warehouse_nhom8_spark.sources.snapshots import epoch_read_parts
+
+    epoch_append(
+        s.createDataFrame(
+            [("https://ex.com/tail1", "ex.com", 1_000_001, 7)],
+            "canon_url string, domain string, doc_id long, epoch long",
+        ),
+        store,
+        7,
+    )
+    base, tail = epoch_read_parts(s, store)
+    assert base is not None and tail is not None
+    staged = batch.join(base.select("canon_url"), "canon_url", "left_anti")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    staged = staged.join(tail.select("canon_url"), "canon_url", "left_anti")
+    p2 = staged._jdf.queryExecution().executedPlan().toString()
+    base_side_ex = len(re.findall(r"Exchange hashpartitioning", p2))
+    assert base_side_ex <= 2, p2  # batch-side only; never the full store
+    assert "BroadcastHashJoin" in p2  # the epoch tail broadcasts
+    assert staged.count() == 100
