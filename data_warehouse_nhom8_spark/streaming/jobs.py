@@ -317,12 +317,7 @@ def read_sig_state(
     resolved per id across epochs (re-ingested ids take their newest
     epoch's row). None when nothing is committed yet. The epoch
     column is storage-internal and dropped here."""
-    from data_warehouse_nhom8_spark.sources.snapshots import epoch_read
-
-    store = epoch_read(spark, state_path, exclude_epoch=exclude_epoch)
-    if store is None:
-        return None
-    return _lww_resolve(store, ["id"], [])
+    return _lww_read(spark, state_path, ["id"], [], exclude_epoch=exclude_epoch)
 
 
 def read_neardup_pairs(spark: SparkSession, pairs_path: str) -> DataFrame:
@@ -330,15 +325,13 @@ def read_neardup_pairs(spark: SparkSession, pairs_path: str) -> DataFrame:
     one row per pair: later epochs beat earlier for a re-derived pair
     (the old upsert's incoming-beats-current), jaccard descending
     breaks ties within an epoch."""
-    from data_warehouse_nhom8_spark.sources.snapshots import epoch_read
-
-    store = epoch_read(spark, pairs_path)
+    store = _lww_read(spark, pairs_path, ["id_a", "id_b"], [F.desc("jaccard")])
     if store is None:
         raise FileNotFoundError(
             f"no committed pairs at {pairs_path}; run neardup_ingest_sink "
             "through at least one micro-batch first"
         )
-    return _lww_resolve(store, ["id_a", "id_b"], [F.desc("jaccard")])
+    return store
 
 
 def sketch_rollup_sink(
@@ -640,35 +633,70 @@ def _lww_resolve(store: DataFrame, keys: Sequence[str], tiebreak) -> DataFrame:
     )
 
 
+def _lww_read(
+    spark: SparkSession,
+    path: str,
+    keys: Sequence[str],
+    tiebreak,
+    exclude_epoch: int | None = None,
+) -> DataFrame | None:
+    """SPLIT last-writer-wins read (round 12): a window over
+    base ∪ epochs shuffles the whole store per read; instead the
+    BASE is by construction already resolved to one row per key
+    (every base commit goes through the resolve fold, tagged
+    epoch = -1, which every live epoch ≥ 0 beats), so the read is
+      base rows whose key has NO live-epoch row   (broadcast anti —
+                                                   the base never
+                                                   shuffles)
+      ∪ the live-epoch tail resolved on its own   (window over the
+                                                   compaction-bounded
+                                                   tail only).
+    Identical output to resolving the union (pytest-gated by every
+    stream==batch equality test); O(base scan + tail window) instead
+    of O(store shuffle) at 100 TB."""
+    from data_warehouse_nhom8_spark.sources.snapshots import epoch_read_parts
+
+    base, tail = epoch_read_parts(spark, path, exclude_epoch=exclude_epoch)
+    if base is None and tail is None:
+        return None
+    if tail is None:
+        return base.drop("epoch")
+    tail_w = _lww_resolve(tail, keys, tiebreak)
+    if base is None:
+        return tail_w
+    keep = base.join(
+        F.broadcast(tail.select(*keys).distinct()), list(keys), "left_anti"
+    ).drop("epoch")
+    return keep.unionByName(tail_w)
+
+
 def read_corpus_store(spark: SparkSession, corpus_path: str) -> DataFrame:
     """The streamed corpus, last-writer-wins resolved per doc_id —
     equal to the batch `prepare_corpus_df` output over everything
     ingested (pytest-gated). The epoch column is storage-internal and
     dropped here."""
-    from data_warehouse_nhom8_spark.sources.snapshots import epoch_read
-
-    store = epoch_read(spark, corpus_path)
+    store = _lww_read(spark, corpus_path, ["doc_id"], [F.desc("n_tokens")])
     if store is None:
         raise FileNotFoundError(
             f"no committed corpus store at {corpus_path}; run "
             "corpus_ingest_sink through at least one micro-batch first"
         )
-    return _lww_resolve(store, ["doc_id"], [F.desc("n_tokens")])
+    return store
 
 
 def read_chunks_store(spark: SparkSession, chunks_path: str) -> DataFrame:
     """The streamed chunk table, last-writer-wins resolved per
     (doc_id, chunk_id) — equal to the batch `chunk_documents` output
     over the resolved corpus (pytest-gated)."""
-    from data_warehouse_nhom8_spark.sources.snapshots import epoch_read
-
-    store = epoch_read(spark, chunks_path)
+    store = _lww_read(
+        spark, chunks_path, ["doc_id", "chunk_id"], [F.desc("chunk_fp")]
+    )
     if store is None:
         raise FileNotFoundError(
             f"no committed chunks store at {chunks_path}; run "
             "corpus_ingest_sink through at least one micro-batch first"
         )
-    return _lww_resolve(store, ["doc_id", "chunk_id"], [F.desc("chunk_fp")])
+    return store
 
 
 def compact_corpus_store(
