@@ -49,6 +49,8 @@ from pyspark.sql import types as T
 _POINTER = "_CURRENT"
 _COMPLETE = "_COMPLETE"  # marker inside a version dir: write finished
 _BUCKET_SPEC = "_BUCKETS.json"  # bucket layout of the version (sticky)
+_FOLDED_THROUGH = "_FOLDED_THROUGH"  # epoch-fold watermark (sticky, like spec)
+_CHECKPOINT_PTR = "_CHECKPOINT"  # streaming checkpoint that writes this store
 _VERSION_RE = re.compile(r"^v(\d{8})$")
 
 
@@ -347,6 +349,7 @@ def snapshot_overwrite(
     n_buckets: int | str | None = None,
     sort: bool = True,
     prepartition: bool = False,
+    extra_files: dict[str, str] | None = None,
 ) -> str:
     """Distributed write of `df` as the next version, then atomic
     pointer swap. Returns the committed version dir. Never collects:
@@ -405,6 +408,7 @@ def snapshot_overwrite(
         their own next version."""
     os.makedirs(path, exist_ok=True)
     cur = _current_version(path)
+    prev_wm = epoch_folded_through(path)  # sticky epoch-fold watermark
     legacy = cur is None and has_parquet(path)
     if bucket_by is None:  # inherit the live version's layout
         spec = snapshot_bucket_spec(path)
@@ -448,6 +452,17 @@ def snapshot_overwrite(
         # mode=overwrite clears a partial dir left by a crashed attempt
         # of the SAME version (the pointer was never swapped to it)
         df.write.mode("overwrite").parquet(vdir)
+    # version-dir metadata, committed WITH the version (before the
+    # marker and pointer swap — a crash can never expose a version
+    # missing its metadata). The epoch-fold watermark is STICKY like
+    # the bucket spec: a base rewrite that doesn't know about epochs
+    # must not resurrect crash-debris epochs an earlier fold hid.
+    meta = dict(extra_files or {})
+    if _FOLDED_THROUGH not in meta and prev_wm >= 0:
+        meta[_FOLDED_THROUGH] = str(prev_wm)
+    for fname, body in meta.items():
+        with open(os.path.join(vdir, fname), "w") as fh:
+            fh.write(body)
     # completion marker (before the commit): distinguishes a fully
     # written version from crash debris, independent of the pointer
     with open(os.path.join(vdir, _COMPLETE), "w") as fh:
@@ -846,15 +861,40 @@ _EPOCHS_DIRNAME = "epochs"
 _EPOCH_RE = re.compile(r"^e(\d{12})_a(\d{4})$")
 
 
+def epoch_folded_through(path: str) -> int:
+    """The store's fold watermark: epochs <= this id are already in
+    the base version, so readers IGNORE their dirs even if a crashed
+    compaction never finished its GC (the crash-atomicity fix —
+    without it, surviving folded epochs double-count additive stores
+    on the next read). -1 = nothing folded. The watermark commits
+    inside the version dir as part of the fold's atomic pointer swap
+    and is carried forward sticky by every later base write."""
+    v = _current_version(path)
+    if v is None:
+        return -1
+    try:
+        with open(os.path.join(path, f"v{v:08d}", _FOLDED_THROUGH)) as fh:
+            return int(fh.read().strip())
+    except (OSError, ValueError):
+        return -1
+
+
 def _epoch_attempts(path: str) -> dict[int, list[int]]:
-    """{epoch_id: sorted committed attempt numbers} under `path`."""
+    """{epoch_id: sorted committed attempt numbers} under `path`.
+    Epochs at or below the fold watermark are invisible — their rows
+    live in the base; any surviving dir is un-GC'd crash debris."""
     root = os.path.join(path, _EPOCHS_DIRNAME)
     out: dict[int, list[int]] = {}
     if not os.path.isdir(root):
         return out
+    wm = epoch_folded_through(path)
     for name in os.listdir(root):
         m = _EPOCH_RE.match(name)
-        if m and os.path.exists(os.path.join(root, name, _COMPLETE)):
+        if (
+            m
+            and int(m.group(1)) > wm
+            and os.path.exists(os.path.join(root, name, _COMPLETE))
+        ):
             out.setdefault(int(m.group(1)), []).append(int(m.group(2)))
     return {e: sorted(a) for e, a in out.items()}
 
@@ -878,6 +918,18 @@ def epoch_append(df: DataFrame, path: str, epoch_id: int) -> str:
     full, the marker commits it, and readers always take the highest
     complete attempt. Crash mid-write leaves a marker-less dir —
     debris, invisible to readers, overwritten by the retry."""
+    wm = epoch_folded_through(path)
+    if epoch_id <= wm:
+        # tripwire, not a merge path: epoch ids are monotone from the
+        # stream and compaction runs offline past a committed
+        # checkpoint, so a replay of a FOLDED epoch means the offline
+        # contract was broken — appending would silently vanish
+        # (readers ignore <= watermark) or double-count after rollback
+        raise ValueError(
+            f"epoch {epoch_id} <= fold watermark {wm} at {path}: "
+            "this epoch is already folded into the base; compaction "
+            "must only run offline, past a committed checkpoint"
+        )
     attempts = _epoch_attempts(path).get(epoch_id, [])
     nxt = (attempts[-1] if attempts else 0) + 1
     adir = _epoch_dir(path, epoch_id, nxt)
@@ -942,10 +994,78 @@ def epoch_read(
     return delta if base is None else base.unionByName(delta)
 
 
+def epoch_tail_bytes(path: str, exclude_epoch: int | None = None) -> int:
+    """On-disk parquet bytes of the live (un-folded) epoch tail — the
+    cheap local-metadata stat a reader uses to decide whether the tail
+    is small enough to broadcast (the tail is bounded by compaction
+    CADENCE, not by size, so a forced broadcast is only safe when the
+    bytes say so)."""
+    total = 0
+    for e, attempts in _epoch_attempts(path).items():
+        if e == exclude_epoch:
+            continue
+        adir = _epoch_dir(path, e, attempts[-1])
+        for root, _, files in os.walk(adir):
+            for f in files:
+                if f.endswith(".parquet"):
+                    try:
+                        total += os.path.getsize(os.path.join(root, f))
+                    except OSError:
+                        pass
+    return total
+
+
+def register_store_checkpoint(store_path: str, checkpoint: str) -> None:
+    """Record which streaming checkpoint writes this store. Sink
+    factories call this at construction; it is the mechanical handle
+    `assert_store_stream_stopped` (epoch_compact's offline guard)
+    resolves to a live query id. Idempotent; last writer wins."""
+    os.makedirs(store_path, exist_ok=True)
+    tmp = os.path.join(store_path, _CHECKPOINT_PTR + ".tmp")
+    with open(tmp, "w") as fh:
+        fh.write(os.path.abspath(checkpoint))
+    os.replace(tmp, os.path.join(store_path, _CHECKPOINT_PTR))
+
+
+def _store_stream_query_id(path: str) -> str | None:
+    """The persistent streaming-query id (checkpoint `metadata` file)
+    of the stream registered as this store's writer, or None when no
+    sink ever registered / the checkpoint has not initialized."""
+    try:
+        with open(os.path.join(path, _CHECKPOINT_PTR)) as fh:
+            cp = fh.read().strip()
+        with open(os.path.join(cp, "metadata")) as fh:
+            return json.load(fh).get("id")
+    except (OSError, ValueError):
+        return None
+
+
+def assert_store_stream_stopped(spark: SparkSession, path: str) -> None:
+    """Mechanical enforcement of the epoch folds' OFFLINE contract:
+    raise if the streaming query registered as this store's writer
+    (`register_store_checkpoint`) is still active in this session.
+    Folding under a live stream breaks replay idempotence — a re-run
+    micro-batch would re-append rows the fold already moved into the
+    base. Cross-process streams are out of scope (single-driver
+    deployments; document externally-coordinated stops there)."""
+    qid = _store_stream_query_id(path)
+    if qid is None:
+        return
+    for q in spark.streams.active:
+        if str(q.id) == str(qid):
+            raise RuntimeError(
+                f"epoch fold refused: streaming query {qid} (checkpoint "
+                f"registered at {path}) is still active — stop the "
+                "stream at a committed checkpoint first, or pass "
+                "force=True if you know better"
+            )
+
+
 def epoch_compact(
     spark: SparkSession,
     path: str,
     fold=None,
+    force: bool = False,
     **overwrite_kwargs,
 ) -> str | None:
     """Fold base + epochs into the next BASE version, then drop the
@@ -957,20 +1077,41 @@ def epoch_compact(
     OFFLINE only (stream stopped at a committed checkpoint): replay
     idempotence relies on a re-run replacing its own epoch's files,
     and compaction folds those rows into a base the replay would no
-    longer replace. The epoch dirs stay intact until the base commit
-    lands (they are the fold's scan input — same
-    no-read-your-own-delete rule as the version swap), and only the
-    dirs captured BEFORE the fold are dropped."""
+    longer replace. ENFORCED mechanically: raises if the store's
+    registered writer stream (`register_store_checkpoint`) is still
+    active in this session; `force=True` overrides.
+
+    Crash-atomic: the base commit carries a `_FOLDED_THROUGH`
+    watermark (max folded epoch id) inside the version dir, so the
+    pointer swap atomically hides the folded epochs from every reader
+    — the dir removals below are pure GC, and a crash between swap
+    and GC can never double-count. The sweep covers committed AND
+    marker-less crash-debris attempts of folded epochs (markers
+    removed first, so a partial sweep can't expose a truncated epoch
+    to a post-rollback reader either)."""
+    if not force:
+        assert_store_stream_stopped(spark, path)
     folded_ids = epoch_ids(path)
     df = epoch_read(spark, path)
     if df is None:
         return None
     if fold is not None:
         df = fold(df)
-    vdir = snapshot_overwrite(df, path, **overwrite_kwargs)
-    for e in folded_ids:
-        for a in _epoch_attempts(path).get(e, []):
-            shutil.rmtree(_epoch_dir(path, e, a), ignore_errors=True)
+    wm = max([epoch_folded_through(path), *folded_ids])
+    extra = dict(overwrite_kwargs.pop("extra_files", None) or {})
+    if wm >= 0:
+        extra[_FOLDED_THROUGH] = str(wm)
+    vdir = snapshot_overwrite(df, path, extra_files=extra, **overwrite_kwargs)
+    root = os.path.join(path, _EPOCHS_DIRNAME)
+    if os.path.isdir(root):
+        for name in os.listdir(root):
+            m = _EPOCH_RE.match(name)
+            if m and int(m.group(1)) <= wm:
+                try:
+                    os.remove(os.path.join(root, name, _COMPLETE))
+                except OSError:
+                    pass
+                shutil.rmtree(os.path.join(root, name), ignore_errors=True)
     return vdir
 
 
@@ -979,6 +1120,7 @@ def epoch_delete_keys(
     path: str,
     delete_keys: DataFrame,
     key_cols: Sequence[str],
+    force: bool = False,
     **overwrite_kwargs,
 ) -> dict:
     """GDPR-grade keyed deletion for an epoch-append store: fold base +
@@ -1003,7 +1145,14 @@ def epoch_delete_keys(
         spark,
         path,
         fold=lambda df: df.join(F.broadcast(keys), list(key_cols), "left_anti"),
+        force=force,
         **overwrite_kwargs,
     )
+    # erasure sweep beyond the fold's GC: marker-less crash-debris
+    # attempt dirs ABOVE the watermark (a crashed in-flight append the
+    # readers never saw) can still hold doomed rows' bytes on disk.
+    # The offline contract means nothing is writing, so every
+    # remaining epoch dir is debris — remove the whole log.
+    shutil.rmtree(os.path.join(path, _EPOCHS_DIRNAME), ignore_errors=True)
     after = epoch_read(spark, path).count()
     return {"deleted": before - after, "remaining": after}

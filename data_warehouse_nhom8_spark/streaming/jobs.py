@@ -236,6 +236,20 @@ def upsert_sink(
     )
 
 
+
+def _register_epoch_stores(checkpoint: str, *store_paths: str) -> None:
+    """Stamp the sink's checkpoint into each store it writes
+    (`snapshots.register_store_checkpoint`) so the epoch folds'
+    offline guard can mechanically see whether the writer stream is
+    still live — the contract used to be docstring-only."""
+    from data_warehouse_nhom8_spark.sources.snapshots import (
+        register_store_checkpoint,
+    )
+
+    for path in store_paths:
+        register_store_checkpoint(path, checkpoint)
+
+
 def neardup_ingest_sink(
     stream: DataFrame,
     state_path: str,
@@ -303,6 +317,7 @@ def neardup_ingest_sink(
             epoch_id,
         )
 
+    _register_epoch_stores(checkpoint, state_path, pairs_path)
     return (
         stream.writeStream.foreachBatch(merge)
         .option("checkpointLocation", checkpoint)
@@ -361,6 +376,7 @@ def sketch_rollup_sink(
     `compact_sketch_store` re-groups epochs offline without changing
     any estimate (sketch union is associative)."""
 
+    _register_epoch_stores(checkpoint, store_path)
     return (
         stream.writeStream.foreachBatch(
             sketch_store_merge(store_path, fine_keys, distinct_col)
@@ -463,6 +479,7 @@ def vocab_store_sink(
     delivery with O(batch) merge I/O — the store is never rewritten
     on the hot path; `compact_vocab_store` folds epochs offline
     (count addition is associative)."""
+    _register_epoch_stores(checkpoint, store_path)
     return (
         stream.writeStream.foreachBatch(vocab_store_merge(store_path, id_col, text_col))
         .option("checkpointLocation", checkpoint)
@@ -611,11 +628,20 @@ def corpus_ingest_sink(
         ).withColumn("epoch", F.lit(epoch_id).cast("long"))
         epoch_append(new_chunks, chunks_path, epoch_id)
 
+    _register_epoch_stores(checkpoint, corpus_path, chunks_path)
     return (
         stream.writeStream.foreachBatch(merge)
         .option("checkpointLocation", checkpoint)
         .outputMode("update")
     )
+
+
+# forced-broadcast ceiling for the live epoch tail's key set (on-disk
+# parquet bytes of the full tail — the key projection is smaller, so
+# this is conservative). 64 MiB compressed ≈ low-hundreds-MB in-memory
+# hash relation: comfortably executor/driver-safe at local and
+# cluster defaults, far above any on-cadence compaction tail.
+_TAIL_BROADCAST_MAX_BYTES = 64 << 20
 
 
 def _lww_resolve(store: DataFrame, keys: Sequence[str], tiebreak) -> DataFrame:
@@ -654,7 +680,10 @@ def _lww_read(
     Identical output to resolving the union (pytest-gated by every
     stream==batch equality test); O(base scan + tail window) instead
     of O(store shuffle) at 100 TB."""
-    from data_warehouse_nhom8_spark.sources.snapshots import epoch_read_parts
+    from data_warehouse_nhom8_spark.sources.snapshots import (
+        epoch_read_parts,
+        epoch_tail_bytes,
+    )
 
     base, tail = epoch_read_parts(spark, path, exclude_epoch=exclude_epoch)
     if base is None and tail is None:
@@ -664,9 +693,15 @@ def _lww_read(
     tail_w = _lww_resolve(tail, keys, tiebreak)
     if base is None:
         return tail_w
-    keep = base.join(
-        F.broadcast(tail.select(*keys).distinct()), list(keys), "left_anti"
-    ).drop("epoch")
+    tail_keys = tail.select(*keys).distinct()
+    # Broadcast only when the tail's on-disk bytes say it is small:
+    # the tail is bounded by compaction CADENCE, not by size, and a
+    # forced F.broadcast bypasses autoBroadcastJoinThreshold — a
+    # lagging compaction must degrade to a shuffled anti join (slow,
+    # base loses co-location for that read), never OOM the driver.
+    if epoch_tail_bytes(path, exclude_epoch) <= _TAIL_BROADCAST_MAX_BYTES:
+        tail_keys = F.broadcast(tail_keys)
+    keep = base.join(tail_keys, list(keys), "left_anti").drop("epoch")
     return keep.unionByName(tail_w)
 
 
@@ -759,6 +794,7 @@ def freq_head_sink(
         )
         epoch_append(cells, store_path, epoch_id)
 
+    _register_epoch_stores(checkpoint, store_path)
     return (
         stream.writeStream.foreachBatch(merge)
         .option("checkpointLocation", checkpoint)
@@ -912,6 +948,7 @@ def span_store_sink(
     (`snapshots.epoch_append` — O(batch) merge I/O, the store is
     never rewritten on the hot path), so the additive counts stay
     exact under at-least-once delivery."""
+    _register_epoch_stores(checkpoint, store_path)
     return (
         stream.writeStream.foreachBatch(
             span_store_merge(store_path, window, id_col, text_col)
@@ -1010,6 +1047,7 @@ def url_store_sink(
     100 TB keep the compacted base bucketed on canon_url
     (`compact_url_store` passes bucket_by) so only the batch side
     shuffles."""
+    _register_epoch_stores(checkpoint, store_path)
     return (
         stream.writeStream.foreachBatch(
             url_store_merge(store_path, url_col, id_col, seed)
@@ -1138,6 +1176,7 @@ def ivf_store_sink(
     `cosine_topk_ivf_probe`, whose cell filter then skips files by
     the stats manifest exactly like the at-rest `ivf_write_index`
     layout prunes partitions."""
+    _register_epoch_stores(checkpoint, store_path)
     return (
         stream.writeStream.foreachBatch(
             ivf_store_merge(model_path, store_path, id_col, vec_col)

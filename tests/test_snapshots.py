@@ -973,3 +973,98 @@ def test_epoch_append_empty_batch_is_readable(spark, tmp_path):
     assert {tuple(r) for r in epoch_read(spark, path).collect()} == {(1, "a")}
     epoch_append(spark.createDataFrame([(2, "b")], "k long, v string"), path, 2)
     assert {tuple(r) for r in epoch_read(spark, path).collect()} == {(1, "a"), (2, "b")}
+
+
+def test_epoch_compact_is_crash_atomic_via_fold_watermark(spark, tmp_path, monkeypatch):
+    """A crash between the fold's pointer swap and its epoch-dir GC
+    must NOT double-count: the committed version carries a
+    _FOLDED_THROUGH watermark that hides the folded epochs even while
+    their dirs survive on disk. Simulated by making rmtree a no-op
+    during compact (the crash window), then checking reads, then
+    verifying the next compact GC's the debris for real."""
+    import shutil as _shutil
+
+    from data_warehouse_nhom8_spark.sources import snapshots as S
+
+    real_rmtree = _shutil.rmtree
+    path = str(tmp_path / "store")
+    for e in range(3):
+        S.epoch_append(
+            spark.createDataFrame([(e, 1)], "k long, n long"), path, e
+        )
+    before = {tuple(r) for r in S.epoch_read(spark, path).collect()}
+
+    monkeypatch.setattr(S.shutil, "rmtree", lambda *a, **k: None)
+    S.epoch_compact(spark, path)
+    monkeypatch.setattr(S.shutil, "rmtree", real_rmtree)
+
+    # folded dirs survive on disk, but the watermark hides them
+    import os as _os
+
+    survivors = _os.listdir(_os.path.join(path, "epochs"))
+    assert survivors, "crash simulation should leave folded epoch dirs"
+    assert S.epoch_folded_through(path) == 2
+    assert S.epoch_ids(path) == []
+    assert {tuple(r) for r in S.epoch_read(spark, path).collect()} == before
+
+    # replaying a FOLDED epoch is a contract break — loud, not silent
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="fold watermark"):
+        S.epoch_append(spark.createDataFrame([(9, 9)], "k long, n long"), path, 1)
+
+    # new epochs stack; the next fold GC's the crash debris for real
+    S.epoch_append(spark.createDataFrame([(7, 1)], "k long, n long"), path, 7)
+    S.epoch_compact(spark, path)
+    assert S.epoch_folded_through(path) == 7
+    assert not _os.listdir(_os.path.join(path, "epochs"))
+    assert {tuple(r) for r in S.epoch_read(spark, path).collect()} == before | {(7, 1)}
+
+
+def test_fold_watermark_is_sticky_across_plain_base_writes(spark, tmp_path):
+    """A base rewrite that doesn't know about epochs (GDPR delete, a
+    re-layout) must carry the fold watermark forward — otherwise
+    crash-debris epochs below it would resurrect on the next read."""
+    from data_warehouse_nhom8_spark.sources import snapshots as S
+
+    path = str(tmp_path / "store")
+    S.epoch_append(spark.createDataFrame([(1, 1)], "k long, n long"), path, 0)
+    S.epoch_compact(spark, path)
+    assert S.epoch_folded_through(path) == 0
+    S.snapshot_overwrite(
+        spark.createDataFrame([(2, 2)], "k long, n long"), path
+    )
+    assert S.epoch_folded_through(path) == 0
+
+
+def test_epoch_delete_keys_sweeps_uncommitted_debris(spark, tmp_path):
+    """GDPR erasure must also remove marker-less crash-debris attempt
+    dirs (a crashed in-flight append readers never saw) — bytes of a
+    doomed key must not survive anywhere under the store."""
+    import os as _os
+
+    from data_warehouse_nhom8_spark.sources import snapshots as S
+
+    path = str(tmp_path / "store")
+    S.epoch_append(
+        spark.createDataFrame([(1, "doomed-user"), (2, "kept")], "k long, user string"),
+        path,
+        0,
+    )
+    # marker-less debris dir holding the doomed key's bytes
+    debris = _os.path.join(path, "epochs", "e000000000005_a0001")
+    spark.createDataFrame([(9, "doomed-user")], "k long, user string").write.mode(
+        "overwrite"
+    ).parquet(debris)
+    _os.remove(_os.path.join(debris, "_COMPLETE")) if _os.path.exists(
+        _os.path.join(debris, "_COMPLETE")
+    ) else None
+    out = S.epoch_delete_keys(
+        spark, path, spark.createDataFrame([("doomed-user",)], "user string"), ["user"]
+    )
+    assert out["remaining"] == 1
+    for root, _, files in _os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                with open(_os.path.join(root, f), "rb") as fh:
+                    assert b"doomed-user" not in fh.read()

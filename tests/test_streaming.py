@@ -1399,3 +1399,75 @@ def test_compacted_url_store_antijoin_shuffles_only_the_batch(spark, tmp_path):
     assert base_side_ex <= 2, p2  # batch-side only; never the full store
     assert "BroadcastHashJoin" in p2  # the epoch tail broadcasts
     assert staged.count() == 100
+
+
+def test_epoch_compact_refuses_while_writer_stream_is_active(
+    spark, events_dir, events_schema, tmp_path
+):
+    """The epoch folds' OFFLINE contract, enforced mechanically
+    (round 13): compaction against a store whose registered writer
+    stream is still active must raise; after a clean stop the same
+    compact succeeds. The sink registers its checkpoint in the store
+    dir; the guard resolves it to the checkpoint's persistent query
+    id and checks spark.streams.active."""
+    import time
+
+    from data_warehouse_nhom8_spark.sources.snapshots import epoch_ids
+
+    store = str(tmp_path / "sketch_store")
+    ck = str(tmp_path / "ck")
+    writer = jobs.sketch_rollup_sink(
+        jobs.stream_source(spark, events_dir, events_schema, max_files_per_trigger=1),
+        store,
+        fine_keys=["event_type"],
+        distinct_col="user_id",
+        checkpoint=ck,
+    )
+    q = writer.trigger(processingTime="500 milliseconds").start()
+    try:
+        deadline = time.time() + 60
+        while not epoch_ids(store):
+            assert time.time() < deadline, "no epoch committed within 60s"
+            time.sleep(0.2)
+        with pytest.raises(RuntimeError, match="still active"):
+            jobs.compact_sketch_store(spark, store, ["event_type"])
+    finally:
+        q.stop()
+        q.awaitTermination()
+    jobs.compact_sketch_store(spark, store, ["event_type"])  # offline: fine
+    assert epoch_ids(store) == []
+
+
+def test_lww_read_tail_broadcast_is_size_guarded(spark, tmp_path, monkeypatch):
+    """_lww_read force-broadcasts the live epoch tail's key set only
+    when the tail's on-disk bytes are under the ceiling; above it the
+    read degrades to a plain (shuffle-able) anti join with identical
+    rows — a lagging compaction slows down, it must never OOM."""
+    from data_warehouse_nhom8_spark.sources.snapshots import (
+        epoch_append,
+        snapshot_overwrite,
+    )
+
+    path = str(tmp_path / "store")
+    base = spark.createDataFrame(
+        [(1, "a", -1), (2, "b", -1)], "k long, v string, epoch long"
+    )
+    snapshot_overwrite(base, path)
+    epoch_append(
+        spark.createDataFrame([(2, "b2", 0)], "k long, v string, epoch long"),
+        path,
+        0,
+    )
+
+    def read():
+        return jobs._lww_read(spark, path, ["k"], [F.desc("v")])
+
+    small = read()
+    assert "Broadcast" in small._jdf.queryExecution().executedPlan().toString()
+    rows_small = {tuple(r) for r in small.collect()}
+
+    monkeypatch.setattr(jobs, "_TAIL_BROADCAST_MAX_BYTES", 0)
+    big = read()
+    # no FORCED broadcast hint on the anti join's logical plan
+    assert "ResolvedHint" not in big._jdf.queryExecution().logical().toString()
+    assert {tuple(r) for r in big.collect()} == rows_small == {(1, "a"), (2, "b2")}
