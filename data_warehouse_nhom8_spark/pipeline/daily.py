@@ -268,10 +268,20 @@ def run_weekly_maintenance(
     )
 
     report = {}
+    # per-table stats manifests (round 13): maintenance is where the
+    # file-skipping indexes get built — staging's day column feeds
+    # staging_day_scan's pruned dump filter, the warehouse's SCD2
+    # validity pair feeds warehouse_as_of's pruned point-in-time read
+    stats_for = {
+        "staging": ["extracted_date"],
+        "warehouse": ["extracted_date", "expired"],
+    }
     for name, path in (("staging", cfg.staging_path), ("warehouse", cfg.warehouse_path)):
         # auto_buckets: the sweep re-sizes a bucketed table's count
         # from its live bytes (no-op for plain tables)
-        out = snapshot_compact(spark, path, auto_buckets=True)
+        out = snapshot_compact(
+            spark, path, auto_buckets=True, stats_cols=stats_for[name]
+        )
         report[f"compacted_{name}"] = bool(out)
         if history_keep_days is not None and snapshot_exists(path):
             report[f"vacuumed_{name}"] = len(

@@ -115,6 +115,36 @@ def staging_day_scan(spark, staging_path: str, day: datetime.date | str):
     return df.filter(F.col("extracted_date") == F.lit(day))
 
 
+def warehouse_as_of(
+    spark,
+    warehouse_path: str,
+    as_of_date: datetime.date | str,
+) -> DataFrame:
+    """PRODUCTION point-in-time read of the SCD2 `job` warehouse
+    (round 13): 'the table as the morning report of `as_of_date` saw
+    it'. Routed through `scd2_as_of_pruned`, so on a store whose
+    maintenance has written the validity stats manifest
+    (`run_weekly_maintenance` → snapshot_compact(stats_cols=
+    [extracted_date, expired])) the scan opens ONLY files whose
+    [min(effective), max(expired)] hull brackets the date — an old
+    as-of report on a long-history table skips every file of versions
+    that began after it. Fail-open by construction: files without
+    stats are kept and the exact row filter always applies, so the
+    result is identical to filtering a plain `snapshot_read`
+    (pytest-gated with a files-skipped assertion)."""
+    from data_warehouse_nhom8_spark.operators.scd2 import scd2_as_of_pruned
+
+    day = (
+        as_of_date.isoformat()
+        if isinstance(as_of_date, datetime.date)
+        else as_of_date
+    )
+    df, _sel, _total = scd2_as_of_pruned(
+        spark, warehouse_path, day, effective_col="extracted_date"
+    )
+    return df
+
+
 def merge_metrics(snapshot: DataFrame, day: datetime.date) -> dict[str, int]:
     """The ROW_COUNT() accounting (A5): how many rows this day's merge
     expired vs inserted, plus the live total — one aggregate pass."""

@@ -137,8 +137,11 @@ def build_bucketed_fixture(
     ingest, not per query). Returns {"built": bool, "seconds": s}.
 
     `n_buckets=None` (default) sizes each fact from its SOURCE
-    parquet's footer-uncompressed bytes with the snapshot sizing rule
-    (bytes/256 MB, next power of two, clamp [8, 4096]) — the x100
+    parquet's footer-uncompressed bytes at ~64 MB per bucket (the
+    COMPUTE grain — a bucketed scan yields one un-splittable task per
+    bucket, so this deliberately runs 4x finer than
+    `snapshot_overwrite`'s 256 MB at-rest file-size rule; see
+    `_size_from_source`), next power of two, clamp [8, 4096] — the x100
     probe exposed the old fixed-8 default as the r8 under-bucketing
     pathology in miniature (60M-row lineitem in 8 buckets = 7.5M-row
     sort tasks on 32 cores; q93-bucketed read SLOWER than plain).

@@ -26,11 +26,20 @@ def first_seen_filter(
     stream: DataFrame,
     key_cols: list[str],
     output_schema: str | None = None,
+    ttl_ms: int | None = None,
 ) -> DataFrame:
     """Keep only the first-ever batch of rows per key (exact streaming
     dedup). Within the first batch a key appears in, all its rows pass
     (downstream batch dedup can pick a winner); afterwards the key is
-    suppressed forever (until state timeout, if configured)."""
+    suppressed until its state expires.
+
+    `ttl_ms` bounds state for an UNBOUNDED key universe (crawl-scale
+    fingerprints): each sighting — admitted or suppressed — renews a
+    processing-time timeout, so a key idle for `ttl_ms` is evicted
+    from the state store and its next sighting is re-admitted (the
+    sliding-TTL cache semantics; hot keys stay deduped forever). None
+    keeps the exact remember-forever behavior — correct only when the
+    key universe fits the state store."""
     # pass the StructType itself — string-mangling simpleString()
     # corrupts nested struct columns
     schema = output_schema or stream.schema
@@ -38,9 +47,18 @@ def first_seen_filter(
     def fn(
         key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
     ) -> Iterable[pd.DataFrame]:
+        if state.hasTimedOut:
+            # eviction callback (empty input): forget the key so its
+            # next sighting re-admits
+            state.remove()
+            return
         if state.exists:
+            if ttl_ms is not None:
+                state.setTimeoutDuration(ttl_ms)  # sliding renewal
             return
         state.update((1,))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
         for pdf in pdfs:
             yield pdf
 
@@ -49,5 +67,9 @@ def first_seen_filter(
         outputStructType=schema,
         stateStructType="seen int",
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if ttl_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )

@@ -1471,3 +1471,71 @@ def test_lww_read_tail_broadcast_is_size_guarded(spark, tmp_path, monkeypatch):
     # no FORCED broadcast hint on the anti join's logical plan
     assert "ResolvedHint" not in big._jdf.queryExecution().logical().toString()
     assert {tuple(r) for r in big.collect()} == rows_small == {(1, "a"), (2, "b2")}
+
+
+def test_partitioned_upsert_sink_rewrites_only_touched_partitions(spark, tmp_path):
+    """Partition-grain streaming MERGE (round 13): a micro-batch that
+    touches one date partition must leave every other partition's
+    files byte-identical on disk (same paths, sizes, mtimes) — the
+    partitioned mirror of test_epoch_append_io_is_batch_sized — while
+    the merged table equals the batch last-writer-wins state."""
+    import os
+
+    src = tmp_path / "src"
+    table = str(tmp_path / "table")
+    schema_s = "k string, v string, day string"
+
+    def mk(rows, tag):
+        df = spark.createDataFrame(rows, schema_s).withColumn(
+            "day", F.col("day").cast("date")
+        )
+        df.write.parquet(str(src / tag))
+        return df
+
+    b1 = mk(
+        [
+            ("a", "a1", "2025-03-10"),
+            ("b", "b1", "2025-03-11"),
+            ("c", "c1", "2025-03-12"),
+        ],
+        "f1",
+    )
+    writer = jobs.upsert_sink_partitioned(
+        jobs.stream_source(spark, str(src / "*"), b1.schema),
+        table,
+        keys=["k"],
+        order_by_cols=["day"],
+        partition_col="day",
+        checkpoint=str(tmp_path / "ck"),
+    )
+    jobs.run_available_now(writer)
+    parts = sorted(p for p in os.listdir(table) if p.startswith("day="))
+    assert parts == ["day=2025-03-10", "day=2025-03-11", "day=2025-03-12"]
+
+    def listing(part):
+        d = os.path.join(table, part)
+        return sorted(
+            (f, os.path.getsize(os.path.join(d, f)), os.path.getmtime(os.path.join(d, f)))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+
+    untouched_before = {p: listing(p) for p in parts if p != "day=2025-03-11"}
+
+    # batch 2 touches ONLY 2025-03-11 (update b, insert d)
+    mk([("b", "b2", "2025-03-11"), ("d", "d1", "2025-03-11")], "f2")
+    jobs.run_available_now(
+        jobs.upsert_sink_partitioned(
+            jobs.stream_source(spark, str(src / "*"), b1.schema),
+            table,
+            keys=["k"],
+            order_by_cols=["day"],
+            partition_col="day",
+            checkpoint=str(tmp_path / "ck"),
+        )
+    )
+    got = {r["k"]: r["v"] for r in spark.read.parquet(table).collect()}
+    assert got == {"a": "a1", "b": "b2", "c": "c1", "d": "d1"}
+    # the untouched partitions were neither rewritten nor re-listed
+    for p, before in untouched_before.items():
+        assert listing(p) == before, p

@@ -158,3 +158,75 @@ def test_freq_candidate_rollup_truncation_guarantees(spark):
         )
     # the heavy hitter is in every cell's top-m, so its bound is exact
     assert got["hh"] == exact["hh"]
+
+
+def test_first_seen_dedup_ttl_evicts_and_readmits(spark, tmp_path):
+    """ttl_ms bounds first-seen state for an unbounded key universe:
+    a key sighted within the TTL stays suppressed, a key idle past the
+    TTL is evicted (processing-time timeout) and its next sighting
+    re-admits. One continuously-running processingTime query — with
+    ProcessingTimeTimeout the stateful operator always reports another
+    batch may be needed, so availableNow would never terminate; the
+    long-running stream is the production shape for TTL state anyway.
+    Marker keys prove each file was processed before asserting."""
+    import time
+
+    src = tmp_path / "src"
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    schema = "k string, v long"
+
+    # both files upfront, ONE part file each (coalesce), one file per
+    # trigger: 'a' then has data in every batch that could evict it,
+    # so the suppress assertion is timing-independent — eviction only
+    # fires for a key with NO data in the batch, and a sighted key
+    # renews. (Splitting a9/m1 across part files let an eviction fire
+    # between them on a slow box.)
+    first = spark.createDataFrame([("a", 1)], schema).coalesce(1)
+    first.write.parquet(str(src / "f1"))
+    time.sleep(1.1)  # distinct mtime: the file source processes f1 first
+    spark.createDataFrame([("a", 9), ("m1", 1)], schema).coalesce(1).write.parquet(
+        str(src / "f2")
+    )
+    stream = jobs.stream_source(
+        spark, str(src / "*"), first.schema, max_files_per_trigger=1
+    )
+    q = (
+        first_seen_filter(stream, ["k"], schema, ttl_ms=3000)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+
+    def rows():
+        try:
+            return {(r["k"], r["v"]) for r in spark.read.parquet(out).collect()}
+        except Exception:
+            return set()
+
+    def wait_for(key, deadline_s=90):
+        deadline = time.time() + deadline_s
+        while not any(k == key for k, _ in rows()):
+            assert q.exception() is None, q.exception()
+            assert time.time() < deadline, (key, rows())
+            time.sleep(0.3)
+
+    try:
+        # f1 admits 'a'; f2 (next trigger, within TTL): suppressed
+        wait_for("m1")
+        assert ("a", 1) in rows()
+        assert ("a", 9) not in rows()
+        # idle past the TTL: the state store evicts 'a' (empty batches
+        # keep firing under ProcessingTimeTimeout), so it re-admits
+        time.sleep(5)
+        spark.createDataFrame([("a", 2), ("m2", 1)], schema).coalesce(1).write.parquet(
+            str(src / "f3")
+        )
+        wait_for("m2")
+        assert ("a", 2) in rows(), rows()
+    finally:
+        q.stop()
+        q.awaitTermination()

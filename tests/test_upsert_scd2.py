@@ -505,3 +505,77 @@ def test_scd2_as_of_pruned_skips_files_and_equals_plain(spark, tmp_path):
         spark, path, "2000-01-01", effective_col="effective"
     )
     assert df.count() == 0 and set(df.columns) == {"nk", "effective", "expired", "attr"}
+
+
+def test_warehouse_as_of_routes_through_pruned_face(spark, tmp_path):
+    """Round-13 verdict task 6: the PRODUCTION point-in-time read
+    (`pipeline.warehouse_load.warehouse_as_of`) takes the stats-pruned
+    path on a maintained multi-version store — identical rows to
+    filtering the plain snapshot, with files actually skipped."""
+    import datetime
+
+    from data_warehouse_nhom8_spark.operators.scd2 import (
+        scd2_as_of,
+        scd2_as_of_pruned,
+    )
+    from data_warehouse_nhom8_spark.pipeline.warehouse_load import (
+        load_day_to_warehouse,
+        warehouse_as_of,
+    )
+    from data_warehouse_nhom8_spark.sources.snapshots import (
+        snapshot_compact,
+        snapshot_overwrite,
+        snapshot_read,
+    )
+
+    whpath = str(tmp_path / "wh")
+    schema = (
+        "job_title string, company_name string, salary string, "
+        "location string, experience_required string, posted_time string, "
+        "job_url string, extracted_date date"
+    )
+
+    def persist(snap):
+        snapshot_overwrite(snap, whpath)
+        return snapshot_read(spark, whpath)
+
+    wh = None
+    for d in range(1, 7):  # 6 daily loads, every key changes daily
+        day = datetime.date(2025, 3, d)
+        stg = spark.createDataFrame(
+            [
+                (f"J{k}", "ACME", f"{d*10+k} tr", "HN", "2y", "t", "u", day)
+                for k in range(4)
+            ],
+            schema,
+        )
+        wh = load_day_to_warehouse(stg, wh, day, persist=persist)
+
+    # maintenance: small-file compaction + the validity stats manifest
+    # (what run_weekly_maintenance now writes for the warehouse table)
+    out = snapshot_compact(
+        spark,
+        whpath,
+        target_file_bytes=1 << 10,
+        zorder_by=["extracted_date"],
+        stats_cols=["extracted_date", "expired"],
+    )
+    assert out is not None
+
+    plain = snapshot_read(spark, whpath)
+    for probe in ("2025-03-01", "2025-03-02", "2025-03-06"):
+        got = sorted(
+            (r.job_title, r.salary)
+            for r in warehouse_as_of(spark, whpath, probe).collect()
+        )
+        want = sorted(
+            (r.job_title, r.salary)
+            for r in scd2_as_of(plain, probe).collect()
+        )
+        assert got == want and len(want) == 4, (probe, got, want)
+    # early probe: versions that began later live in files the
+    # manifest proves can't match — they are never opened
+    _df, n_sel, n_total = scd2_as_of_pruned(
+        spark, whpath, "2025-03-01", effective_col="extracted_date"
+    )
+    assert n_total > 2 and n_sel < n_total, (n_sel, n_total)
