@@ -55,22 +55,22 @@ from data_warehouse_nhom8_spark.plans.tpch import TPCH_ORACLES, TPCH_QUERIES
 _ALL_QUERIES = {**_CORE, **EXTENSION_QUERIES, **TPCH_QUERIES}
 ORACLES = {**_CORE_ORACLES, **EXTENSION_ORACLES, **TPCH_ORACLES}
 
-# Rotation-slack accounting (round 12): 98 oracled + 9 noracle.
-# Nine redundant oracles have been RETIRED to their superset shapes
+# Rotation-slack accounting (round 13): 98 oracled + 9 noracle.
+# Ten redundant oracles have been RETIRED to their superset shapes
 # (r9: q05, q14, q26, q43, q44; r11: q07 -> q48, q11 -> q93/q105,
-# q08 -> q48; r12: q06 -> q73 — see queries.RETIRED_QUERIES /
-# extensions.RETIRED_EXTENSION_QUERIES for the subset→superset
-# mapping); each keeps a per-suite-run DuckDB twin in
-# tests/test_retired_oracles.py. Growth spends slack, junk retires
-# to refill it: r10 added q111-q113 (slack 5 -> 2), r11 added the
-# SCD2 pair q114/q115 (funded by retiring q07/q11) and the
+# q08 -> q48; r12: q06 -> q73; r13: q01 -> q47/q77 — see
+# queries.RETIRED_QUERIES / extensions.RETIRED_EXTENSION_QUERIES for
+# the subset→superset mapping); each keeps a per-suite-run DuckDB
+# twin in tests/test_retired_oracles.py. Growth spends slack, junk
+# retires to refill it: r10 added q111-q113 (slack 5 -> 2), r11
+# added the SCD2 pair q114/q115 (funded by retiring q07/q11) and the
 # decontamination scrub q116 (funded by retiring q08), r12 promoted
-# q117 html-extract to oracled (funded by retiring q06 — q06 sat in
-# the r10-certified half, so the derived front stays exactly 50:
-# the 47 remaining r10-half queries + q114/q115 + q117, all inside
-# the driver window this round; after the r12 run the front returns
-# to 48 <= 48 and the two-round union stays complete by construction
-# (tests/test_retired_oracles.py::test_rotation_slack_recovered).
+# q117 html-extract to oracled (funded by retiring q06), r13
+# promoted q49 cluster-dedup to oracled — connected components is
+# exactly computable in DuckDB as a recursive CTE — funded by
+# retiring q01 (r11-certified, i.e. sitting in the r13 derived
+# front, so the swap keeps the front at exactly 48 <= 50 and the
+# two-round union stays complete by construction).
 RETIRED_QUERIES = {**_CORE_RETIRED, **RETIRED_EXTENSION_QUERIES}
 RETIRED_ORACLES = {**_CORE_RETIRED_ORACLES, **RETIRED_EXTENSION_ORACLES}
 

@@ -9,12 +9,6 @@ rounded floats → DOUBLE, day grains → DATE).
 from __future__ import annotations
 
 ORACLES: dict[str, str] = {
-    "q01_scan_filter_sort": """
-        SELECT o_orderkey, o_custkey, o_orderstatus,
-               o_totalprice AS price
-        FROM orders WHERE o_orderstatus = 'F'
-        ORDER BY o_orderkey NULLS FIRST LIMIT 1000
-    """,
     "q02_project_rename": """
         SELECT n_nationkey AS nation_sk, lower(n_name) AS nation_name, n_regionkey
         FROM nation ORDER BY nation_sk NULLS FIRST
@@ -162,6 +156,12 @@ ORACLES: dict[str, str] = {
 # queries.RETIRED_QUERIES): exercised every suite run by
 # tests/test_retired_oracles.py instead of the driver rotation.
 RETIRED_ORACLES: dict[str, str] = {
+    "q01_scan_filter_sort": """
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               o_totalprice AS price
+        FROM orders WHERE o_orderstatus = 'F'
+        ORDER BY o_orderkey NULLS FIRST LIMIT 1000
+    """,
     "q06_validity_filter": """
         SELECT c_custkey FROM customer
         WHERE c_name IS NOT NULL AND c_name <> '' AND c_acctbal > 0

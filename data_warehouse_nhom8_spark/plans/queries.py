@@ -491,7 +491,6 @@ def q32_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    "q01_scan_filter_sort": q01_scan_filter_sort,
     "q02_project_rename": q02_project_rename,
     "q03_partition_day_filter": q03_partition_day_filter,
     "q04_computed_projection": q04_computed_projection,
@@ -551,6 +550,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 #                                decontaminate-scrub slot. J2's
 #                                2-broadcast plan gate stays on the
 #                                retired shape in test_plans
+# Round 13 (funding the q49 cluster-dedup oracle promotion; q01 sat
+# in the r13 derived front — r11-certified half — so the swap keeps
+# the front at exactly 48):
+#   q01 scan+filter+sort+limit -> q47 (Q3) is the superset machinery
+#                                (same orders scan with pushed
+#                                equality-class filters, sort+limit as
+#                                TakeOrderedAndProject) and q77 keeps
+#                                the equality-filter-on-fact evidence;
+#                                the P1/P3 pushdown + pruning plan
+#                                gates stay pinned on the retired
+#                                shape in test_plans
 # Round 12 (funding the q117 html-extract window slot; q06 sits in
 # the r10-certified rotation half so retiring it shrinks the derived
 # front by one and keeps the front inside the 50-row window):
@@ -562,6 +572,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 #                                (sources/csv_partitioned.py) and the
 #                                per-suite DuckDB twin
 RETIRED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q01_scan_filter_sort": q01_scan_filter_sort,
     "q05_like_prefix": q05_like_prefix,
     "q06_validity_filter": q06_validity_filter,
     "q07_inner_equijoin": q07_inner_equijoin,

@@ -73,5 +73,8 @@ def test_sql_surface_matches_dataframe_plans(spark):
     # round 12: q06 retired to its q73 superset [-1], q114/q115's
     # sentinel-safe outputs use the portable CAST(date AS STRING)
     # [ISO in both engines, so they STAY on the surface], and the new
-    # q117 oracle is DuckDB-dialect by necessity [regex 'g' flags])
-    assert ran >= 58, f"only {ran} oracle SQL strings ran on Spark SQL"
+    # q117 oracle is DuckDB-dialect by necessity [regex 'g' flags];
+    # 57 since round 13: the portable q01 retired to its q47/q77
+    # supersets [-1] and the new q49 oracle is DuckDB-dialect by
+    # necessity [UNNEST lambda shingles + recursive CTE])
+    assert ran >= 57, f"only {ran} oracle SQL strings ran on Spark SQL"

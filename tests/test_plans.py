@@ -13,13 +13,27 @@ def plan_of(spark, name: str) -> str:
     return QUERIES[name](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
 
 
+def _retired_plan_of(spark, name: str) -> str:
+    # q01 retired from the certification registry (round 13, funding
+    # the q49 oracle promotion) but its P1/P3 plan gates stay — the
+    # shape is still first-class
+    from data_warehouse_nhom8_spark.plans import RETIRED_QUERIES
+
+    return (
+        RETIRED_QUERIES[name](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+
+
 def test_filter_pushdown_to_scan(spark):
-    p = plan_of(spark, "q01_scan_filter_sort")
+    p = _retired_plan_of(spark, "q01_scan_filter_sort")
     assert "PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,F)]" in p
 
 
 def test_column_pruning(spark):
-    p = plan_of(spark, "q01_scan_filter_sort")
+    p = _retired_plan_of(spark, "q01_scan_filter_sort")
     assert (
         "ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint,"
         "o_orderstatus:string,o_totalprice:double>" in p

@@ -63,8 +63,11 @@ def test_registry_no_longer_lists_retired(spark):
     # (q114/q115), minus the round-11 retirements that funded their
     # window slots (q07 -> q48 superset, q11 -> q93/q105 supersets —
     # both from the r9-certified half so the derived front shrinks);
-    # round 12 is net-zero: q117 html-extract promoted to oracled,
-    # funded by retiring q06 (-> q73 superset, r10-certified half)
+    # round 12 net-zero: q117 html-extract promoted, funded by
+    # retiring q06 (-> q73 superset); round 13 net-zero again: q49
+    # cluster-dedup promoted to oracled (recursive-CTE connected-
+    # components twin), funded by retiring q01 (-> q47/q77 supersets,
+    # r12-certified so the derived front stays inside the window)
     assert len(ORACLES) == 98
 
 
