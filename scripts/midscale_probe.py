@@ -352,9 +352,14 @@ def main() -> None:
         "replication": REPL,
         "lineitem_rows": li_rows,
         "shuffle_partitions": parts,
-        "aqe_on": run_mode(True),
-        "aqe_off": run_mode(False),
     }
+    # PROBE_SKIP_AQE=1 (round 13): skip the plain AQE-on/off lanes and
+    # run only the production-layout + DuckDB pair — the per-round
+    # bench's x100 lane needs just the crossover ratio, and the two
+    # plain passes roughly double the probe's wall at 60M rows.
+    if os.environ.get("PROBE_SKIP_AQE") != "1":
+        result["aqe_on"] = run_mode(True)
+        result["aqe_off"] = run_mode(False)
 
     # PRODUCTION-LAYOUT lane (round-10 verdict task 3): the same join
     # subset against the facts as BUCKETED versioned snapshots — the
