@@ -249,13 +249,15 @@ def upsert_sink_partitioned(
     trees). Where `upsert_sink` rewrites the whole snapshot per
     micro-batch (copy-on-write MERGE — correct for the versioned
     store, priced by the TABLE), this sink prices the merge by the
-    BATCH's partitions: it lists the K partition values the batch
-    touches (control-plane sized — K dates, not rows), reads ONLY
-    those partitions back (static partition pruning on the directory
-    tree), runs the same last-writer-wins merge, and writes with
-    dynamic partition overwrite (`partitionOverwriteMode=dynamic`,
-    the session default) — so exactly the K touched partitions are
-    replaced and the rest of a 100 TB table is never read or written.
+    BATCH's partitions: the read-back is semi-joined (broadcast) to
+    the batch's distinct partition values — dynamic partition pruning
+    turns that into a directory filter on the hive tree, so ONLY the
+    K touched partitions are listed and read (no driver
+    materialization anywhere) — the same last-writer-wins merge runs,
+    and the write uses dynamic partition overwrite
+    (`partitionOverwriteMode=dynamic`, the session default) — so
+    exactly the K touched partitions are replaced and the rest of a
+    100 TB table is never read or written.
 
     CONTRACT: `partition_col` must be key-stable — a row key's
     partition value never changes across versions (the day-grain fact
@@ -275,23 +277,22 @@ def upsert_sink_partitioned(
         spark = batch.sparkSession
         batch = batch.persist()
         try:
-            # K partition values — bounded by the batch's date span,
-            # control-plane sized (this collect is the plan's pruning
-            # predicate, not data movement)
-            touched = [
-                r[0]
-                for r in batch.select(partition_col).distinct().collect()
-                if r[0] is not None
-            ]
-            if not touched:
+            if batch.isEmpty():
                 return
             current = None
             if os.path.isdir(table_path) and any(
                 name.startswith(f"{partition_col}=")
                 for name in os.listdir(table_path)
             ):
-                current = spark.read.parquet(table_path).filter(
-                    F.col(partition_col).isin(touched)
+                # restrict the read-back to the batch's partitions via
+                # a broadcast semi join on the PARTITION column: no
+                # driver materialization, and dynamic partition
+                # pruning turns the broadcast result into a directory
+                # filter on the hive tree — untouched partitions are
+                # never listed, let alone read
+                touched = batch.select(partition_col).distinct()
+                current = spark.read.parquet(table_path).join(
+                    F.broadcast(touched), partition_col, "left_semi"
                 )
             order_by = [F.desc(c) for c in order_by_cols]
             merged = upsert_last_writer_wins(current, batch, keys, order_by)
