@@ -9,6 +9,7 @@ exact twins (brute-force Jaccard / numpy cosine) instead.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from weakref import WeakKeyDictionary
 
@@ -54,28 +55,43 @@ def _shared_minhash_pairs(
     key = ("minhash_pairs", sf_dir, threshold, bands, shingle_w)
     memo = _memo(spark)
     if key not in memo:
-        pairs = neardup.minhash_neardup_pairs(
+        memo[key] = neardup.minhash_neardup_pairs(
             docs, threshold=threshold, bands=bands, shingle_w=shingle_w
-        ).persist(StorageLevel.MEMORY_AND_DISK)
-        memo[key] = pairs
-    return memo[key]
+        )
+    return _repersist(memo[key])
 
 
 def _shared_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fit-once-query-many for the EXACT n-gram Jaccard pair set
     (threshold 0.8, w=5, unguarded — the q50 oracle definition):
     q50 certifies the pairs, q49 clusters them; one persisted
-    DataFrame per (session, sf_dir) so the bench pays the posting-list
-    join once, not per consumer."""
-    key = ("jaccard_pairs", sf_dir)
+    DataFrame per (session, documents file) so the bench pays the
+    posting-list join once, not per consumer. Keyed by the REALPATH
+    of documents.parquet, not sf_dir: the bucketed bench fixture
+    symlinks documents unchanged, so its lanes share the plain dir's
+    memo instead of rebuilding the pair set for identical bytes."""
+    doc_path = os.path.realpath(os.path.join(sf_dir, "documents.parquet"))
+    key = ("jaccard_pairs", doc_path)
     memo = _memo(spark)
     if key not in memo:
         c = Catalog(spark, sf_dir)
-        pairs = neardup.ngram_jaccard_pairs_exact(
+        memo[key] = neardup.ngram_jaccard_pairs_exact(
             c.documents, threshold=0.8, shingle_w=5, max_shingle_df=None
-        ).persist(StorageLevel.MEMORY_AND_DISK)
-        memo[key] = pairs
-    return memo[key]
+        )
+    return _repersist(memo[key])
+
+
+def _repersist(df: DataFrame) -> DataFrame:
+    """Self-healing persistence for memoized fit artifacts: bench's
+    concurrent lane calls spark.catalog.clearCache() to drop the big
+    stores' GC pressure, which also silently unpersists these — and an
+    unpersisted memo re-runs its whole fit pipeline on EVERY
+    downstream execution (nothing re-registers the cache). Re-persist
+    whenever the storage level has been cleared; the next action
+    re-materializes once."""
+    if df.storageLevel == StorageLevel.NONE:
+        df.persist(StorageLevel.MEMORY_AND_DISK)
+    return df
 
 
 def _docs_count(spark: SparkSession, sf_dir: str, docs: DataFrame) -> int:
