@@ -106,18 +106,25 @@ def main() -> None:
         times, markers = {}, {}
         for name in SUBSET:  # cold pass (codegen) — discard
             QUERIES[name](s, data_dir).toArrow()
-        for name in SUBSET:
-            t0 = time.perf_counter()
-            df = QUERIES[name](s, data_dir)
-            df.toArrow()
-            times[name] = round(time.perf_counter() - t0, 2)
-            if adaptive:
-                p = df._jdf.queryExecution().executedPlan().toString()
-                markers[name] = {
-                    "final": "isFinalPlan=true" in p,
-                    "coalesced": "AQEShuffleRead coalesced" in p,
-                    "skew": "isSkewJoin=true" in p,
-                }
+        # two timed passes, min per query (round 13): the same
+        # symmetric fixed protocol as bench.py's headline — this box
+        # carries transient co-tenant load spikes that only ever
+        # inflate a sample, and a single-sample lane shipped a 4x-off
+        # artifact once
+        for _ in range(2):
+            for name in SUBSET:
+                t0 = time.perf_counter()
+                df = QUERIES[name](s, data_dir)
+                df.toArrow()
+                dt = round(time.perf_counter() - t0, 2)
+                times[name] = min(times.get(name, dt), dt)
+                if adaptive:
+                    p = df._jdf.queryExecution().executedPlan().toString()
+                    markers[name] = {
+                        "final": "isFinalPlan=true" in p,
+                        "coalesced": "AQEShuffleRead coalesced" in p,
+                        "skew": "isSkewJoin=true" in p,
+                    }
         out = {"total_sec": round(sum(times.values()), 2), "queries": times}
         if adaptive:
             out["aqe_markers"] = markers
@@ -401,9 +408,13 @@ def main() -> None:
             t0 = time.perf_counter()
             con.execute(sql).fetchall()  # cold
             cold = round(time.perf_counter() - t0, 2)
-            t0 = time.perf_counter()
-            con.execute(sql).fetchall()  # warm
-            dtimes[name] = {"cold": cold, "warm": round(time.perf_counter() - t0, 2)}
+            warm = None  # min of two, same protocol as the Spark lanes
+            for _ in range(2):
+                t0 = time.perf_counter()
+                con.execute(sql).fetchall()
+                dt = round(time.perf_counter() - t0, 2)
+                warm = dt if warm is None else min(warm, dt)
+            dtimes[name] = {"cold": cold, "warm": warm}
         result["duckdb"] = {
             "total_warm_sec": round(sum(v["warm"] for v in dtimes.values()), 2),
             "queries": dtimes,
