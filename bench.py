@@ -271,10 +271,15 @@ def main() -> None:
     # lane the 2x gate ratio is computed from (vs DuckDB warm).
     from concurrent.futures import ThreadPoolExecutor
 
-    # the concurrent metric covers ORACLED queries only — none of them
-    # touch the persisted extension stores, whose cached blocks only
-    # add executor-memory/GC pressure here (measured: samples of ~21 s
-    # with stores resident vs ~7 s without on an otherwise idle box)
+    # clearCache drops the BIG persisted stores (sig sets, IVF cells,
+    # PQ codes) whose cached blocks add executor-memory/GC pressure
+    # here (measured: samples of ~21 s with them resident vs ~7 s
+    # without on an otherwise idle box). Two oracled queries (q49/q50,
+    # since the r13 promotion) do touch a persisted store — the
+    # exact-Jaccard pair set — which self-heals (_repersist) during
+    # the untimed warm-up pass below; its tens-of-rows cache is noise
+    # next to the stores this clear exists for, and without it every
+    # timed sample would re-run the full pair fit.
     spark.catalog.clearCache()
 
     def concurrent_pass() -> float:
@@ -357,12 +362,12 @@ def main() -> None:
     # passes (the ratio needs only bucketed + DuckDB); the replicated
     # dataset and its bucketed fixture cache under /tmp, so steady-
     # state rounds pay ~the query wall only.
-    if (
-        midscale is not None
-        and "error" not in midscale
-        and os.environ.get("SPARK_GRAFT_MIDSCALE_X100", "1") != "0"
-        and sf == 0.1
-    ):
+    # independent of the x10 lane's fate: its own toggle, its own
+    # subprocess — a skipped or transiently-failed x10 must not
+    # silently withhold the 60M crossover datapoint
+    if os.environ.get("SPARK_GRAFT_MIDSCALE_X100", "1") != "0" and sf == 0.1:
+        if not isinstance(midscale, dict):
+            midscale = {}
         try:
             env = dict(
                 os.environ,
@@ -505,9 +510,15 @@ def main() -> None:
     def _slim_midscale() -> None:
         # shed the 6M lane BEFORE the 60M one (round-13 rule): the
         # x100 crossover pair is the scale-trend evidence the judge
-        # reads; the 6M detail also lives in BENCH_LOCAL.json
+        # reads; the 6M detail also lives in BENCH_LOCAL.json. Only
+        # when x100 actually SUCCEEDED — never trade real x10 numbers
+        # for an x100 error stub.
         ms = compact.get("midscale")
-        if isinstance(ms, dict) and isinstance(ms.get("x100"), dict):
+        if (
+            isinstance(ms, dict)
+            and isinstance(ms.get("x100"), dict)
+            and "error" not in ms["x100"]
+        ):
             compact["midscale"] = {"x100": ms["x100"]}
 
     line = json.dumps(compact, separators=(",", ":"))

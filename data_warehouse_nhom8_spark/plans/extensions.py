@@ -1912,6 +1912,38 @@ def _q117_oracle_sql() -> str:
         FROM documents ORDER BY doc_id LIMIT 500
     """
 
+# The exact n-gram Jaccard pair derivation, shared VERBATIM by the
+# q50 oracle (emits the pairs) and the q49 oracle (clusters them) —
+# one definition, so the shingle shape and the ROUND(j,6) >= 0.8
+# threshold (the Spark operator's exact form, neardup.py) cannot
+# drift between the two twins.
+_JACCARD_PAIRS_CTE = """
+        toks AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+          FROM documents
+        ),
+        sh AS (
+          SELECT DISTINCT doc_id, s
+          FROM toks,
+               UNNEST(list_transform(generate_series(1, greatest(len(t) - 4, 1)),
+                                     i -> array_to_string(t[i:i+4], ' '))) AS u(s)
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ),
+        jac AS (
+          SELECT id_a, id_b,
+                 ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+          FROM inter
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+        ),
+        pairs AS (SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.8)
+"""
+
 EXTENSION_ORACLES: dict[str, str] = {
     "q117_html_extract": _q117_oracle_sql(),
     "q114_scd2_as_of": _SCD2_FIXTURE_SQL
@@ -2241,31 +2273,8 @@ EXTENSION_ORACLES: dict[str, str] = {
         SELECT lang_pred, COUNT(*) AS n FROM pred
         GROUP BY lang_pred ORDER BY lang_pred NULLS FIRST
     """,
-    "q50_ngram_jaccard": """
-        WITH toks AS (
-          SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
-          FROM documents
-        ),
-        sh AS (
-          SELECT DISTINCT doc_id, s
-          FROM toks,
-               UNNEST(list_transform(generate_series(1, greatest(len(t) - 4, 1)),
-                                     i -> array_to_string(t[i:i+4], ' '))) AS u(s)
-        ),
-        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-        inter AS (
-          SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
-          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-          GROUP BY 1, 2
-        ),
-        jac AS (
-          SELECT id_a, id_b,
-                 ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
-          FROM inter
-          JOIN sizes sa ON sa.doc_id = id_a
-          JOIN sizes sb ON sb.doc_id = id_b
-        )
-        SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.8
+    "q50_ngram_jaccard": "WITH " + _JACCARD_PAIRS_CTE + """
+        SELECT id_a, id_b, jaccard FROM pairs
         ORDER BY id_a NULLS FIRST, id_b NULLS FIRST
     """,
     # connected components over q50's exact pair set: min-label
@@ -2273,30 +2282,7 @@ EXTENSION_ORACLES: dict[str, str] = {
     # (vertex, reachable-vertex) pair under UNION set semantics
     # (finite, so it terminates), and MIN over reachable ids is the
     # component label, exactly operators.dedup_clusters' definition
-    "q49_cluster_dedup": """
-        WITH RECURSIVE toks AS (
-          SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
-          FROM documents
-        ),
-        sh AS (
-          SELECT DISTINCT doc_id, s
-          FROM toks,
-               UNNEST(list_transform(generate_series(1, greatest(len(t) - 4, 1)),
-                                     i -> array_to_string(t[i:i+4], ' '))) AS u(s)
-        ),
-        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-        inter AS (
-          SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
-          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-          GROUP BY 1, 2
-        ),
-        pairs AS (
-          SELECT id_a, id_b
-          FROM inter
-          JOIN sizes sa ON sa.doc_id = id_a
-          JOIN sizes sb ON sb.doc_id = id_b
-          WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
-        ),
+    "q49_cluster_dedup": "WITH RECURSIVE " + _JACCARD_PAIRS_CTE + """,
         edges AS (
           SELECT id_a AS a, id_b AS b FROM pairs
           UNION

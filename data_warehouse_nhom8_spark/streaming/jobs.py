@@ -296,9 +296,16 @@ def upsert_sink_partitioned(
                 )
             order_by = [F.desc(c) for c in order_by_cols]
             merged = upsert_last_writer_wins(current, batch, keys, order_by)
-            merged.write.mode("overwrite").partitionBy(partition_col).parquet(
-                table_path
-            )
+            # PIN dynamic overwrite on the writer itself: under the
+            # ambient STATIC default (a stock session that didn't go
+            # through session.get_spark) mode=overwrite would delete
+            # the ENTIRE table tree — including every untouched
+            # partition — before the job runs. The per-write option
+            # overrides any session conf, so the merge can never
+            # depend on who built the session.
+            merged.write.mode("overwrite").option(
+                "partitionOverwriteMode", "dynamic"
+            ).partitionBy(partition_col).parquet(table_path)
         finally:
             batch.unpersist()
 
