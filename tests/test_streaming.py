@@ -1539,3 +1539,56 @@ def test_partitioned_upsert_sink_rewrites_only_touched_partitions(spark, tmp_pat
     # the untouched partitions were neither rewritten nor re-listed
     for p, before in untouched_before.items():
         assert listing(p) == before, p
+
+
+def test_partitioned_upsert_survives_static_overwrite_session(spark, tmp_path):
+    """The writer pins partitionOverwriteMode=dynamic on itself: a
+    session whose ambient conf is Spark's stock STATIC default must
+    still rewrite only the touched partitions (static mode would
+    delete the whole table tree on mode=overwrite — every untouched
+    partition gone)."""
+    import os
+
+    src = tmp_path / "src"
+    table = str(tmp_path / "table")
+    schema_s = "k string, v string, day string"
+
+    def mk(rows, tag):
+        df = spark.createDataFrame(rows, schema_s).withColumn(
+            "day", F.col("day").cast("date")
+        )
+        df.write.parquet(str(src / tag))
+        return df
+
+    b1 = mk([("a", "a1", "2025-03-10"), ("b", "b1", "2025-03-11")], "f1")
+    old = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        jobs.run_available_now(
+            jobs.upsert_sink_partitioned(
+                jobs.stream_source(spark, str(src / "*"), b1.schema),
+                table,
+                keys=["k"],
+                order_by_cols=["day"],
+                partition_col="day",
+                checkpoint=str(tmp_path / "ck"),
+            )
+        )
+        mk([("b", "b2", "2025-03-11")], "f2")
+        jobs.run_available_now(
+            jobs.upsert_sink_partitioned(
+                jobs.stream_source(spark, str(src / "*"), b1.schema),
+                table,
+                keys=["k"],
+                order_by_cols=["day"],
+                partition_col="day",
+                checkpoint=str(tmp_path / "ck"),
+            )
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+    assert sorted(
+        p for p in os.listdir(table) if p.startswith("day=")
+    ) == ["day=2025-03-10", "day=2025-03-11"], "untouched partition must survive"
+    got = {r["k"]: r["v"] for r in spark.read.parquet(table).collect()}
+    assert got == {"a": "a1", "b": "b2"}
