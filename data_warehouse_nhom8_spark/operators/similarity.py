@@ -424,19 +424,36 @@ def embedding_neardup_pairs(
     planes = _hyperplanes(dim, n_planes)
     # stage the double-cast as a named column (q52's staging note:
     # an inline cast inside the interpreted per-plane folds re-runs
-    # once per plane), then bucket via the single-parse str path
-    staged = embeddings.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).cast("array<double>").alias("v"),
+    # once per plane), then bucket via the single-parse str path.
+    # A small embeddings table often lands in ONE parquet split, which
+    # would run the per-row interpreted plane folds on a single core —
+    # fan the scan out first (no-op on multi-split data; bucket/norm
+    # are per-row, so the result is order-independent).
+    from data_warehouse_nhom8_spark.session import repartition_if_split_starved
+
+    staged = repartition_if_split_starved(
+        embeddings.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
     )
+    # per-vector norm computed ONCE before the self-join (each side's
+    # fold runs n_rows times instead of n_pairs times; bit-identical —
+    # the pair denominator is the same sqrt-of-fold product either way)
     b = staged.select(
-        "id", "v", hyperplane_bucket_col("v", planes).alias("bucket")
+        "id",
+        "v",
+        hyperplane_bucket_col("v", planes).alias("bucket"),
+        _norm(F.col("v")).alias("nrm"),
     )
     x, y = b.alias("x"), b.alias("y")
     cand = x.join(
         y, (F.col("x.bucket") == F.col("y.bucket")) & (F.col("x.id") < F.col("y.id"))
     )
-    sim = cosine_sim_col(F.col("x.v"), F.col("y.v"))
+    denom = F.col("x.nrm") * F.col("y.nrm")
+    sim = F.when(
+        denom > 0, _dot(F.col("x.v"), F.col("y.v")) / denom
+    ).otherwise(F.lit(0.0))
     return (
         cand.select(
             F.col("x.id").alias("id_a"),

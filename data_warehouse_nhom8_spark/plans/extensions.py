@@ -207,18 +207,24 @@ def q40_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("cosine", F.round("cosine", 6))
 
 
-def q41_embedding_neardup_noracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q41_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2: embedding near-dup candidates via hyperplane LSH buckets.
     The synthetic embeddings contain no true near-dups (max pairwise
     cosine ≈0.6 at sf0.01 AND sf0.1 — measured), so a thresholded
     report is empty by construction; the declared query instead
     returns the 20 highest-cosine BUCKETED candidate pairs — the same
     bucket-join + exact-cosine-verify machinery with a non-degenerate
-    result the driver's rows-only check can actually see. Thresholded
-    recall on planted near-dups stays pytest-gated (test_llm_ops)."""
+    result the driver can check. ORACLED since r13: the whole tier is
+    deterministic (md5-derived planes, left-associative double folds),
+    so the DuckDB twin reproduces buckets AND cosines bitwise
+    (`_embedding_neardup_oracle_sql`; 20/20 row-exact at
+    sf0.001/0.01/0.1). Thresholded recall on planted near-dups stays
+    pytest-gated (test_llm_ops)."""
     c = Catalog(spark, sf_dir)
     return (
-        similarity.embedding_neardup_pairs(c.embeddings, threshold=-1.0)
+        similarity.embedding_neardup_pairs(
+            c.embeddings, threshold=-1.0, dim=_LSH_DIM
+        )
         .orderBy(F.desc("cosine"), "id_a", "id_b")
         .limit(20)
     )
@@ -358,7 +364,7 @@ STORE_OF_QUERY = {
     "q51_ivf_topk_noracle": "ivf_index",
     "q53_incremental_neardup_noracle": "corpus_sig_store",
     "q39_simhash_neardup_noracle": None,
-    "q41_embedding_neardup_noracle": None,
+    "q41_embedding_neardup": None,
     "q106_bpe_tokenize_noracle": "bpe_merges",
     "q109_pq_topk_noracle": "pq_codes",
 }
@@ -560,6 +566,48 @@ def _lsh_bucket_oracle_sql() -> str:
         FROM embeddings
         GROUP BY 1
         ORDER BY bucket
+    """
+
+
+def _embedding_neardup_oracle_sql(dim: int = _LSH_DIM, n_planes: int = 12) -> str:
+    """Generated DuckDB twin of q41: bucket every vector with the same
+    md5-derived hyperplanes as `similarity.embedding_neardup_pairs`
+    (explicit per-dimension products summed left-to-right, the q52
+    bit-parity construction), self-join on bucket with id_a < id_b,
+    then the exact cosine — dot and both norms as the same
+    left-associative double sums Spark's aggregate/zip_with fold
+    produces — rounded to 6, top-20 by (cosine DESC, id_a, id_b).
+    Doubles agree bitwise, so the LIMIT boundary is deterministic."""
+    planes = similarity._hyperplanes(dim, n_planes)
+    cases = []
+    for i, p in enumerate(planes):
+        dot = " + ".join(
+            f"(CAST(embedding[{d + 1}] AS DOUBLE) * {v!r})" for d, v in enumerate(p)
+        )
+        cases.append(f"CASE WHEN ({dot}) >= 0 THEN {1 << i} ELSE 0 END")
+    bucket = " + ".join(cases)
+    pair_dot = " + ".join(f"(x.v[{d + 1}] * y.v[{d + 1}])" for d in range(dim))
+    nx = " + ".join(f"(x.v[{d + 1}] * x.v[{d + 1}])" for d in range(dim))
+    ny = " + ".join(f"(y.v[{d + 1}] * y.v[{d + 1}])" for d in range(dim))
+    return f"""
+        WITH b AS (
+            SELECT vec_id AS id,
+                   CAST(embedding AS DOUBLE[]) AS v,
+                   CAST({bucket} AS BIGINT) AS bucket
+            FROM embeddings
+        ),
+        cand AS (
+            SELECT x.id AS id_a, y.id AS id_b,
+                   ({pair_dot}) AS dot,
+                   SQRT({nx}) * SQRT({ny}) AS denom
+            FROM b x JOIN b y ON x.bucket = y.bucket AND x.id < y.id
+        )
+        SELECT id_a, id_b,
+               ROUND(CASE WHEN denom > 0 THEN dot / denom ELSE 0.0 END, 6)
+                   AS cosine
+        FROM cand
+        ORDER BY cosine DESC, id_a, id_b
+        LIMIT 20
     """
 
 
@@ -1814,7 +1862,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q38_minhash_neardup_noracle": q38_minhash_neardup_noracle,
     "q39_simhash_neardup_noracle": q39_simhash_neardup_noracle,
     "q40_cosine_topk": q40_cosine_topk,
-    "q41_embedding_neardup_noracle": q41_embedding_neardup_noracle,
+    "q41_embedding_neardup": q41_embedding_neardup,
     "q42_multimodal_features": q42_multimodal_features,
     "q45_percentiles": q45_percentiles,
     "q49_cluster_dedup": q49_cluster_dedup,
@@ -2346,6 +2394,7 @@ EXTENSION_ORACLES: dict[str, str] = {
                ROUND(quantile_cont(o_totalprice, 0.9), 2) AS p90
         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus NULLS FIRST
     """,
+    "q41_embedding_neardup": _embedding_neardup_oracle_sql(),
     "q52_lsh_bucket_histogram": _lsh_bucket_oracle_sql(),
     "q54_train_split": """
         WITH b AS (
