@@ -55,7 +55,7 @@ from data_warehouse_nhom8_spark.plans.tpch import TPCH_ORACLES, TPCH_QUERIES
 _ALL_QUERIES = {**_CORE, **EXTENSION_QUERIES, **TPCH_QUERIES}
 ORACLES = {**_CORE_ORACLES, **EXTENSION_ORACLES, **TPCH_ORACLES}
 
-# Rotation-slack accounting (round 13): 99 oracled + 8 noracle.
+# Rotation-slack accounting (round 13): 98 oracled + 8 noracle.
 # Ten redundant oracles have been RETIRED to their superset shapes
 # (r9: q05, q14, q26, q43, q44; r11: q07 -> q48, q11 -> q93/q105,
 # q08 -> q48; r12: q06 -> q73; r13: q01 -> q47/q77 — see
@@ -73,8 +73,9 @@ ORACLES = {**_CORE_ORACLES, **EXTENSION_ORACLES, **TPCH_ORACLES}
 # two-round union stays complete by construction), and promoted q41
 # embedding-neardup to oracled (the hyperplane tier is fully
 # deterministic — md5-derived planes + left-associative double folds
-# — so the DuckDB twin reproduces buckets and cosines bitwise; spends
-# the remaining new-oracle slot, front 48 -> 49 <= 50).
+# — so the DuckDB twin reproduces buckets and cosines bitwise; funded
+# by retiring q02 to its q20 aliased-lower superset, also from the
+# r11-certified half, so the front stays at exactly 48 and slack 2).
 RETIRED_QUERIES = {**_CORE_RETIRED, **RETIRED_EXTENSION_QUERIES}
 RETIRED_ORACLES = {**_CORE_RETIRED_ORACLES, **RETIRED_EXTENSION_ORACLES}
 

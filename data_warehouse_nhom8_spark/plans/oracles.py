@@ -9,10 +9,6 @@ rounded floats → DOUBLE, day grains → DATE).
 from __future__ import annotations
 
 ORACLES: dict[str, str] = {
-    "q02_project_rename": """
-        SELECT n_nationkey AS nation_sk, lower(n_name) AS nation_name, n_regionkey
-        FROM nation ORDER BY nation_sk NULLS FIRST
-    """,
     "q03_partition_day_filter": """
         SELECT l_orderkey, l_linenumber,
                l_extendedprice AS ep
@@ -161,6 +157,10 @@ RETIRED_ORACLES: dict[str, str] = {
                o_totalprice AS price
         FROM orders WHERE o_orderstatus = 'F'
         ORDER BY o_orderkey NULLS FIRST LIMIT 1000
+    """,
+    "q02_project_rename": """
+        SELECT n_nationkey AS nation_sk, lower(n_name) AS nation_name, n_regionkey
+        FROM nation ORDER BY nation_sk NULLS FIRST
     """,
     "q06_validity_filter": """
         SELECT c_custkey FROM customer

@@ -491,7 +491,6 @@ def q32_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    "q02_project_rename": q02_project_rename,
     "q03_partition_day_filter": q03_partition_day_filter,
     "q04_computed_projection": q04_computed_projection,
     "q09_theta_change_join": q09_theta_change_join,
@@ -561,6 +560,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 #                                the P1/P3 pushdown + pruning plan
 #                                gates stay pinned on the retired
 #                                shape in test_plans
+# Round 13b (funding the q41 embedding-neardup oracle promotion;
+# q02 sat in the r13 derived front — r11-certified half — so the
+# swap keeps the front at exactly 48):
+#   q02 projection+rename+lower -> q20 (W5/F1/F2) projects the same
+#                                aliased lower(...) case-fold plus
+#                                trim/substring/replace/concat on a
+#                                dimension scan; aliased projection
+#                                itself is exercised by every query
+#                                in the registry, and the retired
+#                                shape keeps its per-suite DuckDB
+#                                twin
 # Round 12 (funding the q117 html-extract window slot; q06 sits in
 # the r10-certified rotation half so retiring it shrinks the derived
 # front by one and keeps the front inside the 50-row window):
@@ -573,6 +583,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 #                                per-suite DuckDB twin
 RETIRED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_scan_filter_sort": q01_scan_filter_sort,
+    "q02_project_rename": q02_project_rename,
     "q05_like_prefix": q05_like_prefix,
     "q06_validity_filter": q06_validity_filter,
     "q07_inner_equijoin": q07_inner_equijoin,

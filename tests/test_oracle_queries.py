@@ -76,5 +76,8 @@ def test_sql_surface_matches_dataframe_plans(spark):
     # q117 oracle is DuckDB-dialect by necessity [regex 'g' flags];
     # 57 since round 13: the portable q01 retired to its q47/q77
     # supersets [-1] and the new q49 oracle is DuckDB-dialect by
-    # necessity [UNNEST lambda shingles + recursive CTE])
-    assert ran >= 57, f"only {ran} oracle SQL strings ran on Spark SQL"
+    # necessity [UNNEST lambda shingles + recursive CTE]; 56 since
+    # round 13b: the portable q02 retired to its q20 superset [-1]
+    # and the new q41 oracle is DuckDB-dialect by necessity
+    # [DOUBLE[] cast + 1-based array indexing])
+    assert ran >= 56, f"only {ran} oracle SQL strings ran on Spark SQL"

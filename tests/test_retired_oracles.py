@@ -1,6 +1,7 @@
-"""Retired-oracle twins (round 9 rotation-slack recovery).
+"""Retired-oracle twins (round 9 rotation-slack recovery; grown by
+the r11-r13 promotion-funding retirements — ten as of round 13).
 
-Five redundant oracled queries left the driver's certification
+Redundant oracled queries left the driver's certification
 registry because each is a strict subset of a shape that stays
 oracled (plans/__init__.py documents the mapping). Retirement must
 not weaken their correctness guarantee, so this module runs each
@@ -64,10 +65,13 @@ def test_registry_no_longer_lists_retired(spark):
     # window slots (q07 -> q48 superset, q11 -> q93/q105 supersets —
     # both from the r9-certified half so the derived front shrinks);
     # round 12 net-zero: q117 html-extract promoted, funded by
-    # retiring q06 (-> q73 superset); round 13 net-zero again: q49
+    # retiring q06 (-> q73 superset); round 13 net-zero twice: q49
     # cluster-dedup promoted to oracled (recursive-CTE connected-
-    # components twin), funded by retiring q01 (-> q47/q77 supersets,
-    # r12-certified so the derived front stays inside the window)
+    # components twin), funded by retiring q01 (-> q47/q77 supersets),
+    # and q41 embedding-neardup promoted (bitwise hyperplane twin),
+    # funded by retiring q02 (-> q20 aliased-lower superset) — both
+    # retirees from the r11-certified half, so each swap keeps the
+    # derived front at 48
     assert len(ORACLES) == 98
 
 
