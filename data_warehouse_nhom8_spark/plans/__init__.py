@@ -56,9 +56,9 @@ _ALL_QUERIES = {**_CORE, **EXTENSION_QUERIES, **TPCH_QUERIES}
 ORACLES = {**_CORE_ORACLES, **EXTENSION_ORACLES, **TPCH_ORACLES}
 
 # Rotation-slack accounting (round 13): 98 oracled + 8 noracle.
-# Ten redundant oracles have been RETIRED to their superset shapes
+# Eleven redundant oracles have been RETIRED to their superset shapes
 # (r9: q05, q14, q26, q43, q44; r11: q07 -> q48, q11 -> q93/q105,
-# q08 -> q48; r12: q06 -> q73; r13: q01 -> q47/q77 — see
+# q08 -> q48; r12: q06 -> q73; r13: q01 -> q47/q77, q02 -> q20 — see
 # queries.RETIRED_QUERIES / extensions.RETIRED_EXTENSION_QUERIES for
 # the subset→superset mapping); each keeps a per-suite-run DuckDB
 # twin in tests/test_retired_oracles.py. Growth spends slack, junk

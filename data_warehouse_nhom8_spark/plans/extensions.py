@@ -223,7 +223,7 @@ def q41_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = Catalog(spark, sf_dir)
     return (
         similarity.embedding_neardup_pairs(
-            c.embeddings, threshold=-1.0, dim=_LSH_DIM
+            c.embeddings, threshold=-1.0, dim=_LSH_DIM, n_planes=_LSH_PLANES
         )
         .orderBy(F.desc("cosine"), "id_a", "id_b")
         .limit(20)
@@ -569,7 +569,9 @@ def _lsh_bucket_oracle_sql() -> str:
     """
 
 
-def _embedding_neardup_oracle_sql(dim: int = _LSH_DIM, n_planes: int = 12) -> str:
+def _embedding_neardup_oracle_sql(
+    dim: int = _LSH_DIM, n_planes: int = _LSH_PLANES
+) -> str:
     """Generated DuckDB twin of q41: bucket every vector with the same
     md5-derived hyperplanes as `similarity.embedding_neardup_pairs`
     (explicit per-dimension products summed left-to-right, the q52

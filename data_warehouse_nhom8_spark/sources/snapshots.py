@@ -51,6 +51,7 @@ _COMPLETE = "_COMPLETE"  # marker inside a version dir: write finished
 _BUCKET_SPEC = "_BUCKETS.json"  # bucket layout of the version (sticky)
 _FOLDED_THROUGH = "_FOLDED_THROUGH"  # epoch-fold watermark (sticky, like spec)
 _CHECKPOINT_PTR = "_CHECKPOINT"  # streaming checkpoint that writes this store
+_EPOCH_BASE = "_EPOCH_BASE"  # on-disk offset added to the writer's epoch ids
 _VERSION_RE = re.compile(r"^v(\d{8})$")
 
 
@@ -917,7 +918,12 @@ def epoch_append(df: DataFrame, path: str, epoch_id: int) -> str:
     REPLACES the earlier attempt: the new attempt dir is written in
     full, the marker commits it, and readers always take the highest
     complete attempt. Crash mid-write leaves a marker-less dir —
-    debris, invisible to readers, overwritten by the retry."""
+    debris, invisible to readers, overwritten by the retry.
+
+    `epoch_id` is the WRITER STREAM's id (foreachBatch); the on-disk
+    id adds the store's `epoch_base` rebase so a fresh checkpoint
+    restarting at 0 cannot collide with (or trip over) history."""
+    epoch_id += epoch_base(path)
     wm = epoch_folded_through(path)
     if epoch_id <= wm:
         # tripwire, not a merge path: epoch ids are monotone from the
@@ -962,7 +968,12 @@ def epoch_read_parts(
     keeps the base co-located (only the other side shuffles) while the
     epoch tail — bounded by compaction cadence — joins on its own,
     usually broadcast-sized. `epoch_read` is the convenience union for
-    aggregating readers that don't care about distribution."""
+    aggregating readers that don't care about distribution.
+
+    `exclude_epoch` is a WRITER STREAM id (the replaying merge's own
+    epoch) — rebased by `epoch_base` like `epoch_append` writes it."""
+    if exclude_epoch is not None:
+        exclude_epoch += epoch_base(path)
     base = snapshot_read(spark, path, schema)
     dirs = [
         _epoch_dir(path, e, attempts[-1])
@@ -999,7 +1010,10 @@ def epoch_tail_bytes(path: str, exclude_epoch: int | None = None) -> int:
     cheap local-metadata stat a reader uses to decide whether the tail
     is small enough to broadcast (the tail is bounded by compaction
     CADENCE, not by size, so a forced broadcast is only safe when the
-    bytes say so)."""
+    bytes say so). `exclude_epoch` is a writer-stream id, rebased by
+    `epoch_base` like every store face."""
+    if exclude_epoch is not None:
+        exclude_epoch += epoch_base(path)
     total = 0
     for e, attempts in _epoch_attempts(path).items():
         if e == exclude_epoch:
@@ -1015,16 +1029,55 @@ def epoch_tail_bytes(path: str, exclude_epoch: int | None = None) -> int:
     return total
 
 
+def epoch_base(path: str) -> int:
+    """Offset added to the registered writer stream's epoch ids to get
+    on-disk epoch ids. 0 for a store that has only ever had one
+    writer checkpoint; bumped past everything committed when the
+    store is RE-POINTED at a new checkpoint (whose foreachBatch epoch
+    ids restart at 0 — without the rebase, the fold-watermark
+    tripwire would reject the new stream's first micro-batch and the
+    store would need on-disk surgery to accept writes again)."""
+    try:
+        with open(os.path.join(path, _EPOCH_BASE)) as fh:
+            return int(fh.read().strip())
+    except (OSError, ValueError):
+        return 0
+
+
 def register_store_checkpoint(store_path: str, checkpoint: str) -> None:
     """Record which streaming checkpoint writes this store. Sink
     factories call this at construction; it is the mechanical handle
     `assert_store_stream_stopped` (epoch_compact's offline guard)
-    resolves to a live query id. Idempotent; last writer wins."""
+    resolves to a live query id. Idempotent; last writer wins.
+
+    Re-registration with a DIFFERENT checkpoint (a fresh ingest flow
+    pointed at an existing store — the supported last-writer-wins
+    path) also commits a new epoch-id base: the new stream's epochs
+    restart at 0, so they are rebased past the fold watermark and
+    every committed epoch. Replays within ONE checkpoint keep their
+    base (same pointer → no bump), preserving replace-my-own-attempt
+    idempotence; the new stream's rows carry higher on-disk epoch
+    ids, so LWW reads resolve them as the last writer — exactly the
+    re-registration semantics the pointer already promises."""
     os.makedirs(store_path, exist_ok=True)
-    tmp = os.path.join(store_path, _CHECKPOINT_PTR + ".tmp")
+    ptr = os.path.join(store_path, _CHECKPOINT_PTR)
+    new = os.path.abspath(checkpoint)
+    try:
+        with open(ptr) as fh:
+            cur = fh.read().strip()
+    except OSError:
+        cur = None
+    if cur is not None and cur != new:
+        committed = epoch_ids(store_path)
+        nxt = max([epoch_folded_through(store_path), *committed, -1]) + 1
+        btmp = os.path.join(store_path, _EPOCH_BASE + ".tmp")
+        with open(btmp, "w") as fh:
+            fh.write(str(nxt))
+        os.replace(btmp, os.path.join(store_path, _EPOCH_BASE))
+    tmp = ptr + ".tmp"
     with open(tmp, "w") as fh:
-        fh.write(os.path.abspath(checkpoint))
-    os.replace(tmp, os.path.join(store_path, _CHECKPOINT_PTR))
+        fh.write(new)
+    os.replace(tmp, ptr)
 
 
 def _store_stream_query_id(path: str) -> str | None:

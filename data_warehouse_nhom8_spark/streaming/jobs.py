@@ -289,11 +289,33 @@ def upsert_sink_partitioned(
                 # driver materialization, and dynamic partition
                 # pruning turns the broadcast result into a directory
                 # filter on the hive tree — untouched partitions are
-                # never listed, let alone read
-                touched = batch.select(partition_col).distinct()
-                current = spark.read.parquet(table_path).join(
+                # never listed, let alone read.
+                # PIN the batch's schema on the read-back: partition-
+                # directory type INFERENCE would re-type e.g. a
+                # zero-padded STRING day ("00123") as INT and the next
+                # write would land it in a NEW directory (day=123),
+                # stranding the old partition's rows as permanent
+                # stale duplicates.
+                reader = spark.read.schema(batch.schema).parquet(table_path)
+                touched = (
+                    batch.select(partition_col)
+                    .where(F.col(partition_col).isNotNull())
+                    .distinct()
+                )
+                current = reader.join(
                     F.broadcast(touched), partition_col, "left_semi"
                 )
+                # an equi semi-join never matches NULL keys, but NULL
+                # partition values are real rows (hive's
+                # __HIVE_DEFAULT_PARTITION__ directory, which the
+                # dynamic overwrite WILL replace) — read them back
+                # through an IsNull predicate (still partition
+                # pruning: one directory) or the merge would silently
+                # drop every previously-written NULL-partition row
+                if not batch.where(F.col(partition_col).isNull()).isEmpty():
+                    current = current.unionByName(
+                        reader.where(F.col(partition_col).isNull())
+                    )
             order_by = [F.desc(c) for c in order_by_cols]
             merged = upsert_last_writer_wins(current, batch, keys, order_by)
             # PIN dynamic overwrite on the writer itself: under the

@@ -27,22 +27,39 @@ def first_seen_filter(
     key_cols: list[str],
     output_schema: str | None = None,
     ttl_ms: int | None = None,
+    timeout_eviction: bool = True,
 ) -> DataFrame:
     """Keep only the first-ever batch of rows per key (exact streaming
     dedup). Within the first batch a key appears in, all its rows pass
     (downstream batch dedup can pick a winner); afterwards the key is
     suppressed until its state expires.
 
-    `ttl_ms` bounds state for an UNBOUNDED key universe (crawl-scale
-    fingerprints): each sighting — admitted or suppressed — renews a
-    processing-time timeout, so a key idle for `ttl_ms` is evicted
-    from the state store and its next sighting is re-admitted (the
-    sliding-TTL cache semantics; hot keys stay deduped forever). None
-    keeps the exact remember-forever behavior — correct only when the
-    key universe fits the state store."""
+    `ttl_ms` gives sliding-TTL cache semantics for an UNBOUNDED key
+    universe (crawl-scale fingerprints): each sighting — admitted or
+    suppressed — renews the window, a key idle past `ttl_ms` is
+    re-admitted on its next sighting, and hot keys stay deduped
+    forever. Re-admission is decided by an ARRIVAL-TIME check against
+    the last-sighting stamp kept in state — not by whether a timeout
+    callback happened to fire first — so the semantics hold even when
+    the re-sighting arrives in the first batch to run after a long
+    gap (the daily-cron shape, where no intervening batch existed to
+    deliver the eviction callback). None keeps the exact
+    remember-forever behavior — correct only when the key universe
+    fits the state store.
+
+    `timeout_eviction` (default True) additionally registers a
+    processing-time timeout per sighting so idle keys are EVICTED
+    from the state store — the state-size bound the TTL exists for.
+    Requires a long-running trigger: under ProcessingTimeTimeout the
+    stateful operator always reports another batch may be needed, so
+    Trigger.AvailableNow never terminates. For the cron/AvailableNow
+    ingest shape pass timeout_eviction=False: NoTimeout (terminates),
+    TTL re-admission still exact via the arrival-time check, state
+    then grows with distinct keys between manual store resets."""
     # pass the StructType itself — string-mangling simpleString()
     # corrupts nested struct columns
     schema = output_schema or stream.schema
+    use_timeout = ttl_ms is not None and timeout_eviction
 
     def fn(
         key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
@@ -52,12 +69,29 @@ def first_seen_filter(
             # next sighting re-admits
             state.remove()
             return
+        now_ms = (
+            state.getCurrentProcessingTimeMs() if ttl_ms is not None else 0
+        )
         if state.exists:
-            if ttl_ms is not None:
-                state.setTimeoutDuration(ttl_ms)  # sliding renewal
+            if ttl_ms is None:
+                return  # remember-forever: no state rewrite needed
+            (_, last_ms) = state.get
+            if now_ms - last_ms > ttl_ms:
+                # idle past the TTL but never evicted (no batch ran
+                # during the gap): re-admit NOW — the docstring's
+                # contract — and restart the sliding window
+                state.update((1, now_ms))
+                if use_timeout:
+                    state.setTimeoutDuration(ttl_ms)
+                for pdf in pdfs:
+                    yield pdf
+                return
+            state.update((1, now_ms))  # sliding renewal
+            if use_timeout:
+                state.setTimeoutDuration(ttl_ms)
             return
-        state.update((1,))
-        if ttl_ms is not None:
+        state.update((1, now_ms))
+        if use_timeout:
             state.setTimeoutDuration(ttl_ms)
         for pdf in pdfs:
             yield pdf
@@ -65,11 +99,11 @@ def first_seen_filter(
     return stream.groupBy(*key_cols).applyInPandasWithState(
         fn,
         outputStructType=schema,
-        stateStructType="seen int",
+        stateStructType="seen int, last_ms long",
         outputMode="append",
         timeoutConf=(
             GroupStateTimeout.ProcessingTimeTimeout
-            if ttl_ms is not None
+            if use_timeout
             else GroupStateTimeout.NoTimeout
         ),
     )

@@ -1,5 +1,5 @@
 """Retired-oracle twins (round 9 rotation-slack recovery; grown by
-the r11-r13 promotion-funding retirements — ten as of round 13).
+the r11-r13 promotion-funding retirements — eleven as of round 13).
 
 Redundant oracled queries left the driver's certification
 registry because each is a strict subset of a shape that stays

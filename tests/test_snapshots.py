@@ -915,6 +915,52 @@ def test_epoch_compact_folds_into_base_and_drops_epochs(spark, tmp_path):
     assert {tuple(r) for r in epoch_read(spark, path).collect()} == before | {(99, 990)}
 
 
+def test_reregistered_checkpoint_rebases_epoch_ids(spark, tmp_path):
+    """A store re-pointed at a NEW writer checkpoint (the supported
+    last-writer-wins re-registration) must accept the fresh stream's
+    epoch ids, which restart at 0: register_store_checkpoint commits
+    an epoch-id rebase past the fold watermark and every committed
+    epoch, so the watermark tripwire guards the offline contract
+    without bricking a legitimate re-ingest flow. Within ONE
+    checkpoint the base is stable, so replays still supersede their
+    own attempt."""
+    from data_warehouse_nhom8_spark.sources.snapshots import (
+        epoch_append,
+        epoch_compact,
+        epoch_ids,
+        epoch_read,
+        register_store_checkpoint,
+    )
+
+    path = str(tmp_path / "store")
+    register_store_checkpoint(path, str(tmp_path / "ckA"))
+    for e in range(3):
+        epoch_append(
+            spark.createDataFrame([(e, e * 10)], "k long, n long"), path, e
+        )
+    epoch_compact(spark, path)  # fold watermark = on-disk epoch 2
+    before = {tuple(r) for r in epoch_read(spark, path).collect()}
+
+    # re-point at a fresh checkpoint: its foreachBatch ids restart at
+    # 0 — pre-rebase this first append raised "epoch 0 <= watermark 2"
+    register_store_checkpoint(path, str(tmp_path / "ckB"))
+    epoch_append(spark.createDataFrame([(9, 90)], "k long, n long"), path, 0)
+    got = {tuple(r) for r in epoch_read(spark, path).collect()}
+    assert got == before | {(9, 90)}
+    # replay of the SAME stream epoch supersedes, never doubles
+    epoch_append(
+        spark.createDataFrame([(9, 90), (10, 100)], "k long, n long"), path, 0
+    )
+    got = {tuple(r) for r in epoch_read(spark, path).collect()}
+    assert got == before | {(9, 90), (10, 100)}
+    # the rebased on-disk ids sit strictly past the fold watermark
+    assert all(e > 2 for e in epoch_ids(path)), epoch_ids(path)
+    # same-checkpoint re-registration (process restart) keeps the base
+    register_store_checkpoint(path, str(tmp_path / "ckB"))
+    epoch_append(spark.createDataFrame([(11, 110)], "k long, n long"), path, 1)
+    assert len(epoch_ids(path)) == 2, epoch_ids(path)
+
+
 def test_epoch_delete_keys_purges_rows_and_epoch_files(spark, tmp_path):
     """GDPR deletion on an epoch store: matching rows vanish from the
     read face, the folded epoch dirs (which physically held them) are

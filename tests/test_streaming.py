@@ -1541,6 +1541,88 @@ def test_partitioned_upsert_sink_rewrites_only_touched_partitions(spark, tmp_pat
         assert listing(p) == before, p
 
 
+def test_partitioned_upsert_preserves_null_partition_rows(spark, tmp_path):
+    """NULL partition values are real rows (hive's
+    __HIVE_DEFAULT_PARTITION__ directory, which dynamic overwrite WILL
+    replace), but an equi semi-join never matches NULL keys — the sink
+    must read the null partition back through an IsNull predicate or a
+    later null-partition batch silently erases every earlier
+    null-partition key."""
+    src = tmp_path / "src"
+    table = str(tmp_path / "table")
+    schema_s = "k string, v string, day string"
+
+    def mk(rows, tag):
+        df = spark.createDataFrame(rows, schema_s).withColumn(
+            "day", F.col("day").cast("date")
+        )
+        df.write.parquet(str(src / tag))
+        return df
+
+    def run():
+        jobs.run_available_now(
+            jobs.upsert_sink_partitioned(
+                jobs.stream_source(spark, str(src / "*"), b1.schema),
+                table,
+                keys=["k"],
+                order_by_cols=["day"],
+                partition_col="day",
+                checkpoint=str(tmp_path / "ck"),
+            )
+        )
+
+    b1 = mk([("a", "a1", None), ("b", "b1", "2025-03-11")], "f1")
+    run()
+    # batch 2 touches ONLY the null partition with a different key:
+    # pre-fix the overwrite replaced the directory with just 'c'
+    mk([("c", "c1", None)], "f2")
+    run()
+    got = {r["k"]: (r["v"], r["day"]) for r in spark.read.parquet(table).collect()}
+    assert got == {
+        "a": ("a1", None),
+        "b": ("b1", __import__("datetime").date(2025, 3, 11)),
+        "c": ("c1", None),
+    }, got
+
+
+def test_partitioned_upsert_readback_does_not_retype_string_partitions(
+    spark, tmp_path
+):
+    """The read-back pins the batch's schema: partition-directory type
+    INFERENCE would re-type a zero-padded STRING day ('00123') as INT
+    and the next merge would write a NEW day=123 directory, leaving
+    the old day=00123 rows behind as permanent stale duplicates."""
+    import os
+
+    src = tmp_path / "src"
+    table = str(tmp_path / "table")
+    schema_s = "k string, v string, day string"
+
+    def run(schema):
+        jobs.run_available_now(
+            jobs.upsert_sink_partitioned(
+                jobs.stream_source(spark, str(src / "*"), schema),
+                table,
+                keys=["k"],
+                order_by_cols=["v"],
+                partition_col="day",
+                checkpoint=str(tmp_path / "ck"),
+            )
+        )
+
+    b1 = spark.createDataFrame([("a", "a1", "00123")], schema_s)
+    b1.write.parquet(str(src / "f1"))
+    run(b1.schema)
+    spark.createDataFrame([("a", "a2", "00123")], schema_s).write.parquet(
+        str(src / "f2")
+    )
+    run(b1.schema)
+    parts = sorted(p for p in os.listdir(table) if p.startswith("day="))
+    assert parts == ["day=00123"], parts
+    rows = [(r["k"], r["v"], r["day"]) for r in spark.read.schema(b1.schema).parquet(table).collect()]
+    assert rows == [("a", "a2", "00123")], rows
+
+
 def test_partitioned_upsert_survives_static_overwrite_session(spark, tmp_path):
     """The writer pins partitionOverwriteMode=dynamic on itself: a
     session whose ambient conf is Spark's stock STATIC default must

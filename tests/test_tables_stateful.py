@@ -81,6 +81,65 @@ def test_streaming_first_seen_dedup(spark, tmp_path):
     assert got2 == [("a", 1), ("a", 2), ("b", 3), ("c", 4)]
 
 
+def test_first_seen_ttl_readmits_under_available_now(spark, tmp_path):
+    """Cron/AvailableNow ingest shape: with timeout_eviction=False the
+    query TERMINATES under Trigger.AvailableNow (ProcessingTimeTimeout
+    would spin forever), and TTL re-admission is exact even when the
+    re-sighting arrives in the FIRST batch to run after the idle gap —
+    no intervening batch ever existed to fire an eviction callback, so
+    only the arrival-time check can honor the contract."""
+    import time
+
+    src = tmp_path / "src"
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    schema_str = "k string, v long"
+    schema = spark.createDataFrame([], schema_str).schema
+
+    def run_once() -> None:
+        stream = jobs.stream_source(spark, str(src / "*"), schema)
+        q = (
+            first_seen_filter(
+                stream, ["k"], schema_str, ttl_ms=8000, timeout_eviction=False
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()  # must return: NoTimeout under the hood
+
+    def rows():
+        return sorted((r["k"], r["v"]) for r in spark.read.parquet(out).collect())
+
+    spark.createDataFrame([("a", 1)], schema_str).coalesce(1).write.parquet(
+        str(src / "f1")
+    )
+    run_once()
+    assert rows() == [("a", 1)]
+
+    # second run WITHIN the TTL (8 s dwarfs warm-session query
+    # startup, so the batch lands inside the window): 'a' suppressed,
+    # marker admits
+    spark.createDataFrame([("a", 9), ("m1", 1)], schema_str).coalesce(1).write.parquet(
+        str(src / "f2")
+    )
+    run_once()
+    assert rows() == [("a", 1), ("m1", 1)]
+
+    # idle past the TTL with NO batch running in the gap, then the
+    # re-sighting arrives in the next run's first batch
+    time.sleep(9.0)
+    spark.createDataFrame([("a", 2), ("m2", 1)], schema_str).coalesce(1).write.parquet(
+        str(src / "f3")
+    )
+    run_once()
+    assert ("a", 2) in rows(), rows()
+    assert ("m2", 1) in rows()
+
+
 def test_approx_distinct_within_tolerance(spark):
     from data_warehouse_nhom8_spark.plans.extensions import approx_distinct_detail
 
