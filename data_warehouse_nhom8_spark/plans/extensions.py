@@ -365,6 +365,7 @@ STORE_OF_QUERY = {
     "q53_incremental_neardup_noracle": "corpus_sig_store",
     "q39_simhash_neardup_noracle": None,
     "q41_embedding_neardup": None,
+    "q118_semantic_dedup_noracle": None,
     "q106_bpe_tokenize_noracle": "bpe_merges",
     "q109_pq_topk_noracle": "pq_codes",
 }
@@ -682,6 +683,38 @@ def q49_cluster_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         connected_components(pairs, "id_a", "id_b")
         .orderBy("id")
         .select("id", "component")
+    )
+
+
+def q118_semantic_dedup_noracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 composition — SEMANTIC dedup scrub list: embedding near-dup
+    candidates (q41's certified hyperplane-bucket machinery) edged
+    into duplicate clusters (q49's connected components), canonical =
+    min vec_id per cluster; emitted rows are the NON-canonical
+    members (vec_id, component) — exactly the rows a training
+    pipeline drops to keep one document per embedding-similarity
+    cluster. The synthetic embeddings hold no true near-dups, so a
+    production threshold (cosine >= tau) yields an empty scrub list
+    by construction; the declared query clusters the bucket-candidate
+    graph (threshold=-1) instead — same operators, non-degenerate
+    result. Rows-only for the driver (iterative clustering over the
+    generated-plane edge set is not one SQL statement); exactness is
+    pytest-gated against a local union-find over the operator's own
+    pair set, plus the planted-duplicate recall case
+    (test_dedup_clusters)."""
+    from data_warehouse_nhom8_spark.operators.dedup_clusters import (
+        connected_components,
+    )
+
+    c = Catalog(spark, sf_dir)
+    pairs = similarity.embedding_neardup_pairs(
+        c.embeddings, threshold=-1.0, dim=_LSH_DIM, n_planes=_LSH_PLANES
+    )
+    comp = connected_components(pairs, "id_a", "id_b")
+    return (
+        comp.filter(F.col("id") != F.col("component"))
+        .select(F.col("id").alias("vec_id"), "component")
+        .orderBy("vec_id")
     )
 
 
@@ -1916,6 +1949,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q115_scd2_temporal_join": q115_scd2_temporal_join,
     "q116_decontaminate_scrub": q116_decontaminate_scrub,
     "q117_html_extract": q117_html_extract,
+    "q118_semantic_dedup_noracle": q118_semantic_dedup_noracle,
 }
 
 

@@ -62,3 +62,65 @@ def test_cluster_dedup_with_minhash_detector(spark):
     pairs = neardup.minhash_neardup_pairs(docs, threshold=0.5)
     deduped = sorted(r["doc_id"] for r in dedup_keep_canonical(docs, pairs).collect())
     assert deduped == [0, 3]  # one canonical survivor per cluster + the outlier
+
+
+def test_semantic_dedup_scrub_matches_local_union_find(spark):
+    """q118's composition (embedding near-dup edges -> components ->
+    non-canonical scrub list) equals a local union-find over the
+    operator's OWN pair set at the driver's gate scale, and planted
+    duplicate vectors land in one cluster with exactly one survivor."""
+    from data_warehouse_nhom8_spark.operators import similarity
+    from data_warehouse_nhom8_spark.plans.extensions import (
+        q118_semantic_dedup_noracle,
+    )
+    from tests.conftest import SF_DIR
+
+    got = {
+        (r["vec_id"], r["component"])
+        for r in q118_semantic_dedup_noracle(spark, SF_DIR).collect()
+    }
+
+    # independent ground truth: union-find over the same edges
+    from data_warehouse_nhom8_spark.sources import Catalog
+
+    c = Catalog(spark, SF_DIR)
+    edges = [
+        (r["id_a"], r["id_b"])
+        for r in similarity.embedding_neardup_pairs(
+            c.embeddings, threshold=-1.0, dim=64, n_planes=12
+        ).collect()
+    ]
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    # min-id canonical per set, scrub = every non-canonical member
+    want = {(v, find(v)) for v in parent if v != find(v)}
+    assert got == want and got, (len(got), len(want))
+
+    # planted near-identical vectors: one cluster, one survivor
+    import random
+
+    rnd = random.Random(7)
+    base = [rnd.uniform(-1, 1) for _ in range(16)]
+    rows = [(i, [x + i * 1e-4 for x in base]) for i in range(3)]  # dup group
+    rows += [
+        (10 + i, [rnd.uniform(-1, 1) for _ in range(16)]) for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = similarity.embedding_neardup_pairs(df, threshold=0.99, dim=16)
+    comp = connected_components(pairs, "id_a", "id_b")
+    scrub = {r["id"] for r in comp.filter("id != component").collect()}
+    assert scrub == {1, 2}, scrub  # 0 is the canonical survivor
