@@ -1044,6 +1044,18 @@ def epoch_base(path: str) -> int:
         return 0
 
 
+def on_disk_epoch(path: str, epoch_id: int) -> int:
+    """The on-disk epoch id `epoch_append(df, path, epoch_id)` will
+    commit (writer-stream id + rebase). Sinks stamp their rows'
+    storage `epoch` column with THIS value so the stamp always equals
+    the log's id and LWW resolution (`F.desc("epoch")`) agrees with
+    epoch ordering: after a re-registration rebase, the new writer's
+    stamps must outrank every older stream's — its raw ids restart at
+    0 and would otherwise LOSE the window ordering the last-writer-
+    wins contract says they win."""
+    return epoch_id + epoch_base(path)
+
+
 def register_store_checkpoint(store_path: str, checkpoint: str) -> None:
     """Record which streaming checkpoint writes this store. Sink
     factories call this at construction; it is the mechanical handle

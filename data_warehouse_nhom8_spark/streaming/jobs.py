@@ -387,7 +387,10 @@ def neardup_ingest_sink(
     )
 
     def merge(batch: DataFrame, epoch_id: int) -> None:
-        from data_warehouse_nhom8_spark.sources.snapshots import epoch_append
+        from data_warehouse_nhom8_spark.sources.snapshots import (
+            epoch_append,
+            on_disk_epoch,
+        )
 
         spark = batch.sparkSession
         store = read_sig_state(spark, state_path, exclude_epoch=epoch_id)
@@ -405,15 +408,19 @@ def neardup_ingest_sink(
         # join on the batch's ids selects exactly the batch's rows —
         # the WRITE is batch-sized (the store is only ever read)
         batch_ids = batch.select(F.col("doc_id").alias("id")).distinct()
+        # stamps carry the ON-DISK id (stream id + any re-registration
+        # rebase, per store) so LWW desc(epoch) agrees with the log
         delta = new_store.join(batch_ids, "id", "left_semi").withColumn(
-            "epoch", F.lit(epoch_id).cast("long")
+            "epoch", F.lit(on_disk_epoch(state_path, epoch_id)).cast("long")
         )
         # state first: a crash between the two appends re-runs the
         # micro-batch (at-least-once), and both appends replace their
         # own epoch's files — idempotent either way
         epoch_append(delta, state_path, epoch_id)
         epoch_append(
-            pairs.withColumn("epoch", F.lit(epoch_id).cast("long")),
+            pairs.withColumn(
+                "epoch", F.lit(on_disk_epoch(pairs_path, epoch_id)).cast("long")
+            ),
             pairs_path,
             epoch_id,
         )
@@ -497,12 +504,15 @@ def sketch_store_merge(
     Spark's re-delivery converge."""
 
     def merge(batch: DataFrame, epoch_id: int) -> None:
-        from data_warehouse_nhom8_spark.sources.snapshots import epoch_append
+        from data_warehouse_nhom8_spark.sources.snapshots import (
+            epoch_append,
+            on_disk_epoch,
+        )
 
         cells = batch.groupBy(*fine_keys).agg(
             F.hll_sketch_agg(distinct_col).alias("sketch"),
             F.count(F.lit(1)).alias("n_rows"),
-        ).withColumn("epoch", F.lit(epoch_id).cast("long"))
+        ).withColumn("epoch", F.lit(on_disk_epoch(store_path, epoch_id)).cast("long"))
         epoch_append(cells, store_path, epoch_id)
 
     return merge
@@ -596,10 +606,13 @@ def vocab_store_merge(store_path: str, id_col: str = "doc_id", text_col: str = "
     from data_warehouse_nhom8_spark.operators.text import vocab_counts
 
     def merge(batch: DataFrame, epoch_id: int) -> None:
-        from data_warehouse_nhom8_spark.sources.snapshots import epoch_append
+        from data_warehouse_nhom8_spark.sources.snapshots import (
+            epoch_append,
+            on_disk_epoch,
+        )
 
         counts = vocab_counts(batch, id_col, text_col).withColumn(
-            "epoch", F.lit(epoch_id).cast("long")
+            "epoch", F.lit(on_disk_epoch(store_path, epoch_id)).cast("long")
         )
         epoch_append(counts, store_path, epoch_id)
 
@@ -698,7 +711,10 @@ def corpus_ingest_sink(
     from data_warehouse_nhom8_spark.pipeline.corpus_prep import prepare_corpus_df
 
     def merge(batch: DataFrame, epoch_id: int) -> None:
-        from data_warehouse_nhom8_spark.sources.snapshots import epoch_append
+        from data_warehouse_nhom8_spark.sources.snapshots import (
+            epoch_append,
+            on_disk_epoch,
+        )
 
         if html_col is not None:
             from data_warehouse_nhom8_spark.operators.text import html_text_cols
@@ -718,7 +734,9 @@ def corpus_ingest_sink(
                 max_cont_fraction=max_cont_fraction,
             )
         prepped = prepare_corpus_df(batch, min_tokens=min_tokens)
-        tagged = prepped.withColumn("epoch", F.lit(epoch_id).cast("long"))
+        tagged = prepped.withColumn(
+            "epoch", F.lit(on_disk_epoch(corpus_path, epoch_id)).cast("long")
+        )
         # corpus first: a crash between the two appends re-runs the
         # micro-batch (at-least-once), and both appends replace their
         # own epoch's files — idempotent either way
@@ -726,7 +744,9 @@ def corpus_ingest_sink(
 
         new_chunks = chunk_documents(
             prepped, chunk_tokens=chunk_tokens, stride=stride
-        ).withColumn("epoch", F.lit(epoch_id).cast("long"))
+        ).withColumn(
+            "epoch", F.lit(on_disk_epoch(chunks_path, epoch_id)).cast("long")
+        )
         epoch_append(new_chunks, chunks_path, epoch_id)
 
     _register_epoch_stores(checkpoint, corpus_path, chunks_path)
@@ -885,13 +905,16 @@ def freq_head_sink(
     equals the exact batch answer (pinned in test_streaming)."""
     def merge(batch: DataFrame, epoch_id: int) -> None:
         from data_warehouse_nhom8_spark.operators.aggregates import local_topm
-        from data_warehouse_nhom8_spark.sources.snapshots import epoch_append
+        from data_warehouse_nhom8_spark.sources.snapshots import (
+            epoch_append,
+            on_disk_epoch,
+        )
 
         counts = batch.groupBy(*fine_keys, item_col).agg(
             F.count(F.lit(1)).alias("cnt")
         )
         cells = local_topm(counts, list(fine_keys), "cnt", item_col, m).withColumn(
-            "epoch", F.lit(epoch_id).cast("long")
+            "epoch", F.lit(on_disk_epoch(store_path, epoch_id)).cast("long")
         )
         epoch_append(cells, store_path, epoch_id)
 
@@ -1073,11 +1096,14 @@ def span_store_merge(
         from data_warehouse_nhom8_spark.operators.span_dedup import (
             span_store_build,
         )
-        from data_warehouse_nhom8_spark.sources.snapshots import epoch_append
+        from data_warehouse_nhom8_spark.sources.snapshots import (
+            epoch_append,
+            on_disk_epoch,
+        )
 
         part = span_store_build(
             batch, window=window, id_col=id_col, text_col=text_col
-        ).withColumn("epoch", F.lit(epoch_id).cast("long"))
+        ).withColumn("epoch", F.lit(on_disk_epoch(store_path, epoch_id)).cast("long"))
         epoch_append(part, store_path, epoch_id)
 
     return merge
@@ -1177,6 +1203,7 @@ def url_store_merge(
         from data_warehouse_nhom8_spark.sources.snapshots import (
             epoch_append,
             epoch_read_parts,
+            on_disk_epoch,
         )
 
         spark = batch.sparkSession
@@ -1195,7 +1222,9 @@ def url_store_merge(
             .withColumn("__r", F.row_number().over(w))
             .filter(F.col("__r") == 1)
             .select("canon_url", "domain", "doc_id")
-            .withColumn("epoch", F.lit(epoch_id).cast("long"))
+            .withColumn(
+                "epoch", F.lit(on_disk_epoch(store_path, epoch_id)).cast("long")
+            )
         )
         # SPLIT anti-join (round 12): anti vs the base and the epoch
         # tail separately — unioning a bucketed base with plain epoch
@@ -1307,6 +1336,7 @@ def ivf_store_merge(
         from data_warehouse_nhom8_spark.sources.snapshots import (
             epoch_append,
             epoch_read_parts,
+            on_disk_epoch,
         )
 
         spark = batch.sparkSession
@@ -1318,7 +1348,9 @@ def ivf_store_merge(
                 F.col("__v").alias("v"),
                 "cluster",
             )
-            .withColumn("epoch", F.lit(epoch_id).cast("long"))
+            .withColumn(
+                "epoch", F.lit(on_disk_epoch(store_path, epoch_id)).cast("long")
+            )
         )
         # one deterministic winner per id WITHIN the batch (mirrors
         # url_store_merge's in-batch row_number winner): duplicate ids

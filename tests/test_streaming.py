@@ -1473,6 +1473,36 @@ def test_lww_read_tail_broadcast_is_size_guarded(spark, tmp_path, monkeypatch):
     assert {tuple(r) for r in big.collect()} == rows_small == {(1, "a"), (2, "b2")}
 
 
+def test_lww_winner_after_checkpoint_reregistration(spark, tmp_path):
+    """After a store is re-pointed at a NEW checkpoint (last-writer-
+    wins re-registration), the new writer's rows must WIN LWW
+    resolution even though its stream epoch ids restart at 0: the
+    sinks stamp rows with `on_disk_epoch` (stream id + rebase), so
+    desc(epoch) ordering agrees with the log — a raw stamp of 0 would
+    LOSE against the old stream's higher ids."""
+    from data_warehouse_nhom8_spark.sources.snapshots import (
+        epoch_append,
+        on_disk_epoch,
+        register_store_checkpoint,
+    )
+
+    path = str(tmp_path / "store")
+    register_store_checkpoint(path, str(tmp_path / "ckA"))
+
+    def put(eid, k, v):
+        df = spark.createDataFrame(
+            [(k, v, on_disk_epoch(path, eid))], "k long, v string, epoch long"
+        )
+        epoch_append(df, path, eid)
+
+    put(0, 1, "old0")
+    put(5, 1, "old5")
+    register_store_checkpoint(path, str(tmp_path / "ckB"))
+    put(0, 1, "new0")  # stream B's ids restart at 0
+    got = {tuple(r) for r in jobs._lww_read(spark, path, ["k"], []).collect()}
+    assert got == {(1, "new0")}, got
+
+
 def test_partitioned_upsert_sink_rewrites_only_touched_partitions(spark, tmp_path):
     """Partition-grain streaming MERGE (round 13): a micro-batch that
     touches one date partition must leave every other partition's
