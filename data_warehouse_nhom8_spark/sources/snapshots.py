@@ -923,7 +923,7 @@ def epoch_append(df: DataFrame, path: str, epoch_id: int) -> str:
     `epoch_id` is the WRITER STREAM's id (foreachBatch); the on-disk
     id adds the store's `epoch_base` rebase so a fresh checkpoint
     restarting at 0 cannot collide with (or trip over) history."""
-    epoch_id += epoch_base(path)
+    epoch_id = on_disk_epoch(path, epoch_id)
     wm = epoch_folded_through(path)
     if epoch_id <= wm:
         # tripwire, not a merge path: epoch ids are monotone from the
@@ -973,7 +973,7 @@ def epoch_read_parts(
     `exclude_epoch` is a WRITER STREAM id (the replaying merge's own
     epoch) — rebased by `epoch_base` like `epoch_append` writes it."""
     if exclude_epoch is not None:
-        exclude_epoch += epoch_base(path)
+        exclude_epoch = on_disk_epoch(path, exclude_epoch)
     base = snapshot_read(spark, path, schema)
     dirs = [
         _epoch_dir(path, e, attempts[-1])
@@ -1013,7 +1013,7 @@ def epoch_tail_bytes(path: str, exclude_epoch: int | None = None) -> int:
     bytes say so). `exclude_epoch` is a writer-stream id, rebased by
     `epoch_base` like every store face."""
     if exclude_epoch is not None:
-        exclude_epoch += epoch_base(path)
+        exclude_epoch = on_disk_epoch(path, exclude_epoch)
     total = 0
     for e, attempts in _epoch_attempts(path).items():
         if e == exclude_epoch:

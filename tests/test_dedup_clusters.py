@@ -71,6 +71,8 @@ def test_semantic_dedup_scrub_matches_local_union_find(spark):
     duplicate vectors land in one cluster with exactly one survivor."""
     from data_warehouse_nhom8_spark.operators import similarity
     from data_warehouse_nhom8_spark.plans.extensions import (
+        _LSH_DIM,
+        _LSH_PLANES,
         q118_semantic_dedup_noracle,
     )
     from tests.conftest import SF_DIR
@@ -87,7 +89,7 @@ def test_semantic_dedup_scrub_matches_local_union_find(spark):
     edges = [
         (r["id_a"], r["id_b"])
         for r in similarity.embedding_neardup_pairs(
-            c.embeddings, threshold=-1.0, dim=64, n_planes=12
+            c.embeddings, threshold=-1.0, dim=_LSH_DIM, n_planes=_LSH_PLANES
         ).collect()
     ]
     parent: dict[int, int] = {}
