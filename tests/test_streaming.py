@@ -1473,6 +1473,19 @@ def test_lww_read_tail_broadcast_is_size_guarded(spark, tmp_path, monkeypatch):
     assert {tuple(r) for r in big.collect()} == rows_small == {(1, "a"), (2, "b2")}
 
 
+def test_no_raw_epoch_stamps_in_sinks():
+    """Source tripwire: every store face must stamp rows via
+    on_disk_epoch (stream id + re-registration rebase). A raw
+    F.lit(epoch_id) stamp would silently lose LWW resolution to an
+    older stream's higher ids after a checkpoint re-registration —
+    the exact bug class fixed this round."""
+    src = open(jobs.__file__.replace(".pyc", ".py")).read()
+    assert "F.lit(epoch_id)" not in src, (
+        "raw epoch stamp found in streaming/jobs.py — stamp with "
+        "F.lit(on_disk_epoch(<store_path>, epoch_id)) instead"
+    )
+
+
 def test_lww_winner_after_checkpoint_reregistration(spark, tmp_path):
     """After a store is re-pointed at a NEW checkpoint (last-writer-
     wins re-registration), the new writer's rows must WIN LWW
