@@ -50,8 +50,11 @@ _POINTER = "_CURRENT"
 _COMPLETE = "_COMPLETE"  # marker inside a version dir: write finished
 _BUCKET_SPEC = "_BUCKETS.json"  # bucket layout of the version (sticky)
 _FOLDED_THROUGH = "_FOLDED_THROUGH"  # epoch-fold watermark (sticky, like spec)
-_CHECKPOINT_PTR = "_CHECKPOINT"  # streaming checkpoint that writes this store
-_EPOCH_BASE = "_EPOCH_BASE"  # on-disk offset added to the writer's epoch ids
+_CHECKPOINT_PTR = "_CHECKPOINT"  # legacy pointer file (pre-r14 stores)
+_EPOCH_BASE = "_EPOCH_BASE"  # legacy base file (pre-r14 stores)
+_WRITER_META = "_WRITER"  # atomic JSON {checkpoint, base}: ONE os.replace
+_STAMP_FMT = "_STAMPS_REBASED"  # marker: every live epoch's rows are
+# stamped with on-disk (rebased) epoch ids — see assert_stamp_format
 _VERSION_RE = re.compile(r"^v(\d{8})$")
 
 
@@ -923,6 +926,9 @@ def epoch_append(df: DataFrame, path: str, epoch_id: int) -> str:
     `epoch_id` is the WRITER STREAM's id (foreachBatch); the on-disk
     id adds the store's `epoch_base` rebase so a fresh checkpoint
     restarting at 0 cannot collide with (or trip over) history."""
+    # fresh / never-rebased stores are stamp-consistent by
+    # construction — record that so LWW reads don't have to trust age
+    _write_stamp_marker_if_fresh(path)
     epoch_id = on_disk_epoch(path, epoch_id)
     wm = epoch_folded_through(path)
     if epoch_id <= wm:
@@ -1029,6 +1035,44 @@ def epoch_tail_bytes(path: str, exclude_epoch: int | None = None) -> int:
     return total
 
 
+def _writer_meta(path: str) -> tuple[str | None, int]:
+    """(registered checkpoint, epoch-id base) for the store. The
+    atomic `_WRITER` JSON (round 14) takes precedence; the legacy
+    split files (`_CHECKPOINT` + `_EPOCH_BASE`, two separate
+    os.replace commits — the crash window the advisor flagged) are
+    read as a fallback so pre-r14 stores keep their history."""
+    try:
+        with open(os.path.join(path, _WRITER_META)) as fh:
+            meta = json.load(fh)
+        return meta.get("checkpoint"), int(meta.get("base", 0))
+    except (OSError, ValueError):
+        pass
+    try:
+        with open(os.path.join(path, _CHECKPOINT_PTR)) as fh:
+            cp = fh.read().strip() or None
+    except OSError:
+        cp = None
+    try:
+        with open(os.path.join(path, _EPOCH_BASE)) as fh:
+            base = int(fh.read().strip())
+    except (OSError, ValueError):
+        base = 0
+    return cp, base
+
+
+def _commit_writer_meta(path: str, checkpoint: str, base: int) -> None:
+    """Commit checkpoint pointer AND epoch base in ONE os.replace —
+    a crash can never leave a bumped base with a stale pointer (or
+    vice versa), the half-committed states that double-count a live
+    stream's replayed epoch."""
+    tmp = os.path.join(path, _WRITER_META + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"checkpoint": checkpoint, "base": base}, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, os.path.join(path, _WRITER_META))
+
+
 def epoch_base(path: str) -> int:
     """Offset added to the registered writer stream's epoch ids to get
     on-disk epoch ids. 0 for a store that has only ever had one
@@ -1037,11 +1081,7 @@ def epoch_base(path: str) -> int:
     ids restart at 0 — without the rebase, the fold-watermark
     tripwire would reject the new stream's first micro-batch and the
     store would need on-disk surgery to accept writes again)."""
-    try:
-        with open(os.path.join(path, _EPOCH_BASE)) as fh:
-            return int(fh.read().strip())
-    except (OSError, ValueError):
-        return 0
+    return _writer_meta(path)[1]
 
 
 def on_disk_epoch(path: str, epoch_id: int) -> int:
@@ -1056,7 +1096,94 @@ def on_disk_epoch(path: str, epoch_id: int) -> int:
     return epoch_id + epoch_base(path)
 
 
-def register_store_checkpoint(store_path: str, checkpoint: str) -> None:
+def _has_stamp_marker(path: str) -> bool:
+    return os.path.exists(os.path.join(path, _STAMP_FMT))
+
+
+def _write_stamp_marker(path: str) -> None:
+    marker = os.path.join(path, _STAMP_FMT)
+    if not os.path.exists(marker):
+        os.makedirs(path, exist_ok=True)
+        with open(marker, "w") as fh:
+            fh.write("1")
+
+
+def _write_stamp_marker_if_fresh(path: str) -> None:
+    """Set the stamp-format marker when the store's existing rows are
+    guaranteed stamp-consistent: no rebase ever happened (base 0 —
+    raw stamps equal on-disk ids by construction), or the marker is
+    already there. A store with base > 0 and NO marker may hold rows
+    committed by pre-fix code after a rebase (raw stamps that lose
+    LWW) — the marker must NOT appear and mask that; reads refuse via
+    `assert_stamp_format` until `epoch_restamp` repairs it."""
+    if epoch_base(path) == 0 or _has_stamp_marker(path):
+        _write_stamp_marker(path)
+
+
+def assert_stamp_format(path: str) -> None:
+    """Mechanical tripwire for the forward-only `on_disk_epoch` stamp
+    fix (r13): a store that has REBASED (base > 0) but lacks the
+    stamp-format marker may hold epoch rows stamped with RAW writer
+    ids by pre-fix code — those rows silently LOSE every
+    last-writer-wins resolve (desc(epoch) disagrees with the log).
+    LWW readers call this before resolving; fresh and never-rebased
+    stores pass for free. Repair: `epoch_restamp` (offline) rewrites
+    each live epoch's stamps to its on-disk id and sets the marker."""
+    if (
+        epoch_base(path) > 0
+        and _epoch_attempts(path)
+        and not _has_stamp_marker(path)
+    ):
+        raise RuntimeError(
+            f"epoch store at {path} has a rebased id space (base "
+            f"{epoch_base(path)}) but no stamp-format marker: its live "
+            "epoch rows may carry pre-rebase raw stamps that lose "
+            "last-writer-wins resolution. Run "
+            "snapshots.epoch_restamp(spark, path) offline to rewrite "
+            "stamps from the epoch log and mark the store."
+        )
+
+
+def epoch_restamp(spark: SparkSession, path: str) -> None:
+    """Offline repair for stores refused by `assert_stamp_format`:
+    rewrite every live epoch's `epoch` column to the epoch dir's
+    on-disk id (the log is authoritative — dir ids were rebased
+    atomically, only the ROW stamps could be stale), then set the
+    stamp-format marker. Stores whose rows carry no epoch column
+    (additive sketch cells fold by union, not by stamp) just get the
+    marker. OFFLINE: same stream-stopped contract as epoch_compact,
+    enforced mechanically."""
+    assert_store_stream_stopped(spark, path)
+    base = epoch_base(path)
+    for on_disk_id, attempts in sorted(_epoch_attempts(path).items()):
+        adir = _epoch_dir(path, on_disk_id, attempts[-1])
+        df = spark.read.parquet(adir)
+        if "epoch" not in df.columns:
+            continue  # no stamps to repair in this epoch's rows
+        df = df.withColumn("epoch", F.lit(on_disk_id).cast("long"))
+        # epoch_append re-applies the rebase, so hand it the raw id;
+        # the rewrite commits as a NEW attempt of the same epoch
+        # (readers take the highest complete attempt — crash-safe;
+        # the attempt we read survives its GC's keep-previous policy)
+        epoch_append(df, path, on_disk_id - base)
+    _write_stamp_marker(path)
+
+
+def _checkpoint_query_id(checkpoint: str | None) -> str | None:
+    """Persistent streaming-query id from a checkpoint dir's
+    `metadata` file, or None when unreadable / not yet initialized."""
+    if checkpoint is None:
+        return None
+    try:
+        with open(os.path.join(checkpoint, "metadata")) as fh:
+            return json.load(fh).get("id")
+    except (OSError, ValueError):
+        return None
+
+
+def register_store_checkpoint(
+    store_path: str, checkpoint: str, spark: SparkSession | None = None
+) -> None:
     """Record which streaming checkpoint writes this store. Sink
     factories call this at construction; it is the mechanical handle
     `assert_store_stream_stopped` (epoch_compact's offline guard)
@@ -1070,39 +1197,64 @@ def register_store_checkpoint(store_path: str, checkpoint: str) -> None:
     base (same pointer → no bump), preserving replace-my-own-attempt
     idempotence; the new stream's rows carry higher on-disk epoch
     ids, so LWW reads resolve them as the last writer — exactly the
-    re-registration semantics the pointer already promises."""
+    re-registration semantics the pointer already promises.
+
+    Round-14 hardening (ADVICE r13):
+    - sameness is judged by `os.path.realpath`, and two different
+      paths whose checkpoint `metadata` carry the SAME persistent
+      query id are the same stream (a moved/aliased checkpoint) —
+      neither spells a spurious rebase that would double-commit the
+      live stream's replayed in-flight epoch;
+    - a store with committed history but NO pointer (populated by
+      direct `epoch_append` calls, or a lost pointer file) treats its
+      first registration as a re-registration — the new stream's
+      epoch 0 must still clear the fold watermark and existing ids;
+    - pointer and base commit TOGETHER in one `os.replace`
+      (`_WRITER`), closing the crash window between the two legacy
+      replaces;
+    - before committing a rebase the old writer stream must be
+      stopped: enforced via `assert_store_stream_stopped` against
+      `spark` (or the active session when omitted — best-effort when
+      no session exists in this process)."""
     os.makedirs(store_path, exist_ok=True)
-    ptr = os.path.join(store_path, _CHECKPOINT_PTR)
-    new = os.path.abspath(checkpoint)
-    try:
-        with open(ptr) as fh:
-            cur = fh.read().strip()
-    except OSError:
-        cur = None
-    if cur is not None and cur != new:
+    new = os.path.realpath(checkpoint)
+    cur, base = _writer_meta(store_path)
+    has_history = (
+        bool(epoch_ids(store_path))
+        or epoch_folded_through(store_path) >= 0
+        or base > 0
+    )
+    if cur is not None:
+        same = os.path.realpath(cur) == new
+        if not same:
+            old_id = _checkpoint_query_id(os.path.realpath(cur))
+            same = old_id is not None and old_id == _checkpoint_query_id(new)
+        rebase = not same
+    else:
+        rebase = has_history
+    if rebase:
+        if spark is None:
+            spark = SparkSession.getActiveSession()
+        if spark is not None:
+            assert_store_stream_stopped(spark, store_path)
+        # rows committed so far are consistently stamped iff the store
+        # never rebased (raw == on-disk) or already carries the marker
+        # — only then may the marker survive/appear past this rebase
+        stampable = base == 0 or _has_stamp_marker(store_path)
         committed = epoch_ids(store_path)
-        nxt = max([epoch_folded_through(store_path), *committed, -1]) + 1
-        btmp = os.path.join(store_path, _EPOCH_BASE + ".tmp")
-        with open(btmp, "w") as fh:
-            fh.write(str(nxt))
-        os.replace(btmp, os.path.join(store_path, _EPOCH_BASE))
-    tmp = ptr + ".tmp"
-    with open(tmp, "w") as fh:
-        fh.write(new)
-    os.replace(tmp, ptr)
+        base = max([epoch_folded_through(store_path), *committed, -1]) + 1
+        if stampable:
+            _write_stamp_marker(store_path)
+    else:
+        _write_stamp_marker_if_fresh(store_path)
+    _commit_writer_meta(store_path, new, base)
 
 
 def _store_stream_query_id(path: str) -> str | None:
     """The persistent streaming-query id (checkpoint `metadata` file)
     of the stream registered as this store's writer, or None when no
     sink ever registered / the checkpoint has not initialized."""
-    try:
-        with open(os.path.join(path, _CHECKPOINT_PTR)) as fh:
-            cp = fh.read().strip()
-        with open(os.path.join(cp, "metadata")) as fh:
-            return json.load(fh).get("id")
-    except (OSError, ValueError):
-        return None
+    return _checkpoint_query_id(_writer_meta(path)[0])
 
 
 def assert_store_stream_stopped(spark: SparkSession, path: str) -> None:

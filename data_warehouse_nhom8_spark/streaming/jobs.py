@@ -28,6 +28,7 @@ data volume.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -236,6 +237,52 @@ def upsert_sink(
     )
 
 
+_HIVE_DEFAULT_PART = "__HIVE_DEFAULT_PARTITION__"
+# chars Spark's hive-layout writer percent-escapes in partition dir
+# names (ExternalCatalogUtils.escapePathName's set): ASCII control
+# chars plus the path/metachars below, as %XX uppercase hex
+_HIVE_ESCAPE = set('"#%\'*/:=?\\{[]^\x7f') | {chr(c) for c in range(0x20)}
+
+
+def _hive_part_dirname(col: str, value) -> str:
+    """The partition directory name Spark's writer creates for
+    `col=value` — NULL and empty string land in the hive default
+    partition; everything else is the value's string form with the
+    writer's percent-escaping. Pytest pins this against directories
+    Spark itself wrote (str/int/date/None/empty/metachar values)."""
+    if value is None or value == "":
+        return f"{col}={_HIVE_DEFAULT_PART}"
+    if isinstance(value, bool):
+        s = "true" if value else "false"
+    elif isinstance(value, str):
+        s = value
+    else:
+        s = str(value)  # int, date (ISO), datetime (space-separated)
+    esc = "".join(
+        f"%{ord(ch):02X}" if ch in _HIVE_ESCAPE else ch for ch in s
+    )
+    return f"{col}={esc}"
+
+
+def _touched_partition_paths(
+    table_path: str, partition_col: str, values
+) -> list[str]:
+    """The K on-disk partition directories a micro-batch touches —
+    constructed from the batch's distinct partition VALUES, so the
+    read-back's file index lists O(K) directories instead of the full
+    hive tree (r13 verdict task 3: on a 100 TB table with ~10⁵
+    day×source dirs, a per-batch full listing is real driver/object-
+    store time even though DPP already bounded the data reads).
+    Values with no directory yet (first write of a partition) are
+    simply absent — there is nothing to read back for them."""
+    names = {_hive_part_dirname(partition_col, v) for v in values}
+    return sorted(
+        p
+        for p in (os.path.join(table_path, n) for n in names)
+        if os.path.isdir(p)
+    )
+
+
 def upsert_sink_partitioned(
     stream: DataFrame,
     table_path: str,
@@ -272,50 +319,42 @@ def upsert_sink_partitioned(
     the at-least-once file source converges, same as `upsert_sink`."""
 
     def merge(batch: DataFrame, epoch_id: int) -> None:
-        import os
-
         spark = batch.sparkSession
         batch = batch.persist()
         try:
             if batch.isEmpty():
                 return
+            # the batch's distinct partition values — a BOUNDED
+            # control-plane collect (K touched partitions per
+            # micro-batch, the same cardinality the r13 DPP broadcast
+            # carried), never row data
+            touched_vals = [
+                r[0] for r in batch.select(partition_col).distinct().collect()
+            ]
+            # construct the K(+NULL) partition directories from the
+            # values (r14, verdict task 3): the r13 semi-join + DPP
+            # form bounded the DATA read to K partitions but still
+            # paid a FULL hive-tree file-index listing per micro-batch
+            # — O(all partitions) driver metadata work on a 100 TB
+            # table. An explicit path list makes the listing itself
+            # O(K).
+            # PIN the batch's schema on the read-back: partition-
+            # directory type INFERENCE would re-type e.g. a
+            # zero-padded STRING day ("00123") as INT and the next
+            # write would land it in a NEW directory (day=123),
+            # stranding the old partition's rows as permanent
+            # stale duplicates. basePath keeps the partition column
+            # in scope for the leaf-dir scan.
+            paths = _touched_partition_paths(
+                table_path, partition_col, touched_vals
+            )
             current = None
-            if os.path.isdir(table_path) and any(
-                name.startswith(f"{partition_col}=")
-                for name in os.listdir(table_path)
-            ):
-                # restrict the read-back to the batch's partitions via
-                # a broadcast semi join on the PARTITION column: no
-                # driver materialization, and dynamic partition
-                # pruning turns the broadcast result into a directory
-                # filter on the hive tree — untouched partitions are
-                # never listed, let alone read.
-                # PIN the batch's schema on the read-back: partition-
-                # directory type INFERENCE would re-type e.g. a
-                # zero-padded STRING day ("00123") as INT and the next
-                # write would land it in a NEW directory (day=123),
-                # stranding the old partition's rows as permanent
-                # stale duplicates.
-                reader = spark.read.schema(batch.schema).parquet(table_path)
-                touched = (
-                    batch.select(partition_col)
-                    .where(F.col(partition_col).isNotNull())
-                    .distinct()
+            if paths:
+                current = (
+                    spark.read.schema(batch.schema)
+                    .option("basePath", table_path)
+                    .parquet(*paths)
                 )
-                current = reader.join(
-                    F.broadcast(touched), partition_col, "left_semi"
-                )
-                # an equi semi-join never matches NULL keys, but NULL
-                # partition values are real rows (hive's
-                # __HIVE_DEFAULT_PARTITION__ directory, which the
-                # dynamic overwrite WILL replace) — read them back
-                # through an IsNull predicate (still partition
-                # pruning: one directory) or the merge would silently
-                # drop every previously-written NULL-partition row
-                if not batch.where(F.col(partition_col).isNull()).isEmpty():
-                    current = current.unionByName(
-                        reader.where(F.col(partition_col).isNull())
-                    )
             order_by = [F.desc(c) for c in order_by_cols]
             merged = upsert_last_writer_wins(current, batch, keys, order_by)
             # PIN dynamic overwrite on the writer itself: under the
@@ -802,10 +841,15 @@ def _lww_read(
     stream==batch equality test); O(base scan + tail window) instead
     of O(store shuffle) at 100 TB."""
     from data_warehouse_nhom8_spark.sources.snapshots import (
+        assert_stamp_format,
         epoch_read_parts,
         epoch_tail_bytes,
     )
 
+    # r14 tripwire: refuse a rebased store whose live rows may carry
+    # pre-fix RAW epoch stamps (they'd silently lose every resolve
+    # below) — metadata-only check, repair = snapshots.epoch_restamp
+    assert_stamp_format(path)
     base, tail = epoch_read_parts(spark, path, exclude_epoch=exclude_epoch)
     if base is None and tail is None:
         return None

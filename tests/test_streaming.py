@@ -1717,3 +1717,46 @@ def test_partitioned_upsert_survives_static_overwrite_session(spark, tmp_path):
     ) == ["day=2025-03-10", "day=2025-03-11"], "untouched partition must survive"
     got = {r["k"]: r["v"] for r in spark.read.parquet(table).collect()}
     assert got == {"a": "a1", "b": "b2"}
+
+
+def test_partitioned_upsert_listing_is_bounded_to_touched_dirs(spark, tmp_path):
+    """r13 verdict task 3: the merge read-back's file index must touch
+    only the K(+NULL) partition directories the batch names — never
+    the full hive tree. The path constructor is pinned against
+    directories SPARK'S OWN WRITER created for every value class the
+    contract admits (strings incl. metachars needing percent-escape,
+    zero-padded strings, ints, dates, NULL, empty string)."""
+    import datetime
+    import os
+
+    table = str(tmp_path / "t")
+    vals = ["plain", "a b", "a:b", "a/b", "00123", "", None]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "k long, p string")
+    df.write.partitionBy("p").parquet(table)
+    on_disk = sorted(d for d in os.listdir(table) if d.startswith("p="))
+    # constructor reproduces Spark's dir name for EVERY written value
+    built = sorted({jobs._hive_part_dirname("p", v) for v in vals})
+    assert built == on_disk, (built, on_disk)
+
+    # int and date partition values against Spark's writer too
+    for typed_vals, schema in [
+        ([1, 123], "k long, p long"),
+        ([datetime.date(2025, 3, 10)], "k long, p date"),
+    ]:
+        t2 = str(tmp_path / f"t_{schema.split(',')[1].strip().replace(' ', '_')}")
+        spark.createDataFrame(
+            [(i, v) for i, v in enumerate(typed_vals)], schema
+        ).write.partitionBy("p").parquet(t2)
+        for v in typed_vals:
+            assert os.path.isdir(os.path.join(t2, jobs._hive_part_dirname("p", v)))
+
+    # the file index is O(K): a batch naming 2 of the 7 partitions
+    # (plus one value with no directory yet) yields exactly those 2
+    # paths — the untouched tree is never listed
+    got = jobs._touched_partition_paths(table, "p", ["plain", "a b", "brand-new"])
+    assert got == sorted(
+        os.path.join(table, jobs._hive_part_dirname("p", v)) for v in ["plain", "a b"]
+    )
+    # NULL and empty string resolve to the single hive default dir
+    got = jobs._touched_partition_paths(table, "p", [None, ""])
+    assert got == [os.path.join(table, "p=__HIVE_DEFAULT_PARTITION__")]

@@ -96,11 +96,11 @@ def test_first_seen_ttl_readmits_under_available_now(spark, tmp_path):
     schema_str = "k string, v long"
     schema = spark.createDataFrame([], schema_str).schema
 
-    def run_once() -> None:
+    def run_once(ttl_ms: int) -> None:
         stream = jobs.stream_source(spark, str(src / "*"), schema)
         q = (
             first_seen_filter(
-                stream, ["k"], schema_str, ttl_ms=8000, timeout_eviction=False
+                stream, ["k"], schema_str, ttl_ms=ttl_ms, timeout_eviction=False
             )
             .writeStream.format("parquet")
             .option("path", out)
@@ -117,25 +117,30 @@ def test_first_seen_ttl_readmits_under_available_now(spark, tmp_path):
     spark.createDataFrame([("a", 1)], schema_str).coalesce(1).write.parquet(
         str(src / "f1")
     )
-    run_once()
+    run_once(ttl_ms=600_000)
     assert rows() == [("a", 1)]
 
-    # second run WITHIN the TTL (8 s dwarfs warm-session query
-    # startup, so the batch lands inside the window): 'a' suppressed,
-    # marker admits
+    # second run WITHIN the TTL: 'a' suppressed, marker admits. The
+    # window is 10 MINUTES — ttl_ms is a per-run read parameter of the
+    # arrival-time check, so the suppression phase can pick a TTL no
+    # plausible CI pause or query-startup stall outlives (the r13
+    # advisor flagged the old 8 s window as flaky by construction)
     spark.createDataFrame([("a", 9), ("m1", 1)], schema_str).coalesce(1).write.parquet(
         str(src / "f2")
     )
-    run_once()
+    run_once(ttl_ms=600_000)
     assert rows() == [("a", 1), ("m1", 1)]
 
     # idle past the TTL with NO batch running in the gap, then the
-    # re-sighting arrives in the next run's first batch
-    time.sleep(9.0)
+    # re-sighting arrives in the next run's first batch. The expiry
+    # phase re-reads the SAME state with a 1 s TTL: the 2 s sleep
+    # guarantees expiry without the suite ever sleeping a full
+    # suppression window
+    time.sleep(2.0)
     spark.createDataFrame([("a", 2), ("m2", 1)], schema_str).coalesce(1).write.parquet(
         str(src / "f3")
     )
-    run_once()
+    run_once(ttl_ms=1000)
     assert ("a", 2) in rows(), rows()
     assert ("m2", 1) in rows()
 

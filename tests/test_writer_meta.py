@@ -1,0 +1,182 @@
+"""Round-14 epoch-store writer-metadata hardening (ADVICE r13 +
+verdict task 2).
+
+- pointer + base commit in ONE atomic `_WRITER` file (no crash window
+  between two os.replace calls);
+- re-registration detection survives path aliasing (realpath) and a
+  MOVED checkpoint (same persistent query id — same stream);
+- a store with committed history but no pointer treats its first
+  registration as a re-registration (direct epoch_append flows);
+- rebase refuses while the old writer stream is still active;
+- `assert_stamp_format` refuses a rebased store whose live rows may
+  carry pre-fix RAW epoch stamps; `epoch_restamp` repairs it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_warehouse_nhom8_spark.sources import snapshots as snap
+from data_warehouse_nhom8_spark.streaming import jobs
+
+
+def _put(spark, path, eid, k, v, raw_stamp=False):
+    stamp = eid if raw_stamp else snap.on_disk_epoch(path, eid)
+    df = spark.createDataFrame([(k, v, stamp)], "k long, v string, epoch long")
+    snap.epoch_append(df, path, eid)
+
+
+def test_writer_meta_single_atomic_file(spark, tmp_path):
+    path = str(tmp_path / "store")
+    snap.register_store_checkpoint(path, str(tmp_path / "ckA"))
+    with open(os.path.join(path, snap._WRITER_META)) as fh:
+        meta = json.load(fh)
+    assert set(meta) == {"checkpoint", "base"}
+    assert meta["base"] == 0
+    # no legacy split files are written anymore — the crash window
+    # between their two os.replace commits is structurally gone
+    assert not os.path.exists(os.path.join(path, snap._EPOCH_BASE))
+    assert not os.path.exists(os.path.join(path, snap._CHECKPOINT_PTR))
+
+
+def test_legacy_split_files_still_readable(spark, tmp_path):
+    path = str(tmp_path / "store")
+    os.makedirs(path)
+    with open(os.path.join(path, snap._CHECKPOINT_PTR), "w") as fh:
+        fh.write(str(tmp_path / "ckOld"))
+    with open(os.path.join(path, snap._EPOCH_BASE), "w") as fh:
+        fh.write("7")
+    assert snap.epoch_base(path) == 7
+    cp, base = snap._writer_meta(path)
+    assert cp == str(tmp_path / "ckOld") and base == 7
+    # once new code re-registers, the atomic file takes precedence
+    snap.register_store_checkpoint(path, str(tmp_path / "ckNew"))
+    assert os.path.exists(os.path.join(path, snap._WRITER_META))
+
+
+def test_relative_path_alias_is_not_a_reregistration(spark, tmp_path):
+    """The ADVICE scenario: the SAME checkpoint handed over as a
+    different string (relative path from another cwd, symlink, extra
+    slashes) must not bump the base while the same stream keeps
+    writing — its replayed epoch would commit twice."""
+    path = str(tmp_path / "store")
+    ck = str(tmp_path / "ckA")
+    snap.register_store_checkpoint(path, ck)
+    for e in range(3):
+        _put(spark, path, e, e, f"v{e}")
+    # same checkpoint, aliased spellings
+    snap.register_store_checkpoint(path, ck + os.sep)
+    cwd = os.getcwd()
+    try:
+        os.chdir(str(tmp_path))
+        snap.register_store_checkpoint(path, "ckA")
+    finally:
+        os.chdir(cwd)
+    assert snap.epoch_base(path) == 0, "alias registration bumped the base"
+
+
+def test_moved_checkpoint_same_query_id_is_same_stream(spark, tmp_path):
+    path = str(tmp_path / "store")
+    ck_a, ck_b = str(tmp_path / "ckA"), str(tmp_path / "ckB")
+    for ck in (ck_a, ck_b):
+        os.makedirs(ck)
+        with open(os.path.join(ck, "metadata"), "w") as fh:
+            json.dump({"id": "q-same"}, fh)
+    snap.register_store_checkpoint(path, ck_a)
+    for e in range(2):
+        _put(spark, path, e, e, f"v{e}")
+    snap.register_store_checkpoint(path, ck_b)  # moved, same query id
+    assert snap.epoch_base(path) == 0, "moved checkpoint forced a rebase"
+
+
+def test_first_registration_of_populated_store_rebases(spark, tmp_path):
+    """ADVICE low: a store populated by direct epoch_append calls (no
+    pointer) that is then registered must rebase — the new stream's
+    epoch 0 would otherwise collide with existing on-disk ids."""
+    path = str(tmp_path / "store")
+    for e in range(3):
+        _put(spark, path, e, e, f"v{e}")
+    snap.register_store_checkpoint(path, str(tmp_path / "ckFirst"))
+    assert snap.epoch_base(path) == 3
+    # lost-pointer variant: history via the fold watermark only
+    path2 = str(tmp_path / "store2")
+    for e in range(2):
+        _put(spark, path2, e, e, f"v{e}")
+    snap.epoch_compact(spark, path2)
+    assert snap.epoch_folded_through(path2) >= 0
+    snap.register_store_checkpoint(path2, str(tmp_path / "ckFirst2"))
+    assert snap.epoch_base(path2) == snap.epoch_folded_through(path2) + 1
+
+
+def test_rebase_refused_while_old_writer_stream_active(spark, tmp_path):
+    path = str(tmp_path / "store")
+    ck_a = str(tmp_path / "ckA")
+    q = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 1)
+        .load()
+        .writeStream.format("noop")
+        .option("checkpointLocation", ck_a)
+        .start()
+    )
+    try:
+        snap.register_store_checkpoint(path, ck_a)
+        with pytest.raises(RuntimeError, match="still active"):
+            snap.register_store_checkpoint(path, str(tmp_path / "ckB"), spark)
+        # the refused rebase committed nothing
+        cp, base = snap._writer_meta(path)
+        assert os.path.realpath(cp) == os.path.realpath(ck_a) and base == 0
+    finally:
+        q.stop()
+        q.awaitTermination()
+    snap.register_store_checkpoint(path, str(tmp_path / "ckB"), spark)
+    cp, _ = snap._writer_meta(path)
+    assert os.path.realpath(cp) == os.path.realpath(str(tmp_path / "ckB"))
+
+
+def test_raw_stamped_store_refused_then_repaired(spark, tmp_path):
+    """Verdict task 2: a store whose live epochs were written by
+    PRE-fix code after a re-registration (raw stamps, rebased dir
+    ids) is detected by the metadata-only guard and refused; the
+    offline epoch_restamp repair rewrites stamps from the log, after
+    which the new writer's rows win LWW as the contract says."""
+    path = str(tmp_path / "store")
+    snap.register_store_checkpoint(path, str(tmp_path / "ckA"))
+    _put(spark, path, 0, 1, "old0")
+    _put(spark, path, 5, 1, "old5")
+    snap.register_store_checkpoint(path, str(tmp_path / "ckB"))  # base -> 6
+    # simulate PRE-fix code: it never wrote the marker, and its sink
+    # stamped the new stream's rows with RAW ids (0), not on-disk (6)
+    os.remove(os.path.join(path, snap._STAMP_FMT))
+    _put(spark, path, 0, 1, "new0", raw_stamp=True)
+    with pytest.raises(RuntimeError, match="stamp-format"):
+        jobs._lww_read(spark, path, ["k"], [])
+    snap.epoch_restamp(spark, path)
+    got = {tuple(r) for r in jobs._lww_read(spark, path, ["k"], []).collect()}
+    assert got == {(1, "new0")}, got
+    # additive store (no epoch column): restamp just marks it
+    path2 = str(tmp_path / "add")
+    snap.epoch_append(spark.createDataFrame([(1, 2)], "k long, n long"), path2, 0)
+    os.remove(os.path.join(path2, snap._STAMP_FMT))
+    snap.epoch_restamp(spark, path2)
+    assert snap._has_stamp_marker(path2)
+
+
+def test_fresh_and_never_rebased_stores_pass_stamp_guard(spark, tmp_path):
+    path = str(tmp_path / "store")
+    _put(spark, path, 0, 1, "a")
+    snap.assert_stamp_format(path)  # base 0 — consistent by construction
+    got = jobs._lww_read(spark, path, ["k"], [])
+    assert [tuple(r) for r in got.collect()] == [(1, "a")]
+    # a CURRENT-code re-registration keeps the marker: rows before the
+    # rebase were consistent (base 0), rows after are stamped via
+    # on_disk_epoch (the r13 source tripwire pins that)
+    snap.register_store_checkpoint(path, str(tmp_path / "ckB"))
+    _put(spark, path, 0, 1, "b")
+    snap.assert_stamp_format(path)
+    got = {tuple(r) for r in jobs._lww_read(spark, path, ["k"], []).collect()}
+    assert got == {(1, "b")}
