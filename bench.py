@@ -175,19 +175,22 @@ def main() -> None:
     # Store-backed probes (q53-class) are steady-state estimators with
     # committed idle baselines; a transiently loaded box (driver side
     # work, page-cache churn) inflated the r10/r11 artifacts 1.4-1.6x
-    # over the same HEAD's idle runs. Estimator = min of two samples:
-    # the second run immediately follows, so a contended first sample
-    # doesn't ship as the probe's declared steady state (both samples
-    # stay visible in the artifact).
+    # over the same HEAD's idle runs. Estimator = min of THREE samples
+    # (round 14, verdict task 6: the two-sample min still drifted
+    # 1.38→1.68 s round-over-round on an unchanged code path — one
+    # extra sample per store-backed probe costs ~2 s of bench wall and
+    # the probe gate sits closest to its limit); all samples stay
+    # visible in the artifact (`ext_probe_samples` / compact line's
+    # ext_fit_probe carries the min).
     from data_warehouse_nhom8_spark.plans.extensions import STORE_OF_QUERY
 
     for name in extension:
         if STORE_OF_QUERY.get(name):
-            t0 = time.perf_counter()
-            QUERIES[name](spark, sf_dir).toArrow()
-            second = round(time.perf_counter() - t0, 3)
-            ext_samples[name].append(second)
-            warm_ext_map[name] = min(warm_ext_map[name], second)
+            for _ in range(2):
+                t0 = time.perf_counter()
+                QUERIES[name](spark, sf_dir).toArrow()
+                ext_samples[name].append(round(time.perf_counter() - t0, 3))
+            warm_ext_map[name] = min(ext_samples[name])
 
     def canon_rows(tbl) -> list[str]:
         cols = sorted(tbl.column_names)

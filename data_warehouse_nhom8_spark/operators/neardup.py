@@ -754,6 +754,46 @@ def jaccard_bruteforce(
 
 # ------------------------------------------------------------------ SimHash
 
+def md5_token_hash64(w: Column) -> Column:
+    """Signed 64-bit token hash from md5: hi/lo 32-bit halves of the
+    first 16 hex chars recombined (shiftleft wraps the sign bit in
+    two's complement — no ANSI overflow). Chosen over xxhash64 (r14)
+    because BOTH engines compute md5 identically, so the SimHash tier
+    becomes end-to-end deterministic ACROSS engines and q39's DuckDB
+    twin reproduces signatures, chunks, and Hamming pairs bitwise —
+    the same promotion construction as q41's md5-derived hyperplanes.
+    xxhash64 has no DuckDB counterpart; md5 parity is already load-
+    bearing in the oracled set (q33/q36 fingerprints, q54 split
+    buckets)."""
+    h = F.md5(w)
+    hi = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+    return F.shiftleft(hi, 32).bitwiseOR(lo)
+
+
+def simhash_token_hashes(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, __th) — the distinct-token 64-bit hash array every SimHash
+    face folds over: lower/trim/whitespace-split, distinct (first-
+    occurrence order), capped at `_SWAR_LANE_CAP` distinct tokens,
+    each hashed via `md5_token_hash64`. Single definition so the
+    declared query, the DuckDB twin generator, and the form-
+    equivalence pytests can never drift apart."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.slice(
+            F.transform(
+                F.array_distinct(F.split(F.lower(F.trim(t)), r"\s+")),
+                md5_token_hash64,
+            ),
+            1,
+            _SWAR_LANE_CAP,
+        ).alias("__th"),
+    )
+
+
 def simhash_col(token_hashes: Column, bits: int = 64) -> Column:
     """SimHash signature (LongType) over a PRE-HASHED token array
     (array<long>): each bit votes +1/-1 per token hash, sign of the
@@ -856,21 +896,13 @@ def simhash_signatures(
     and ~1.7× faster (2.35 s → 1.42 s at sf0.1). Documents past the
     cap are sketched over their first `_SWAR_LANE_CAP` distinct
     tokens (see the cap comment). Rows with NULL text get signature 0
-    (no token votes)."""
+    (no token votes). Token hashes are md5-derived
+    (`simhash_token_hashes`) so the whole tier is reproducible in
+    DuckDB — q39's oracle promotion (r14)."""
     from data_warehouse_nhom8_spark.session import repartition_for_compute
 
-    t = F.col(text_col)
-    df = repartition_for_compute(df)
-    hashed = df.select(
-        F.col(id_col).alias("id"),
-        F.slice(
-            F.transform(
-                F.array_distinct(F.split(F.lower(F.trim(t)), r"\s+")),
-                lambda w: F.xxhash64(w),
-            ),
-            1,
-            _SWAR_LANE_CAP,
-        ).alias("__th"),
+    hashed = simhash_token_hashes(
+        repartition_for_compute(df), id_col, text_col
     )
     packed = hashed.select(*_simhash_fold_packed())
     return packed.select("id", _simhash_unpack_sig(bits).alias("sh"))

@@ -186,12 +186,100 @@ def q38_minhash_neardup_noracle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _shared_minhash_pairs(spark, sf_dir, c.documents).orderBy("id_a", "id_b")
 
 
-def q39_simhash_neardup_noracle(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X2: SimHash near-dup pairs within Hamming radius 3."""
+def q39_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2: SimHash near-dup pairs within Hamming radius 3.
+
+    ORACLED since round 14 (was rows-only): the tier is deterministic
+    end-to-end — md5-derived token hashes (`neardup.md5_token_hash64`),
+    fixed majority-vote bit packing, 16-bit chunk blocking with the
+    ≤500 bucket cap, exact bit_count verify — so the generated DuckDB
+    twin (`_simhash_neardup_oracle_sql`, same constants) reproduces
+    signatures, chunk buckets, AND Hamming pairs bitwise (verified
+    row-exact at sf0.001/0.01/0.1). Funded by retiring q52 to this
+    pattern's own superset: q41 certifies the hyperplane buckets AND
+    the pair cosines, of which q52's bucket histogram is a strict
+    subset."""
     c = Catalog(spark, sf_dir)
     return neardup.simhash_neardup_pairs(c.documents, max_hamming=3).orderBy(
         "id_a", "id_b"
     )
+
+
+def _simhash_neardup_oracle_sql(
+    max_hamming: int = 3, chunks: int = 4, max_bucket_size: int = 500
+) -> str:
+    """Generated DuckDB twin of q39, coupled to the Spark constants
+    (`neardup.simhash_neardup_pairs` defaults + `_SWAR_LANE_CAP`):
+
+    * token set: lower/trim/whitespace-split/distinct — the
+      `simhash_token_hashes` staging (the 32767-distinct-token lane
+      cap is not restated: no testdata document approaches it, and a
+      doc past the cap would fail the row-exact verify loudly);
+    * token hash: hi/lo 32-bit halves of md5 hex recombined into a
+      signed 64-bit value — `md5_token_hash64` bit-for-bit (the vote
+      reads the halves directly, no 64-bit reconstruction needed);
+    * signature: majority vote per bit (2*cnt > n), bit 63 as the
+      two's-complement MIN_VALUE literal, NULL-text docs get
+      signature 0 (no token votes) — `_simhash_unpack_sig` semantics;
+    * pairs: 16-bit chunk blocking, buckets over `max_bucket_size`
+      skipped, exact bit_count(xor) ≤ `max_hamming`, DISTINCT."""
+    width = 64 // chunks
+    mask = (1 << width) - 1
+    votes = []
+    for i in range(64):
+        src = f"(lo >> {i}) & 1" if i < 32 else f"(hi >> {i - 32}) & 1"
+        votes.append(f"SUM({src}) AS c{i}")
+    bitval = lambda i: (  # noqa: E731 — local twin of the Spark literal
+        "(-9223372036854775807 - 1)" if i == 63 else str(1 << i)
+    )
+    sig_terms = " + ".join(
+        f"CASE WHEN 2 * c{i} > n THEN CAST({bitval(i)} AS BIGINT) "
+        f"ELSE CAST(0 AS BIGINT) END"
+        for i in range(64)
+    )
+    chunk_ids = ", ".join(str(i) for i in range(chunks))
+    return f"""
+        WITH toks AS (
+            SELECT doc_id AS id, u.tok
+            FROM documents,
+                 UNNEST(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS u(tok)
+            WHERE text IS NOT NULL
+        ),
+        th AS (
+            SELECT id,
+                   CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS hi,
+                   CAST(('0x' || substr(md5(tok), 9, 8)) AS BIGINT) AS lo
+            FROM toks
+        ),
+        votes AS (
+            SELECT id, COUNT(*) AS n, {", ".join(votes)}
+            FROM th GROUP BY id
+        ),
+        sig AS (
+            SELECT id, CAST({sig_terms} AS BIGINT) AS sh FROM votes
+            UNION ALL
+            SELECT doc_id AS id, CAST(0 AS BIGINT) AS sh
+            FROM documents WHERE text IS NULL
+        ),
+        chunked AS (
+            SELECT id, sh, u.ci, (sh >> (u.ci * {width})) & {mask} AS cv
+            FROM sig, UNNEST([{chunk_ids}]) AS u(ci)
+        ),
+        ok AS (
+            SELECT ci, cv FROM chunked
+            GROUP BY ci, cv HAVING COUNT(*) <= {max_bucket_size}
+        ),
+        pairs AS (
+            SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                   CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+            FROM chunked a
+            JOIN ok USING (ci, cv)
+            JOIN chunked b ON a.ci = b.ci AND a.cv = b.cv AND a.id < b.id
+        )
+        SELECT id_a, id_b, hamming FROM pairs
+        WHERE hamming <= {max_hamming}
+        ORDER BY id_a, id_b
+    """
 
 
 def q40_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -363,7 +451,7 @@ STORE_OF_QUERY = {
     "q50_ngram_jaccard": "jaccard_pairs",
     "q51_ivf_topk_noracle": "ivf_index",
     "q53_incremental_neardup_noracle": "corpus_sig_store",
-    "q39_simhash_neardup_noracle": None,
+    "q39_simhash_neardup": None,
     "q41_embedding_neardup": None,
     "q118_semantic_dedup_noracle": None,
     "q106_bpe_tokenize_noracle": "bpe_merges",
@@ -1895,7 +1983,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q36_doc_fingerprint": q36_doc_fingerprint,
     "q37_lang_id": q37_lang_id,
     "q38_minhash_neardup_noracle": q38_minhash_neardup_noracle,
-    "q39_simhash_neardup_noracle": q39_simhash_neardup_noracle,
+    "q39_simhash_neardup": q39_simhash_neardup,
     "q40_cosine_topk": q40_cosine_topk,
     "q41_embedding_neardup": q41_embedding_neardup,
     "q42_multimodal_features": q42_multimodal_features,
@@ -1903,7 +1991,6 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q49_cluster_dedup": q49_cluster_dedup,
     "q50_ngram_jaccard": q50_ngram_jaccard,
     "q51_ivf_topk_noracle": q51_ivf_topk_noracle,
-    "q52_lsh_bucket_histogram": q52_lsh_bucket_histogram,
     "q53_incremental_neardup_noracle": q53_incremental_neardup_noracle,
     "q54_train_split": q54_train_split,
     "q55_pii_redaction": q55_pii_redaction,
@@ -2430,8 +2517,8 @@ EXTENSION_ORACLES: dict[str, str] = {
                ROUND(quantile_cont(o_totalprice, 0.9), 2) AS p90
         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus NULLS FIRST
     """,
+    "q39_simhash_neardup": _simhash_neardup_oracle_sql(),
     "q41_embedding_neardup": _embedding_neardup_oracle_sql(),
-    "q52_lsh_bucket_histogram": _lsh_bucket_oracle_sql(),
     "q54_train_split": """
         WITH b AS (
           SELECT doc_id,
@@ -2943,9 +3030,14 @@ EXTENSION_ORACLES: dict[str, str] = {
 RETIRED_EXTENSION_QUERIES = {
     "q43_approx_distinct": q43_approx_distinct,
     "q44_rollup": q44_rollup,
+    # r14: retired to fund q39's oracle slot — q41 (oracled r13)
+    # certifies the hyperplane BUCKETS and the pair cosines bitwise,
+    # of which q52's bucket histogram is a strict subset
+    "q52_lsh_bucket_histogram": q52_lsh_bucket_histogram,
 }
 
 RETIRED_EXTENSION_ORACLES: dict[str, str] = {
+    "q52_lsh_bucket_histogram": _lsh_bucket_oracle_sql(),
     "q43_approx_distinct": """
         SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
                TRUE AS within_tol

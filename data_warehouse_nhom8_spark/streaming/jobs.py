@@ -329,7 +329,10 @@ def upsert_sink_partitioned(
             # micro-batch, the same cardinality the r13 DPP broadcast
             # carried), never row data
             touched_vals = [
-                r[0] for r in batch.select(partition_col).distinct().collect()
+                r[0]
+                for r in batch.select(partition_col)
+                .distinct()
+                .collect()  # bounded-collect: K partition VALUES, never rows
             ]
             # construct the K(+NULL) partition directories from the
             # values (r14, verdict task 3): the r13 semi-join + DPP

@@ -199,13 +199,21 @@ def test_minhash_jaccard_values_exact(spark, docs):
 
 
 def test_simhash_finds_near_dups(spark, docs):
+    """Within the blocking GUARANTEE (hamming < chunks ⇒ ≥1 equal
+    chunk, pigeonhole): 8 chunks of 8 bits make every pair within
+    radius 7 discoverable regardless of WHERE the bit flips land —
+    the r14 md5 token-hash switch exposed that the old 4-chunk /
+    radius-10 form only found the fixture pair by hash luck (its 5
+    flips straddled all 4 chunks)."""
     pairs = {
         (r["id_a"], r["id_b"]): r["hamming"]
-        for r in neardup.simhash_neardup_pairs(docs, max_hamming=10).collect()
+        for r in neardup.simhash_neardup_pairs(
+            docs, max_hamming=7, chunks=8
+        ).collect()
     }
     assert pairs.get((0, 1)) == 0  # identical text, identical signature
-    assert (0, 2) in pairs  # 1-token edit within radius
-    assert (0, 3) not in pairs  # different doc far away
+    assert (0, 2) in pairs  # 1-token edit: hamming 5, inside the guarantee
+    assert (0, 3) not in pairs  # different doc far away (hamming ~30)
 
 
 def test_lang_id_staged_matches_column_form(spark):
@@ -232,14 +240,10 @@ def test_lang_id_staged_matches_column_form(spark):
 
 def test_simhash_agg_formulation_matches_fold(spark, docs):
     """simhash_signatures (explode + bit-count sums, the fast path)
-    must be bit-identical to the reference simhash_col array-fold."""
-    hashed = docs.select(
-        F.col("doc_id").alias("id"),
-        F.transform(
-            F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), r"\s+")),
-            lambda w: F.xxhash64(w),
-        ).alias("__th"),
-    )
+    must be bit-identical to the reference simhash_col array-fold
+    over the SAME shared token-hash staging (md5-derived since r14 —
+    the q39 oracle parity hash)."""
+    hashed = neardup.simhash_token_hashes(docs)
     fold = {
         r["id"]: r["sh"]
         for r in hashed.select("id", neardup.simhash_col(F.col("__th")).alias("sh")).collect()
@@ -256,16 +260,11 @@ def test_simhash_unpack_sql_form_identical(spark, docs):
         _simhash_fold_packed,
         _simhash_unpack_sig,
         _simhash_unpack_sig_column_form,
+        simhash_token_hashes,
     )
     from data_warehouse_nhom8_spark.session import repartition_for_compute
 
-    hashed = repartition_for_compute(docs).select(
-        F.col("doc_id").alias("id"),
-        F.transform(
-            F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), r"\s+")),
-            lambda w: F.xxhash64(w),
-        ).alias("__th"),
-    )
+    hashed = simhash_token_hashes(repartition_for_compute(docs))
     packed = hashed.select(*_simhash_fold_packed())
     both = packed.select(
         "id",
@@ -1839,7 +1838,7 @@ def test_sql_string_expression_fast_paths_bit_identical(spark):
     expression as one parsed SQL string (single JVM round-trip
     instead of thousands of py4j calls). The str and Column forms
     must stay BIT-identical — signatures feed persisted stores and
-    the LSH buckets are driver-oracled (q52)."""
+    the LSH buckets are driver-oracled (q41; q52 retired to it r14)."""
     from data_warehouse_nhom8_spark.operators import similarity
 
     rows = [

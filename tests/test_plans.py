@@ -629,3 +629,65 @@ def test_q113_sessionization_windows_partition_on_user(spark):
     assert p.count("FileScan parquet") == 1, "one scan of events"
     assert "partial_count" in p or "partial_min" in p, "rollup must partial-agg"
     assert "CartesianProduct" not in p and "BatchEvalPython" not in p
+
+
+def test_q41_neardup_single_scan_bucket_broadcast(spark):
+    """q41's scale contract (r14, audit addition): ONE embeddings
+    scan feeds both sides of the bucket self-join (the bucketed side
+    broadcasts — candidate pairs never materialize beyond the bucket
+    collisions), no cartesian/BNLJ anywhere, and the top-20 is a
+    TakeOrderedAndProject, not a global sort."""
+    df = QUERIES["q41_embedding_neardup"](spark, SF_DIR)
+    df.collect()  # AQE finalizes exchange reuse only during execution
+    # the adaptive toString appends the pre-execution "Initial Plan"
+    # section — count operators in the FINAL plan only
+    p = df._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+    assert p.count("FileScan parquet") == 1, p[:800]
+    assert "BroadcastHashJoin" in p, p[:800]
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "TakeOrderedAndProject" in p, p[:800]
+
+
+def test_q42_multimodal_scan_prunes_to_payload_inputs(spark):
+    """q42's scale contract (r14, audit addition): the documents scan
+    is column-pruned to exactly the payload inputs (doc_id, text)
+    BEFORE the Arrow mapInPandas lane — a scan reading the full row
+    for a 2-column codec input is the classic multimodal-pipeline
+    regression — and the codec runs as MapInPandas (Arrow batches),
+    never row-at-a-time Python."""
+    import re
+
+    p = plan_of(spark, "q42_multimodal_features")
+    assert "MapInPandas" in p, p[:800]
+    assert "BatchEvalPython" not in p, "row-UDF crept into the codec lane"
+    assert p.count("FileScan parquet") == 1, p[:800]
+    m = re.search(r"FileScan parquet \[([^\]]*)\]", p)
+    cols = {c.split("#")[0] for c in m.group(1).split(",")}
+    assert cols == {"doc_id", "text"}, cols
+
+
+def test_q39_simhash_pairs_broadcast_never_cartesian(spark):
+    """q39's scale contract (r14, oracle promotion): signatures are
+    map-only and localCheckpointed (the pair plan re-reads them, not
+    the corpus — zero parquet scans in the final plan), the chunk
+    self-join and the bucket-size guard are broadcast hash joins with
+    the guard's exchange REUSED across both sides, and nothing goes
+    cartesian."""
+    df = QUERIES["q39_simhash_neardup"](spark, SF_DIR)
+    df.collect()  # AQE finalizes exchange reuse only during execution
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert p.count("FileScan parquet") == 0, p[:800]
+    assert "BroadcastHashJoin" in p, p[:800]
+    assert "ReusedExchange" in p, p[:800]
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_q118_semantic_dedup_output_is_scan_free(spark):
+    """q118's declared output (r14, audit addition): the scrub list
+    is the clustered RESULT of the iterative connected-components
+    pass — the final plan re-reads no parquet (edges were consumed
+    during the eager clustering; localCheckpoint pins each round) and
+    emits the ordered (vec_id, component) projection only."""
+    p = plan_of(spark, "q118_semantic_dedup_noracle")
+    assert p.count("FileScan parquet") == 0, p[:800]
+    assert "CartesianProduct" not in p and "BatchEvalPython" not in p

@@ -71,7 +71,12 @@ def test_registry_no_longer_lists_retired(spark):
     # and q41 embedding-neardup promoted (bitwise hyperplane twin),
     # funded by retiring q02 (-> q20 aliased-lower superset) — both
     # retirees from the r11-certified half, so each swap keeps the
-    # derived front at 48
+    # derived front at 48; round 14 net-zero: q39 simhash promoted to
+    # oracled (bitwise generated twin over md5-derived token hashes),
+    # funded by retiring q52 (-> q41 superset: the r13-oracled q41
+    # twin certifies the hyperplane buckets AND pair cosines, of
+    # which q52's bucket histogram is a strict subset; q52 sat in the
+    # r12-certified half, so the swap keeps the front at exactly 48)
     assert len(ORACLES) == 98
 
 
