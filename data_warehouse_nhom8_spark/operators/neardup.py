@@ -927,6 +927,22 @@ def simhash_neardup_pairs(
     # recompute it — the old explode+agg form got this reuse for free
     # from its shuffle files.
     sh = simhash_signatures(df, id_col, text_col).localCheckpoint(eager=True)
+    return simhash_pairs_from_signatures(sh, max_hamming, chunks, max_bucket_size)
+
+
+def simhash_pairs_from_signatures(
+    sh: DataFrame,
+    max_hamming: int = 3,
+    chunks: int = 4,
+    max_bucket_size: int = 500,
+) -> DataFrame:
+    """The blocking+verify stage over a PRECOMPUTED (id, sh) signature
+    table — split out (r14) so fit-once consumers (the q39 session
+    memo; a persisted signature store at 100 TB, where recomputing
+    md5 folds of the whole corpus per query is exactly what a
+    production store exists to avoid) can reuse materialized
+    signatures while the one-shot `simhash_neardup_pairs` face keeps
+    its compute-and-pair semantics."""
     width = 64 // chunks
     mask = (1 << width) - 1
     chunked = sh.select(

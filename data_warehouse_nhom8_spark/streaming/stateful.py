@@ -55,7 +55,18 @@ def first_seen_filter(
     Trigger.AvailableNow never terminates. For the cron/AvailableNow
     ingest shape pass timeout_eviction=False: NoTimeout (terminates),
     TTL re-admission still exact via the arrival-time check, state
-    then grows with distinct keys between manual store resets."""
+    then grows with distinct keys between manual store resets.
+
+    STATE-SCHEMA BREAK (r13→r14 upgrade note, ADVICE r13): the TTL
+    feature widened the per-key state from `seen int` to `seen int,
+    last_ms long`. Spark's state store pins the state schema at
+    checkpoint creation — a stream RESUMING from a pre-TTL checkpoint
+    fails (or misreads) its state rows under the widened struct.
+    Existing first_seen checkpoints and their state must be RESET on
+    upgrade (delete the checkpoint, replay the source — the filter's
+    replay idempotence makes this safe); the same forward-only
+    contract as the epoch-stamp format (SCALE_NOTES r13), now
+    documented in both places."""
     # pass the StructType itself — string-mangling simpleString()
     # corrupts nested struct columns
     schema = output_schema or stream.schema

@@ -17,6 +17,14 @@ runs unmodified against the probe dir.
 Usage: python scripts/midscale_probe.py
 Env:   PROBE_REPLICATION (default 10), PROBE_BASE (default sf0.1),
        PROBE_DIR (default /tmp/spark_graft_midscale_x{N}).
+
+PROBE_X1000=1 (round 14, verdict task 7): the scripted end-to-end
+600M-row lane — builds the x100 dir from sf0.1 if absent, then the
+x1000 dir from x100 (both cached under /tmp with _READY gates), sets
+the 48g driver the working set needs, skips the plain AQE lanes, and
+runs the bucketed-vs-DuckDB pair with RAW per-query samples in the
+output (the 0.67–1.28x band at 600M is the repo's strongest scale
+claim — it narrows by accumulating visible samples, not by prose).
 """
 
 from __future__ import annotations
@@ -29,9 +37,18 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-REPL = int(os.environ.get("PROBE_REPLICATION", "10"))
-BASE = os.environ.get("PROBE_BASE", "/root/testdata/sf0.1")
-OUT = os.environ.get("PROBE_DIR", f"/tmp/spark_graft_midscale_x{REPL}")
+X1000 = os.environ.get("PROBE_X1000") == "1"
+if X1000:
+    REPL = 10
+    BASE = "/tmp/spark_graft_midscale_x100"
+    OUT = os.environ.get("PROBE_DIR", "/tmp/spark_graft_midscale_x1000")
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+    os.environ.setdefault("PROBE_SKIP_AQE", "1")
+    os.environ.setdefault("PROBE_DUCKDB", "1")
+else:
+    REPL = int(os.environ.get("PROBE_REPLICATION", "10"))
+    BASE = os.environ.get("PROBE_BASE", "/root/testdata/sf0.1")
+    OUT = os.environ.get("PROBE_DIR", f"/tmp/spark_graft_midscale_x{REPL}")
 
 # join/agg-heavy subset — the shapes whose plans AQE actually re-plans
 SUBSET = [
@@ -49,46 +66,60 @@ DIMS = ["region", "nation", "customer", "supplier", "part"]
 FACT_KEYS = {"orders": "o_orderkey", "lineitem": "l_orderkey"}
 
 
-def _link_passthrough_tables() -> None:
+def _link_passthrough_tables(base: str = None, out: str = None) -> None:
     """Symlink the non-replicated tables (events/documents/embeddings)
-    from BASE so the probe dir is a COMPLETE catalog dir — the
+    from base so the probe dir is a COMPLETE catalog dir — the
     bucketed-fixture builder stamps every testdata table's mtime.
     Idempotent; runs outside the _READY gate so cached probe dirs
     built before round 11 heal in place."""
+    base, out = base or BASE, out or OUT
     for t in ("events", "documents", "embeddings"):
-        link = os.path.join(OUT, f"{t}.parquet")
-        src = os.path.abspath(os.path.join(BASE, f"{t}.parquet"))
+        link = os.path.join(out, f"{t}.parquet")
+        src = os.path.abspath(os.path.join(base, f"{t}.parquet"))
         if not os.path.lexists(link):
             os.symlink(src, link)
 
 
-def build(spark) -> None:
+def _build_replication(spark, base: str, out: str, repl: int) -> None:
+    """Replicate base's facts xrepl into out (cached via _READY)."""
     from pyspark.sql import functions as F
 
-    ready = os.path.join(OUT, "_READY")
+    ready = os.path.join(out, "_READY")
     if os.path.exists(ready):
-        _link_passthrough_tables()
         return
-    os.makedirs(OUT, exist_ok=True)
+    os.makedirs(out, exist_ok=True)
     for t in DIMS:
-        shutil.copy(os.path.join(BASE, f"{t}.parquet"), os.path.join(OUT, f"{t}.parquet"))
+        shutil.copy(os.path.join(base, f"{t}.parquet"), os.path.join(out, f"{t}.parquet"))
     for t, key in FACT_KEYS.items():
-        df = spark.read.parquet(os.path.join(BASE, f"{t}.parquet"))
+        src = os.path.join(base, f"{t}.parquet")
+        if os.path.isdir(src):  # a replicated fact dir (x100 -> x1000)
+            df = spark.read.parquet(src + "/*.parquet")
+        else:
+            df = spark.read.parquet(src)
         span = df.agg(F.max(key)).first()[0] + 1
         reps = [
             df.withColumn(key, F.col(key) + F.lit(int(i * span)))
-            for i in range(REPL)
+            for i in range(repl)
         ]
-        out = reps[0]
+        rep_df = reps[0]
         for r in reps[1:]:
-            out = out.unionByName(r)
+            rep_df = rep_df.unionByName(r)
         # multiple output files => real scan parallelism for the probe
-        out.repartition(16).write.mode("overwrite").parquet(
-            os.path.join(OUT, f"{t}.parquet")
+        rep_df.repartition(16).write.mode("overwrite").parquet(
+            os.path.join(out, f"{t}.parquet")
         )
-    _link_passthrough_tables()
     with open(ready, "w") as fh:
         fh.write("ok")
+
+
+def build(spark) -> None:
+    if X1000:
+        # end-to-end: materialize the x100 stage first (same cached
+        # dir the bench x100 lane uses), then replicate it x10
+        _build_replication(spark, "/root/testdata/sf0.1", BASE, 100)
+        _link_passthrough_tables("/root/testdata/sf0.1", BASE)
+    _build_replication(spark, BASE, OUT, REPL)
+    _link_passthrough_tables()
 
 
 def main() -> None:
@@ -103,21 +134,23 @@ def main() -> None:
         s = spark.newSession()
         s.conf.set("spark.sql.adaptive.enabled", str(adaptive).lower())
         s.conf.set("spark.sql.shuffle.partitions", str(parts))
-        times, markers = {}, {}
+        samples, markers = {}, {}
         for name in SUBSET:  # cold pass (codegen) — discard
             QUERIES[name](s, data_dir).toArrow()
         # two timed passes, min per query (round 13): the same
         # symmetric fixed protocol as bench.py's headline — this box
         # carries transient co-tenant load spikes that only ever
         # inflate a sample, and a single-sample lane shipped a 4x-off
-        # artifact once
+        # artifact once. RAW samples ship alongside the min (round 14):
+        # the x1000 band narrows by accumulating visible samples.
         for _ in range(2):
             for name in SUBSET:
                 t0 = time.perf_counter()
                 df = QUERIES[name](s, data_dir)
                 df.toArrow()
-                dt = round(time.perf_counter() - t0, 2)
-                times[name] = min(times.get(name, dt), dt)
+                samples.setdefault(name, []).append(
+                    round(time.perf_counter() - t0, 2)
+                )
                 if adaptive:
                     p = df._jdf.queryExecution().executedPlan().toString()
                     markers[name] = {
@@ -125,7 +158,12 @@ def main() -> None:
                         "coalesced": "AQEShuffleRead coalesced" in p,
                         "skew": "isSkewJoin=true" in p,
                     }
-        out = {"total_sec": round(sum(times.values()), 2), "queries": times}
+        times = {name: min(v) for name, v in samples.items()}
+        out = {
+            "total_sec": round(sum(times.values()), 2),
+            "queries": times,
+            "samples": samples,
+        }
         if adaptive:
             out["aqe_markers"] = markers
         return out
@@ -408,13 +446,13 @@ def main() -> None:
             t0 = time.perf_counter()
             con.execute(sql).fetchall()  # cold
             cold = round(time.perf_counter() - t0, 2)
-            warm = None  # min of two, same protocol as the Spark lanes
+            wsamples = []  # min of two, same protocol as the Spark lanes
             for _ in range(2):
                 t0 = time.perf_counter()
                 con.execute(sql).fetchall()
-                dt = round(time.perf_counter() - t0, 2)
-                warm = dt if warm is None else min(warm, dt)
-            dtimes[name] = {"cold": cold, "warm": warm}
+                wsamples.append(round(time.perf_counter() - t0, 2))
+            dtimes[name] = {"cold": cold, "warm": min(wsamples),
+                            "samples": wsamples}
         result["duckdb"] = {
             "total_warm_sec": round(sum(v["warm"] for v in dtimes.values()), 2),
             "queries": dtimes,
