@@ -55,14 +55,19 @@ from data_warehouse_nhom8_spark.plans.tpch import TPCH_ORACLES, TPCH_QUERIES
 _ALL_QUERIES = {**_CORE, **EXTENSION_QUERIES, **TPCH_QUERIES}
 ORACLES = {**_CORE_ORACLES, **EXTENSION_ORACLES, **TPCH_ORACLES}
 
-# Rotation-slack accounting (round 14): 98 oracled + 8 noracle
-# (q39 simhash promoted to oracled — md5-derived token hashes make
-# the tier bitwise-reproducible in DuckDB, q41's construction).
-# Twelve redundant oracles have been RETIRED to their superset shapes
+# Rotation-slack accounting (round 14): 98 oracled + 7 noracle.
+# Two promotions this round: q39 simhash (md5-derived token hashes
+# make the tier bitwise-reproducible in DuckDB, q41's construction)
+# and q118 semantic-dedup (composes two already-certified halves:
+# q41's bitwise hyperplane buckets edge the graph, q49's
+# recursive-CTE min-label propagation clusters it).
+# Thirteen redundant oracles have been RETIRED to their superset shapes
 # (r9: q05, q14, q26, q43, q44; r11: q07 -> q48, q11 -> q93/q105,
 # q08 -> q48; r12: q06 -> q73; r13: q01 -> q47/q77, q02 -> q20;
 # r14: q52 -> q41, whose oracle certifies the hyperplane buckets AND
-# the pair cosines, a strict superset of q52's bucket histogram — see
+# the pair cosines, a strict superset of q52's bucket histogram, and
+# q40 -> q41, which certifies the identical exact cosine folds and
+# deterministic top-k ordering bitwise — see
 # queries.RETIRED_QUERIES / extensions.RETIRED_EXTENSION_QUERIES for
 # the subset→superset mapping); each keeps a per-suite-run DuckDB
 # twin in tests/test_retired_oracles.py. Growth spends slack, junk

@@ -490,6 +490,10 @@ def prefit_stores(spark: SparkSession, sf_dir: str) -> dict:
     t0 = _time.perf_counter()
     _shared_cc_clusters(spark, sf_dir).count()
     out["cc_clusters"] = round(_time.perf_counter() - t0, 3)
+
+    t0 = _time.perf_counter()
+    _shared_embed_cc_clusters(spark, sf_dir).count()
+    out["embed_cc_clusters"] = round(_time.perf_counter() - t0, 3)
     return out
 
 
@@ -504,7 +508,7 @@ STORE_OF_QUERY = {
     "q53_incremental_neardup_noracle": "corpus_sig_store",
     "q39_simhash_neardup": "simhash_sigs",
     "q41_embedding_neardup": None,
-    "q118_semantic_dedup_noracle": None,
+    "q118_semantic_dedup": "embed_cc_clusters",
     "q106_bpe_tokenize_noracle": "bpe_merges",
     "q109_pq_topk_noracle": "pq_codes",
 }
@@ -688,18 +692,25 @@ def q52_lsh_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lsh_bucket_oracle_sql() -> str:
-    """Generated DuckDB twin of q52: explicit per-dimension products
-    summed left-to-right (same association order as the Spark fold,
-    so the doubles agree bitwise)."""
-    planes = similarity._hyperplanes(_LSH_DIM, _LSH_PLANES)
+def _bucket_case_sql(planes) -> str:
+    """The hyperplane-bucket expression as DuckDB SQL: explicit
+    per-dimension products summed left-to-right (same association
+    order as the Spark fold, so the doubles agree bitwise). Shared by
+    the q52 (retired twin), q41, and q118 generators — one
+    construction, certified once."""
     cases = []
     for i, p in enumerate(planes):
         dot = " + ".join(
             f"(CAST(embedding[{d + 1}] AS DOUBLE) * {v!r})" for d, v in enumerate(p)
         )
         cases.append(f"CASE WHEN ({dot}) >= 0 THEN {1 << i} ELSE 0 END")
-    bucket = " + ".join(cases)
+    return " + ".join(cases)
+
+
+def _lsh_bucket_oracle_sql() -> str:
+    """Generated DuckDB twin of q52 (retired to q41 in r14; kept for
+    the per-suite retired-twin gate)."""
+    bucket = _bucket_case_sql(similarity._hyperplanes(_LSH_DIM, _LSH_PLANES))
     return f"""
         SELECT CAST({bucket} AS BIGINT) AS bucket,
                COUNT(*) AS n_vectors
@@ -720,14 +731,7 @@ def _embedding_neardup_oracle_sql(
     left-associative double sums Spark's aggregate/zip_with fold
     produces — rounded to 6, top-20 by (cosine DESC, id_a, id_b).
     Doubles agree bitwise, so the LIMIT boundary is deterministic."""
-    planes = similarity._hyperplanes(dim, n_planes)
-    cases = []
-    for i, p in enumerate(planes):
-        dot = " + ".join(
-            f"(CAST(embedding[{d + 1}] AS DOUBLE) * {v!r})" for d, v in enumerate(p)
-        )
-        cases.append(f"CASE WHEN ({dot}) >= 0 THEN {1 << i} ELSE 0 END")
-    bucket = " + ".join(cases)
+    bucket = _bucket_case_sql(similarity._hyperplanes(dim, n_planes))
     pair_dot = " + ".join(f"(x.v[{d + 1}] * y.v[{d + 1}])" for d in range(dim))
     nx = " + ".join(f"(x.v[{d + 1}] * x.v[{d + 1}])" for d in range(dim))
     ny = " + ".join(f"(y.v[{d + 1}] * y.v[{d + 1}])" for d in range(dim))
@@ -826,7 +830,32 @@ def q49_cluster_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q118_semantic_dedup_noracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _shared_embed_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fit-once-query-many for the embedding-similarity cluster map
+    (r14): connected components over the hyperplane-bucket candidate
+    graph — like `_shared_cc_clusters`, an ingest-time artifact
+    (computed per corpus/embedding snapshot, probed many times).
+    Keyed by the embeddings file's realpath (the bucketed fixture
+    symlinks it unchanged)."""
+    emb_path = os.path.realpath(os.path.join(sf_dir, "embeddings.parquet"))
+    key = ("embed_cc_clusters", emb_path)
+    memo = _memo(spark)
+    if key not in memo:
+        from data_warehouse_nhom8_spark.operators.dedup_clusters import (
+            connected_components,
+        )
+
+        c = Catalog(spark, sf_dir)
+        pairs = similarity.embedding_neardup_pairs(
+            c.embeddings, threshold=-1.0, dim=_LSH_DIM, n_planes=_LSH_PLANES
+        )
+        memo[key] = connected_components(pairs, "id_a", "id_b").localCheckpoint(
+            eager=True
+        )
+    return memo[key]
+
+
+def q118_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 composition — SEMANTIC dedup scrub list: embedding near-dup
     candidates (q41's certified hyperplane-bucket machinery) edged
     into duplicate clusters (q49's connected components), canonical =
@@ -837,25 +866,64 @@ def q118_semantic_dedup_noracle(spark: SparkSession, sf_dir: str) -> DataFrame:
     production threshold (cosine >= tau) yields an empty scrub list
     by construction; the declared query clusters the bucket-candidate
     graph (threshold=-1) instead — same operators, non-degenerate
-    result. Rows-only for the driver (iterative clustering over the
-    generated-plane edge set is not one SQL statement); exactness is
-    pytest-gated against a local union-find over the operator's own
-    pair set, plus the planted-duplicate recall case
-    (test_dedup_clusters)."""
-    from data_warehouse_nhom8_spark.operators.dedup_clusters import (
-        connected_components,
-    )
+    result.
 
-    c = Catalog(spark, sf_dir)
-    pairs = similarity.embedding_neardup_pairs(
-        c.embeddings, threshold=-1.0, dim=_LSH_DIM, n_planes=_LSH_PLANES
-    )
-    comp = connected_components(pairs, "id_a", "id_b")
+    ORACLED since round 14 (was rows-only): both halves were already
+    driver-certified constructions — the edge set is q41's bitwise
+    hyperplane buckets, the clustering is q49's recursive-CTE
+    min-label propagation — so the composed DuckDB twin
+    (`_semantic_dedup_oracle_sql`) reproduces the scrub list exactly.
+    Funded by retiring q40 to its q41 superset (identical exact
+    left-associative cosine folds + deterministic top-k ordering;
+    q41's generated twin certifies the folds bitwise where q40's
+    leaned on DuckDB's list_cosine_similarity). The union-find and
+    planted-duplicate pytests (test_dedup_clusters) stay. Cluster map
+    served from the `_shared_embed_cc_clusters` session memo — an
+    ingest-time artifact, fit attributed to store_fit."""
     return (
-        comp.filter(F.col("id") != F.col("component"))
+        _shared_embed_cc_clusters(spark, sf_dir)
+        .filter(F.col("id") != F.col("component"))
         .select(F.col("id").alias("vec_id"), "component")
         .orderBy("vec_id")
     )
+
+
+def _semantic_dedup_oracle_sql(
+    dim: int = _LSH_DIM, n_planes: int = _LSH_PLANES
+) -> str:
+    """Generated DuckDB twin of q118: bucket every vector with the
+    q41/q52 bit-parity hyperplane construction, edge every
+    bucket-colliding pair (the declared query's threshold=-1 keeps
+    all candidates — cosine ∈ [-1, 1] always passes), run q49's
+    recursive-CTE min-label propagation to fixpoint, and emit the
+    non-canonical members."""
+    bucket = _bucket_case_sql(similarity._hyperplanes(dim, n_planes))
+    return f"""
+        WITH RECURSIVE b AS (
+            SELECT vec_id AS id, CAST({bucket} AS BIGINT) AS bucket
+            FROM embeddings
+        ),
+        pairs AS (
+            SELECT x.id AS id_a, y.id AS id_b
+            FROM b x JOIN b y ON x.bucket = y.bucket AND x.id < y.id
+        ),
+        edges AS (
+            SELECT id_a AS a, id_b AS b FROM pairs
+            UNION
+            SELECT id_b AS a, id_a AS b FROM pairs
+        ),
+        cc(id, comp) AS (
+            SELECT a, a FROM edges
+            UNION
+            SELECT e.a, c.comp FROM edges e JOIN cc c ON e.b = c.id
+        ),
+        labeled AS (
+            SELECT id, MIN(comp) AS component FROM cc GROUP BY id
+        )
+        SELECT id AS vec_id, component FROM labeled
+        WHERE id <> component
+        ORDER BY vec_id
+    """
 
 
 def approx_distinct_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2036,7 +2104,6 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q37_lang_id": q37_lang_id,
     "q38_minhash_neardup_noracle": q38_minhash_neardup_noracle,
     "q39_simhash_neardup": q39_simhash_neardup,
-    "q40_cosine_topk": q40_cosine_topk,
     "q41_embedding_neardup": q41_embedding_neardup,
     "q42_multimodal_features": q42_multimodal_features,
     "q45_percentiles": q45_percentiles,
@@ -2088,7 +2155,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q115_scd2_temporal_join": q115_scd2_temporal_join,
     "q116_decontaminate_scrub": q116_decontaminate_scrub,
     "q117_html_extract": q117_html_extract,
-    "q118_semantic_dedup_noracle": q118_semantic_dedup_noracle,
+    "q118_semantic_dedup": q118_semantic_dedup,
 }
 
 
@@ -2519,16 +2586,7 @@ EXTENSION_ORACLES: dict[str, str] = {
         SELECT id, MIN(comp) AS component FROM cc
         GROUP BY id ORDER BY id NULLS FIRST
     """,
-    "q40_cosine_topk": """
-        SELECT vec_id, ROUND(cosine, 6) AS cosine FROM (
-          SELECT e.vec_id AS vec_id,
-                 list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-                                        CAST(q.embedding AS DOUBLE[])) AS cosine
-          FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
-          WHERE e.vec_id <> 0
-          ORDER BY cosine DESC, e.vec_id LIMIT 10
-        ) t
-    """,
+    "q118_semantic_dedup": _semantic_dedup_oracle_sql(),
     "q33_exact_dedup_docs": """
         SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS n
         FROM documents GROUP BY md5(text) ORDER BY keep_id NULLS FIRST
@@ -3086,10 +3144,25 @@ RETIRED_EXTENSION_QUERIES = {
     # certifies the hyperplane BUCKETS and the pair cosines bitwise,
     # of which q52's bucket histogram is a strict subset
     "q52_lsh_bucket_histogram": q52_lsh_bucket_histogram,
+    # r14: retired to fund q118's oracle slot — q41 certifies the
+    # identical exact left-associative cosine folds AND deterministic
+    # top-k ordering bitwise; q40's brute-force top-10 face keeps its
+    # numpy-exactness pytest and this per-suite twin
+    "q40_cosine_topk": q40_cosine_topk,
 }
 
 RETIRED_EXTENSION_ORACLES: dict[str, str] = {
     "q52_lsh_bucket_histogram": _lsh_bucket_oracle_sql(),
+    "q40_cosine_topk": """
+        SELECT vec_id, ROUND(cosine, 6) AS cosine FROM (
+          SELECT e.vec_id AS vec_id,
+                 list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(q.embedding AS DOUBLE[])) AS cosine
+          FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+          WHERE e.vec_id <> 0
+          ORDER BY cosine DESC, e.vec_id LIMIT 10
+        ) t
+    """,
     "q43_approx_distinct": """
         SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
                TRUE AS within_tol

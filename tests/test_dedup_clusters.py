@@ -73,13 +73,13 @@ def test_semantic_dedup_scrub_matches_local_union_find(spark):
     from data_warehouse_nhom8_spark.plans.extensions import (
         _LSH_DIM,
         _LSH_PLANES,
-        q118_semantic_dedup_noracle,
+        q118_semantic_dedup,
     )
     from tests.conftest import SF_DIR
 
     got = {
         (r["vec_id"], r["component"])
-        for r in q118_semantic_dedup_noracle(spark, SF_DIR).collect()
+        for r in q118_semantic_dedup(spark, SF_DIR).collect()
     }
 
     # independent ground truth: union-find over the same edges

@@ -1947,3 +1947,28 @@ def test_span_merge_sql_form_identical(spark):
     ).collect()
     for r in got:
         assert r["a"] == r["b"], (r["id"], r["a"], r["b"])
+
+
+def test_q39_memoized_signatures_match_one_shot_face(spark):
+    """The r14 store memo must never drift from the one-shot operator:
+    q39's declared query (pairs over `_shared_simhash_signatures`)
+    must be row-identical to `simhash_neardup_pairs` computed fresh
+    from the same documents — the memo is a materialization of the
+    SAME signature definition, not a variant."""
+    from data_warehouse_nhom8_spark.plans.extensions import (
+        q39_simhash_neardup,
+    )
+    from data_warehouse_nhom8_spark.sources import Catalog
+    from tests.conftest import SF_DIR
+
+    declared = sorted(
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in q39_simhash_neardup(spark, SF_DIR).collect()
+    )
+    fresh = sorted(
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in neardup.simhash_neardup_pairs(
+            Catalog(spark, SF_DIR).documents, max_hamming=3
+        ).collect()
+    )
+    assert declared == fresh and len(declared) > 0

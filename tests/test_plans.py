@@ -688,6 +688,6 @@ def test_q118_semantic_dedup_output_is_scan_free(spark):
     pass — the final plan re-reads no parquet (edges were consumed
     during the eager clustering; localCheckpoint pins each round) and
     emits the ordered (vec_id, component) projection only."""
-    p = plan_of(spark, "q118_semantic_dedup_noracle")
+    p = plan_of(spark, "q118_semantic_dedup")
     assert p.count("FileScan parquet") == 0, p[:800]
     assert "CartesianProduct" not in p and "BatchEvalPython" not in p

@@ -71,12 +71,16 @@ def test_registry_no_longer_lists_retired(spark):
     # and q41 embedding-neardup promoted (bitwise hyperplane twin),
     # funded by retiring q02 (-> q20 aliased-lower superset) — both
     # retirees from the r11-certified half, so each swap keeps the
-    # derived front at 48; round 14 net-zero: q39 simhash promoted to
-    # oracled (bitwise generated twin over md5-derived token hashes),
-    # funded by retiring q52 (-> q41 superset: the r13-oracled q41
-    # twin certifies the hyperplane buckets AND pair cosines, of
-    # which q52's bucket histogram is a strict subset; q52 sat in the
-    # r12-certified half, so the swap keeps the front at exactly 48)
+    # derived front at 48; round 14 net-zero twice: q39 simhash
+    # promoted (bitwise generated twin over md5-derived token
+    # hashes), funded by retiring q52 (-> q41 superset: the q41 twin
+    # certifies hyperplane buckets AND pair cosines, of which q52's
+    # bucket histogram is a strict subset), and q118 semantic-dedup
+    # promoted (q41's bucket edges + q49's recursive-CTE clustering,
+    # composed), funded by retiring q40 (-> q41: identical exact
+    # cosine folds + deterministic top-k, certified bitwise where
+    # q40's twin leaned on list_cosine_similarity); both retirees sat
+    # in the r12-certified half, so the front stays at exactly 48
     assert len(ORACLES) == 98
 
 
