@@ -173,16 +173,27 @@ def add_lang_id(
         F.regexp_replace(F.col("__lt"), r"[\x{4e00}-\x{9fff}]", "")
     )
     langs = ("en", "es", "fr", "de", "vi")
+
+    def _score(lang: str) -> Column:
+        # one parsed SQL string per language (round-10 build-cost
+        # rule): the lambda-filter + isin Column form cost ~100 ms of
+        # py4j plan construction per call (~60 round trips per
+        # language); this parses in ONE round trip and plans to the
+        # same filter+array_contains shape (null tokens excluded by
+        # both forms — isin yields NULL, array_contains yields NULL,
+        # filter drops non-true either way)
+        arr = ", ".join(
+            "'" + m.replace("'", "''") + "'" for m in _LANG_MARKERS[lang]
+        )
+        return F.expr(
+            f"size(filter(__lw, w -> array_contains(array({arr}), w)))"
+        ).alias(f"__s_{lang}")
+
     scored = staged.select(
         *passthrough,
         cjk.alias("__cjk"),
         F.size("__lw").alias("__nw"),
-        *[
-            F.size(
-                F.filter(F.col("__lw"), (lambda m: lambda w: w.isin(*m))(_LANG_MARKERS[lang]))
-            ).alias(f"__s_{lang}")
-            for lang in langs
-        ],
+        *[_score(lang) for lang in langs],
     )
     best = F.greatest(
         *[
