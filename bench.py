@@ -331,6 +331,19 @@ def main() -> None:
     # probe as a standing per-round signal. Subprocess (own JVM, own
     # session confs); cached replicated dataset under /tmp makes
     # steady-state rounds cheap. Skippable for quick iteration.
+
+    def _last_json_line(stdout: str) -> dict:
+        # scan backwards for the last line that parses: a co-tenant
+        # OOM/kill can truncate the subprocess's buffered stdout and a
+        # stray runtime line must not sink the lane (r14: one x100
+        # lane shipped {"error": JSONDecodeError} for exactly this)
+        for ln in reversed(stdout.strip().splitlines()):
+            try:
+                return json.loads(ln)
+            except ValueError:
+                continue
+        raise ValueError("no JSON line in probe stdout")
+
     midscale = None
     if os.environ.get("SPARK_GRAFT_MIDSCALE", "1") != "0" and sf == 0.1:
         try:
@@ -343,7 +356,7 @@ def main() -> None:
                 env=env,
                 cwd=os.path.dirname(os.path.abspath(__file__)),
             )
-            probe = json.loads(proc.stdout.strip().splitlines()[-1])
+            probe = _last_json_line(proc.stdout)
             midscale = {
                 "lineitem_rows": probe["lineitem_rows"],
                 "spark_aqe_off_sec": probe["aqe_off"]["total_sec"],
@@ -387,7 +400,7 @@ def main() -> None:
                 env=env,
                 cwd=os.path.dirname(os.path.abspath(__file__)),
             )
-            probe = json.loads(proc.stdout.strip().splitlines()[-1])
+            probe = _last_json_line(proc.stdout)
             midscale["x100"] = {
                 "lineitem_rows": probe["lineitem_rows"],
                 "spark_bucketed_sec": probe["bucketed"]["total_sec"],
