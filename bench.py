@@ -339,10 +339,12 @@ def main() -> None:
         # lane shipped {"error": JSONDecodeError} for exactly this)
         for ln in reversed(stdout.strip().splitlines()):
             try:
-                return json.loads(ln)
+                parsed = json.loads(ln)
             except ValueError:
                 continue
-        raise ValueError("no JSON line in probe stdout")
+            if isinstance(parsed, dict):  # a stray '42'/'null' line parses too
+                return parsed
+        raise ValueError("no JSON object line in probe stdout")
 
     midscale = None
     if os.environ.get("SPARK_GRAFT_MIDSCALE", "1") != "0" and sf == 0.1:

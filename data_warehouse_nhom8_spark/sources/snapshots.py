@@ -1035,16 +1035,21 @@ def epoch_tail_bytes(path: str, exclude_epoch: int | None = None) -> int:
     return total
 
 
-def _writer_meta(path: str) -> tuple[str | None, int]:
-    """(registered checkpoint, epoch-id base) for the store. The
-    atomic `_WRITER` JSON (round 14) takes precedence; the legacy
-    split files (`_CHECKPOINT` + `_EPOCH_BASE`, two separate
-    os.replace commits — the crash window the advisor flagged) are
-    read as a fallback so pre-r14 stores keep their history."""
+def _writer_meta(path: str) -> tuple[str | None, int, str | None]:
+    """(registered checkpoint, epoch-id base, recorded persistent
+    query id) for the store. The atomic `_WRITER` JSON (round 14)
+    takes precedence; the legacy split files (`_CHECKPOINT` +
+    `_EPOCH_BASE`, two separate os.replace commits — the crash window
+    the advisor flagged) are read as a fallback so pre-r14 stores
+    keep their history (no query id was recorded then → None)."""
     try:
         with open(os.path.join(path, _WRITER_META)) as fh:
             meta = json.load(fh)
-        return meta.get("checkpoint"), int(meta.get("base", 0))
+        return (
+            meta.get("checkpoint"),
+            int(meta.get("base", 0)),
+            meta.get("query_id"),
+        )
     except (OSError, ValueError):
         pass
     try:
@@ -1057,17 +1062,23 @@ def _writer_meta(path: str) -> tuple[str | None, int]:
             base = int(fh.read().strip())
     except (OSError, ValueError):
         base = 0
-    return cp, base
+    return cp, base, None
 
 
-def _commit_writer_meta(path: str, checkpoint: str, base: int) -> None:
-    """Commit checkpoint pointer AND epoch base in ONE os.replace —
-    a crash can never leave a bumped base with a stale pointer (or
-    vice versa), the half-committed states that double-count a live
-    stream's replayed epoch."""
+def _commit_writer_meta(
+    path: str, checkpoint: str, base: int, query_id: str | None = None
+) -> None:
+    """Commit checkpoint pointer, epoch base, AND the checkpoint's
+    persistent query id in ONE os.replace — a crash can never leave a
+    bumped base with a stale pointer (or vice versa), the
+    half-committed states that double-count a live stream's replayed
+    epoch. The recorded query id is what lets a LATER registration
+    detect a wiped-and-recreated checkpoint at the SAME path."""
     tmp = os.path.join(path, _WRITER_META + ".tmp")
     with open(tmp, "w") as fh:
-        json.dump({"checkpoint": checkpoint, "base": base}, fh)
+        json.dump(
+            {"checkpoint": checkpoint, "base": base, "query_id": query_id}, fh
+        )
         fh.flush()
         os.fsync(fh.fileno())
     os.replace(tmp, os.path.join(path, _WRITER_META))
@@ -1218,17 +1229,34 @@ def register_store_checkpoint(
       no session exists in this process)."""
     os.makedirs(store_path, exist_ok=True)
     new = os.path.realpath(checkpoint)
-    cur, base = _writer_meta(store_path)
+    cur, base, stored_qid = _writer_meta(store_path)
     has_history = (
         bool(epoch_ids(store_path))
         or epoch_folded_through(store_path) >= 0
         or base > 0
     )
+    new_qid = _checkpoint_query_id(new)
     if cur is not None:
         same = os.path.realpath(cur) == new
         if not same:
             old_id = _checkpoint_query_id(os.path.realpath(cur))
-            same = old_id is not None and old_id == _checkpoint_query_id(new)
+            same = old_id is not None and old_id == new_qid
+        elif stored_qid is not None:
+            # same PATH is not enough (r14 review): an operator who
+            # stops the stream, WIPES the checkpoint dir (the standard
+            # reset), and restarts the sink at the same path gets a
+            # fresh stream whose epoch ids restart at 0 — without a
+            # rebase its epoch 0 would commit as a new attempt of the
+            # historical epoch 0 (GC'ing real rows) or trip the fold
+            # watermark. The persistent query id recorded at a prior
+            # registration exposes the wipe: a wiped dir has no
+            # `metadata` yet (None) and a recreated one carries a
+            # fresh id — either way it no longer matches. A stored id
+            # of None (registered before the stream ever started)
+            # cannot distinguish first-start from wipe, so it stays
+            # same-stream and the id is backfilled on the next
+            # registration below.
+            same = new_qid == stored_qid
         rebase = not same
     else:
         rebase = has_history
@@ -1247,7 +1275,13 @@ def register_store_checkpoint(
             _write_stamp_marker(store_path)
     else:
         _write_stamp_marker_if_fresh(store_path)
-    _commit_writer_meta(store_path, new, base)
+    if new_qid is None and not rebase and cur is not None:
+        # keep a previously recorded id through registrations that
+        # cannot read the metadata themselves ONLY when we know it is
+        # the same stream (same path, no rebase) — after a rebase the
+        # old id is stale by definition
+        new_qid = stored_qid
+    _commit_writer_meta(store_path, new, base, new_qid)
 
 
 def _store_stream_query_id(path: str) -> str | None:

@@ -296,15 +296,18 @@ def upsert_sink_partitioned(
     trees). Where `upsert_sink` rewrites the whole snapshot per
     micro-batch (copy-on-write MERGE — correct for the versioned
     store, priced by the TABLE), this sink prices the merge by the
-    BATCH's partitions: the read-back is semi-joined (broadcast) to
-    the batch's distinct partition values — dynamic partition pruning
-    turns that into a directory filter on the hive tree, so ONLY the
-    K touched partitions are listed and read (no driver
-    materialization anywhere) — the same last-writer-wins merge runs,
-    and the write uses dynamic partition overwrite
-    (`partitionOverwriteMode=dynamic`, the session default) — so
-    exactly the K touched partitions are replaced and the rest of a
-    100 TB table is never read or written.
+    BATCH's partitions (r14 form): the batch's distinct partition
+    VALUES (a bounded control-plane collect) are rendered into the K
+    on-disk partition directory paths (`_touched_partition_paths` —
+    hive-escaped, pinned against directories Spark itself wrote) and
+    the read-back opens exactly those directories, so both the file
+    LISTING and the data read are O(K) — the r13 semi-join + dynamic-
+    partition-pruning form bounded the data read but still paid a
+    full hive-tree listing per micro-batch. The same last-writer-wins
+    merge runs, and the write uses dynamic partition overwrite
+    (`partitionOverwriteMode=dynamic`, pinned per-write) — so exactly
+    the K touched partitions are replaced and the rest of a 100 TB
+    table is never read or written.
 
     CONTRACT: `partition_col` must be key-stable — a row key's
     partition value never changes across versions (the day-grain fact
@@ -314,9 +317,49 @@ def upsert_sink_partitioned(
     partition-grain MERGE constraint (Hive dynamic overwrite, Delta
     replaceWhere share it).
 
+    CONTRACT (r14, explicit-path consequence): `partition_col` must
+    be a string / integral / date / boolean column — the types whose
+    Python `str()` rendering provably matches Spark's own partition-
+    directory rendering (pytest-pinned). DOUBLE/FLOAT, TIMESTAMP, and
+    DECIMAL partition values are REFUSED at sink construction: Java
+    renders 1.2345678E7 where Python writes 12345678.0 and trims
+    fractional-second zeros Python keeps, so a constructed path would
+    silently MISS the real directory and the dynamic overwrite would
+    replace that partition with batch-only rows — deleting committed
+    history. (The r13 semi-join form matched by typed value and
+    tolerated these types; the O(K)-listing form trades that for not
+    listing 10⁵ directories per micro-batch.) Partition on a
+    string/date projection of such columns instead.
+
     Replay-idempotent: a re-run micro-batch re-merges the same keys
     into the same partitions and overwrites the same directories —
     the at-least-once file source converges, same as `upsert_sink`."""
+    from pyspark.sql.types import (
+        BooleanType,
+        ByteType,
+        DateType,
+        IntegerType,
+        LongType,
+        ShortType,
+        StringType,
+    )
+
+    ptype = stream.schema[partition_col].dataType
+    if not isinstance(
+        ptype,
+        (StringType, IntegerType, LongType, ShortType, ByteType, DateType,
+         BooleanType),
+    ):
+        raise TypeError(
+            f"upsert_sink_partitioned: partition column {partition_col!r} "
+            f"has type {ptype.simpleString()} — only string/integral/date/"
+            "boolean partition values render identically in Python and in "
+            "Spark's partition-directory writer. A double/timestamp/decimal "
+            "value would construct a path that misses the real directory "
+            "and the dynamic overwrite would silently DELETE that "
+            "partition's committed rows. Partition on a string or date "
+            "projection instead."
+        )
 
     def merge(batch: DataFrame, epoch_id: int) -> None:
         spark = batch.sparkSession

@@ -1760,3 +1760,46 @@ def test_partitioned_upsert_listing_is_bounded_to_touched_dirs(spark, tmp_path):
     # NULL and empty string resolve to the single hive default dir
     got = jobs._touched_partition_paths(table, "p", [None, ""])
     assert got == [os.path.join(table, "p=__HIVE_DEFAULT_PARTITION__")]
+
+
+def test_partitioned_upsert_refuses_unrenderable_partition_types(spark, tmp_path):
+    """r14 review finding: the explicit-path read-back renders
+    partition values with Python str(), which diverges from Spark's
+    own directory rendering for double (1.2345678E7 vs 12345678.0)
+    and fractional-second timestamp values — a missed directory means
+    the dynamic overwrite silently DELETES that partition's committed
+    rows. The sink must refuse such partition columns at CONSTRUCTION
+    time, and keep accepting the pinned-safe types."""
+    import pytest as _pytest
+
+    def sink_for(schema_s, cast=None):
+        df = spark.createDataFrame([], schema_s)
+        if cast is not None:
+            df = df.withColumn("p", F.col("p").cast(cast))
+        return jobs.upsert_sink_partitioned(
+            jobs.stream_source(spark, str(tmp_path / "none*"), df.schema),
+            str(tmp_path / "t"),
+            keys=["k"],
+            order_by_cols=["v"],
+            partition_col="p",
+            checkpoint=str(tmp_path / "ck"),
+        )
+
+    for bad, cast in [
+        ("k string, v string, p double", None),
+        ("k string, v string, p float", None),
+        ("k string, v string, p string", "timestamp"),
+        ("k string, v string, p string", "decimal(10,2)"),
+    ]:
+        with _pytest.raises(TypeError, match="partition column"):
+            sink_for(bad, cast)
+
+    # the pinned-safe types still construct
+    for ok, cast in [
+        ("k string, v string, p string", None),
+        ("k string, v string, p int", None),
+        ("k string, v string, p long", None),
+        ("k string, v string, p string", "date"),
+        ("k string, v string, p boolean", None),
+    ]:
+        assert sink_for(ok, cast) is not None

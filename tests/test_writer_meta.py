@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 
 import pytest
 from pyspark.sql import functions as F
@@ -35,7 +36,7 @@ def test_writer_meta_single_atomic_file(spark, tmp_path):
     snap.register_store_checkpoint(path, str(tmp_path / "ckA"))
     with open(os.path.join(path, snap._WRITER_META)) as fh:
         meta = json.load(fh)
-    assert set(meta) == {"checkpoint", "base"}
+    assert set(meta) == {"checkpoint", "base", "query_id"}
     assert meta["base"] == 0
     # no legacy split files are written anymore — the crash window
     # between their two os.replace commits is structurally gone
@@ -51,8 +52,8 @@ def test_legacy_split_files_still_readable(spark, tmp_path):
     with open(os.path.join(path, snap._EPOCH_BASE), "w") as fh:
         fh.write("7")
     assert snap.epoch_base(path) == 7
-    cp, base = snap._writer_meta(path)
-    assert cp == str(tmp_path / "ckOld") and base == 7
+    cp, base, qid = snap._writer_meta(path)
+    assert cp == str(tmp_path / "ckOld") and base == 7 and qid is None
     # once new code re-registers, the atomic file takes precedence
     snap.register_store_checkpoint(path, str(tmp_path / "ckNew"))
     assert os.path.exists(os.path.join(path, snap._WRITER_META))
@@ -128,13 +129,13 @@ def test_rebase_refused_while_old_writer_stream_active(spark, tmp_path):
         with pytest.raises(RuntimeError, match="still active"):
             snap.register_store_checkpoint(path, str(tmp_path / "ckB"), spark)
         # the refused rebase committed nothing
-        cp, base = snap._writer_meta(path)
+        cp, base, _qid = snap._writer_meta(path)
         assert os.path.realpath(cp) == os.path.realpath(ck_a) and base == 0
     finally:
         q.stop()
         q.awaitTermination()
     snap.register_store_checkpoint(path, str(tmp_path / "ckB"), spark)
-    cp, _ = snap._writer_meta(path)
+    cp, _, _ = snap._writer_meta(path)
     assert os.path.realpath(cp) == os.path.realpath(str(tmp_path / "ckB"))
 
 
@@ -180,3 +181,67 @@ def test_fresh_and_never_rebased_stores_pass_stamp_guard(spark, tmp_path):
     snap.assert_stamp_format(path)
     got = {tuple(r) for r in jobs._lww_read(spark, path, ["k"], []).collect()}
     assert got == {(1, "b")}
+
+
+def test_wiped_and_recreated_checkpoint_at_same_path_rebases(spark, tmp_path):
+    """r14 review finding: realpath equality alone treated a
+    deleted-and-recreated checkpoint (the standard stream reset) as
+    the SAME stream — the fresh stream's epoch 0 would then commit as
+    a new attempt of the historical epoch 0 (GC'ing real rows) or
+    trip the fold watermark. The persistent query id recorded in
+    _WRITER exposes the wipe."""
+    import json as _json
+
+    path, ck = str(tmp_path / "store"), str(tmp_path / "ck")
+
+    def write_meta(qid):
+        os.makedirs(ck, exist_ok=True)
+        with open(os.path.join(ck, "metadata"), "w") as fh:
+            _json.dump({"id": qid}, fh)
+
+    write_meta("query-one")
+    snap.register_store_checkpoint(path, ck)
+    df = spark.createDataFrame([(1, "a")], "k int, v string")
+    snap.epoch_append(df, path, 0)
+    snap.epoch_append(df, path, 1)
+    # replay-style re-registration: same path, same query id -> no bump
+    snap.register_store_checkpoint(path, ck)
+    assert snap.epoch_base(path) == 0
+
+    # wipe + recreate at the SAME path: fresh metadata id
+    shutil.rmtree(ck)
+    write_meta("query-two")
+    snap.register_store_checkpoint(path, ck)
+    assert snap.epoch_base(path) == 2, "fresh stream must rebase past epochs 0-1"
+    # and the new stream's epoch 0 lands as on-disk epoch 2
+    assert snap.on_disk_epoch(path, 0) == 2
+
+    # a wipe with metadata NOT yet recreated (stream not started)
+    shutil.rmtree(ck)
+    os.makedirs(ck)
+    snap.epoch_append(df, path, 0)  # raw id 0 -> on-disk 2 committed
+    snap.register_store_checkpoint(path, ck)
+    assert snap.epoch_base(path) == 3, "missing metadata after a recorded id is a wipe"
+
+
+def test_preregistered_then_started_stream_is_not_a_wipe(spark, tmp_path):
+    """Sink factories register BEFORE the stream first runs (no
+    checkpoint metadata yet -> recorded id None). The id appearing
+    later must read as the same stream (backfilled), never a rebase."""
+    import json as _json
+
+    path, ck = str(tmp_path / "store"), str(tmp_path / "ck")
+    os.makedirs(ck)
+    snap.register_store_checkpoint(path, ck)  # no metadata yet
+    df = spark.createDataFrame([(1, "a")], "k int, v string")
+    snap.epoch_append(df, path, 0)
+    with open(os.path.join(ck, "metadata"), "w") as fh:
+        _json.dump({"id": "query-late"}, fh)
+    snap.register_store_checkpoint(path, ck)  # id becomes visible
+    assert snap.epoch_base(path) == 0, "first-start is not a wipe"
+    assert snap._writer_meta(path)[2] == "query-late"
+    # and from here on, a wipe IS detected
+    shutil.rmtree(ck)
+    os.makedirs(ck)
+    snap.register_store_checkpoint(path, ck)
+    assert snap.epoch_base(path) == 1
