@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from data_warehouse_nhom8_spark.regexes import WS_SPLIT
 
 MILLION = 1_000_000
 
@@ -103,7 +104,7 @@ def normalize_text(c: Column | str) -> Column:
     utf8mb4_unicode_ci parity (accent-insensitivity) use
     `collation_key`, which maps to Spark 4 native collations."""
     col = F.col(c) if isinstance(c, str) else c
-    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+    return F.regexp_replace(F.lower(F.trim(col)), WS_SPLIT, " ")
 
 
 # Vietnamese + Latin-1 diacritic fold (1:1 translate): every accented
@@ -158,7 +159,7 @@ def canonical_key(c: Column | str) -> Column:
     bucketed layout, not a general substitute for ICU collation."""
     col = F.col(c) if isinstance(c, str) else c
     folded = F.translate(
-        F.lower(F.regexp_replace(F.trim(col), r"\s+", " ")), _ACCENTED, _FOLDED
+        F.lower(F.regexp_replace(F.trim(col), WS_SPLIT, " ")), _ACCENTED, _FOLDED
     )
     return F.regexp_replace(folded, "[\u0300-\u036f]", "")
 
@@ -171,4 +172,4 @@ def collation_key(c: Column | str, collation: str = "UNICODE_CI_AI") -> Column:
     SCD2 merge relies on (load_to_wh.sh:66-67). Whitespace is
     collapsed first (collation doesn't cover it)."""
     col = F.col(c) if isinstance(c, str) else c
-    return F.collate(F.regexp_replace(F.trim(col), r"\s+", " "), collation)
+    return F.collate(F.regexp_replace(F.trim(col), WS_SPLIT, " "), collation)

@@ -40,6 +40,7 @@ import re
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from data_warehouse_nhom8_spark.regexes import WS_SPLIT
 
 # End-of-word sentinel. '▁' (U+2581) is printable and CAN occur in
 # real text, so every path NORMALIZES it away from the input before
@@ -72,7 +73,7 @@ def _words_with_counts(docs: DataFrame, text_col: str) -> DataFrame:
     scan; everything iterative happens on this dim-sized table."""
     return (
         docs.select(
-            F.explode(F.split(_norm_text(text_col), r"\s+")).alias("word")
+            F.explode(F.split(_norm_text(text_col), WS_SPLIT)).alias("word")
         )
         .filter(F.col("word") != "")
         .groupBy("word")
@@ -274,7 +275,7 @@ def bpe_encode(
     multimodal codec. Both paths are exact twins (pytest-gated)."""
     if len(merges) <= native_max_merges:
         words = F.filter(
-            F.split(_norm_text(text_col), r"\s+"), lambda w: w != ""
+            F.split(_norm_text(text_col), WS_SPLIT), lambda w: w != ""
         )
         tok = lambda w: _encode_word_native(w, merges)  # noqa: E731
         return docs.withColumn(

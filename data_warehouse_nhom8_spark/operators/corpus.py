@@ -41,6 +41,7 @@ import os
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from data_warehouse_nhom8_spark.regexes import WS_SPLIT
 
 
 def _c(col: Column | str) -> Column:
@@ -147,7 +148,7 @@ def chunk_documents(
         raise ValueError("chunk_tokens and stride must be positive")
     from data_warehouse_nhom8_spark.session import repartition_for_compute
 
-    toks = F.split(F.trim(_c(text_col)), r"\s+")
+    toks = F.split(F.trim(_c(text_col)), WS_SPLIT)
     staged = repartition_for_compute(df).select(F.col(id_col), toks.alias("__tk"))
     starts = F.sequence(F.lit(1), F.size("__tk"), F.lit(stride))
     exploded = staged.select(
@@ -218,7 +219,7 @@ def _gram_digests(
     100 TB scans already have thousands of splits — no-op there)."""
     from data_warehouse_nhom8_spark.session import repartition_for_compute
 
-    toks = F.split(F.lower(F.trim(_c(text_col))), r"\s+")
+    toks = F.split(F.lower(F.trim(_c(text_col))), WS_SPLIT)
     staged = repartition_for_compute(df).select(F.col(id_col).alias("id"), toks.alias("__tk"))
     n = F.size("__tk")
     grams = F.transform(
@@ -754,7 +755,7 @@ def _contamination_folded(
     )
     wins = repartition_if_split_starved(corpus.select(id_col, text_col)).select(
         F.col(id_col).alias("__id"),
-        F.size(F.split(F.lower(F.trim(_c(text_col))), r"\s+")).alias("__nt"),
+        F.size(F.split(F.lower(F.trim(_c(text_col))), WS_SPLIT)).alias("__nt"),
         F.posexplode(
             _window_hashes(
                 text_col if isinstance(text_col, str) else _c(text_col), gram_w
@@ -839,7 +840,7 @@ def decontaminate_scrub(
     staged = joined.select(
         id_col,
         "__spans",
-        F.split(F.trim(_c(text_col)), r"\s+").alias("__ot"),
+        F.split(F.trim(_c(text_col)), WS_SPLIT).alias("__ot"),
     ).select(
         id_col,
         "__spans",

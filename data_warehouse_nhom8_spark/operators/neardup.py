@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from data_warehouse_nhom8_spark.regexes import WS_SPLIT
 
 # Mersenne prime (2^31 - 1) for the universal-hash family: keeps
 # a*h+b < 2^62, inside LongType under ANSI overflow checking.
@@ -56,7 +57,7 @@ def shingles_col(text: Column | str = "text", w: int = 3) -> Column:
     at sf0.1. A lambda-variable reference is an O(1) lookup, and the
     wrapper keeps this a pure Column usable in any projection."""
     t = F.col(text) if isinstance(text, str) else text
-    toks = F.split(F.lower(F.trim(t)), r"\s+")
+    toks = F.split(F.lower(F.trim(t)), WS_SPLIT)
 
     def build(tk: Column) -> Column:
         idx = F.sequence(F.lit(1), F.greatest(F.size(tk) - (w - 1), F.lit(1)))
@@ -785,7 +786,7 @@ def simhash_token_hashes(
         F.col(id_col).alias("id"),
         F.slice(
             F.transform(
-                F.array_distinct(F.split(F.lower(F.trim(t)), r"\s+")),
+                F.array_distinct(F.split(F.lower(F.trim(t)), WS_SPLIT)),
                 md5_token_hash64,
             ),
             1,

@@ -33,6 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from data_warehouse_nhom8_spark.regexes import WS_SPLIT, WS_SPLIT_SQL
 
 
 def _window_hashes(text: Column | str, w: int) -> Column:
@@ -47,11 +48,11 @@ def _window_hashes(text: Column | str, w: int) -> Column:
     Same operators, same token binding, bit-identical plans."""
     if isinstance(text, str):
         return F.expr(
-            f"transform(array(split(lower(trim({text})), '\\\\s+')), "
+            f"transform(array(split(lower(trim({text})), '{WS_SPLIT_SQL}')), "
             f"tk -> transform(sequence(1, greatest(size(tk) - {w - 1}, 1)), "
             f"i -> md5(concat_ws(' ', slice(tk, i, {w})))))[0]"
         )
-    toks = F.split(F.lower(F.trim(text)), r"\s+")
+    toks = F.split(F.lower(F.trim(text)), WS_SPLIT)
 
     def build(tk: Column) -> Column:
         idx = F.sequence(F.lit(1), F.greatest(F.size(tk) - (w - 1), F.lit(1)))
@@ -227,7 +228,7 @@ def span_dedup_stats(
     )
     toks = docs.select(
         F.col(id_col),
-        F.size(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("n_tokens"),
+        F.size(F.split(F.lower(F.trim(F.col(text_col))), WS_SPLIT)).alias("n_tokens"),
     )
     return (
         toks.join(per_doc, id_col, "left")

@@ -31,6 +31,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from data_warehouse_nhom8_spark.operators.windows import latest_per_key
+from data_warehouse_nhom8_spark.regexes import WS_CHARS, WS_CLASS, WS_SPLIT
 
 
 def _c(col: Column | str) -> Column:
@@ -53,7 +54,7 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 def token_count_col(text: Column | str = "text") -> Column:
     """Whitespace token count (LongType)."""
     t = F.trim(_c(text))
-    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+"))).cast("long")
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, WS_SPLIT))).cast("long")
 
 
 def bpe_ish_token_count(text: Column | str = "text") -> Column:
@@ -61,7 +62,9 @@ def bpe_ish_token_count(text: Column | str = "text") -> Column:
     punctuation runs (a cheap, deterministic BPE proxy — the regex
     splits on letter-runs of <=4 chars)."""
     t = _c(text)
-    pieces = F.regexp_extract_all(t, F.lit(r"([A-Za-z]{1,4}|\d|[^\sA-Za-z\d])"), 1)
+    pieces = F.regexp_extract_all(
+        t, F.lit(rf"([A-Za-z]{{1,4}}|\d|[^{WS_CHARS}A-Za-z\d])"), 1
+    )
     return F.size(pieces).cast("long")
 
 
@@ -79,7 +82,7 @@ def quality_cols(text: Column | str = "text") -> dict[str, Column]:
     n_chars = F.length(t).cast("long")
     n_tokens = token_count_col(t)
     n_punct = F.size(F.regexp_extract_all(t, F.lit(f"({_PUNCT_RE})"), 1)).cast("long")
-    words = F.split(F.lower(F.trim(t)), r"\s+")
+    words = F.split(F.lower(F.trim(t)), WS_SPLIT)
     n_stop = F.size(
         F.filter(words, lambda w: w.isin(*EN_STOPWORDS))
     ).cast("long")
@@ -117,7 +120,7 @@ def lang_id_col(text: Column | str = "text", sample_chars: int = 256, sample_tok
     unicode-class regex over full 100 KB documents costs ~60% of the
     scan (measured) for no accuracy gain."""
     t = F.lower(F.substring(_c(text), 1, sample_chars))
-    words = F.slice(F.split(F.trim(t), r"\s+"), 1, sample_tokens)
+    words = F.slice(F.split(F.trim(t), WS_SPLIT), 1, sample_tokens)
     # CJK share via length-delta (one regexp_replace pass over the
     # sample — a per-char regexp_extract_all array was 3x the cost)
     cjk = F.length(t) - F.length(F.regexp_replace(t, r"[\x{4e00}-\x{9fff}]", ""))
@@ -167,7 +170,7 @@ def add_lang_id(
     staged = df.select(
         *passthrough,
         t.alias("__lt"),
-        F.slice(F.split(F.trim(t), r"\s+"), 1, sample_tokens).alias("__lw"),
+        F.slice(F.split(F.trim(t), WS_SPLIT), 1, sample_tokens).alias("__lw"),
     )
     cjk = F.length("__lt") - F.length(
         F.regexp_replace(F.col("__lt"), r"[\x{4e00}-\x{9fff}]", "")
@@ -230,7 +233,7 @@ def repetition_stats(
     from `token_count_col`, which maps empty-trim to 0; don't join
     the two totals without reconciling that edge.
     """
-    words = F.explode(F.split(F.lower(F.trim(_c(text_col))), r"\s+")).alias("w")
+    words = F.explode(F.split(F.lower(F.trim(_c(text_col))), WS_SPLIT)).alias("w")
     per_word = (
         df.select(F.col(id_col).alias("__id"), words)
         .groupBy("__id", "w")
@@ -255,7 +258,7 @@ def token_topk(df: DataFrame, k: int = 20, text_col: str = "text") -> DataFrame:
     its local top-k and the driver merges k·partitions rows — no
     global sort of the vocabulary ever materializes."""
     w = df.select(
-        F.explode(F.split(F.lower(F.trim(_c(text_col))), r"\s+")).alias("token")
+        F.explode(F.split(F.lower(F.trim(_c(text_col))), WS_SPLIT)).alias("token")
     )
     return (
         w.groupBy("token")
@@ -278,7 +281,7 @@ def bigram_topk(df: DataFrame, k: int = 20, text_col: str = "text") -> DataFrame
     O(tokens²) re-splitting per doc, measured 10× slower at sf0.1.
     CollapseProject keeps the staged alias because it is a non-cheap
     expression referenced more than once."""
-    w = df.select(F.split(F.lower(F.trim(_c(text_col))), r"\s+").alias("__w"))
+    w = df.select(F.split(F.lower(F.trim(_c(text_col))), WS_SPLIT).alias("__w"))
     n = F.size("__w")
     bigrams = F.when(
         n >= 2,
@@ -304,7 +307,7 @@ def fingerprint_col(text: Column | str = "text", shingle: int = 3) -> Column:
     whitespace-collapsed) token stream re-joined with single spaces —
     robust to case/whitespace-only edits, unlike raw md5(text)."""
     t = _c(text)
-    canon = F.concat_ws(" ", F.split(F.lower(F.trim(t)), r"\s+"))
+    canon = F.concat_ws(" ", F.split(F.lower(F.trim(t)), WS_SPLIT))
     return F.md5(canon)
 
 
@@ -340,7 +343,7 @@ def tfidf_top_terms(
     tf = (
         df.select(
             F.col(id_col),
-            F.explode(F.split(F.lower(F.trim(_c(text_col))), r"\s+")).alias("term"),
+            F.explode(F.split(F.lower(F.trim(_c(text_col))), WS_SPLIT)).alias("term"),
         )
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
@@ -372,7 +375,7 @@ def _token_stream(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     may only differ in COUNTS, never in what a token is)."""
     return df.select(
         F.col(id_col),
-        F.explode(F.split(F.lower(F.trim(_c(text_col))), r"\s+")).alias("token"),
+        F.explode(F.split(F.lower(F.trim(_c(text_col))), WS_SPLIT)).alias("token"),
     ).filter(F.col("token") != "")
 
 
@@ -597,11 +600,15 @@ def html_text_cols(html: Column | str = "html") -> dict[str, Column]:
         ("&amp;", "&"),  # last: '&amp;lt;' must yield literal '&lt;'
     ):
         decoded = F.replace(decoded, F.lit(ent), F.lit(ch))
-    text = F.trim(F.regexp_replace(decoded, r"\s+", " "))
+    text = F.trim(F.regexp_replace(decoded, WS_SPLIT, " "))
     title = F.regexp_extract(h, r"(?i)<title[^>]*>([\s\S]*?)</title>", 1)
     n_links = F.size(
         F.regexp_extract_all(
-            h, F.lit(r"(?i)<a\b[^>]*\bhref\s*=\s*(\"[^\"]*\"|'[^']*')"), 1
+            h,
+            F.lit(
+                rf"(?i)<a\b[^>]*\bhref{WS_CLASS}*={WS_CLASS}*(\"[^\"]*\"|'[^']*')"
+            ),
+            1,
         )
     ).cast("long")
     return {"text": text, "title": F.trim(title), "n_links": n_links}

@@ -38,6 +38,7 @@ from data_warehouse_nhom8_spark.operators.text import (
 )
 from data_warehouse_nhom8_spark.pipeline.ledger import RunLedger
 from data_warehouse_nhom8_spark.sources.snapshots import snapshot_overwrite, snapshot_read
+from data_warehouse_nhom8_spark.regexes import WS_SPLIT
 
 PROCESS = "corpus_prep"
 
@@ -51,7 +52,7 @@ def prepare_corpus_df(
     reusable expression): exact dedup → integer quality gate
     (n_stop * 100 >= n_tokens * min_stop_pct) → language ID → split."""
     kept = exact_dedup(docs)
-    words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    words = F.split(F.lower(F.trim(F.col("text"))), WS_SPLIT)
     scored = kept.select(
         "doc_id",
         "text",

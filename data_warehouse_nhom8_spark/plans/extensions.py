@@ -27,6 +27,7 @@ from data_warehouse_nhom8_spark.operators.text import (
     token_count_col,
 )
 from data_warehouse_nhom8_spark.sources import Catalog
+from data_warehouse_nhom8_spark.regexes import WS_SPLIT
 
 
 # Cross-query memo (round-1 verdict #3: q49 re-ran q38's entire
@@ -152,14 +153,17 @@ def _shared_bench_grams(
     return memo[key]
 
 
-def _shared_kll_coarse(
-    spark: SparkSession, sf_dir: str, ev: DataFrame
-) -> DataFrame:
+def _shared_kll_coarse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fit-once-query-many for q68's coarse KLL sketch table (r14):
     the two-level mergeable-quantile rollup of events per type — the
     sketch STORE the q62 pattern describes (fold at ingest, probe
-    many times). One tiny row per event_type, localCheckpointed;
-    keyed by the events file's realpath."""
+    many times). One tiny row per event_type, localCheckpointed.
+
+    The events projection, grouping levels, and quantiles are built
+    IN HERE (ADVICE r14): the memo is keyed only by the events file's
+    realpath, so a caller-supplied projection or quantile set would
+    silently alias into q68's cached sketch — the helper owns the
+    whole definition instead, like the other ``_shared_*`` memos."""
     ev_path = os.path.realpath(os.path.join(sf_dir, "events.parquet"))
     key = ("kll_coarse", ev_path)
     memo = _memo(spark)
@@ -168,12 +172,21 @@ def _shared_kll_coarse(
             kll_quantile_rollup,
         )
 
+        ev = _kll_events_projection(spark, sf_dir)
         _fine, coarse = kll_quantile_rollup(
             ev, ["event_type", "day"], ["event_type"], "value",
             quantiles=(0.5, 0.95),
         )
         memo[key] = coarse.localCheckpoint(eager=True)
     return memo[key]
+
+
+def _kll_events_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (event_type, day, value) projection q68 and its sketch
+    store share — single definition so the memoized coarse sketch and
+    the per-execution exact/rank passes can never drift apart."""
+    c = Catalog(spark, sf_dir)
+    return c.events.select("event_type", F.to_date("ts").alias("day"), "value")
 
 
 def _repersist(df: DataFrame) -> DataFrame:
@@ -337,7 +350,7 @@ def _simhash_neardup_oracle_sql(
         WITH toks AS (
             SELECT doc_id AS id, u.tok
             FROM documents,
-                 UNNEST(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS u(tok)
+                 UNNEST(list_distinct(string_split_regex(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+'))) AS u(tok)
             WHERE text IS NOT NULL
         ),
         th AS (
@@ -546,7 +559,41 @@ def prefit_stores(spark: SparkSession, sf_dir: str) -> dict:
     t0 = _time.perf_counter()
     _shared_embed_cc_clusters(spark, sf_dir).count()
     out["embed_cc_clusters"] = round(_time.perf_counter() - t0, 3)
+
+    # r15 (ADVICE r14 / verdict task 2): the last two memos whose fit
+    # cost was paid lazily on the first timed pass — now prefit and
+    # priced like every other store, so the warm numbers are pure
+    # probe cost and nothing is reclassified invisibly.
+    t0 = _time.perf_counter()
+    _shared_bench_grams(spark, sf_dir, 4).count()
+    out["bench_grams"] = round(_time.perf_counter() - t0, 3)
+
+    t0 = _time.perf_counter()
+    _shared_kll_coarse(spark, sf_dir).count()
+    out["kll_coarse"] = round(_time.perf_counter() - t0, 3)
     return out
+
+
+# Every _shared_* memo helper reachable from a declared query, mapped
+# to the store_fit key `prefit_stores` prices it under. The mechanical
+# pytest (test_oracle_queries.py::test_every_shared_memo_is_prefit)
+# statically walks the call graph of the plans package from each
+# QUERIES entry and fails if a reachable _shared_* helper is missing
+# here or absent from prefit_stores' output — a new memo can no longer
+# shift fit cost out of the bench without attribution (VERDICT r14 #1).
+SHARED_STORE_KEY = {
+    "_shared_minhash_pairs": "minhash_pairs",
+    "_shared_jaccard_pairs": "jaccard_pairs",
+    "_shared_ivf_index": "ivf_index",
+    "_shared_corpus_sig_store": "corpus_sig_store",
+    "_shared_bpe_merges": "bpe_merges",
+    "_shared_pq_codes": "pq_codes",
+    "_shared_simhash_signatures": "simhash_sigs",
+    "_shared_cc_clusters": "cc_clusters",
+    "_shared_embed_cc_clusters": "embed_cc_clusters",
+    "_shared_bench_grams": "bench_grams",
+    "_shared_kll_coarse": "kll_coarse",
+}
 
 
 # which declared queries consume which store (fit_sec attribution for
@@ -563,6 +610,13 @@ STORE_OF_QUERY = {
     "q118_semantic_dedup": "embed_cc_clusters",
     "q106_bpe_tokenize_noracle": "bpe_merges",
     "q109_pq_topk_noracle": "pq_codes",
+    # oracled consumers of prefit memos (r15): these never enter the
+    # ext-probe sampling lane (they're in the bucketed headline), but
+    # their fit attribution must be discoverable here all the same
+    "q57_decontamination": "bench_grams",
+    "q112_contamination_fraction": "bench_grams",
+    "q116_decontaminate_scrub": "bench_grams",
+    "q68_kll_quantile_rollup": "kll_coarse",
 }
 
 
@@ -1122,7 +1176,7 @@ def q58_corpus_prep_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     c = Catalog(spark, sf_dir)
     kept = exact_dedup(c.documents)
-    words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    words = F.split(F.lower(F.trim(F.col("text"))), WS_SPLIT)
     scored = kept.select(
         "doc_id",
         "text",
@@ -1355,8 +1409,7 @@ def q68_kll_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     p50_in_tol / p95_in_tol (exact rank of the estimate within 5% of
     the target rank), which the oracle expects TRUE — KLL's default-k
     guarantee is ~1.65%, so a drifting sketch fails the gate."""
-    c = Catalog(spark, sf_dir)
-    ev = c.events.select("event_type", F.to_date("ts").alias("day"), "value")
+    ev = _kll_events_projection(spark, sf_dir)
     # the coarse sketch table feeds BOTH the rank-check join and the
     # final output, and Catalyst would compute the two-level sketch
     # agg twice (no subtree sharing across joins). It is ALSO the
@@ -1365,7 +1418,7 @@ def q68_kll_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # since r14 it comes from a session memo keyed on the events file
     # — one row per event_type, localCheckpointed; the exact
     # percentiles and the rank-check probe still run per execution.
-    coarse = _shared_kll_coarse(spark, sf_dir, ev)
+    coarse = _shared_kll_coarse(spark, sf_dir)
     exact = ev.groupBy("event_type").agg(
         F.round(F.expr("percentile(value, 0.5)"), 2).alias("exact_p50"),
         F.round(F.expr("percentile(value, 0.95)"), 2).alias("exact_p95"),
@@ -2244,13 +2297,13 @@ def _q117_oracle_sql() -> str:
         ("&amp;", "&"),
     ):
         s = f"replace({s}, '{ent}', '{ch}')"
-    clean = f"trim(regexp_replace({s}, '\\s+', ' ', 'g'))"
+    clean = f"trim(regexp_replace({s}, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))"
     return f"""
         SELECT doc_id,
                trim(regexp_extract({html},
                  '(?i)<title[^>]*>([\\s\\S]*?)</title>', 1)) AS title,
                CAST(len(regexp_extract_all({html},
-                 '(?i)<a\\b[^>]*\\bhref\\s*=\\s*("[^"]*"|''[^'']*'')', 1))
+                 '(?i)<a\\b[^>]*\\bhref[ \\t\\n\\x0b\\f\\r]*=[ \\t\\n\\x0b\\f\\r]*("[^"]*"|''[^'']*'')', 1))
                  AS BIGINT) AS n_links,
                {clean} AS clean_text
         FROM documents ORDER BY doc_id LIMIT 500
@@ -2263,7 +2316,7 @@ def _q117_oracle_sql() -> str:
 # drift between the two twins.
 _JACCARD_PAIRS_CTE = """
         toks AS (
-          SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+          SELECT doc_id, string_split_regex(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+') AS t
           FROM documents
         ),
         sh AS (
@@ -2318,8 +2371,8 @@ EXTENSION_ORACLES: dict[str, str] = {
     "q116_decontaminate_scrub": """
         WITH t AS (
           SELECT doc_id,
-                 string_split_regex(trim(text), '\\s+') AS otoks,
-                 string_split_regex(lower(trim(text)), '\\s+') AS toks
+                 string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+') AS otoks,
+                 string_split_regex(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+') AS toks
           FROM documents
         ), corp AS (
           SELECT * FROM t WHERE doc_id % 97 <> 0
@@ -2456,7 +2509,7 @@ EXTENSION_ORACLES: dict[str, str] = {
     "q112_contamination_fraction": """
         WITH t AS (
           SELECT doc_id,
-                 string_split_regex(lower(trim(text)), '\\s+') AS toks
+                 string_split_regex(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+') AS toks
           FROM documents
         ), corp AS (
           SELECT * FROM t WHERE doc_id % 97 <> 0
@@ -2504,7 +2557,7 @@ EXTENSION_ORACLES: dict[str, str] = {
     "q110_span_dedup": """
         WITH t AS (
           SELECT doc_id,
-                 string_split_regex(lower(trim(text)), '\\s+') AS toks
+                 string_split_regex(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+') AS toks
           FROM documents
         ), w AS (
           SELECT doc_id, i - 1 AS pos,
@@ -2546,7 +2599,7 @@ EXTENSION_ORACLES: dict[str, str] = {
     "q99_unigram_surprisal": """
         WITH tok AS (
           SELECT doc_id,
-                 unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+                 unnest(string_split_regex(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+')) AS token
           FROM documents
         ), t AS (
           SELECT doc_id, token FROM tok WHERE token <> ''
@@ -2591,7 +2644,7 @@ EXTENSION_ORACLES: dict[str, str] = {
           SELECT lower(substring(text, 1, 256)) AS t FROM documents
         ),
         w AS (
-          SELECT t, (string_split_regex(trim(t), '\\s+'))[1:64] AS words FROM s
+          SELECT t, (string_split_regex(trim(t), '[ \\t\\n\\x0b\\f\\r]+'))[1:64] AS words FROM s
         ),
         sc AS (
           SELECT
@@ -2647,16 +2700,16 @@ EXTENSION_ORACLES: dict[str, str] = {
     """,
     "q34_token_counts": """
         SELECT doc_id,
-               CAST((CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END) AS BIGINT) AS n_tokens,
-               CAST(len(regexp_extract_all(text, '([A-Za-z]{1,4}|\\d|[^\\sA-Za-z\\d])', 1)) AS BIGINT) AS n_bpe_ish
+               CAST((CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) END) AS BIGINT) AS n_tokens,
+               CAST(len(regexp_extract_all(text, '([A-Za-z]{1,4}|\\d|[^ \\t\\n\\x0b\\f\\rA-Za-z\\d])', 1)) AS BIGINT) AS n_bpe_ish
         FROM documents ORDER BY doc_id NULLS FIRST LIMIT 500
     """,
     "q35_quality_scores": """
         WITH t AS (
           SELECT doc_id,
-                 CAST((CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END) AS BIGINT) AS n_tokens,
+                 CAST((CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) END) AS BIGINT) AS n_tokens,
                  CAST(length(text) AS BIGINT) AS n_chars,
-                 CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                 CAST(len(list_filter(string_split_regex(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+'),
                       x -> x IN ('the','and','of','to','a','in','is','it','that','for'))) AS BIGINT) AS n_stop
           FROM documents)
         SELECT doc_id, n_tokens,
@@ -2666,7 +2719,7 @@ EXTENSION_ORACLES: dict[str, str] = {
     """,
     "q36_doc_fingerprint": """
         SELECT doc_id,
-               md5(array_to_string(string_split_regex(lower(trim(text)), '\\s+'), ' ')) AS fp
+               md5(array_to_string(string_split_regex(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+'), ' ')) AS fp
         FROM documents ORDER BY doc_id NULLS FIRST LIMIT 500
     """,
     "q42_multimodal_features": """
@@ -2732,7 +2785,7 @@ EXTENSION_ORACLES: dict[str, str] = {
     """,
     "q56_doc_chunking": """
         WITH t AS (
-          SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk FROM documents
+          SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+') AS tk FROM documents
         ),
         c AS (
           SELECT doc_id,
@@ -2748,7 +2801,7 @@ EXTENSION_ORACLES: dict[str, str] = {
     """,
     "q57_decontamination": """
         WITH toks AS (
-          SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk
+          SELECT doc_id, string_split_regex(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+') AS tk
           FROM documents
         ),
         grams AS (
@@ -2779,8 +2832,8 @@ EXTENSION_ORACLES: dict[str, str] = {
         ),
         scored AS (
           SELECT doc_id, text,
-                 CAST((CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END) AS BIGINT) AS n_tokens,
-                 CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                 CAST((CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) END) AS BIGINT) AS n_tokens,
+                 CAST(len(list_filter(string_split_regex(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+'),
                       x -> x IN ('the','and','of','to','a','in','is','it','that','for'))) AS BIGINT) AS n_stop
           FROM kept
         ),
@@ -2790,7 +2843,7 @@ EXTENSION_ORACLES: dict[str, str] = {
         lw AS (
           SELECT doc_id, n_tokens, text,
                  lower(substring(text, 1, 256)) AS t,
-                 (string_split_regex(trim(lower(substring(text, 1, 256))), '\\s+'))[1:64] AS words
+                 (string_split_regex(trim(lower(substring(text, 1, 256))), '[ \\t\\n\\x0b\\f\\r]+'))[1:64] AS words
           FROM filtered
         ),
         sc AS (
@@ -2886,7 +2939,7 @@ EXTENSION_ORACLES: dict[str, str] = {
     "q65_repetition_quality": """
         WITH w AS (
           SELECT doc_id,
-                 unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+                 unnest(string_split_regex(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+')) AS w
           FROM documents
         ),
         g AS (SELECT doc_id, w, COUNT(*) AS c FROM w GROUP BY doc_id, w)
@@ -2899,7 +2952,7 @@ EXTENSION_ORACLES: dict[str, str] = {
     """,
     "q66_vocab_topk": """
         WITH w AS (
-          SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+          SELECT unnest(string_split_regex(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+')) AS token
           FROM documents
         )
         SELECT token, CAST(COUNT(*) AS BIGINT) AS n
@@ -2907,7 +2960,7 @@ EXTENSION_ORACLES: dict[str, str] = {
     """,
     "q67_bigram_topk": """
         WITH d AS (
-          SELECT string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents
+          SELECT string_split_regex(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+') AS w FROM documents
         ),
         b AS (
           SELECT unnest([list_element(w, i) || ' ' || list_element(w, i + 1)
@@ -3002,7 +3055,7 @@ EXTENSION_ORACLES: dict[str, str] = {
     "q94_sequence_packing": """
         WITH toks AS (
           SELECT source AS shard, doc_id,
-                 CAST((CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END) AS BIGINT) AS n_tokens
+                 CAST((CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) END) AS BIGINT) AS n_tokens
           FROM documents
         ), placed AS (
           SELECT shard, doc_id, n_tokens,
@@ -3022,7 +3075,7 @@ EXTENSION_ORACLES: dict[str, str] = {
     "q95_tfidf_topterms": """
         WITH tok AS (
           SELECT doc_id,
-                 unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+                 unnest(string_split_regex(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+')) AS term
           FROM documents
         ), tfc AS (
           SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
@@ -3051,7 +3104,7 @@ EXTENSION_ORACLES: dict[str, str] = {
     "q97_mixture_temperature": """
         WITH per AS (
           SELECT source,
-                 CAST(SUM(CAST((CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END) AS BIGINT)) AS BIGINT) AS n_tokens
+                 CAST(SUM(CAST((CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) END) AS BIGINT)) AS BIGINT) AS n_tokens
           FROM documents GROUP BY source
         ), sq AS (
           SELECT source, n_tokens,
