@@ -82,21 +82,47 @@ def _shared_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _repersist(memo[key])
 
 
+def _store_scratch_path(kind: str, *key_parts: object) -> str:
+    """Per-process scratch location for the session's persisted store
+    builds (simhash sigs, cluster maps): keyed by the input file's
+    realpath so the bucketed fixture's symlinked lanes share one
+    store, and by pid so concurrent processes (bench + driver + tests)
+    can never clobber each other's epochs."""
+    import hashlib
+
+    h = hashlib.md5("|".join(str(p) for p in key_parts).encode()).hexdigest()[:12]
+    return f"/tmp/spark_graft_stores/{os.getpid()}/{kind}_{h}"
+
+
 def _shared_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fit-once-query-many for the (id, sh) SimHash signature table
-    (r14): the md5 token folds are the store-build step of the tier —
-    at 100 TB signatures live in a persisted store (the q53 MinHash
-    analog keeps sigs/ as its first tier) and probes never re-fold the
-    corpus. localCheckpoint rather than persist: survives the bench's
-    clearCache and keeps the downstream pair plan scan-free (the q39
-    plan gate). Keyed by the documents file's realpath so the bucketed
-    fixture's symlinked lanes share it."""
+    """Fit-once-query-many for the (id, sh) SimHash signature table.
+    Since r15 the memo is a CACHE OF THE PERSISTED STORE, not the
+    store itself (VERDICT r14 task 1): the fit builds
+    `streaming.jobs.simhash_sig_store_build` at rest (epoch-append
+    layout, the q53 MinHash analog) and the served DataFrame is the
+    store's LWW read — so the bench's q39 number is the probe cost of
+    the artifact a production pipeline materializes at ingest, and the
+    store faces (update/sink/compact) are exercised by their own
+    pytests. localCheckpoint keeps the downstream pair plan scan-free
+    (the q39 plan gate) and survives the bench's clearCache. Keyed by
+    the documents file's realpath so the bucketed fixture's symlinked
+    lanes share it."""
     doc_path = os.path.realpath(os.path.join(sf_dir, "documents.parquet"))
     key = ("simhash_sigs", doc_path)
     memo = _memo(spark)
     if key not in memo:
+        import shutil
+
+        from data_warehouse_nhom8_spark.streaming.jobs import (
+            read_simhash_sig_store,
+            simhash_sig_store_build,
+        )
+
         c = Catalog(spark, sf_dir)
-        memo[key] = neardup.simhash_signatures(c.documents).localCheckpoint(
+        path = _store_scratch_path("simhash_sigs", doc_path)
+        shutil.rmtree(path, ignore_errors=True)
+        simhash_sig_store_build(c.documents, path)
+        memo[key] = read_simhash_sig_store(spark, path).localCheckpoint(
             eager=True
         )
     return memo[key]
@@ -104,24 +130,32 @@ def _shared_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _shared_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fit-once-query-many for the exact-Jaccard duplicate-cluster map
-    (r14): connected components over `_shared_jaccard_pairs` is an
-    ingest-time artifact (the dedup scrub map a training pipeline
+    — an ingest-time artifact (the dedup scrub map a training pipeline
     computes once per corpus snapshot and serves many times), not
-    per-query work — q49's warm probe reads the clustered result, the
-    iterative label propagation runs once per (session, corpus).
-    localCheckpointed: the CC output is already RDD-backed and tiny
-    (one row per clustered doc)."""
+    per-query work. Since r15 the memo caches the PERSISTED
+    `cluster_map_store` (VERDICT r14 task 1): the fit appends
+    `_shared_jaccard_pairs`' edges to the at-rest store and the served
+    map is the store's connected-components read, so q49's warm probe
+    reads exactly what a deployment would open. localCheckpointed:
+    the CC output is already RDD-backed and tiny (one row per
+    clustered doc)."""
     doc_path = os.path.realpath(os.path.join(sf_dir, "documents.parquet"))
     key = ("cc_clusters", doc_path)
     memo = _memo(spark)
     if key not in memo:
-        from data_warehouse_nhom8_spark.operators.dedup_clusters import (
-            connected_components,
+        import shutil
+
+        from data_warehouse_nhom8_spark.streaming.jobs import (
+            cluster_map_store_build,
+            read_cluster_map_store,
         )
 
-        memo[key] = connected_components(
-            _shared_jaccard_pairs(spark, sf_dir), "id_a", "id_b"
-        ).localCheckpoint(eager=True)
+        path = _store_scratch_path("cc_clusters", doc_path)
+        shutil.rmtree(path, ignore_errors=True)
+        cluster_map_store_build(_shared_jaccard_pairs(spark, sf_dir), path)
+        memo[key] = read_cluster_map_store(spark, path).localCheckpoint(
+            eager=True
+        )
     return memo[key]
 
 
@@ -943,20 +977,29 @@ def _shared_embed_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph — like `_shared_cc_clusters`, an ingest-time artifact
     (computed per corpus/embedding snapshot, probed many times).
     Keyed by the embeddings file's realpath (the bucketed fixture
-    symlinks it unchanged)."""
+    symlinks it unchanged). Since r15 a cache of the persisted
+    `cluster_map_store` like `_shared_cc_clusters` — the hyperplane
+    edge set lands in an at-rest edge store and the served map is the
+    store's connected-components read (VERDICT r14 task 1)."""
     emb_path = os.path.realpath(os.path.join(sf_dir, "embeddings.parquet"))
     key = ("embed_cc_clusters", emb_path)
     memo = _memo(spark)
     if key not in memo:
-        from data_warehouse_nhom8_spark.operators.dedup_clusters import (
-            connected_components,
+        import shutil
+
+        from data_warehouse_nhom8_spark.streaming.jobs import (
+            cluster_map_store_build,
+            read_cluster_map_store,
         )
 
         c = Catalog(spark, sf_dir)
         pairs = similarity.embedding_neardup_pairs(
             c.embeddings, threshold=-1.0, dim=_LSH_DIM, n_planes=_LSH_PLANES
         )
-        memo[key] = connected_components(pairs, "id_a", "id_b").localCheckpoint(
+        path = _store_scratch_path("embed_cc_clusters", emb_path)
+        shutil.rmtree(path, ignore_errors=True)
+        cluster_map_store_build(pairs, path)
+        memo[key] = read_cluster_map_store(spark, path).localCheckpoint(
             eager=True
         )
     return memo[key]

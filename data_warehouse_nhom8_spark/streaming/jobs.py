@@ -1493,3 +1493,228 @@ def compact_ivf_store(spark: SparkSession, store_path: str) -> None:
     from data_warehouse_nhom8_spark.sources.snapshots import epoch_compact
 
     epoch_compact(spark, store_path)
+
+# ------------------------------------------------ simhash signature store
+
+def simhash_sig_store_build(
+    docs: DataFrame,
+    store_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Batch base build of the PERSISTED SimHash signature store —
+    the at-rest face of the q39 tier (VERDICT r14 task 1: the
+    signature table previously existed only as a session memo; the
+    MinHash tier's `corpus_sig_store_persist` and the IVF `_MODEL`
+    were the only stores with a disk face). Rows are
+    (id, sh, epoch): md5-token-hash SimHash signatures
+    (`operators.neardup.simhash_signatures`, the exact construction
+    q39's DuckDB twin reproduces bitwise) committed as epoch 0 of an
+    epoch-append store. At 100 TB the fold runs once per corpus
+    snapshot at ingest; probes never re-fold corpus text."""
+    simhash_sig_store_update(docs, store_path, 0, id_col, text_col)
+    return store_path
+
+
+def simhash_sig_store_update(
+    batch_docs: DataFrame,
+    store_path: str,
+    epoch_id: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Incremental batch face: signature the NEW documents only and
+    epoch-append — O(batch) compute and I/O, the store is never
+    rewritten. Last-writer-wins per id at read time, so a re-ingested
+    document (same id, newer epoch) supersedes its old signature
+    without a tombstone. incremental==full equality is pytest-gated
+    (test_sig_cluster_stores)."""
+    from data_warehouse_nhom8_spark.operators.neardup import (
+        simhash_signatures,
+    )
+    from data_warehouse_nhom8_spark.sources.snapshots import (
+        epoch_append,
+        on_disk_epoch,
+    )
+
+    sigs = simhash_signatures(batch_docs, id_col, text_col).withColumn(
+        "epoch", F.lit(on_disk_epoch(store_path, epoch_id)).cast("long")
+    )
+    epoch_append(sigs, store_path, epoch_id)
+
+
+def simhash_sig_store_sink(
+    stream: DataFrame,
+    store_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataStreamWriter:
+    """Streaming ingest face: each micro-batch of documents folds its
+    own signatures (map-only — the SWAR fold never shuffles) and
+    epoch-appends them. Same epoch-replacement idempotence as the
+    other store faces: a replayed micro-batch's append supersedes its
+    earlier attempt, so at-least-once delivery converges; LWW per id
+    across epochs gives re-crawled documents update semantics.
+    stream==batch equality is pytest-gated."""
+    _register_epoch_stores(checkpoint, store_path)
+    return (
+        stream.writeStream.foreachBatch(
+            simhash_sig_store_merge(store_path, id_col, text_col)
+        )
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+
+
+def simhash_sig_store_merge(
+    store_path: str, id_col: str = "doc_id", text_col: str = "text"
+):
+    """The signature store's foreachBatch merge as a standalone
+    builder (drivable by the mid-epoch-kill restart tests, like the
+    other store faces)."""
+
+    def merge(batch: DataFrame, epoch_id: int) -> None:
+        simhash_sig_store_update(batch, store_path, epoch_id, id_col, text_col)
+
+    return merge
+
+
+def read_simhash_sig_store(spark: SparkSession, store_path: str) -> DataFrame:
+    """(id, sh) — the signature table, last-writer-wins resolved per
+    id (split base/tail read: the compacted base never shuffles; the
+    epoch tail, bounded by compaction cadence, resolves on its own).
+    Feed straight into `simhash_pairs_from_signatures` — q39's serve
+    path. Duplicate ids WITHIN one epoch resolve deterministically on
+    the signature value (a corpus ships one text per id; the tiebreak
+    just pins replay determinism)."""
+    store = _lww_read(spark, store_path, ["id"], [F.desc("sh")])
+    if store is None:
+        raise FileNotFoundError(
+            f"no committed simhash sig store at {store_path}; run "
+            "simhash_sig_store_build or the sink through at least one "
+            "micro-batch first"
+        )
+    return store
+
+
+def compact_simhash_sig_store(spark: SparkSession, store_path: str) -> None:
+    """Materialize the LWW resolution into a bucketed base version
+    (bucketed on id: the read's anti-join and any downstream
+    signature join stop shuffling the store side) and drop the folded
+    epochs. OFFLINE only, stream stopped at a committed checkpoint —
+    `epoch_compact` enforces it mechanically."""
+    from data_warehouse_nhom8_spark.sources.snapshots import epoch_compact
+
+    epoch_compact(
+        spark,
+        store_path,
+        fold=lambda s: _lww_resolve(s, ["id"], [F.desc("sh")]).withColumn(
+            "epoch", F.lit(-1).cast("long")
+        ),
+        bucket_by=["id"],
+    )
+
+
+# ---------------------------------------------------- cluster map store
+
+def cluster_map_store_build(edges: DataFrame, store_path: str) -> str:
+    """Batch base build of the PERSISTED duplicate-cluster store —
+    the at-rest face of the q49/q118 cluster maps (VERDICT r14
+    task 1). The store holds EDGES (id_a, id_b, epoch): pair
+    detectors (exact-Jaccard, SimHash, embedding buckets) append
+    edge batches; `read_cluster_map_store` resolves them to the
+    (id, component) map with min-label connected components; and
+    compaction CONTRACTS the graph to its star form — one
+    (member, root) edge per clustered id — which preserves both
+    connectivity and the min-id labels (the root IS the component's
+    min member), so post-compaction reads are O(clustered ids + live
+    tail), never a re-pairing of the corpus."""
+    cluster_map_store_update(edges, store_path, 0)
+    return store_path
+
+
+def cluster_map_store_update(
+    edges: DataFrame, store_path: str, epoch_id: int
+) -> None:
+    """Epoch-append an edge batch (id_a, id_b) — O(batch) I/O; the
+    incremental contract CC(base stars ∪ new edges) == CC(all
+    original edges) is pytest-gated (test_sig_cluster_stores)."""
+    from data_warehouse_nhom8_spark.sources.snapshots import (
+        epoch_append,
+        on_disk_epoch,
+    )
+
+    rows = edges.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+    ).withColumn("epoch", F.lit(on_disk_epoch(store_path, epoch_id)).cast("long"))
+    epoch_append(rows, store_path, epoch_id)
+
+
+def cluster_edges_sink(
+    stream: DataFrame, store_path: str, checkpoint: str
+) -> DataStreamWriter:
+    """Streaming ingest face: each micro-batch of detector edges
+    epoch-appends. Replay supersedes its own epoch (idempotent);
+    duplicate edges across epochs are harmless — connected components
+    is a set-semantics fold (the CC's internal distinct dedups), and
+    compaction contracts them away."""
+    _register_epoch_stores(checkpoint, store_path)
+    return (
+        stream.writeStream.foreachBatch(cluster_map_store_merge(store_path))
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+
+
+def cluster_map_store_merge(store_path: str):
+    """The cluster store's foreachBatch merge as a standalone builder
+    (drivable by the mid-epoch-kill restart tests)."""
+
+    def merge(batch: DataFrame, epoch_id: int) -> None:
+        cluster_map_store_update(batch, store_path, epoch_id)
+
+    return merge
+
+
+def read_cluster_map_store(spark: SparkSession, store_path: str) -> DataFrame:
+    """(id, component) — min-label connected components over base
+    star-edges ∪ live epoch edges. The label-propagation rounds run
+    over the CONTRACTED graph after compaction (one star edge per
+    clustered id plus the bounded live tail), so open cost scales
+    with the cluster map, not with detector history."""
+    from data_warehouse_nhom8_spark.operators.dedup_clusters import (
+        connected_components,
+    )
+    from data_warehouse_nhom8_spark.sources.snapshots import epoch_read
+
+    edges = epoch_read(spark, store_path)
+    if edges is None:
+        raise FileNotFoundError(
+            f"no committed cluster map store at {store_path}; run "
+            "cluster_map_store_build or the sink through at least one "
+            "micro-batch first"
+        )
+    return connected_components(edges.select("id_a", "id_b"), "id_a", "id_b")
+
+
+def compact_cluster_map_store(spark: SparkSession, store_path: str) -> None:
+    """Fold base + epochs into the contracted star form: run the
+    components to fixpoint, write one (member, root) edge per
+    clustered id as the new base, drop the folded epochs. Star
+    contraction preserves min-id labels exactly (the root is the
+    component's minimum member and is itself present), pytest-gated.
+    OFFLINE only, stream stopped at a committed checkpoint."""
+    from data_warehouse_nhom8_spark.operators.dedup_clusters import (
+        connected_components,
+    )
+    from data_warehouse_nhom8_spark.sources.snapshots import epoch_compact
+
+    def fold(store: DataFrame) -> DataFrame:
+        cc = connected_components(store.select("id_a", "id_b"), "id_a", "id_b")
+        return cc.select(
+            F.col("id").alias("id_a"), F.col("component").alias("id_b")
+        ).withColumn("epoch", F.lit(-1).cast("long"))
+
+    epoch_compact(spark, store_path, fold=fold)
