@@ -1265,6 +1265,14 @@ def register_store_checkpoint(
             spark = SparkSession.getActiveSession()
         if spark is not None:
             assert_store_stream_stopped(spark, store_path)
+            # wiped-checkpoint path (r15, VERDICT r14 task 7): after a
+            # wipe the pointer's metadata carries the NEW stream's id
+            # (or none), so the pointer-resolved guard above cannot
+            # see the old writer — but the id recorded at the prior
+            # registration still can. A rebase while that stream is
+            # live would let its replayed in-flight epoch double-
+            # commit under two id bases.
+            _assert_query_id_not_active(spark, stored_qid, store_path)
         # rows committed so far are consistently stamped iff the store
         # never rebased (raw == on-disk) or already carries the marker
         # — only then may the marker survive/appear past this rebase
@@ -1299,7 +1307,12 @@ def assert_store_stream_stopped(spark: SparkSession, path: str) -> None:
     micro-batch would re-append rows the fold already moved into the
     base. Cross-process streams are out of scope (single-driver
     deployments; document externally-coordinated stops there)."""
-    qid = _store_stream_query_id(path)
+    _assert_query_id_not_active(spark, _store_stream_query_id(path), path)
+
+
+def _assert_query_id_not_active(
+    spark: SparkSession, qid: str | None, path: str
+) -> None:
     if qid is None:
         return
     for q in spark.streams.active:

@@ -245,3 +245,105 @@ def test_preregistered_then_started_stream_is_not_a_wipe(spark, tmp_path):
     os.makedirs(ck)
     snap.register_store_checkpoint(path, ck)
     assert snap.epoch_base(path) == 1
+
+
+def test_wiped_checkpoint_rebase_refused_while_old_writer_active(
+    spark, tmp_path
+):
+    """VERDICT r14 task 7: on the WIPED-checkpoint rebase path the
+    pointer's metadata carries the new stream's id, so the pointer-
+    resolved guard can't see the live old writer — the id recorded in
+    _WRITER at the prior registration must refuse the rebase instead
+    (a rebase under a live writer lets its replayed in-flight epoch
+    double-commit under two id bases)."""
+    path = str(tmp_path / "store")
+    ck = str(tmp_path / "ck")
+    q = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 1)
+        .load()
+        .writeStream.format("noop")
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    try:
+        snap.register_store_checkpoint(path, ck)
+        assert snap._writer_meta(path)[2] == str(q.id)
+        # the wipe: same checkpoint PATH, fresh metadata id — while
+        # the old stream is still running
+        with open(os.path.join(ck, "metadata"), "w") as fh:
+            json.dump({"id": "fresh-after-wipe"}, fh)
+        with pytest.raises(RuntimeError, match="still active"):
+            snap.register_store_checkpoint(path, ck, spark)
+        # the refused rebase committed nothing
+        assert snap._writer_meta(path)[1] == 0
+    finally:
+        q.stop()
+        q.awaitTermination()
+    snap.register_store_checkpoint(path, ck, spark)  # stopped: fine
+    assert snap._writer_meta(path)[2] == "fresh-after-wipe"
+
+
+def test_restamp_refused_while_writer_stream_active(spark, tmp_path):
+    """epoch_restamp rewrites live epochs in place — running it under
+    a live writer would race the stream's own appends. The offline
+    contract is enforced mechanically, same as epoch_compact."""
+    path = str(tmp_path / "store")
+    ck = str(tmp_path / "ck")
+    _put(spark, path, 0, 1, "a")
+    q = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 1)
+        .load()
+        .writeStream.format("noop")
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    try:
+        snap.register_store_checkpoint(path, ck)
+        with pytest.raises(RuntimeError, match="still active"):
+            snap.epoch_restamp(spark, path)
+    finally:
+        q.stop()
+        q.awaitTermination()
+    snap.epoch_restamp(spark, path)  # offline: fine
+    assert snap._has_stamp_marker(path)
+
+
+def test_restamp_mid_compaction_race_is_refused(spark, tmp_path, monkeypatch):
+    """VERDICT r14 task 7: a compaction landing between restamp's
+    epoch listing and its rewrite must fail LOUDLY (the epoch_append
+    fold-watermark tripwire), never silently resurrect folded rows as
+    fresh attempts. Simulated at the exact race window: the fold's
+    pointer swap has committed but its dir GC hasn't run (the
+    documented crash-safe window), and restamp holds the stale
+    listing."""
+    path = str(tmp_path / "store")
+    _put(spark, path, 0, 1, "a")
+    _put(spark, path, 1, 2, "b")
+
+    real = snap._epoch_attempts
+    state = {"raced": False}
+
+    def racing(p):
+        atts = real(p)
+        if not state["raced"] and p == path:
+            state["raced"] = True
+            # the race: an offline compaction folds everything right
+            # after restamp takes its listing — GC suppressed, i.e.
+            # the swap-committed-GC-pending window
+            orig_rm = snap.shutil.rmtree
+            monkeypatch.setattr(snap.shutil, "rmtree", lambda *a, **k: None)
+            try:
+                snap.epoch_compact(spark, path)
+            finally:
+                monkeypatch.setattr(snap.shutil, "rmtree", orig_rm)
+        return atts
+
+    monkeypatch.setattr(snap, "_epoch_attempts", racing)
+    with pytest.raises(ValueError, match="already folded"):
+        snap.epoch_restamp(spark, path)
+    monkeypatch.setattr(snap, "_epoch_attempts", real)
+    # the store itself is intact: the fold's base holds both rows
+    got = {tuple(r) for r in jobs._lww_read(spark, path, ["k"], []).collect()}
+    assert got == {(1, "a"), (2, "b")}
