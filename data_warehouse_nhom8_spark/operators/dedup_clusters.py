@@ -54,23 +54,9 @@ def connected_components(
     )
     converged = False
     for _ in range(max_iter):
-        neighbour_min = (
-            edges.join(labels, edges["b"] == labels["id"])
-            .groupBy(F.col("a").alias("id"))
-            .agg(F.min("component").alias("nmin"))
-        )
-        updated = (
-            labels.join(neighbour_min, on="id", how="left")
-            .select(
-                "id",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
-                ).alias("component"),
-            )
-            # truncate lineage each round — without this the plan doubles
-            # per iteration; stays distributed (no driver collect)
-            .localCheckpoint(eager=True)
-        )
+        # truncate lineage each round — without this the plan doubles
+        # per iteration; stays distributed (no driver collect)
+        updated = _propagation_round(edges, labels).localCheckpoint(eager=True)
         changed = (
             updated.alias("u")
             .join(labels.alias("l"), on="id")
@@ -88,6 +74,26 @@ def connected_components(
             "a component has diameter > max_iter — raise max_iter"
         )
     return labels
+
+
+def _propagation_round(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """ONE min-label propagation round — split out (r15, VERDICT r14
+    task 3) so the plan audit can inspect the per-round physical plan
+    the memoized cluster stores hide: one equi-join on the vertex id
+    + one partial-aggregated min, then a left join-back; no cartesian
+    anywhere, and the caller localCheckpoints the result to keep the
+    next round's plan flat."""
+    neighbour_min = (
+        edges.join(labels, edges["b"] == labels["id"])
+        .groupBy(F.col("a").alias("id"))
+        .agg(F.min("component").alias("nmin"))
+    )
+    return labels.join(neighbour_min, on="id", how="left").select(
+        "id",
+        F.least(
+            F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
+        ).alias("component"),
+    )
 
 
 def dedup_keep_canonical(

@@ -82,6 +82,74 @@ _FEATURES = [
 ]
 
 
+# Queries whose audited plan is a memo READ (Scan ExistingRDD over the
+# localCheckpointed store cache) — the heavy compute lives in the FIT
+# plans section below (VERDICT r14 task 3: the audit must not lose the
+# store builds the moment they move behind a memo).
+_MEMO_READS = {
+    "q39_simhash_neardup": "simhash signature fold",
+    "q49_cluster_dedup": "connected-components round + exact-Jaccard pairs",
+    "q118_semantic_dedup": "connected-components round (hyperplane edges)",
+}
+
+
+def _fit_plans(spark, sf_dir: str) -> list[tuple[str, str, "object"]]:
+    """(title, note, DataFrame) for each store-build pipeline hidden
+    behind a session memo: the plans `store_fit_sec` prices. These are
+    the builds themselves, constructed OUTSIDE the memo so the audit
+    sees the real fit plan, not the cached read."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_nhom8_spark.operators import neardup
+    from data_warehouse_nhom8_spark.operators.corpus import _gram_digests
+    from data_warehouse_nhom8_spark.operators.dedup_clusters import (
+        _propagation_round,
+    )
+    from data_warehouse_nhom8_spark.sources import Catalog
+
+    c = Catalog(spark, sf_dir)
+    plans = []
+    plans.append((
+        "fit: simhash signature fold (simhash_sigs store build)",
+        "single parquet scan, map-only SWAR packed fold — no shuffle, "
+        "no explode; serves q39 via the persisted sig store",
+        neardup.simhash_signatures(c.documents),
+    ))
+    bench = c.documents.filter(F.col("doc_id") % 97 == 0)
+    plans.append((
+        "fit: benchmark gram digest (bench_grams store build)",
+        "doc_id-pruned scan -> gram explode -> partial-agg distinct; "
+        "the digest then BROADCASTS into q57/q112/q116's semi-joins "
+        "(their audited plans above)",
+        _gram_digests(bench, "doc_id", "text", 4).select("gram").distinct(),
+    ))
+    pairs = neardup.ngram_jaccard_pairs_exact(
+        c.documents, threshold=0.8, shingle_w=5, max_shingle_df=None
+    ).localCheckpoint(eager=True)
+    edges = (
+        pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("a"), F.col("id_a").alias("b"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+    )
+    plans.append((
+        "fit: connected-components propagation round (cluster_map_store)",
+        "ONE round of the min-label loop (rounds = graph diameter, "
+        "each round localCheckpoints): vertex-id equi-join + "
+        "partial-agg min + left join-back — 0 CartesianProduct; "
+        "serves q49/q118 via the persisted cluster map store",
+        _propagation_round(edges, labels),
+    ))
+    return plans
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
 
@@ -111,6 +179,13 @@ def main() -> None:
         interesting = [p for p in pushed if p != "PushedFilters: []"]
         out.append(f"## {name}")
         out.append("")
+        if name in _MEMO_READS:
+            out.append(
+                f"- NOTE: memo READ (Scan ExistingRDD over the persisted "
+                f"store's session cache) — the heavy compute is the "
+                f"\"{_MEMO_READS[name]}\" fit plan in the FIT PLANS "
+                f"section below"
+            )
         out.append(f"- operators: {', '.join(feats) or '(scan/project only)'}")
         out.append(f"- parquet scans: {scans}")
         for p in interesting[:4]:
@@ -120,9 +195,36 @@ def main() -> None:
         out.append(plan.strip()[:4000])
         out.append("```")
         out.append("")
+    out.append("# FIT PLANS — store builds behind the session memos")
+    out.append("")
+    out.append(
+        "The compute `store_fit_sec` prices (VERDICT r14 task 3): the "
+        "plans below build the persisted stores whose READS the memoized "
+        "queries above scan. Gated by tests/test_plans.py's fit-plan "
+        "assertions."
+    )
+    out.append("")
+    n_fit = 0
+    for title, note, df in _fit_plans(spark, sf_dir):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        feats = []
+        for pat in _FEATURES:
+            n = len(re.findall(re.escape(pat), plan))
+            if n:
+                feats.append(f"{pat}×{n}")
+        out.append(f"## {title}")
+        out.append("")
+        out.append(f"- {note}")
+        out.append(f"- operators: {', '.join(feats) or '(scan/project only)'}")
+        out.append("")
+        out.append("```")
+        out.append(plan.strip()[:4000])
+        out.append("```")
+        out.append("")
+        n_fit += 1
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as fh:
         fh.write("\n".join(out) + "\n")
-    print(f"PLANS.md written ({len(AUDIT)} queries)")
+    print(f"PLANS.md written ({len(AUDIT)} queries + {n_fit} fit plans)")
 
 
 if __name__ == "__main__":

@@ -691,3 +691,51 @@ def test_q118_semantic_dedup_output_is_scan_free(spark):
     p = plan_of(spark, "q118_semantic_dedup")
     assert p.count("FileScan parquet") == 0, p[:800]
     assert "CartesianProduct" not in p and "BatchEvalPython" not in p
+
+
+# ---------------------------------------------------------- fit plans
+
+def _fit_plan_map(spark):
+    import importlib
+    import sys
+
+    sys.path.insert(0, ".")
+    pa = importlib.import_module("scripts.plan_audit")
+    return {
+        title: df._jdf.queryExecution().executedPlan().toString()
+        for title, _note, df in pa._fit_plans(spark, SF_DIR)
+    }
+
+
+def test_fit_plans_stay_under_review(spark):
+    """VERDICT r14 task 3: the store builds behind the session memos
+    (the compute store_fit_sec prices) keep their load-bearing plan
+    properties — the audit's memo-read entries must not be the only
+    thing under plan review.
+
+    - simhash fold: map-only over ONE scan — no shuffle exchange, no
+      explode-shaped generator;
+    - gram digest: partial-aggregated distinct (map-side combine
+      before the shuffle);
+    - CC propagation round: equi-joins only, never a cartesian."""
+    plans = _fit_plan_map(spark)
+
+    sig = plans["fit: simhash signature fold (simhash_sigs store build)"]
+    assert sig.count("FileScan parquet") == 1
+    # the only exchange allowed is the deliberate RoundRobin compute
+    # fan-out (split-starvation guard) — never a key shuffle
+    assert "hashpartitioning" not in sig and "rangepartitioning" not in sig, (
+        "signature fold must stay map-only (no key shuffle)"
+    )
+    assert "Generate" not in sig, "SWAR fold replaced the explode form"
+
+    gram = plans["fit: benchmark gram digest (bench_grams store build)"]
+    assert "partial_" in gram or "HashAggregate" in gram
+    assert gram.count("HashAggregate") >= 2, "distinct must partial-agg map-side"
+
+    cc = plans[
+        "fit: connected-components propagation round (cluster_map_store)"
+    ]
+    assert "CartesianProduct" not in cc
+    assert "BroadcastNestedLoopJoin" not in cc
+    assert "partial_min" in cc, "neighbour-min must partial-agg map-side"
