@@ -338,19 +338,29 @@ def exact_money_aggs(
         *[e.alias(f"__p_{a}") for a, e in extra_partial.items()],
     )
 
-    def _merge_extra(a: str, e: Column) -> Column:
-        m = F.sum(F.col(f"__p_{a}"))
-        # COUNT over empty input is 0, not NULL — restore that after the
-        # two-level split (stage 1 emits no rows on empty global input).
+    # stage-2 merges as ONE parsed SQL string per alias (round-10
+    # build-cost rule, applied r15 per the floor profile: the Column
+    # chains here cost ~50 py4j round trips per output column and this
+    # helper backs ~14 money queries — ~0.1-0.25 s of pure plan
+    # construction each). The SQL parses to the identical operators
+    # (SUM / CAST / double divide; divisor round-trips exactly through
+    # repr) — value identity is pinned bitwise by every consumer's
+    # DuckDB oracle and by test_exact_money_sql_form_identical.
+    def _merge_extra_sql(a: str, e: Column) -> str:
+        # COUNT over empty input is 0, not NULL — restore that after
+        # the two-level split (stage 1 emits no rows on empty input).
         if "count(" in repr(e).lower():
-            m = F.coalesce(m, F.lit(0).cast("long"))
-        return m.alias(a)
+            return f"COALESCE(SUM(__p_{a}), CAST(0 AS BIGINT)) AS {a}"
+        return f"SUM(__p_{a}) AS {a}"
 
     final_aggs = [
-        (F.sum(F.col(f"__p_{a}").cast("decimal(38,0)")).cast("double") / F.lit(s)).alias(a)
+        F.expr(
+            f"CAST(SUM(CAST(__p_{a} AS DECIMAL(38,0))) AS DOUBLE) / "
+            f"CAST('{s!r}' AS DOUBLE) AS {a}"
+        )
         for a, (_c, s) in cent_sums.items()
-    ] + [_merge_extra(a, e) for a, e in extra_partial.items()]
+    ] + [F.expr(_merge_extra_sql(a, e)) for a, e in extra_partial.items()]
     out = partial.groupBy(*group_cols).agg(*final_aggs)
-    for a, e in (extra_final or {}).items():
-        out = out.withColumn(a, e)
+    if extra_final:
+        out = out.withColumns(dict(extra_final))
     return out

@@ -162,56 +162,61 @@ def add_lang_id(
     argmax is one `greatest` over (score, -priority, lang) structs —
     every score referenced exactly once; lexicographic struct order
     gives the same earlier-language-wins tie-break."""
+    from data_warehouse_nhom8_spark.regexes import WS_SPLIT_SQL
     from data_warehouse_nhom8_spark.session import repartition_for_compute
 
     df = repartition_for_compute(df)
-    passthrough = [F.col(c) for c in df.columns]
-    t = F.lower(F.substring(_c(text_col), 1, sample_chars))
-    staged = df.select(
-        *passthrough,
-        t.alias("__lt"),
-        F.slice(F.split(F.trim(t), WS_SPLIT), 1, sample_tokens).alias("__lw"),
-    )
-    cjk = F.length("__lt") - F.length(
-        F.regexp_replace(F.col("__lt"), r"[\x{4e00}-\x{9fff}]", "")
-    )
+    internal = ["__lt", "__lw", "__cjk", "__nw"] + [
+        f"__s_{lang}" for lang in _LANG_MARKERS
+    ]
     langs = ("en", "es", "fr", "de", "vi")
 
+    # Every generated column is ONE parsed SQL string (round-10
+    # build-cost rule, extended r15 per the floor profile: the
+    # remaining Column chains here — per-column passthrough lists, the
+    # struct-greatest argmax, the when-chains — still cost ~0.28 s of
+    # py4j plan construction per call). select("*", ...) + drop()
+    # replace the passthrough lists; plans are identical
+    # (test_lang_id_staged_matches_column_form pins predictions).
+    t = f"lower(substring({text_col}, 1, {int(sample_chars)}))"
+    staged = df.select(
+        "*",
+        F.expr(f"{t} AS __lt"),
+        F.expr(
+            f"slice(split(trim({t}), '{WS_SPLIT_SQL}'), 1, "
+            f"{int(sample_tokens)}) AS __lw"
+        ),
+    )
+
     def _score(lang: str) -> Column:
-        # one parsed SQL string per language (round-10 build-cost
-        # rule): the lambda-filter + isin Column form cost ~100 ms of
-        # py4j plan construction per call (~60 round trips per
-        # language); this parses in ONE round trip and plans to the
-        # same filter+array_contains shape (null tokens excluded by
-        # both forms — isin yields NULL, array_contains yields NULL,
-        # filter drops non-true either way)
+        # null tokens excluded by both the isin and array_contains
+        # forms — either yields NULL, filter drops non-true
         arr = ", ".join(
             "'" + m.replace("'", "''") + "'" for m in _LANG_MARKERS[lang]
         )
         return F.expr(
             f"size(filter(__lw, w -> array_contains(array({arr}), w)))"
-        ).alias(f"__s_{lang}")
+            f" AS __s_{lang}"
+        )
 
     scored = staged.select(
-        *passthrough,
-        cjk.alias("__cjk"),
-        F.size("__lw").alias("__nw"),
+        "*",
+        F.expr(
+            "length(__lt) - length(regexp_replace(__lt,"
+            " '[\\\\x{4e00}-\\\\x{9fff}]', '')) AS __cjk"
+        ),
+        F.expr("size(__lw) AS __nw"),
         *[_score(lang) for lang in langs],
     )
-    best = F.greatest(
-        *[
-            F.struct(
-                F.col(f"__s_{lang}").alias("s"),
-                F.lit(-i).alias("p"),
-                F.lit(lang).alias("l"),
-            )
-            for i, lang in enumerate(langs)
-        ]
+    best = "greatest(" + ", ".join(
+        f"named_struct('s', __s_{lang}, 'p', {-i}, 'l', '{lang}')"
+        for i, lang in enumerate(langs)
+    ) + ")"
+    pred = F.expr(
+        f"CASE WHEN __cjk * 5 > __nw THEN 'zh' "
+        f"WHEN {best}.s > 0 THEN {best}.l ELSE 'und' END AS {out_col}"
     )
-    pred = F.when(F.col("__cjk") * 5 > F.col("__nw"), F.lit("zh")).otherwise(
-        F.when(best.getField("s") > 0, best.getField("l")).otherwise(F.lit("und"))
-    )
-    return scored.select(*passthrough, pred.alias(out_col))
+    return scored.select("*", pred).drop(*internal)
 
 
 # ----------------------------------------------------- repetition quality

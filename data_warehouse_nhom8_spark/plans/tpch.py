@@ -771,27 +771,27 @@ def derived_partsupp(c: "Catalog") -> DataFrame:
     real partsupp would be a parquet table and every consumer below
     joins it by key exactly as they join this."""
     s_cnt = F.broadcast(c.supplier.agg(F.count(F.lit(1)).alias("__s_cnt")))
+    # parsed-string form (round-10 build-cost rule, r15: this helper
+    # backs five queries and its Column chains cost ~0.1 s of py4j
+    # plan construction per build) — CAST(...AS BIGINT)/%/explode
+    # parse to the identical operators, and every consumer's DuckDB
+    # oracle pins the values bitwise
     return (
         c.part.select("p_partkey")
         .crossJoin(s_cnt)
-        .select(
-            "p_partkey",
-            "__s_cnt",
-            F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("__i"),
+        .selectExpr("p_partkey", "__s_cnt", "explode(array(0, 1, 2, 3)) AS __i")
+        .selectExpr(
+            "p_partkey AS ps_partkey",
+            "CAST((p_partkey * 13 + __i * 17) % __s_cnt AS BIGINT) AS ps_suppkey",
+            "CAST(1 + (p_partkey * 31 + __i * 37) % 9999 AS BIGINT) AS ps_availqty",
+            "CAST((p_partkey * 53 + __i * 41) % 20000 + 100 AS BIGINT)"
+            " AS ps_supplycost_cents",
         )
-        .select(
-            F.col("p_partkey").alias("ps_partkey"),
-            ((F.col("p_partkey") * 13 + F.col("__i") * 17) % F.col("__s_cnt"))
-            .cast("long")
-            .alias("ps_suppkey"),
-            (1 + (F.col("p_partkey") * 31 + F.col("__i") * 37) % 9999)
-            .cast("long")
-            .alias("ps_availqty"),
-            ((F.col("p_partkey") * 53 + F.col("__i") * 41) % 20000 + 100)
-            .cast("long")
-            .alias("ps_supplycost_cents"),
+        .selectExpr(
+            "*",
+            "CAST(ps_supplycost_cents AS DOUBLE) / CAST('100.0' AS DOUBLE)"
+            " AS ps_supplycost",
         )
-        .withColumn("ps_supplycost", F.col("ps_supplycost_cents").cast("double") / 100.0)
     )
 
 

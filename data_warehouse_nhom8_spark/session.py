@@ -19,8 +19,13 @@ Defaults chosen for correctness-vs-oracle and for scale:
 from __future__ import annotations
 
 import os
+from weakref import WeakKeyDictionary
 
 from pyspark.sql import SparkSession
+
+# per-session memo for repartition_if_split_starved's planning probe
+# (weak keys: entries die with their session)
+_split_memo: WeakKeyDictionary = WeakKeyDictionary()
 
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
@@ -159,9 +164,25 @@ def repartition_if_split_starved(df, min_fraction: float = 0.5):
     real multi-split input (every production table, 100 TB) this is
     a no-op and no shuffle is added. Data-driven like
     auto_shuffle_partitions/auto_aqe: the policy reads the actual
-    layout instead of hard-coding either choice."""
-    n = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= max(1, int(n * min_fraction)):
+    layout instead of hard-coding either choice.
+
+    The probe (`df.rdd.getNumPartitions()`) costs ~40 ms of physical
+    planning per FRESH DataFrame — r15 floor-profile work memoizes it
+    per (session, input file set): every call site hands this a
+    filtered/projected SCAN (that is the contract — the parallelism
+    being probed is the scan's), and a scan's split count is a
+    function of the file layout alone, so the memo can never change
+    the decision for those shapes."""
+    spark = df.sparkSession
+    memo = _split_memo.get(spark)
+    if memo is None:
+        memo = _split_memo[spark] = {}
+    key = tuple(sorted(df.inputFiles()))
+    parts = memo.get(key)
+    if parts is None:
+        parts = memo[key] = df.rdd.getNumPartitions()
+    n = spark.sparkContext.defaultParallelism
+    if parts >= max(1, int(n * min_fraction)):
         return df
     return df.repartition(n)
 
@@ -190,6 +211,14 @@ def get_spark(
         .config("spark.sql.session.timeZone", session_tz)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # r15 floor-profile fix: pyspark 4 wraps EVERY DataFrame API
+        # call with a debug-origin capture — a Python traceback walk
+        # plus TWO extra py4j round trips (conf read + JVM call-site
+        # set) per call, measured at ~40% of the engine's total plan-
+        # construction time (floor_profile python_build 7.9 s → ~3 s).
+        # It only enriches error messages with Python call sites; a
+        # query-serving engine takes the plain JVM error instead.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         # write timestamps as TIMESTAMP_MICROS, not the legacy INT96:
         # INT96 columns carry NO parquet min/max statistics, which
         # silently disables row-group pushdown AND the engine's
