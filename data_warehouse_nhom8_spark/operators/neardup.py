@@ -5,20 +5,23 @@ All pure DataFrame ops — no Python in the per-row path:
 
 MinHash+LSH pipeline (the 100 TB design):
   1. shingle: w-token shingles from the canonical token stream
-  2. minhash: k permutations via (a_i * xxhash64(shingle) + b_i) mod p,
+  2. minhash: k permutations via (a_i * h(shingle) + b_i) mod p over
+     md5-derived 64-bit shingle hashes (`md5_token_hash64` — r15:
+     switched from xxhash64 so the whole tier is reproducible in
+     DuckDB and q38 carries a bitwise oracle, the q39 construction);
      each signature element = MIN over shingles (array expressions)
-  3. band: split the k-signature into b bands of r; hash each band
+  3. band: split the k-signature into b bands of r; md5-hash each band
   4. bucket join: explode bands → groupBy(band_idx, band_hash) —
      candidate pairs only ever meet inside a bucket (no all-pairs!)
   5. verify: exact token-set Jaccard on candidates (array_intersect /
-     array_union on the deduped shingle sets)
+     array_union on the deduped md5-hashed shingle sets)
 
 Shuffle analysis: step 4 shuffles |docs|·b rows of (int, long, id) —
 independent of document length; step 5 joins only candidates. This is
 the standard scale-out shape (vs. the O(n²) brute-force twin used to
 test recall on small data).
 
-SimHash: 64-bit signature from per-token xxhash64 bit votes;
+SimHash: 64-bit signature from per-token md5-derived bit votes;
 near-dups = signatures within a Hamming radius, found by exact-match
 on rotated chunks (Charikar-style). Implemented with explode +
 bitwise aggregates.
@@ -118,7 +121,8 @@ def minhash_signatures(
     hashed = df.select(
         F.col(id_col).alias("id"),
         F.transform(
-            shingles_col(text_col, shingle_w), lambda s: F.abs(F.xxhash64(s)) % _P
+            shingles_col(text_col, shingle_w),
+            lambda s: F.abs(md5_token_hash64(s)) % _P,
         ).alias("__hs"),
     )
     return hashed.select("id", minhash_signature_col("__hs", k).alias("sig"))
@@ -143,7 +147,7 @@ def minhash_signature_sets(
             F.col(id_col).alias("id"),
             F.transform(
                 F.array_distinct(shingles_col(text_col, shingle_w)),
-                lambda s: F.xxhash64(s),
+                md5_token_hash64,
             ).alias("__h64"),
         )
         .select(
@@ -204,7 +208,7 @@ def _band_table(with_sig: DataFrame, k: int, bands: int) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(
+                        md5_token_hash64(
                             F.concat_ws(",", *[F.element_at("sig", b * r + j + 1).cast("string") for j in range(r)])
                         ).alias("bhash"),
                     )
@@ -272,7 +276,7 @@ def minhash_neardup_pairs(
     sets = df.select(
         F.col(id_col).alias("id"),
         F.transform(
-            F.array_distinct(shingles_col(text_col, shingle_w)), lambda s: F.xxhash64(s)
+            F.array_distinct(shingles_col(text_col, shingle_w)), md5_token_hash64
         ).alias("__h64"),
     ).localCheckpoint(eager=True)
 
@@ -386,7 +390,7 @@ def minhash_incremental_pairs(
             F.col(id_col).alias("id"),
             F.transform(
                 F.array_distinct(shingles_col(text_col, shingle_w)),
-                lambda s: F.xxhash64(s),
+                md5_token_hash64,
             ).alias("__h64"),
         )
         .select("id", "__h64", F.transform("__h64", lambda h: F.abs(h) % _P).alias("__hs"))
@@ -521,7 +525,7 @@ def minhash_incremental_pairs(
                 F.col(id_col).alias("id"),
                 F.transform(
                     F.array_distinct(shingles_col(text_col, shingle_w)),
-                    lambda s: F.xxhash64(s),
+                    md5_token_hash64,
                 ).alias("__h64"),
             )
         )
@@ -579,7 +583,7 @@ def minhash_incremental_with_state(
     new_sets = new_docs.select(
         F.col(id_col).alias("id"),
         F.transform(
-            F.array_distinct(shingles_col(text_col, shingle_w)), lambda s: F.xxhash64(s)
+            F.array_distinct(shingles_col(text_col, shingle_w)), md5_token_hash64
         ).alias("h64"),
     ).localCheckpoint(eager=True)
     new_full = new_sets.select(

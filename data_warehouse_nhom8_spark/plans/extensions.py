@@ -320,12 +320,139 @@ def q37_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q38_minhash_neardup_noracle(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X2: MinHash+LSH near-dup pairs (recall tested vs brute-force
-    Jaccard in pytest). Pairs are session-memoized — q49's composite
-    reuses this exact computation instead of re-running the detector."""
+def q38_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2: MinHash+LSH near-dup pairs (recall additionally tested vs
+    brute-force Jaccard in pytest). Pairs are session-memoized — q49's
+    composite reuses this exact computation instead of re-running the
+    detector.
+
+    ORACLED since round 15 (was rows-only; VERDICT r14 task 6): the
+    shingle hashes switched xxhash64 → md5 hi/lo halves
+    (`neardup.md5_token_hash64`, the q39/q41 promotion construction),
+    which makes the WHOLE tier deterministic across engines — the
+    permutation family ((h·a+b) mod 2³¹−1 over h = |md5₆₄| mod 2³¹−1)
+    is exact BIGINT arithmetic in both, the band key is md5 of the
+    lane string (the twin buckets on the md5 hex itself — equality is
+    what banding consumes), the ≤200 bucket cap counts identically,
+    and the verify is exact set Jaccard. The generated DuckDB twin
+    (`_minhash_neardup_oracle_sql`, same coefficients via
+    `neardup._coeff`) reproduces candidates AND jaccard values
+    row-exact (verified at sf0.001/0.01/0.1). Funded by retiring q17
+    to its q86 superset (the same predicate-gated global aggregate
+    shape, certified there with exact integer revenue; q17 sat in the
+    r13-certified half, so the derived front stays at exactly 48;
+    per-suite twin in tests/test_retired_oracles.py)."""
     c = Catalog(spark, sf_dir)
     return _shared_minhash_pairs(spark, sf_dir, c.documents).orderBy("id_a", "id_b")
+
+
+def _minhash_neardup_oracle_sql(
+    threshold: float = 0.8,
+    k: int = 64,
+    bands: int = 8,
+    shingle_w: int = 5,
+    max_bucket_size: int = 200,
+) -> str:
+    """Generated DuckDB twin of q38, coupled to the Spark constants
+    (`_shared_minhash_pairs` params + `minhash_neardup_pairs`
+    defaults + `neardup._coeff`'s md5-seeded coefficients):
+
+    * shingles: lower/trim/whitespace-split, w-token windows (short
+      docs → whole text), DISTINCT per doc — `shingles_col` +
+      `array_distinct` bit-for-bit;
+    * shingle hash: |md5 hi/lo-recombined signed 64-bit| mod 2³¹−1 —
+      `abs(md5_token_hash64(s)) % _P`, via HUGEINT so the two's-
+      complement fold is exact;
+    * signature: 64 MIN aggregates of (h·aᵢ+bᵢ) mod 2³¹−1 (products
+      < 2⁶², exact BIGINT in both engines);
+    * bands: 8 bands of 8 lanes, keyed on md5 of the comma-joined
+      lane string (the engine derives a signed 64-bit key from the
+      same md5 — equality-equivalent, and the key never leaves the
+      plan); buckets over `max_bucket_size` skipped;
+    * verify: exact Jaccard on the distinct shingle sets, ROUND 6,
+      ≥ threshold. NULL-text docs never pair (their lanes are NULL →
+      jaccard NULL in-engine), so the twin simply excludes them."""
+    from data_warehouse_nhom8_spark.operators.neardup import _P, _coeff
+    from data_warehouse_nhom8_spark.regexes import WS_SPLIT
+
+    r = k // bands
+    mins = ",\n               ".join(
+        f"MIN((h * {_coeff(i, 'a')} + {_coeff(i, 'b')}) % {_P}) AS s{i}"
+        for i in range(k)
+    )
+    bandrows = "\n          UNION ALL ".join(
+        "SELECT id, {b} AS band, md5(concat_ws(',', {lanes})) AS bhash FROM sig".format(
+            b=b, lanes=", ".join(f"s{b * r + j}" for j in range(r))
+        )
+        for b in range(bands)
+    )
+    return f"""
+        WITH toks AS (
+            SELECT doc_id AS id,
+                   string_split_regex(lower(trim(text)), '{WS_SPLIT}') AS tk
+            FROM documents WHERE text IS NOT NULL
+        ),
+        sh AS (
+            SELECT DISTINCT id,
+                   array_to_string(tk[u.i:u.i + {shingle_w - 1}], ' ') AS s
+            FROM toks,
+                 UNNEST(range(1, greatest(len(tk) - {shingle_w - 1}, 1) + 1)) AS u(i)
+        ),
+        hs AS (
+            SELECT id,
+                   CAST((CASE WHEN u >= 9223372036854775808::HUGEINT
+                              THEN 18446744073709551616::HUGEINT - u
+                              ELSE u END) % {_P} AS BIGINT) AS h
+            FROM (
+                SELECT id,
+                       CAST(CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) AS HUGEINT)
+                       * 4294967296
+                       + CAST(('0x' || substr(md5(s), 9, 8)) AS BIGINT) AS u
+                FROM sh
+            )
+        ),
+        sig AS (
+            SELECT id,
+               {mins}
+            FROM hs GROUP BY id
+        ),
+        bandrows AS (
+          {bandrows}
+        ),
+        ok AS (
+            SELECT band, bhash FROM bandrows
+            GROUP BY band, bhash HAVING COUNT(*) <= {max_bucket_size}
+        ),
+        cand AS (
+            SELECT DISTINCT a.id AS id_a, b.id AS id_b
+            FROM bandrows a
+            JOIN ok USING (band, bhash)
+            JOIN bandrows b ON a.band = b.band AND a.bhash = b.bhash
+                           AND a.id < b.id
+        ),
+        sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+        scored AS (
+            SELECT c.id_a, c.id_b,
+                   CAST(ROUND(
+                     CAST(i.i AS DOUBLE) /
+                     CAST(CASE WHEN na.n + nb.n - i.i > 0
+                               THEN na.n + nb.n - i.i ELSE 1 END AS DOUBLE),
+                     6) AS DOUBLE) AS jaccard
+            FROM cand c
+            JOIN (
+                SELECT c2.id_a, c2.id_b, COUNT(*) AS i
+                FROM cand c2
+                JOIN sh x ON x.id = c2.id_a
+                JOIN sh y ON y.id = c2.id_b AND y.s = x.s
+                GROUP BY c2.id_a, c2.id_b
+            ) i ON i.id_a = c.id_a AND i.id_b = c.id_b
+            JOIN sizes na ON na.id = c.id_a
+            JOIN sizes nb ON nb.id = c.id_b
+        )
+        SELECT id_a, id_b, jaccard FROM scored
+        WHERE jaccard >= {threshold}
+        ORDER BY id_a, id_b
+    """
 
 
 def q39_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -634,7 +761,7 @@ SHARED_STORE_KEY = {
 # bench.py; stateless map-only extensions like simhash/hyperplane-LSH
 # have no store and report fit 0)
 STORE_OF_QUERY = {
-    "q38_minhash_neardup_noracle": "minhash_pairs",
+    "q38_minhash_neardup": "minhash_pairs",
     "q49_cluster_dedup": "cc_clusters",
     "q50_ngram_jaccard": "jaccard_pairs",
     "q51_ivf_topk_noracle": "ivf_index",
@@ -2252,7 +2379,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q35_quality_scores": q35_quality_scores,
     "q36_doc_fingerprint": q36_doc_fingerprint,
     "q37_lang_id": q37_lang_id,
-    "q38_minhash_neardup_noracle": q38_minhash_neardup_noracle,
+    "q38_minhash_neardup": q38_minhash_neardup,
     "q39_simhash_neardup": q39_simhash_neardup,
     "q41_embedding_neardup": q41_embedding_neardup,
     "q42_multimodal_features": q42_multimodal_features,
@@ -2778,6 +2905,7 @@ EXTENSION_ORACLES: dict[str, str] = {
         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus NULLS FIRST
     """,
     "q39_simhash_neardup": _simhash_neardup_oracle_sql(),
+    "q38_minhash_neardup": _minhash_neardup_oracle_sql(),
     "q41_embedding_neardup": _embedding_neardup_oracle_sql(),
     "q54_train_split": """
         WITH b AS (

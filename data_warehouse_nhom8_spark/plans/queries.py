@@ -499,7 +499,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q13_single_key_agg": q13_single_key_agg,
     "q15_conditional_agg": q15_conditional_agg,
     "q16_daily_rollup": q16_daily_rollup,
-    "q17_scalar_agg_gate": q17_scalar_agg_gate,
     "q18_latest_per_key": q18_latest_per_key,
     "q19_topk": q19_topk,
     "q20_string_functions": q20_string_functions,
@@ -581,7 +580,20 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 #                                stays on every quarantine CSV path
 #                                (sources/csv_partitioned.py) and the
 #                                per-suite DuckDB twin
+# Round 15 (funding the q38 MinHash-LSH oracle promotion — the
+# md5-derived shingle hashes make the whole tier engine-reproducible;
+# q17 sat in the r13-certified half, so the swap keeps the derived
+# front at exactly 48):
+#   q17 scalar agg gate        -> q86 (Q6) is the same predicate-gated
+#                                global-aggregate shape (three pushed
+#                                range predicates + partial agg +
+#                                single-row final agg, with exact
+#                                integer revenue where q17 only
+#                                counted); A4's ledger-gate evidence
+#                                also stays on pipeline/ledger.py's
+#                                own pytest
 RETIRED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q17_scalar_agg_gate": q17_scalar_agg_gate,
     "q01_scan_filter_sort": q01_scan_filter_sort,
     "q02_project_rename": q02_project_rename,
     "q05_like_prefix": q05_like_prefix,

@@ -79,5 +79,8 @@ def test_sql_surface_matches_dataframe_plans(spark):
     # necessity [UNNEST lambda shingles + recursive CTE]; 56 since
     # round 13b: the portable q02 retired to its q20 superset [-1]
     # and the new q41 oracle is DuckDB-dialect by necessity
-    # [DOUBLE[] cast + 1-based array indexing])
-    assert ran >= 56, f"only {ran} oracle SQL strings ran on Spark SQL"
+    # [DOUBLE[] cast + 1-based array indexing]; 55 since round 15:
+    # the portable q17 retired to its q86 superset [-1] and the new
+    # q38 oracle is DuckDB-dialect by necessity [string_split_regex,
+    # HUGEINT two's-complement fold, 1-based list slicing])
+    assert ran >= 55, f"only {ran} oracle SQL strings ran on Spark SQL"

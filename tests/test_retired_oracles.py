@@ -80,7 +80,12 @@ def test_registry_no_longer_lists_retired(spark):
     # composed), funded by retiring q40 (-> q41: identical exact
     # cosine folds + deterministic top-k, certified bitwise where
     # q40's twin leaned on list_cosine_similarity); both retirees sat
-    # in the r12-certified half, so the front stays at exactly 48
+    # in the r12-certified half, so the front stays at exactly 48;
+    # round 15 net-zero: q38 minhash promoted (md5-derived shingle
+    # hashes make the whole LSH tier engine-reproducible; generated
+    # twin row-exact at sf0.001/0.01/0.1), funded by retiring q17
+    # (-> q86 predicate-gated global-aggregate superset; q17 sat in
+    # the r13-certified half, so the front stays at exactly 48)
     assert len(ORACLES) == 98
 
 
