@@ -468,11 +468,27 @@ def main() -> None:
     # Full per-query detail (cold AND both warm maps) — for humans and
     # for the local BENCH_LOCAL.json archive.
     print(json.dumps(detail))
+    local_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
+    )
+    # carry the x1000 block forward (VERDICT r14 task 5): the 600M
+    # lane is taken by a separate PROBE_X1000 run (too heavy for the
+    # per-round bench) and merged into this file — a bench rewrite
+    # must not clobber the paired measure it sits next to
     try:
-        with open(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"),
-            "w",
-        ) as fh:
+        with open(local_path) as fh:
+            prev_x1000 = (json.load(fh).get("midscale") or {}).get("x1000")
+    except (OSError, ValueError):
+        prev_x1000 = None
+    if prev_x1000 is not None:
+        # copy-on-write: the compact driver line below shares this
+        # dict object and must stay under its 1900-char budget
+        ms = detail.get("midscale")
+        ms = dict(ms) if isinstance(ms, dict) else {}
+        ms.setdefault("x1000", prev_x1000)
+        detail["midscale"] = ms
+    try:
+        with open(local_path, "w") as fh:
             json.dump(detail, fh, indent=1)
     except OSError:
         pass

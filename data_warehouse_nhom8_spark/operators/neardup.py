@@ -265,7 +265,7 @@ def minhash_neardup_pairs(
     (`localCheckpoint` — distributed, lineage-truncating) and every
     downstream stage — signatures, banding, verify — reads them.
     Verify intersects the 64-bit hashes, not the shingle strings:
-    identical Jaccard absent xxhash64 collisions (~|set|²/2⁶⁴ per
+    identical Jaccard absent md5₆₄ collisions (~|set|²/2⁶⁴ per
     pair, negligible; same contract as ngram_jaccard_pairs_exact).
     The signature path additionally folds hashes into [0, 2³¹−1) for
     the permutation family exactly as before, so signatures — and
@@ -281,7 +281,7 @@ def minhash_neardup_pairs(
     ).localCheckpoint(eager=True)
 
     # signature path: same hash family as minhash_signatures
-    # (abs(xxhash64) % P), over the deduped set — array_min is
+    # (abs(md5_token_hash64) % P), over the deduped set — array_min is
     # duplicate-insensitive, so signatures equal the multiset form
     hashed = sets.select(
         "id", F.transform("__h64", lambda h: F.abs(h) % _P).alias("__hs")
@@ -677,7 +677,7 @@ def ngram_jaccard_pairs_exact(
     (asserted by the planted-duplicate pytest).  Pass None only for
     strict-exact semantics on bounded inputs (the q50 oracle does,
     because DuckDB computes the unguarded definition).
-    xxhash64 shingle collisions are possible in principle
+    md5₆₄ shingle collisions are possible in principle
     (~#shingles²/2⁶⁴) and ignored, as in every hashed-shingle dedup.
 
     Unlike `minhash_neardup_pairs` (probabilistic recall via LSH),

@@ -830,7 +830,8 @@ def q53_incremental_neardup_noracle(spark: SparkSession, sf_dir: str) -> DataFra
     (doc_id % 10 == 0) is shingled/signatured fresh, the corpus
     contributes its session-memoized signature table (the persistent
     signature store of a production daily run). Rows-only for the
-    driver (xxhash64 family); the exact-equality contract vs the full
+    driver (approximate by design; its signature family is the
+    md5-derived one q38's oracle certifies); the exact-equality contract vs the full
     detector is pytest-gated (test_minhash_incremental_matches_full_run)."""
     c = Catalog(spark, sf_dir)
     batch = c.documents.filter(F.col("doc_id") % 10 == 0)

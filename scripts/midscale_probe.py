@@ -458,6 +458,44 @@ def main() -> None:
             "queries": dtimes,
         }
     print(json.dumps(result))
+    if X1000:
+        _merge_x1000_into_bench_local(result)
+
+
+def _merge_x1000_into_bench_local(result: dict) -> None:
+    """VERDICT r14 task 5: the 600M-row paired measure must live in
+    the ARTIFACT, not only in probe stdout / SCALE_NOTES prose — write
+    the x1000 block (both engines' raw samples included) into
+    BENCH_LOCAL.json's `midscale.x1000`, next to the per-round x100
+    block. Merge-in-place so a bench run and a later standalone
+    PROBE_X1000 run compose instead of clobbering each other."""
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "BENCH_LOCAL.json",
+    )
+    try:
+        with open(path) as fh:
+            detail = json.load(fh)
+    except (OSError, ValueError):
+        detail = {}
+    block = {
+        "lineitem_rows": result.get("lineitem_rows"),
+        "spark_bucketed_sec": result.get("bucketed", {}).get("total_sec"),
+        "spark_bucketed_queries": result.get("bucketed", {}).get("queries"),
+        "duckdb_warm_sec": result.get("duckdb", {}).get("total_warm_sec"),
+        "duckdb_queries": result.get("duckdb", {}).get("queries"),
+        "fixture_build_sec": result.get("bucketed", {}).get("fixture_build_sec"),
+        "loadavg": list(os.getloadavg()),
+    }
+    ms = detail.get("midscale")
+    if not isinstance(ms, dict):
+        ms = detail["midscale"] = {}
+    ms["x1000"] = block
+    try:
+        with open(path, "w") as fh:
+            json.dump(detail, fh, indent=1)
+    except OSError:
+        pass
 
 
 if __name__ == "__main__":
