@@ -87,11 +87,20 @@ def _store_scratch_path(kind: str, *key_parts: object) -> str:
     builds (simhash sigs, cluster maps): keyed by the input file's
     realpath so the bucketed fixture's symlinked lanes share one
     store, and by pid so concurrent processes (bench + driver + tests)
-    can never clobber each other's epochs."""
+    can never clobber each other's epochs. The pid dir is removed at
+    process exit (r15 review: without that, every bench/pytest/driver
+    run would leak its signature + edge parquet onto the shared box's
+    /tmp with no reclamation path)."""
+    import atexit
     import hashlib
+    import shutil
 
+    base = f"/tmp/spark_graft_stores/{os.getpid()}"
+    if not os.path.isdir(base):
+        os.makedirs(base, exist_ok=True)
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
     h = hashlib.md5("|".join(str(p) for p in key_parts).encode()).hexdigest()[:12]
-    return f"/tmp/spark_graft_stores/{os.getpid()}/{kind}_{h}"
+    return f"{base}/{kind}_{h}"
 
 
 def _shared_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -737,7 +746,7 @@ def prefit_stores(spark: SparkSession, sf_dir: str) -> dict:
 
 # Every _shared_* memo helper reachable from a declared query, mapped
 # to the store_fit key `prefit_stores` prices it under. The mechanical
-# pytest (test_oracle_queries.py::test_every_shared_memo_is_prefit)
+# pytest (test_store_attribution.py::test_every_shared_memo_is_prefit)
 # statically walks the call graph of the plans package from each
 # QUERIES entry and fails if a reachable _shared_* helper is missing
 # here or absent from prefit_stores' output — a new memo can no longer

@@ -28,4 +28,4 @@ WS_SPLIT = WS_CLASS + "+"
 # the same pattern with backslashes doubled, for embedding inside a
 # Spark SQL string literal (the SQL parser eats one escape level)
 WS_CLASS_SQL = WS_CLASS.replace("\\", "\\\\")
-WS_SPLIT_SQL = WS_SPLIT.replace("\\", "\\\\")
+WS_SPLIT_SQL = WS_CLASS_SQL + "+"

@@ -174,13 +174,20 @@ def repartition_if_split_starved(df, min_fraction: float = 0.5):
     function of the file layout alone, so the memo can never change
     the decision for those shapes."""
     spark = df.sparkSession
-    memo = _split_memo.get(spark)
-    if memo is None:
-        memo = _split_memo[spark] = {}
     key = tuple(sorted(df.inputFiles()))
-    parts = memo.get(key)
-    if parts is None:
-        parts = memo[key] = df.rdd.getNumPartitions()
+    if not key:
+        # non-file-backed input (LocalRelation, localCheckpointed RDD,
+        # in-memory test frame): there is no layout to key the memo on
+        # — an empty-tuple key would alias every such DataFrame to the
+        # first one probed (r15 review). Probe directly.
+        parts = df.rdd.getNumPartitions()
+    else:
+        memo = _split_memo.get(spark)
+        if memo is None:
+            memo = _split_memo[spark] = {}
+        parts = memo.get(key)
+        if parts is None:
+            parts = memo[key] = df.rdd.getNumPartitions()
     n = spark.sparkContext.defaultParallelism
     if parts >= max(1, int(n * min_fraction)):
         return df

@@ -490,6 +490,12 @@ def _merge_x1000_into_bench_local(result: dict) -> None:
     ms = detail.get("midscale")
     if not isinstance(ms, dict):
         ms = detail["midscale"] = {}
+    prev = ms.get("x1000")
+    if block.get("duckdb_warm_sec") is None and isinstance(prev, dict):
+        # a PROBE_X1000 run without PROBE_DUCKDB must not clobber a
+        # complete PAIRED measure with a half-empty block (r15 review)
+        # — keep the prior DuckDB side, refresh only the Spark fields
+        block = {**prev, **{k: v for k, v in block.items() if v is not None}}
     ms["x1000"] = block
     try:
         with open(path, "w") as fh:

@@ -967,3 +967,73 @@ def test_html_text_cols_matches_reference(spark, pieces, seed):
     }
     want = {i: _ref_html_text(h) for i, h in docs}
     assert got == want
+
+
+def test_exact_money_sql_form_identical(spark):
+    """r15 build-cost rewrite gate: exact_money_aggs' stage-2 merges
+    moved from Column chains to parsed SQL strings — this pins the
+    SQL form bitwise against the pre-rewrite Column form (including
+    the divisor's repr round-trip, the COUNT-over-empty coalesce, and
+    the SUM-over-empty NULL), on populated AND empty inputs."""
+    from data_warehouse_nhom8_spark.operators.aggregates import (
+        cents,
+        exact_money_aggs,
+    )
+
+    def column_form(df, group_cols, cent_sums, extra_partial, extra_final):
+        # the pre-r15 implementation, verbatim
+        extra_partial = extra_partial or {}
+        partial = df.groupBy(
+            *group_cols, F.spark_partition_id().alias("__pid")
+        ).agg(
+            *[F.sum(c).alias(f"__p_{a}") for a, (c, _s) in cent_sums.items()],
+            *[e.alias(f"__p_{a}") for a, e in extra_partial.items()],
+        )
+
+        def merge_extra(a, e):
+            m = F.sum(F.col(f"__p_{a}"))
+            if "count(" in repr(e).lower():
+                m = F.coalesce(m, F.lit(0).cast("long"))
+            return m.alias(a)
+
+        final_aggs = [
+            (
+                F.sum(F.col(f"__p_{a}").cast("decimal(38,0)")).cast("double")
+                / F.lit(s)
+            ).alias(a)
+            for a, (_c, s) in cent_sums.items()
+        ] + [merge_extra(a, e) for a, e in extra_partial.items()]
+        out = partial.groupBy(*group_cols).agg(*final_aggs)
+        for a, e in (extra_final or {}).items():
+            out = out.withColumn(a, e)
+        return out
+
+    rows = [
+        ("A", 1.07, 3.0),
+        ("A", 2.93, 1.0),
+        ("B", 10.555, 2.0),  # 3-decimal edge exercises the rounding
+        ("B", -4.20, 5.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, price double, qty double")
+    args = dict(
+        group_cols=["k"],
+        cent_sums={
+            "sum_price": (cents("price", 3), 1000.0),
+            "sum_qty": (cents("qty"), 100.0),
+        },
+        extra_partial={"n": F.count(F.lit(1))},
+        extra_final={"avg_price": F.col("sum_price") / F.col("n")},
+    )
+    for data in (df, df.limit(0)):
+        got = {
+            tuple(r) for r in exact_money_aggs(data, **args).collect()
+        }
+        want = {tuple(r) for r in column_form(data, **args).collect()}
+        assert got == want, (got, want)
+    # global (no keys) over empty input: COUNT coalesces to 0, SUMs
+    # stay NULL — the single-level SQL semantics both forms promise
+    g = dict(args, group_cols=[])
+    got = exact_money_aggs(df.limit(0), **g).collect()
+    want = column_form(df.limit(0), **g).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert got[0]["n"] == 0 and got[0]["sum_price"] is None

@@ -100,15 +100,30 @@ def test_simhash_token_hashes_match_duckdb_on_vt(spark, vt_docs, vt_duck) -> Non
     assert len({h for i, h in got if i == 1}) == 2
 
 
+def _split_shorthand_lines(src: str) -> list[int]:
+    """Line numbers where a string_split_regex call site carries the
+    \\s shorthand. Line-based on purpose: the r15 review found the
+    first attempt (`string_split_regex\\([^)]*\\\\s`) could never
+    match past the ')' inside `lower(trim(text))`, so it fired on
+    nothing — every real split site keeps its pattern argument on the
+    call's own line, which this does see."""
+    return [
+        i
+        for i, line in enumerate(src.splitlines(), 1)
+        if "string_split_regex" in line and "\\s" in line
+    ]
+
+
 def test_no_bare_s_shorthand_in_oracle_split_sites() -> None:
     """Source tripwire: no DuckDB oracle may tokenize with the \\s
     shorthand again (``[\\s\\S]`` any-char idiom is engine-equivalent
-    and stays allowed)."""
+    and stays allowed — it never shares a line with a split call)."""
     src = pathlib.Path(
         "data_warehouse_nhom8_spark/plans/extensions.py"
     ).read_text()
-    bad = [
-        m.start()
-        for m in re.finditer(r"string_split_regex\([^)]*\\s", src)
-    ]
-    assert not bad, f"\\s shorthand back in oracle split sites at {bad}"
+    bad = _split_shorthand_lines(src)
+    assert not bad, f"\\s shorthand back in oracle split sites at lines {bad}"
+    # the tripwire must actually FIRE on the regression it guards
+    # against (the r14 pre-fix form, verbatim from q66's old oracle)
+    planted = src + "\nstring_split_regex(lower(trim(text)), '\\\\s+')\n"
+    assert _split_shorthand_lines(planted), "tripwire cannot fire"
