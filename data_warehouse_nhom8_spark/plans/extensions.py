@@ -1863,7 +1863,10 @@ def q83_gap_filled_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
     )
     return (
-        gap_filled_daily(sparse, ["event_type"], "day")
+        # explicit fill spec: the default-fill path probes rollup
+        # .dtypes, which triggers a ~40 ms analysis pass per build
+        # (r15 floor work) — the fill column is known here
+        gap_filled_daily(sparse, ["event_type"], "day", value_cols={"n": 0})
         .withColumn("n", F.col("n").cast("long"))
         .orderBy("event_type", "day")
     )
