@@ -55,14 +55,22 @@ from data_warehouse_nhom8_spark.plans.tpch import TPCH_ORACLES, TPCH_QUERIES
 _ALL_QUERIES = {**_CORE, **EXTENSION_QUERIES, **TPCH_QUERIES}
 ORACLES = {**_CORE_ORACLES, **EXTENSION_ORACLES, **TPCH_ORACLES}
 
-# Rotation-slack accounting (round 15): 98 oracled + 6 noracle.
-# One promotion this round: q38 MinHash-LSH — the shingle hashes
+# Rotation-slack accounting (round 15): 99 oracled + 5 noracle.
+# Two promotions this round. q38 MinHash-LSH: the shingle hashes
 # switched xxhash64 -> md5 hi/lo halves (the q39/q41 construction),
 # so the permutation family, banding, bucket caps, and exact-Jaccard
 # verify are all engine-reproducible and the generated DuckDB twin
 # matches row-exact; funded by retiring q17 -> q86 (same
 # predicate-gated global-aggregate shape; q17 sat in the
 # r13-certified half so the derived front stays at exactly 48).
+# q53 incremental near-dup: its pytest-pinned contract (identical to
+# the full detector on corpus ∪ batch restricted to pairs touching a
+# batch id) makes its twin q38's bitwise twin plus the batch
+# restriction, so the promotion certifies the persisted
+# corpus_sig_store serving path end to end; unfunded — the derived
+# front moves 48 -> 49, still inside the driver's 50-row window, and
+# the remaining noracle five (BPE merges, WAV/AVI codecs, IVF/PQ ANN)
+# are all genuinely non-SQL-expressible.
 # Two promotions this round: q39 simhash (md5-derived token hashes
 # make the tier bitwise-reproducible in DuckDB, q41's construction)
 # and q118 semantic-dedup (composes two already-certified halves:

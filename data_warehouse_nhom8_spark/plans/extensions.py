@@ -361,6 +361,7 @@ def _minhash_neardup_oracle_sql(
     bands: int = 8,
     shingle_w: int = 5,
     max_bucket_size: int = 200,
+    pair_where: str = "",
 ) -> str:
     """Generated DuckDB twin of q38, coupled to the Spark constants
     (`_shared_minhash_pairs` params + `minhash_neardup_pairs`
@@ -380,7 +381,13 @@ def _minhash_neardup_oracle_sql(
       plan); buckets over `max_bucket_size` skipped;
     * verify: exact Jaccard on the distinct shingle sets, ROUND 6,
       ≥ threshold. NULL-text docs never pair (their lanes are NULL →
-      jaccard NULL in-engine), so the twin simply excludes them."""
+      jaccard NULL in-engine), so the twin simply excludes them.
+
+    `pair_where` appends an extra predicate to the final pair filter —
+    q53's incremental twin restricts the SAME full-detector result to
+    pairs touching the daily batch (`AND (id_a % 10 = 0 OR ...)`),
+    which is exactly the incremental detector's pytest-pinned
+    equality contract (test_minhash_incremental_matches_full_run)."""
     from data_warehouse_nhom8_spark.operators.neardup import _P, _coeff
     from data_warehouse_nhom8_spark.regexes import WS_SPLIT
 
@@ -459,7 +466,7 @@ def _minhash_neardup_oracle_sql(
             JOIN sizes nb ON nb.id = c.id_b
         )
         SELECT id_a, id_b, jaccard FROM scored
-        WHERE jaccard >= {threshold}
+        WHERE jaccard >= {threshold} {pair_where}
         ORDER BY id_a, id_b
     """
 
@@ -811,7 +818,7 @@ STORE_OF_QUERY = {
     "q49_cluster_dedup": "cc_clusters",
     "q50_ngram_jaccard": "jaccard_pairs",
     "q51_ivf_topk_noracle": "ivf_index",
-    "q53_incremental_neardup_noracle": "corpus_sig_store",
+    "q53_incremental_neardup": "corpus_sig_store",
     "q39_simhash_neardup": "simhash_sigs",
     "q41_embedding_neardup": None,
     "q118_semantic_dedup": "embed_cc_clusters",
@@ -871,14 +878,25 @@ def q109_pq_topk_noracle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q53_incremental_neardup_noracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q53_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 daily-pipeline shape: incremental near-dup — the ~10% batch
     (doc_id % 10 == 0) is shingled/signatured fresh, the corpus
-    contributes its session-memoized signature table (the persistent
-    signature store of a production daily run). Rows-only for the
-    driver (approximate by design; its signature family is the
-    md5-derived one q38's oracle certifies); the exact-equality contract vs the full
-    detector is pytest-gated (test_minhash_incremental_matches_full_run)."""
+    contributes its PERSISTED signature store (built+opened through
+    `corpus_sig_store_persist/open`, the at-rest face of a production
+    daily run; see `_shared_corpus_sig_store`).
+
+    ORACLED since round 15 (was rows-only): the incremental detector's
+    contract — identical to the FULL detector on corpus ∪ batch
+    restricted to pairs touching a batch id, same union-histogram
+    bucket caps, same exact hash-set Jaccard — is pytest-pinned
+    (test_minhash_incremental_matches_full_run), and corpus ∪ batch
+    here is the whole documents table, so the DuckDB twin is q38's
+    bitwise twin (`_minhash_neardup_oracle_sql`, certified row-exact
+    this round) with the batch-membership restriction appended. This
+    certifies the entire store-served path end to end: persisted
+    signatures, static band table + bucket histogram, near-hot cap
+    reconciliation, and the sets-tier verify all have to reproduce the
+    from-scratch result bitwise for the oracle to pass."""
     c = Catalog(spark, sf_dir)
     batch = c.documents.filter(F.col("doc_id") % 10 == 0)
     corpus = c.documents.filter(F.col("doc_id") % 10 != 0)
@@ -2442,7 +2460,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q49_cluster_dedup": q49_cluster_dedup,
     "q50_ngram_jaccard": q50_ngram_jaccard,
     "q51_ivf_topk_noracle": q51_ivf_topk_noracle,
-    "q53_incremental_neardup_noracle": q53_incremental_neardup_noracle,
+    "q53_incremental_neardup": q53_incremental_neardup,
     "q54_train_split": q54_train_split,
     "q55_pii_redaction": q55_pii_redaction,
     "q56_doc_chunking": q56_doc_chunking,
@@ -2961,6 +2979,9 @@ EXTENSION_ORACLES: dict[str, str] = {
     """,
     "q39_simhash_neardup": _simhash_neardup_oracle_sql(),
     "q38_minhash_neardup": _minhash_neardup_oracle_sql(),
+    "q53_incremental_neardup": _minhash_neardup_oracle_sql(
+        pair_where="AND (id_a % 10 = 0 OR id_b % 10 = 0)"
+    ),
     "q41_embedding_neardup": _embedding_neardup_oracle_sql(),
     "q54_train_split": """
         WITH b AS (
