@@ -28,6 +28,8 @@ AUDIT = [
     "q98_embedding_centroids",
     "q118_semantic_dedup",
     "q39_simhash_neardup",
+    "q38_minhash_neardup",
+    "q53_incremental_neardup",
     "q49_cluster_dedup",
     "q46_pricing_summary",
     "q47_shipping_priority",
@@ -90,6 +92,20 @@ _MEMO_READS = {
     "q39_simhash_neardup": "simhash signature fold",
     "q49_cluster_dedup": "connected-components round + exact-Jaccard pairs",
     "q118_semantic_dedup": "connected-components round (hyperplane edges)",
+    "q38_minhash_neardup": "MinHash signatures + band histogram",
+}
+
+# Free-form per-query notes for plans that are neither pure memo
+# reads nor pure live compute.
+_EXTRA_NOTES = {
+    "q53_incremental_neardup": (
+        "HYBRID plan: the daily batch is shingled/signatured live; "
+        "the corpus side joins the persisted corpus_sig_store tiers "
+        "(each Scan ExistingRDD = a store tier's session cache). The "
+        "corpus-side build is the \"MinHash signatures + band "
+        "histogram\" fit plan below — corpus_sig_store_persist writes "
+        "those stages at rest."
+    ),
 }
 
 
@@ -139,6 +155,22 @@ def _fit_plans(spark, sf_dir: str) -> list[tuple[str, str, "object"]]:
         .distinct()
         .withColumn("component", F.col("id"))
     )
+    sig_sets = neardup.minhash_signature_sets(c.documents, shingle_w=5)
+    mh_bands = neardup._band_table(sig_sets.select("id", "sig"), 64, 8)
+    plans.append((
+        "fit: MinHash signatures + band histogram (corpus_sig_store build)",
+        "ONE scan -> shingle windows -> md5 64-bit lanes -> per-row "
+        "array-fold signatures (map-only — the 64 MINs fold over each "
+        "doc's hash array, no aggregate shuffle; DuckDB's twin uses "
+        "MIN aggregates, the engine does not need to) -> band explode "
+        "-> partial-agg bucket histogram (the <=200 skew cap's "
+        "input); these are the signature/band/histogram/sets stages "
+        "corpus_sig_store_persist writes at rest, serving q38's pair "
+        "memo and q53's incremental probe",
+        mh_bands.groupBy("band", "bhash").agg(
+            F.count(F.lit(1)).alias("__bn")
+        ),
+    ))
     plans.append((
         "fit: connected-components propagation round (cluster_map_store)",
         "ONE round of the min-label loop (rounds = graph diameter, "
@@ -186,6 +218,8 @@ def main() -> None:
                 f"\"{_MEMO_READS[name]}\" fit plan in the FIT PLANS "
                 f"section below"
             )
+        if name in _EXTRA_NOTES:
+            out.append(f"- NOTE: {_EXTRA_NOTES[name]}")
         out.append(f"- operators: {', '.join(feats) or '(scan/project only)'}")
         out.append(f"- parquet scans: {scans}")
         for p in interesting[:4]:

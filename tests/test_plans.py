@@ -739,3 +739,14 @@ def test_fit_plans_stay_under_review(spark):
     assert "CartesianProduct" not in cc
     assert "BroadcastNestedLoopJoin" not in cc
     assert "partial_min" in cc, "neighbour-min must partial-agg map-side"
+
+    mh = plans[
+        "fit: MinHash signatures + band histogram (corpus_sig_store build)"
+    ]
+    assert "CartesianProduct" not in mh
+    assert "BroadcastNestedLoopJoin" not in mh
+    assert mh.count("FileScan parquet") == 1, "one shingling pass feeds all tiers"
+    # signatures are a per-row array fold — the only aggregate in the
+    # build is the band histogram, and IT must partial-agg map-side
+    assert "partial_count" in mh, "bucket histogram must partial-agg map-side"
+    assert "Generate" in mh, "band table is an explode over stored signatures"
