@@ -244,3 +244,69 @@ def test_cluster_store_compaction_contracts_to_stars(spark, tmp_path):
     assert got == _full_cc(spark, EDGES + [(11, 20)])
     # the merged cluster's label is the global min across both halves
     assert got[23] == 10
+
+
+def test_corpus_sig_store_sets_policy_branches_agree(spark, monkeypatch):
+    """The bench memo's sets-tier policy (r15): below the on-disk size
+    threshold the probe serves the hash sets from a resident cache;
+    above it, through the pruned ``sets_loader`` scan — the 100 TB
+    contract. Bench scale only ever exercises the cached branch, so
+    this pins the loader branch explicitly: both policies must produce
+    identical pairs, and each branch must actually be the one taken
+    (``sets_cached`` None vs populated)."""
+    from data_warehouse_nhom8_spark.operators import neardup
+    from data_warehouse_nhom8_spark.plans import extensions as ext
+
+    sf_dir = "/root/testdata/sf0.001"
+    c = ext.Catalog(spark, sf_dir)
+    corpus = c.documents.filter(F.col("doc_id") % 10 != 0)
+    batch = c.documents.filter(F.col("doc_id") % 10 == 0)
+    # unique memo key (shingle_w=4) so this test never collides with
+    # the bench-parameter store another test may have built
+    params = dict(threshold=0.8, bands=8, shingle_w=4)
+    key = ("corpus_sig_store", sf_dir, 0.8, 8, 4)
+
+    def built_pairs():
+        store = ext._shared_corpus_sig_store(spark, sf_dir, corpus, **params)
+        kw = (
+            {"corpus_sets": store["sets_cached"]}
+            if store.get("sets_cached") is not None
+            else {"corpus_sets_loader": store["sets_loader"]}
+        )
+        pairs = sorted(
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in neardup.minhash_incremental_pairs(
+                batch,
+                corpus,
+                corpus_sigs=store["sigs"],
+                threshold=0.8,
+                bands=8,
+                shingle_w=4,
+                corpus_bands=store["bands"],
+                corpus_band_sizes=store["sizes"],
+                **kw,
+            ).collect()
+        )
+        return store, pairs
+
+    # loader branch: force the threshold to zero BEFORE the build
+    monkeypatch.setattr(ext, "_SETS_CACHE_MAX_BYTES", 0)
+    store_big, via_loader = built_pairs()
+    assert store_big["sets_cached"] is None
+    ext._memo(spark).pop(key)
+
+    # cached branch: restore the real threshold, rebuild fresh
+    monkeypatch.undo()
+    store_small, via_cache = built_pairs()
+    assert store_small["sets_cached"] is not None
+    ext._memo(spark).pop(key)
+
+    assert via_loader == via_cache
+    # and both equal the from-scratch detector (no store at all)
+    fresh = sorted(
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in neardup.minhash_incremental_pairs(
+            batch, corpus, threshold=0.8, bands=8, shingle_w=4
+        ).collect()
+    )
+    assert via_loader == fresh and fresh
