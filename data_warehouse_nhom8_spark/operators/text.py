@@ -13,6 +13,9 @@ Operators:
   lang_id_col         — n-gram/stopword heuristic language ID
   repetition_stats    — Gopher-style repetition signals (dup fraction,
                         top token frequency) per doc
+  ngram_repetition_stats — the n-gram tier of the Gopher filter:
+                        top-2-gram token fraction + duplicated-5-gram
+                        coverage per doc (span-merged, clamped)
   token_topk          — corpus vocabulary head (top-k tokens)
   bigram_topk         — top-k adjacent-token bigrams
   fingerprint_col     — normalized rolling fingerprint (md5 of
@@ -252,6 +255,140 @@ def repetition_stats(
         .cast("double")
         .alias("dup_fraction"),
     ).withColumnRenamed("__id", id_col)
+
+
+def ngram_repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_w: int = 2,
+    dup_w: int = 5,
+) -> DataFrame:
+    """The N-GRAM tier of the Gopher repetition filter (Rae et al.
+    2021 §A1.1): `repetition_stats` flags token-level degeneration;
+    this flags PHRASE-level boilerplate that unique tokens hide.
+    Per doc:
+
+      n_tokens            — whitespace-split token count (same split
+                            contract as every text operator: the
+                            pinned `regexes.WS_SPLIT` class);
+      top_ngram_freq      — occurrence count of the doc's most
+                            frequent `top_w`-gram (0 when the doc has
+                            fewer than top_w tokens — the whole-doc
+                            fallback window is not a real gram);
+      top_ngram_fraction  — min(1, top_ngram_freq·top_w / n_tokens),
+                            ROUND 6: the token fraction the top gram's
+                            occurrences would cover ignoring overlap
+                            (Gopher's "top n-gram fraction" gate);
+      dup_ngram_tokens/_spans/_fraction — tokens covered by the UNION
+                            of `dup_w`-token windows whose gram occurs
+                            ≥ 2 times IN THE SAME doc, as maximal
+                            merged spans (`span_dedup`'s position→span
+                            fold, window-granular, clamped at doc
+                            end), and that coverage over n_tokens
+                            (ROUND 6) — Gopher's "duplicate n-gram
+                            character fraction", token-granular.
+
+    Shape: two branches over one pruned (id, text) scan each, both
+    ending doc-keyed — the dup branch is `duplicated_spans`'
+    single-pass window form restricted WITHIN docs (count over
+    partitionBy(id, gram-hash), no join-back), the top branch is
+    explode → two-level partial agg; the final join is an id-equi
+    join of two doc-sized aggregates. Shuffles carry (id, md5, pos)
+    tuples, never document text. Gram identity is the md5 equality
+    class (`span_dedup._window_hashes`), byte-compatible with the
+    DuckDB twin's raw-gram grouping.
+
+    Edge notes: a doc whose text trims to empty splits to one empty
+    token (n_tokens=1, the q65 `repetition_stats` convention); docs
+    shorter than `dup_w` yield a single whole-doc window that can
+    never reach count ≥ 2, so their coverage is 0 by construction.
+    NULL-text rows drop (no windows to explode)."""
+    from data_warehouse_nhom8_spark.operators.span_dedup import (
+        _merge_positions_col,
+        _window_hashes,
+    )
+    from data_warehouse_nhom8_spark.session import repartition_if_split_starved
+    from pyspark.sql import Window as W
+
+    base = repartition_if_split_starved(df.select(id_col, text_col))
+    nt = F.size(F.split(F.lower(F.trim(_c(text_col))), WS_SPLIT))
+
+    # dup branch: within-doc duplicated dup_w-gram windows -> merged
+    # span coverage (one shuffle on (id, gram), one on id)
+    wins = base.select(
+        F.col(id_col).alias("__id"),
+        nt.alias("__nt"),
+        F.posexplode(_window_hashes(text_col, dup_w)).alias("__pos", "__h"),
+    )
+    dup_doc = (
+        wins.withColumn(
+            "__c", F.count(F.lit(1)).over(W.partitionBy("__id", "__h"))
+        )
+        .groupBy("__id")
+        .agg(
+            F.max("__nt").alias("n_tokens"),
+            F.sort_array(
+                F.collect_list(F.when(F.col("__c") >= 2, F.col("__pos")))
+            ).alias("__ps"),
+        )
+        .select(
+            "__id",
+            "n_tokens",
+            _merge_positions_col("__ps", dup_w).alias("__spans"),
+        )
+    )
+
+    # top branch: most frequent top_w-gram (two-level partial agg)
+    per_gram = (
+        base.select(
+            F.col(id_col).alias("__id"),
+            nt.alias("__nt"),
+            F.explode(_window_hashes(text_col, top_w)).alias("__h"),
+        )
+        .groupBy("__id", "__h")
+        .agg(F.count(F.lit(1)).alias("__c"), F.max("__nt").alias("__nt2"))
+    )
+    top_doc = (
+        per_gram.groupBy("__id")
+        .agg(F.max("__nt2").alias("__nt3"), F.max("__c").alias("__mx"))
+        .select(
+            "__id",
+            F.when(F.col("__nt3") >= top_w, F.col("__mx"))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("top_ngram_freq"),
+        )
+    )
+
+    joined = dup_doc.join(top_doc, "__id")
+    dup_raw = F.expr("aggregate(__spans, 0, (a, x) -> a + (x.e - x.s))")
+    dup_tokens = F.least(dup_raw, F.col("n_tokens"))
+    return joined.select(
+        F.col("__id").alias(id_col),
+        "n_tokens",
+        "top_ngram_freq",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.col("top_ngram_freq") * top_w / F.col("n_tokens"),
+                ),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("top_ngram_fraction"),
+        dup_tokens.cast("long").alias("dup_ngram_tokens"),
+        F.size("__spans").cast("long").alias("dup_ngram_spans"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(dup_tokens.cast("double") / F.col("n_tokens"), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_ngram_fraction"),
+    )
 
 
 def token_topk(df: DataFrame, k: int = 20, text_col: str = "text") -> DataFrame:

@@ -71,18 +71,27 @@ ORACLES = {**_CORE_ORACLES, **EXTENSION_ORACLES, **TPCH_ORACLES}
 # front moves 48 -> 49, still inside the driver's 50-row window, and
 # the remaining noracle five (BPE merges, WAV/AVI codecs, IVF/PQ ANN)
 # are all genuinely non-SQL-expressible.
+# Round-15 late addition: q119 n-gram repetition (the Gopher
+# phrase-level filter tier, oracled from birth — md5-class grams +
+# the q110/q112 gaps-and-islands coverage twin), funded by retiring
+# q63 -> q64 (q64's oracle runs the identical wide pivot CTE and
+# unpivots it — every q63 cell is exactly one q64 long row; q63 sat
+# in the r13-certified half, i.e. the current derived front, so the
+# swap keeps the front at 49 and the active registry at 99).
 # Two promotions this round: q39 simhash (md5-derived token hashes
 # make the tier bitwise-reproducible in DuckDB, q41's construction)
 # and q118 semantic-dedup (composes two already-certified halves:
 # q41's bitwise hyperplane buckets edge the graph, q49's
 # recursive-CTE min-label propagation clusters it).
-# Thirteen redundant oracles have been RETIRED to their superset shapes
+# Fifteen redundant oracles have been RETIRED to their superset shapes
 # (r9: q05, q14, q26, q43, q44; r11: q07 -> q48, q11 -> q93/q105,
 # q08 -> q48; r12: q06 -> q73; r13: q01 -> q47/q77, q02 -> q20;
 # r14: q52 -> q41, whose oracle certifies the hyperplane buckets AND
 # the pair cosines, a strict superset of q52's bucket histogram, and
 # q40 -> q41, which certifies the identical exact cosine folds and
-# deterministic top-k ordering bitwise — see
+# deterministic top-k ordering bitwise; r15: q17 -> q86 (funding
+# q38) and q63 -> q64, whose oracle unpivots the identical wide
+# pivot CTE (funding q119) — see
 # queries.RETIRED_QUERIES / extensions.RETIRED_EXTENSION_QUERIES for
 # the subset→superset mapping); each keeps a per-suite-run DuckDB
 # twin in tests/test_retired_oracles.py. Growth spends slack, junk
@@ -113,7 +122,6 @@ _BOOTSTRAP_FRONT = [
     "q60_asof_join",
     "q61_range_join",
     "q62_hll_rollup",
-    "q63_pivot",
     "q64_unpivot",
     "q65_repetition_quality",
     "q66_vocab_topk",

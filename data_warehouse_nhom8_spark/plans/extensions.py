@@ -1235,6 +1235,114 @@ def q118_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q119_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 (round 15): the N-GRAM tier of the Gopher repetition filter
+    (`operators.text.ngram_repetition_stats`) — per-doc top-2-gram
+    token fraction and duplicated-5-gram span coverage, the
+    phrase-level boilerplate signals q65's token-level
+    `repetition_stats` cannot see (a template that cycles unique
+    tokens through a repeated frame has low dup_fraction but high
+    dup-5-gram coverage). Total over the documents table.
+
+    Oracled from birth: gram identity is the md5 equality class of the
+    pinned whitespace split (byte-compatible with DuckDB's raw-gram
+    grouping), coverage is the q110/q112 gaps-and-islands span-merge
+    twin, and the fractions are exact-integer ratios rounded under the
+    same ROUND-6 convention as q38's jaccard. Slot funded by retiring
+    q63 → q64 (q64's oracle runs the IDENTICAL wide pivot CTE and
+    unpivots it — every q63 cell appears as exactly one q64 long row,
+    so q64 green implies q63 cell-for-cell; q63 sat in the
+    r13-certified half of the rotation, i.e. the current derived
+    front, so the swap keeps the front at 49).
+
+    dup_w=3 here (operator default is Gopher's 5): the synthetic
+    corpus holds zero within-doc duplicated 5-grams at every SF
+    (measured), which would certify a degenerate all-zero coverage
+    column — at 3 the gate scale has 27 docs with real merged spans
+    (287 at sf0.1), so the span-fold/clamp path is live in the
+    oracle comparison. The 5-gram default's non-degenerate behavior
+    is pinned by the planted-doc pytests (test_ngram_repetition)."""
+    from data_warehouse_nhom8_spark.operators.text import ngram_repetition_stats
+
+    c = Catalog(spark, sf_dir)
+    return ngram_repetition_stats(c.documents, dup_w=3).orderBy("doc_id")
+
+
+def _ngram_repetition_oracle_sql(top_w: int = 2, dup_w: int = 5) -> str:
+    """Generated DuckDB twin of q119, coupled to the Spark constants.
+    Same window family as the q110/q112 twins: positions
+    1..greatest(n-w+1, 1) (the whole-doc fallback window included —
+    it can never duplicate within a doc, and the top branch guards it
+    behind n_tokens >= top_w exactly as the engine does), raw-gram
+    grouping where Spark groups the md5 class, gaps-and-islands span
+    merge breaking at gap > dup_w, coverage clamped at doc end."""
+    from data_warehouse_nhom8_spark.regexes import WS_SPLIT
+
+    return f"""
+        WITH t AS (
+          SELECT doc_id,
+                 string_split_regex(lower(trim(text)), '{WS_SPLIT}') AS toks
+          FROM documents
+        ), nt AS (
+          SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens FROM t
+        ), w_top AS (
+          SELECT doc_id, array_to_string(toks[i:i+{top_w - 1}], ' ') AS gram
+          FROM t, UNNEST(range(1, greatest(len(toks) - {top_w} + 1, 1) + 1)) AS u(i)
+        ), c_top AS (
+          SELECT doc_id, COUNT(*) AS c FROM w_top GROUP BY doc_id, gram
+        ), top_doc AS (
+          SELECT doc_id, MAX(c) AS mx FROM c_top GROUP BY doc_id
+        ), w_dup AS (
+          SELECT doc_id, i - 1 AS pos,
+                 array_to_string(toks[i:i+{dup_w - 1}], ' ') AS gram
+          FROM t, UNNEST(range(1, greatest(len(toks) - {dup_w} + 1, 1) + 1)) AS u(i)
+        ), hits AS (
+          SELECT doc_id, pos FROM (
+            SELECT doc_id, pos,
+                   COUNT(*) OVER (PARTITION BY doc_id, gram) AS c
+            FROM w_dup
+          ) WHERE c >= 2
+        ), lagged AS (
+          SELECT doc_id, pos,
+                 LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+          FROM hits
+        ), isl AS (
+          SELECT doc_id, pos,
+                 SUM(CASE WHEN prev IS NULL OR pos - prev > {dup_w}
+                          THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos) AS island
+          FROM lagged
+        ), spans AS (
+          SELECT doc_id, MIN(pos) AS s, MAX(pos) + {dup_w} AS e
+          FROM isl GROUP BY doc_id, island
+        ), per AS (
+          SELECT doc_id, CAST(SUM(e - s) AS BIGINT) AS dup_raw,
+                 CAST(COUNT(*) AS BIGINT) AS n_spans
+          FROM spans GROUP BY doc_id
+        )
+        SELECT nt.doc_id, n_tokens,
+               CAST(CASE WHEN n_tokens >= {top_w} THEN mx ELSE 0 END AS BIGINT)
+                 AS top_ngram_freq,
+               CASE WHEN n_tokens > 0
+                    THEN round(least(CAST(1.0 AS DOUBLE),
+                                     CAST((CASE WHEN n_tokens >= {top_w}
+                                                THEN mx ELSE 0 END)
+                                          * {top_w} AS DOUBLE) / n_tokens), 6)
+                    ELSE 0.0 END AS top_ngram_fraction,
+               CAST(least(COALESCE(dup_raw, 0), n_tokens) AS BIGINT)
+                 AS dup_ngram_tokens,
+               COALESCE(n_spans, 0) AS dup_ngram_spans,
+               CASE WHEN n_tokens > 0
+                    THEN round(CAST(least(COALESCE(dup_raw, 0), n_tokens)
+                                    AS DOUBLE) / n_tokens, 6)
+                    ELSE 0.0 END AS dup_ngram_fraction
+        FROM nt
+        LEFT JOIN top_doc USING (doc_id)
+        LEFT JOIN per USING (doc_id)
+        ORDER BY doc_id
+    """
+
+
 def _semantic_dedup_oracle_sql(
     dim: int = _LSH_DIM, n_planes: int = _LSH_PLANES
 ) -> str:
@@ -2470,7 +2578,6 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q60_asof_join": q60_asof_join,
     "q61_range_join": q61_range_join,
     "q62_hll_rollup": q62_hll_rollup,
-    "q63_pivot": q63_pivot,
     "q64_unpivot": q64_unpivot,
     "q65_repetition_quality": q65_repetition_quality,
     "q66_vocab_topk": q66_vocab_topk,
@@ -2506,6 +2613,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q116_decontaminate_scrub": q116_decontaminate_scrub,
     "q117_html_extract": q117_html_extract,
     "q118_semantic_dedup": q118_semantic_dedup,
+    "q119_ngram_repetition": q119_ngram_repetition,
 }
 
 
@@ -2937,6 +3045,7 @@ EXTENSION_ORACLES: dict[str, str] = {
         GROUP BY id ORDER BY id NULLS FIRST
     """,
     "q118_semantic_dedup": _semantic_dedup_oracle_sql(),
+    "q119_ngram_repetition": _ngram_repetition_oracle_sql(dup_w=3),
     "q33_exact_dedup_docs": """
         SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS n
         FROM documents GROUP BY md5(text) ORDER BY keep_id NULLS FIRST
@@ -3006,15 +3115,6 @@ EXTENSION_ORACLES: dict[str, str] = {
                        '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g'),
                      '\\+?\\d[\\d .-]{7,}\\d', '<PHONE>', 'g')) AS redacted_fp
         FROM documents ORDER BY doc_id NULLS FIRST
-    """,
-    "q63_pivot": """
-        SELECT CAST(ts AS DATE) AS day,
-               COUNT(*) FILTER (event_type = 'click') AS click,
-               COUNT(*) FILTER (event_type = 'error') AS error,
-               COUNT(*) FILTER (event_type = 'purchase') AS purchase,
-               COUNT(*) FILTER (event_type = 'signup') AS signup,
-               COUNT(*) FILTER (event_type = 'view') AS view
-        FROM events GROUP BY 1 ORDER BY day NULLS FIRST
     """,
     "q64_unpivot": """
         WITH p AS (
@@ -3503,9 +3603,24 @@ RETIRED_EXTENSION_QUERIES = {
     # top-k ordering bitwise; q40's brute-force top-10 face keeps its
     # numpy-exactness pytest and this per-suite twin
     "q40_cosine_topk": q40_cosine_topk,
+    # r15: retired to fund q119's oracle slot — q64's oracle runs the
+    # IDENTICAL wide pivot CTE and unpivots it, so every q63 cell
+    # appears as exactly one q64 long row (q64 green implies q63
+    # cell-for-cell); q63 sat in the r13-certified half, i.e. the
+    # current derived front, so the swap keeps the front at 49
+    "q63_pivot": q63_pivot,
 }
 
 RETIRED_EXTENSION_ORACLES: dict[str, str] = {
+    "q63_pivot": """
+        SELECT CAST(ts AS DATE) AS day,
+               COUNT(*) FILTER (event_type = 'click') AS click,
+               COUNT(*) FILTER (event_type = 'error') AS error,
+               COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+               COUNT(*) FILTER (event_type = 'signup') AS signup,
+               COUNT(*) FILTER (event_type = 'view') AS view
+        FROM events GROUP BY 1 ORDER BY day NULLS FIRST
+    """,
     "q52_lsh_bucket_histogram": _lsh_bucket_oracle_sql(),
     "q40_cosine_topk": """
         SELECT vec_id, ROUND(cosine, 6) AS cosine FROM (

@@ -30,6 +30,7 @@ AUDIT = [
     "q39_simhash_neardup",
     "q38_minhash_neardup",
     "q53_incremental_neardup",
+    "q119_ngram_repetition",
     "q49_cluster_dedup",
     "q46_pricing_summary",
     "q47_shipping_priority",

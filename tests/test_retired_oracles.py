@@ -91,7 +91,12 @@ def test_registry_no_longer_lists_retired(spark):
     # plus the batch-membership restriction, certifying the persisted
     # corpus_sig_store serving path) — no redundant oracle remained in
     # the uncertified half to retire, so the derived front spends one
-    # slack slot (48 -> 49, still inside the 50-row window)
+    # slack slot (48 -> 49, still inside the 50-row window);
+    # round 15 net-zero addition: q119 n-gram repetition (oracled from
+    # birth), funded by retiring q63 -> q64 (q64's oracle unpivots the
+    # identical wide pivot CTE, so q64 green implies q63
+    # cell-for-cell; q63 sat in the current derived front, keeping
+    # the front at 49 and the active registry at 99)
     assert len(ORACLES) == 99
 
 
