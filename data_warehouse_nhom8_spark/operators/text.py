@@ -290,14 +290,21 @@ def ngram_repetition_stats(
                             character fraction", token-granular.
 
     Shape: two branches over one pruned (id, text) scan each, both
-    ending doc-keyed — the dup branch is `duplicated_spans`'
-    single-pass window form restricted WITHIN docs (count over
-    partitionBy(id, gram-hash), no join-back), the top branch is
-    explode → two-level partial agg; the final join is an id-equi
-    join of two doc-sized aggregates. Shuffles carry (id, md5, pos)
-    tuples, never document text. Gram identity is the md5 equality
-    class (`span_dedup._window_hashes`), byte-compatible with the
-    DuckDB twin's raw-gram grouping.
+    ending doc-keyed — the top branch (explode → two-level partial
+    agg) keeps every doc and carries n_tokens; the dup branch is
+    HITS-ONLY: groupBy(id, gram-hash) with map-side partial
+    aggregation, filter count ≥ 2, fold the surviving positions into
+    merged spans — docs without phrase repetition (the overwhelming
+    majority of a clean corpus) never reach the second aggregate or
+    the join, and unlike `duplicated_spans`' window form no per-row
+    sort of the full window table is needed (the cross-doc form
+    needs per-row dup flags; within-doc coverage only needs the hit
+    positions). The final id-equi left join attaches the doc-sized
+    span table. Shuffles carry (id, md5, pos) tuples, never document
+    text. Gram identity is the md5 equality class
+    (`span_dedup._window_hashes`), byte-compatible with the DuckDB
+    twin's raw-gram grouping (measured: md5's fixed-width keys
+    outrun raw 2/3-gram strings through the shuffle by ~1.5×).
 
     Edge notes: a doc whose text trims to empty splits to one empty
     token (n_tokens=1, the q65 `repetition_stats` convention); docs
@@ -309,37 +316,12 @@ def ngram_repetition_stats(
         _window_hashes,
     )
     from data_warehouse_nhom8_spark.session import repartition_if_split_starved
-    from pyspark.sql import Window as W
 
     base = repartition_if_split_starved(df.select(id_col, text_col))
     nt = F.size(F.split(F.lower(F.trim(_c(text_col))), WS_SPLIT))
 
-    # dup branch: within-doc duplicated dup_w-gram windows -> merged
-    # span coverage (one shuffle on (id, gram), one on id)
-    wins = base.select(
-        F.col(id_col).alias("__id"),
-        nt.alias("__nt"),
-        F.posexplode(_window_hashes(text_col, dup_w)).alias("__pos", "__h"),
-    )
-    dup_doc = (
-        wins.withColumn(
-            "__c", F.count(F.lit(1)).over(W.partitionBy("__id", "__h"))
-        )
-        .groupBy("__id")
-        .agg(
-            F.max("__nt").alias("n_tokens"),
-            F.sort_array(
-                F.collect_list(F.when(F.col("__c") >= 2, F.col("__pos")))
-            ).alias("__ps"),
-        )
-        .select(
-            "__id",
-            "n_tokens",
-            _merge_positions_col("__ps", dup_w).alias("__spans"),
-        )
-    )
-
-    # top branch: most frequent top_w-gram (two-level partial agg)
+    # top branch: most frequent top_w-gram (two-level partial agg);
+    # keeps every doc, so it also carries the doc's token count
     per_gram = (
         base.select(
             F.col(id_col).alias("__id"),
@@ -354,6 +336,7 @@ def ngram_repetition_stats(
         .agg(F.max("__nt2").alias("__nt3"), F.max("__c").alias("__mx"))
         .select(
             "__id",
+            F.col("__nt3").alias("n_tokens"),
             F.when(F.col("__nt3") >= top_w, F.col("__mx"))
             .otherwise(F.lit(0))
             .cast("long")
@@ -361,8 +344,30 @@ def ngram_repetition_stats(
         )
     )
 
-    joined = dup_doc.join(top_doc, "__id")
-    dup_raw = F.expr("aggregate(__spans, 0, (a, x) -> a + (x.e - x.s))")
+    # dup branch, hits-only: duplicated windows' positions -> merged
+    # spans; clean docs drop out here and rejoin as the left-join miss
+    wins = base.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(_window_hashes(text_col, dup_w)).alias("__pos", "__h"),
+    )
+    dup_doc = (
+        wins.groupBy("__id", "__h")
+        .agg(
+            F.count(F.lit(1)).alias("__c"),
+            F.collect_list("__pos").alias("__pp"),
+        )
+        .filter(F.col("__c") >= 2)
+        .groupBy("__id")
+        .agg(
+            F.sort_array(F.flatten(F.collect_list("__pp"))).alias("__ps")
+        )
+        .select("__id", _merge_positions_col("__ps", dup_w).alias("__spans"))
+    )
+
+    joined = top_doc.join(dup_doc, "__id", "left")
+    dup_raw = F.expr(
+        "coalesce(aggregate(__spans, 0, (a, x) -> a + (x.e - x.s)), 0)"
+    )
     dup_tokens = F.least(dup_raw, F.col("n_tokens"))
     return joined.select(
         F.col("__id").alias(id_col),
@@ -381,7 +386,9 @@ def ngram_repetition_stats(
         .otherwise(F.lit(0.0))
         .alias("top_ngram_fraction"),
         dup_tokens.cast("long").alias("dup_ngram_tokens"),
-        F.size("__spans").cast("long").alias("dup_ngram_spans"),
+        F.coalesce(F.size("__spans"), F.lit(0))
+        .cast("long")
+        .alias("dup_ngram_spans"),
         F.when(
             F.col("n_tokens") > 0,
             F.round(dup_tokens.cast("double") / F.col("n_tokens"), 6),
