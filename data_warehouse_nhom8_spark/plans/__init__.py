@@ -55,7 +55,13 @@ from data_warehouse_nhom8_spark.plans.tpch import TPCH_ORACLES, TPCH_QUERIES
 _ALL_QUERIES = {**_CORE, **EXTENSION_QUERIES, **TPCH_QUERIES}
 ORACLES = {**_CORE_ORACLES, **EXTENSION_ORACLES, **TPCH_ORACLES}
 
-# Rotation-slack accounting (round 15): 99 oracled + 5 noracle.
+# Rotation-slack accounting (round 15): 101 oracled + 5 noracle.
+# OPTIMIZATION-ROUND AMENDMENT: the r15-build retirements q17 -> q86
+# and q63 -> q64 described below were ROLLED BACK when the round was
+# re-scoped as an optimization round (no query timed in BENCH_r14 may
+# disappear).  Both queries are declared and oracled again; the window
+# overflow this creates is pinned on them via RESTORED_SUBSET_COVERED
+# below.  The historical notes are kept as written.
 # Two promotions this round. q38 MinHash-LSH: the shingle hashes
 # switched xxhash64 -> md5 hi/lo halves (the q39/q41 construction),
 # so the permutation family, banding, bucket caps, and exact-Jaccard
@@ -158,14 +164,34 @@ def latest_correctness_green(root: str | None = None):
     return os.path.basename(files[-1]), green
 
 
+
+# r15 optimization round: q17/q63 were retired mid-build (to fund the
+# q38/q119 oracle slots) but the optimization driver's contract forbids
+# removing any query present in BENCH_r14, so both are RESTORED.  That
+# puts 101 oracled queries over a 2x50-row certification window; the
+# structural overflow is pinned HERE, on the restored pair, because each
+# is the one kind of query that can safely sit outside the window: its
+# oracle is a strict subset of an oracled superset (q17 ⊂ q86, q63 ⊂
+# q64 — q64's oracle unpivots the identical wide pivot CTE), so a green
+# superset row certifies it cell-for-cell.  tests/test_plans.py's
+# rotation gate encodes exactly this exception.
+RESTORED_SUBSET_COVERED = {
+    "q17_scalar_agg_gate": "q86_forecast_revenue",
+    "q63_pivot": "q64_unpivot",
+}
+
+
 def _compute_front(names) -> list:
     """Oracled queries lacking a green row in the newest CORRECTNESS file,
     in stable sorted order.  These MUST head the registry so the driver's
-    50-row window certifies them this round."""
+    50-row window certifies them this round.  The restored subset-covered
+    pair sorts LAST so that any window overflow lands on a query whose
+    certification is implied by its in-window superset."""
     _, green = latest_correctness_green()
     if green is None:
         return [n for n in _BOOTSTRAP_FRONT if n in names]
-    return [n for n in sorted(names) if n in ORACLES and n not in green]
+    front = [n for n in sorted(names) if n in ORACLES and n not in green]
+    return sorted(front, key=lambda n: (n in RESTORED_SUBSET_COVERED, n))
 
 
 _MISSED_LAST_ROUND = _compute_front(_ALL_QUERIES)
@@ -185,5 +211,6 @@ __all__ = [
     "ORACLES",
     "RETIRED_QUERIES",
     "RETIRED_ORACLES",
+    "RESTORED_SUBSET_COVERED",
     "latest_correctness_green",
 ]

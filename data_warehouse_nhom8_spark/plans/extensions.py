@@ -2578,6 +2578,11 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q60_asof_join": q60_asof_join,
     "q61_range_join": q61_range_join,
     "q62_hll_rollup": q62_hll_rollup,
+    # r15 optimization round: RESTORED from the r15-build retirement
+    # (the optimization driver forbids removing any query timed in
+    # BENCH_r14; the q63 -> q64 subset argument stands, but q63 must
+    # stay declared — see plans/queries.py for the q17 twin case).
+    "q63_pivot": q63_pivot,
     "q64_unpivot": q64_unpivot,
     "q65_repetition_quality": q65_repetition_quality,
     "q66_vocab_topk": q66_vocab_topk,
@@ -3116,6 +3121,17 @@ EXTENSION_ORACLES: dict[str, str] = {
                      '\\+?\\d[\\d .-]{7,}\\d', '<PHONE>', 'g')) AS redacted_fp
         FROM documents ORDER BY doc_id NULLS FIRST
     """,
+    # r15 optimization round: restored from RETIRED_EXTENSION_ORACLES
+    # (same wide pivot CTE that q64's oracle unpivots).
+    "q63_pivot": """
+        SELECT CAST(ts AS DATE) AS day,
+               COUNT(*) FILTER (event_type = 'click') AS click,
+               COUNT(*) FILTER (event_type = 'error') AS error,
+               COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+               COUNT(*) FILTER (event_type = 'signup') AS signup,
+               COUNT(*) FILTER (event_type = 'view') AS view
+        FROM events GROUP BY 1 ORDER BY day NULLS FIRST
+    """,
     "q64_unpivot": """
         WITH p AS (
           SELECT CAST(ts AS DATE) AS day,
@@ -3603,24 +3619,9 @@ RETIRED_EXTENSION_QUERIES = {
     # top-k ordering bitwise; q40's brute-force top-10 face keeps its
     # numpy-exactness pytest and this per-suite twin
     "q40_cosine_topk": q40_cosine_topk,
-    # r15: retired to fund q119's oracle slot — q64's oracle runs the
-    # IDENTICAL wide pivot CTE and unpivots it, so every q63 cell
-    # appears as exactly one q64 long row (q64 green implies q63
-    # cell-for-cell); q63 sat in the r13-certified half, i.e. the
-    # current derived front, so the swap keeps the front at 49
-    "q63_pivot": q63_pivot,
 }
 
 RETIRED_EXTENSION_ORACLES: dict[str, str] = {
-    "q63_pivot": """
-        SELECT CAST(ts AS DATE) AS day,
-               COUNT(*) FILTER (event_type = 'click') AS click,
-               COUNT(*) FILTER (event_type = 'error') AS error,
-               COUNT(*) FILTER (event_type = 'purchase') AS purchase,
-               COUNT(*) FILTER (event_type = 'signup') AS signup,
-               COUNT(*) FILTER (event_type = 'view') AS view
-        FROM events GROUP BY 1 ORDER BY day NULLS FIRST
-    """,
     "q52_lsh_bucket_histogram": _lsh_bucket_oracle_sql(),
     "q40_cosine_topk": """
         SELECT vec_id, ROUND(cosine, 6) AS cosine FROM (

@@ -55,6 +55,12 @@ ORACLES: dict[str, str] = {
                COUNT(DISTINCT user_id) AS n_users
         FROM events GROUP BY 1 ORDER BY d NULLS FIRST
     """,
+    # r15 optimization round: restored from RETIRED_ORACLES (the
+    # optimization driver forbids query removals; see plans/queries.py).
+    "q17_scalar_agg_gate": """
+        SELECT COUNT(*) AS n FROM orders
+        WHERE o_orderstatus = 'O' AND o_totalprice > 100000
+    """,
     "q18_latest_per_key": """
         SELECT user_id, event_id FROM (
           SELECT user_id, event_id,
@@ -148,10 +154,6 @@ ORACLES: dict[str, str] = {
 # queries.RETIRED_QUERIES): exercised every suite run by
 # tests/test_retired_oracles.py instead of the driver rotation.
 RETIRED_ORACLES: dict[str, str] = {
-    "q17_scalar_agg_gate": """
-        SELECT COUNT(*) AS n FROM orders
-        WHERE o_orderstatus = 'O' AND o_totalprice > 100000
-    """,
     "q01_scan_filter_sort": """
         SELECT o_orderkey, o_custkey, o_orderstatus,
                o_totalprice AS price

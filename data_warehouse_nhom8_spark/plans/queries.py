@@ -499,6 +499,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q13_single_key_agg": q13_single_key_agg,
     "q15_conditional_agg": q15_conditional_agg,
     "q16_daily_rollup": q16_daily_rollup,
+    # r15 optimization round: RESTORED from the r15-build retirement.
+    # The optimization driver's contract forbids removing any query
+    # present in the previous round's artifacts (BENCH_r14 timed q17),
+    # so the q17 -> q86 retirement is rolled back; q86 keeps the
+    # superset oracle and q17 rejoins the certified registry.
+    "q17_scalar_agg_gate": q17_scalar_agg_gate,
     "q18_latest_per_key": q18_latest_per_key,
     "q19_topk": q19_topk,
     "q20_string_functions": q20_string_functions,
@@ -593,7 +599,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 #                                also stays on pipeline/ledger.py's
 #                                own pytest
 RETIRED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    "q17_scalar_agg_gate": q17_scalar_agg_gate,
     "q01_scan_filter_sort": q01_scan_filter_sort,
     "q02_project_rename": q02_project_rename,
     "q05_like_prefix": q05_like_prefix,
