@@ -289,88 +289,103 @@ def ngram_repetition_stats(
                             (ROUND 6) — Gopher's "duplicate n-gram
                             character fraction", token-granular.
 
-    Shape: two branches over one pruned (id, text) scan each, both
-    ending doc-keyed — the top branch (explode → two-level partial
-    agg) keeps every doc and carries n_tokens; the dup branch is
-    HITS-ONLY: groupBy(id, gram-hash) with map-side partial
-    aggregation, filter count ≥ 2, fold the surviving positions into
-    merged spans — docs without phrase repetition (the overwhelming
-    majority of a clean corpus) never reach the second aggregate or
-    the join, and unlike `duplicated_spans`' window form no per-row
-    sort of the full window table is needed (the cross-doc form
-    needs per-row dup flags; within-doc coverage only needs the hit
-    positions). The final id-equi left join attaches the doc-sized
-    span table. Shuffles carry (id, md5, pos) tuples, never document
-    text. Gram identity is the md5 equality class
-    (`span_dedup._window_hashes`), byte-compatible with the DuckDB
-    twin's raw-gram grouping (measured: md5's fixed-width keys
-    outrun raw 2/3-gram strings through the shuffle by ~1.5×).
+    Shape (round-15 optimization — MAP-ONLY): every metric here is a
+    WITHIN-document statistic, so nothing needs a cross-row shuffle
+    at all. The previous form exploded every gram row and ran two
+    two-level aggregation cascades plus a left join (6 Exchanges, two
+    ObjectHashAggregate collect_list cascades); this form computes
+    per document, inside one projection pass over the pruned
+    (id, text) scan:
+      * top freq   — sort the doc's top_w-gram array, fold the max
+        run length of equal adjacent grams (run-length over a sorted
+        array == occurrence count of the most frequent gram);
+      * dup spans  — sort (gram, pos) structs, keep positions whose
+        sorted neighbor carries the same gram (== gram occurs ≥ 2
+        times in-doc), re-sort by position, and fold with the same
+        `_merge_positions_col` span merge as before.
+    Zero Exchange except the caller's final orderBy; document text
+    never shuffles ANYWHERE (it never leaves its scan task). Gram
+    identity is raw-gram string equality — the md5 class of the old
+    shuffled form existed to narrow shuffle keys, and with no
+    shuffle the hash is pure cost; raw equality is the same
+    equivalence class (and is what the DuckDB twin groups by). All
+    gram work is assembled as parsed SQL (the round-10 build-cost
+    rule: one JVM round-trip per stage, not ~100 py4j calls).
 
     Edge notes: a doc whose text trims to empty splits to one empty
     token (n_tokens=1, the q65 `repetition_stats` convention); docs
     shorter than `dup_w` yield a single whole-doc window that can
     never reach count ≥ 2, so their coverage is 0 by construction.
-    NULL-text rows drop (no windows to explode)."""
+    NULL-text rows drop (explicit filter — the old explode dropped
+    them implicitly)."""
     from data_warehouse_nhom8_spark.operators.span_dedup import (
         _merge_positions_col,
-        _window_hashes,
     )
+    from data_warehouse_nhom8_spark.regexes import WS_SPLIT_SQL
     from data_warehouse_nhom8_spark.session import repartition_if_split_starved
 
-    base = repartition_if_split_starved(df.select(id_col, text_col))
-    nt = F.size(F.split(F.lower(F.trim(_c(text_col))), WS_SPLIT))
-
-    # top branch: most frequent top_w-gram (two-level partial agg);
-    # keeps every doc, so it also carries the doc's token count
-    per_gram = (
-        base.select(
-            F.col(id_col).alias("__id"),
-            nt.alias("__nt"),
-            F.explode(_window_hashes(text_col, top_w)).alias("__h"),
-        )
-        .groupBy("__id", "__h")
-        .agg(F.count(F.lit(1)).alias("__c"), F.max("__nt").alias("__nt2"))
+    base = repartition_if_split_starved(
+        df.select(id_col, text_col).filter(_c(text_col).isNotNull())
     )
-    top_doc = (
-        per_gram.groupBy("__id")
-        .agg(F.max("__nt2").alias("__nt3"), F.max("__c").alias("__mx"))
-        .select(
-            "__id",
-            F.col("__nt3").alias("n_tokens"),
-            F.when(F.col("__nt3") >= top_w, F.col("__mx"))
-            .otherwise(F.lit(0))
-            .cast("long")
-            .alias("top_ngram_freq"),
-        )
+    tw, dw = int(top_w), int(dup_w)
+    # token array staged once (multi-referenced non-cheap alias —
+    # survives CollapseProject, so the split runs once per row)
+    s1 = base.selectExpr(
+        id_col,
+        f"split(lower(trim({text_col})), '{WS_SPLIT_SQL}') AS __tk",
     )
-
-    # dup branch, hits-only: duplicated windows' positions -> merged
-    # spans; clean docs drop out here and rejoin as the left-join miss
-    wins = base.select(
-        F.col(id_col).alias("__id"),
-        F.posexplode(_window_hashes(text_col, dup_w)).alias("__pos", "__h"),
+    # per-doc gram artifacts, each staged named: the sorted top_w-gram
+    # array and the (gram, 0-based pos) structs sorted by (gram, pos)
+    s2 = s1.selectExpr(
+        id_col,
+        "size(__tk) AS __nt",
+        f"array_sort(transform(sequence(1, greatest(size(__tk) - {tw - 1}, 1)), "
+        f"i -> concat_ws(' ', slice(__tk, i, {tw})))) AS __g2",
+        f"array_sort(transform(sequence(1, greatest(size(__tk) - {dw - 1}, 1)), "
+        f"i -> named_struct('g', concat_ws(' ', slice(__tk, i, {dw})), "
+        "'p', i - 1))) AS __gp",
     )
-    dup_doc = (
-        wins.groupBy("__id", "__h")
-        .agg(
-            F.count(F.lit(1)).alias("__c"),
-            F.collect_list("__pos").alias("__pp"),
-        )
-        .filter(F.col("__c") >= 2)
-        .groupBy("__id")
-        .agg(
-            F.sort_array(F.flatten(F.collect_list("__pp"))).alias("__ps")
-        )
-        .select("__id", _merge_positions_col("__ps", dup_w).alias("__spans"))
+    # max run length of equal adjacent grams == top gram's occurrence
+    # count; null-safe <=> seeds the first element against the NULL
+    # accumulator (grams themselves are never NULL: concat_ws)
+    s3 = s2.selectExpr(
+        id_col,
+        "__nt",
+        "aggregate(__g2, named_struct('p', CAST(NULL AS STRING), 'r', 0, 'm', 0), "
+        "(a, x) -> named_struct('p', x, "
+        "'r', CASE WHEN a.p <=> x THEN a.r + 1 ELSE 1 END, "
+        "'m', greatest(a.m, CASE WHEN a.p <=> x THEN a.r + 1 ELSE 1 END)), "
+        "a -> a.m) AS __mx",
+        "__gp",
     )
-
-    joined = top_doc.join(dup_doc, "__id", "left")
+    # positions of grams occurring >= 2 times in-doc: an element of the
+    # (gram, pos)-sorted array is duplicated iff a sorted NEIGHBOR
+    # carries the same gram (element_at is 1-based: element_at(__gp, i)
+    # is the predecessor of the element at 0-based index i)
+    s4 = s3.selectExpr(
+        id_col,
+        "__nt",
+        "__mx",
+        "array_sort(transform(filter(__gp, (x, i) -> "
+        "(i > 0 AND element_at(__gp, i).g = x.g) OR "
+        "(i < size(__gp) - 1 AND element_at(__gp, i + 2).g = x.g)), "
+        "x -> x.p)) AS __ps",
+    )
+    s5 = s4.select(
+        F.col(id_col),
+        F.col("__nt").alias("n_tokens"),
+        F.when(F.col("__nt") >= tw, F.col("__mx"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("top_ngram_freq"),
+        _merge_positions_col("__ps", dw).alias("__spans"),
+    )
     dup_raw = F.expr(
         "coalesce(aggregate(__spans, 0, (a, x) -> a + (x.e - x.s)), 0)"
     )
     dup_tokens = F.least(dup_raw, F.col("n_tokens"))
-    return joined.select(
-        F.col("__id").alias(id_col),
+    return s5.select(
+        F.col(id_col),
         "n_tokens",
         "top_ngram_freq",
         F.when(
