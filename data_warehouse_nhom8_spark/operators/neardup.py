@@ -199,7 +199,44 @@ def _band_table(with_sig: DataFrame, k: int, bands: int) -> DataFrame:
     """(id, band, bhash) from an (id, sig) signature table — each
     band's r-element slice hashed to one 64-bit bucket key. Derivable
     from stored signatures alone (no text), which is what makes the
-    incremental path cheap."""
+    incremental path cheap.
+
+    Assembled as ONE parsed SQL string (round-10 build-cost rule,
+    applied r15: the Column form issued ~300 py4j calls — 64
+    element_at + casts + per-band md5 trees — on every q53 probe
+    build; the parsed form is a single JVM round-trip and analyzes to
+    the identical operators — `_band_table_column_form` below is the
+    readable twin, pinned equal by tests/test_properties.py)."""
+    r = k // bands
+
+    def h64(x: str) -> str:
+        return (
+            f"(shiftleft(CAST(conv(substring(md5({x}), 1, 8), 16, 10) AS BIGINT), 32)"
+            f" | CAST(conv(substring(md5({x}), 9, 8), 16, 10) AS BIGINT))"
+        )
+
+    structs = ", ".join(
+        "named_struct('band', {b}, 'bhash', {h})".format(
+            b=b,
+            h=h64(
+                "concat_ws(',', "
+                + ", ".join(
+                    f"CAST(element_at(sig, {b * r + j + 1}) AS STRING)"
+                    for j in range(r)
+                )
+                + ")"
+            ),
+        )
+        for b in range(bands)
+    )
+    return with_sig.selectExpr("id", f"explode(array({structs})) AS bb").select(
+        "id", "bb.band", "bb.bhash"
+    )
+
+
+def _band_table_column_form(with_sig: DataFrame, k: int, bands: int) -> DataFrame:
+    """Column-API twin of `_band_table` — kept as the readable
+    specification and for the form-equivalence regression test."""
     r = k // bands
     return with_sig.select(
         "id",

@@ -1037,3 +1037,27 @@ def test_exact_money_sql_form_identical(spark):
     want = column_form(df.limit(0), **g).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
     assert got[0]["n"] == 0 and got[0]["sum_price"] is None
+
+
+def test_band_table_sql_form_identical(spark):
+    """_band_table's parsed-SQL form (r15 build-cost rewrite: one JVM
+    round-trip instead of ~300 py4j calls per build) must reproduce
+    the Column-form band table exactly — ids, band ordinals, and the
+    md5-derived 64-bit bucket hashes — including at a non-default
+    (k, bands) split."""
+    from data_warehouse_nhom8_spark.operators.neardup import (
+        _band_table,
+        _band_table_column_form,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [j * 13 + i * 7 for j in range(64)]) for i in range(23)],
+        "id long, sig array<bigint>",
+    )
+    for k, bands in ((64, 8), (64, 16)):
+        a = _band_table(df, k, bands)
+        b = _band_table_column_form(df, k, bands)
+        assert a.schema == b.schema
+        assert sorted(map(tuple, a.collect())) == sorted(
+            map(tuple, b.collect())
+        )
