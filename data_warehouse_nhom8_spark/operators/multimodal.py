@@ -79,18 +79,30 @@ def extract_features(df: DataFrame, batch_feature_dim: int = 8) -> DataFrame:
     df = repartition_for_compute(df)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # single pass per payload (guide §4.2): the sha1 digest is
+        # computed ONCE and reused for both the hex fingerprint and
+        # the fake feature lanes (digest.hex() == hexdigest(); the
+        # previous three .map traversals hashed every payload twice)
+        dim = batch_feature_dim
         for pdf in batches:
+            n_bytes, sha1s, feats = [], [], []
+            for p in pdf["payload"]:
+                if p is None:
+                    n_bytes.append(0)
+                    sha1s.append("")
+                    feats.append([0.0] * dim)
+                else:
+                    d = hashlib.sha1(p).digest()
+                    n_bytes.append(len(p))
+                    sha1s.append(d.hex())
+                    feats.append([b / 255.0 for b in d[:dim]])
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
-                    "n_bytes": pdf["payload"].map(lambda p: 0 if p is None else len(p)),
-                    "sha1": pdf["payload"].map(
-                        lambda p: "" if p is None else hashlib.sha1(p).hexdigest()
-                    ),
-                    "feature": pdf["payload"].map(
-                        lambda p: _fake_decode_features(p, batch_feature_dim)
-                    ),
+                    "n_bytes": n_bytes,
+                    "sha1": sha1s,
+                    "feature": feats,
                 }
             )
 

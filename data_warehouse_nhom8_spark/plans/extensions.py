@@ -1109,9 +1109,19 @@ def q42_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("kind"),
         F.encode("text", "utf-8").alias("payload"),
     )
+    # r15: hash-shuffle the SMALL result table before the global sort.
+    # A global orderBy plans a range exchange whose bounds come from a
+    # SAMPLING pass over the child; with no shuffle boundary below it,
+    # that pass re-executed the whole Arrow decode (measured: the
+    # query cost 2x its pipeline). The keyed repartition materializes
+    # the narrow (media_id, kind, n_bytes) rows once in shuffle files,
+    # so the sampler rescans those instead of re-decoding payloads —
+    # decode runs ONCE, the plan stays declarative, and only the
+    # small table ever shuffles (the 100 TB shape).
     return (
         extract_features(media)
         .select("media_id", "kind", "n_bytes")
+        .repartition("media_id")
         .orderBy("media_id")
     )
 
@@ -1265,7 +1275,17 @@ def q119_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_warehouse_nhom8_spark.operators.text import ngram_repetition_stats
 
     c = Catalog(spark, sf_dir)
-    return ngram_repetition_stats(c.documents, dup_w=3).orderBy("doc_id")
+    # r15: keyed repartition before the global sort — the range
+    # exchange's SAMPLING pass otherwise re-executes the whole
+    # map-only gram pipeline to pick bounds (the operator is
+    # shuffle-free since the r15 rewrite, so there was no boundary to
+    # stop the recompute; measured 2x). Only the small per-doc metric
+    # table shuffles; document text still never leaves its scan task.
+    return (
+        ngram_repetition_stats(c.documents, dup_w=3)
+        .repartition("doc_id")
+        .orderBy("doc_id")
+    )
 
 
 def _ngram_repetition_oracle_sql(top_w: int = 2, dup_w: int = 5) -> str:
@@ -1435,7 +1455,14 @@ def q54_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     c = Catalog(spark, sf_dir)
     bucket, split = hash_split_col(F.md5("text"))
-    return c.documents.select("doc_id", bucket, split).orderBy("doc_id")
+    # r15: keyed repartition before the global sort — the range
+    # exchange's sampling pass otherwise re-runs the md5 bucket map
+    # over every row to pick bounds (no shuffle boundary below it).
+    return (
+        c.documents.select("doc_id", bucket, split)
+        .repartition("doc_id")
+        .orderBy("doc_id")
+    )
 
 
 def q55_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1450,13 +1477,22 @@ def q55_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = pii_redact_cols("text")
     # 6 regex passes per row: CPU-bound, so don't let the 1-row-group
     # local file cap it at one core (no-op on real multi-split data)
-    return repartition_if_split_starved(c.documents).select(
-        "doc_id",
-        p["n_emails"].alias("n_emails"),
-        p["n_ips"].alias("n_ips"),
-        p["n_phones"].alias("n_phones"),
-        F.md5(p["redacted"]).alias("redacted_fp"),
-    ).orderBy("doc_id")
+    # r15: the keyed repartition below the sort stops the range
+    # exchange's sampling pass from re-running all six regex passes
+    # (it samples the narrow shuffled result instead); the regexes
+    # run exactly once per row.
+    return (
+        repartition_if_split_starved(c.documents)
+        .select(
+            "doc_id",
+            p["n_emails"].alias("n_emails"),
+            p["n_ips"].alias("n_ips"),
+            p["n_phones"].alias("n_phones"),
+            F.md5(p["redacted"]).alias("redacted_fp"),
+        )
+        .repartition("doc_id")
+        .orderBy("doc_id")
+    )
 
 
 def q56_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2104,9 +2140,12 @@ def q96_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_warehouse_nhom8_spark.operators.corpus import deterministic_shuffle_key
 
     c = Catalog(spark, sf_dir)
+    # r15: keyed repartition before the sort — the range sampler
+    # otherwise recomputes the md5 shuffle keys for every row.
     return (
         deterministic_shuffle_key(c.documents, seed="epoch0")
         .select("doc_id", "shuffle_key")
+        .repartition("shuffle_key")
         .orderBy("shuffle_key")
     )
 

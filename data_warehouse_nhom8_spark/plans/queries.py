@@ -344,9 +344,12 @@ def q24_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     (staging_transformer_v2.py:57)."""
     c = Catalog(spark, sf_dir)
     num = F.regexp_extract("p_brand", r"([0-9]+)", 1)
+    # r15: keyed repartition before the sort — the range sampler
+    # otherwise re-runs the regex extraction over the table.
     return (
         c.part.filter(num != "")
         .select("p_partkey", num.cast("int").alias("brand_num"))
+        .repartition("p_partkey")
         .orderBy("p_partkey")
     )
 
