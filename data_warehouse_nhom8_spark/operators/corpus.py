@@ -785,6 +785,7 @@ def decontaminate_scrub(
     id_col: str = "doc_id",
     text_col: str = "text",
     bench_grams: DataFrame | str | None = None,
+    ordered: bool = False,
 ) -> DataFrame:
     """Token-level benchmark decontamination SCRUB — the excision
     step `contamination_fraction` measures for: every token covered
@@ -831,6 +832,18 @@ def decontaminate_scrub(
         .filter(_c(text_col).isNotNull())
         .join(spans, id_col, "left")
     )
+    if ordered:
+        # r15: `ordered=True` sorts BETWEEN the join and the excision
+        # instead of the caller sorting the finished table. A global
+        # sort's range exchange samples its child to pick bounds; with
+        # the sort on top, that sampling pass re-ran the O(tokens x
+        # spans) excision filter over every row (measured 0.81 ->
+        # 0.50 s at sf0.1). Here the sampler only re-merges the
+        # join's already-shuffled inputs, and the excision — an
+        # order-preserving projection — runs exactly once, above the
+        # Sort. Output row order is identical (pinned by the q116
+        # oracle's result-order check).
+        joined = joined.orderBy(id_col)
     # stage the token array AND the filtered survivors as NAMED columns
     # (the q52/minhash staging rule): each is referenced 2-3x below and
     # the excision filter is O(tokens x spans) per row — inlined, the

@@ -937,9 +937,12 @@ def q116_decontaminate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = Catalog(spark, sf_dir)
     docs = c.documents
     corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    # r15: ordered=True sorts between the join and the excision so the
+    # range sampler never re-runs the excision filter (see operator).
     return decontaminate_scrub(
-        corpus, gram_w=4, bench_grams=_shared_bench_grams(spark, sf_dir, 4)
-    ).orderBy("doc_id")
+        corpus, gram_w=4, bench_grams=_shared_bench_grams(spark, sf_dir, 4),
+        ordered=True,
+    )
 
 
 def _synth_html_col() -> "F.Column":
@@ -2365,6 +2368,10 @@ def q110_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_warehouse_nhom8_spark.operators.span_dedup import span_dedup_stats
 
     c = Catalog(spark, sf_dir)
+    # r15: keyed repartition before the global sort — the sort's range
+    # sampler otherwise re-runs the left (token-count) side's full
+    # tokenize scan to pick bounds (the span side sits behind a reused
+    # broadcast and never doubled).
     return (
         span_dedup_stats(c.documents, window=12)
         .select(
@@ -2374,6 +2381,7 @@ def q110_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_spans").cast("long").alias("n_spans"),
             "dup_fraction",
         )
+        .repartition("doc_id")
         .orderBy("doc_id")
     )
 

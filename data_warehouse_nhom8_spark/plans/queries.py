@@ -69,6 +69,9 @@ def q03_partition_day_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: `ep` is the raw DOUBLE passthrough (no DECIMAL output
     columns — round-1 hash-gate post-mortem)."""
     c = Catalog(spark, sf_dir)
+    # r15: keyed repartition of the tiny filtered result before the
+    # global sort — the range sampler otherwise re-scans the fact
+    # table (pushed filter and all) a second time to pick bounds.
     return (
         c.lineitem.filter(F.to_date("l_shipdate") == F.lit("1995-06-17").cast("date"))
         .select(
@@ -76,6 +79,7 @@ def q03_partition_day_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_linenumber",
             F.col("l_extendedprice").alias("ep"),
         )
+        .repartition("l_orderkey")
         .orderBy("l_orderkey", "l_linenumber")
     )
 
@@ -161,6 +165,9 @@ def q09_theta_change_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(o, F.col("l.l_orderkey") == F.col("o.o_orderkey"), "inner")
         .filter(F.col("l.l_extendedprice") > F.col("o.o_totalprice") * 0.5)
         .select("l.l_orderkey", "l.l_linenumber")
+        # r15: boundary before the sort — the range sampler otherwise
+        # re-runs the whole join probe over the fact scan
+        .repartition("l_orderkey")
         .orderBy("l_orderkey", "l_linenumber")
     )
 
@@ -177,6 +184,8 @@ def q10_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             c.customer["c_custkey"] == open_orders["o_custkey"],
         )
         .select("c_custkey")
+        # r15: boundary before the sort (sampler re-ran the anti-join)
+        .repartition("c_custkey")
         .orderBy("c_custkey")
     )
 
@@ -318,7 +327,9 @@ def q21_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo = c.orders.filter(F.col("o_totalprice") < 1000).select(
         F.lit("lo").alias("s"), F.col("o_orderkey").alias("k")
     )
-    return setops.union_all(hi, lo).orderBy("s", "k")
+    # r15: boundary before the sort — the range sampler otherwise
+    # re-scans both union branches to pick bounds.
+    return setops.union_all(hi, lo).repartition("k").orderBy("s", "k")
 
 
 def q22_except(spark: SparkSession, sf_dir: str) -> DataFrame:

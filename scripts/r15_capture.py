@@ -43,6 +43,12 @@ def main() -> None:
 
     build_s: dict[str, float] = {}
     for name in names:
+        out_path = os.path.join(out_dir, f"{name}_{tag}.txt")
+        if os.path.exists(out_path) and not only:
+            # never clobber an existing capture in bulk mode: a
+            # "_before" file written after the query was optimized
+            # would silently misrepresent the baseline
+            continue
         fn = QUERIES[name]
         samples = []
         df = None
@@ -54,7 +60,7 @@ def main() -> None:
         buf = io.StringIO()
         with redirect_stdout(buf):
             df.explain("formatted")
-        with open(os.path.join(out_dir, f"{name}_{tag}.txt"), "w") as fh:
+        with open(out_path, "w") as fh:
             fh.write(buf.getvalue())
     print(json.dumps({"tag": tag, "sf_dir": sf_dir, "build_sec": build_s}))
 
