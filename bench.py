@@ -232,7 +232,8 @@ def main() -> None:
     bucketed_pass_totals = [
         round(sum(s[i] for s in bucketed_samples.values()), 3) for i in range(2)
     ]
-    contended = load_buck[0] > 8.0
+    load_buck_end = list(os.getloadavg())  # lane-END stamp (r16 task 2)
+    contended_start = load_buck[0] > 8.0
 
     warm_oracle_plain = round(sum(warm_plain.values()), 3)
     warm_oracle_buck = round(sum(warm_buck.values()), 3)
@@ -325,6 +326,37 @@ def main() -> None:
     duck_warm_paired = round((duck_warm_total + duck2["warm_total"]) / 2, 3)
     ratio_median = (
         round(concurrent_median / duck_warm_paired, 3) if duck_warm_paired else None
+    )
+
+    # r16 (VERDICT r15 task 2): the lane-start loadavg gate alone
+    # missed mid-lane co-tenant bursts — in r15 BOTH rounds' artifacts
+    # read `contended: false` while their own same-code DuckDB control
+    # lane ran 2.6x its idle value. The control's drift IS the
+    # detector: compare this run's paired DuckDB total against the
+    # archived idle reference (BENCH_LOCAL.json `duckdb_idle_ref_sec`,
+    # carried forward across runs; refreshed only by runs that were
+    # themselves uncontended, so a loaded run cannot poison the
+    # reference). Additions-only: the driver JSON keeps the same keys,
+    # `contended` just becomes load-gate OR control-drift.
+    local_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
+    )
+    try:
+        with open(local_path) as fh:
+            _prev_local = json.load(fh)
+    except (OSError, ValueError):
+        _prev_local = {}
+    duck_idle_ref = _prev_local.get("duckdb_idle_ref_sec")
+    drifted = (
+        isinstance(duck_idle_ref, (int, float))
+        and duck_idle_ref > 0
+        and duck_warm_paired > 1.3 * duck_idle_ref
+    )
+    contended = contended_start or drifted
+    new_idle_ref = (
+        duck_warm_paired
+        if not contended
+        else (duck_idle_ref if isinstance(duck_idle_ref, (int, float)) else None)
     )
 
     # Mid-scale lane (round-9 task 4): the sf1-equivalent crossover
@@ -437,6 +469,7 @@ def main() -> None:
         "duckdb_warm_total_sec": duck_warm_total,
         "duckdb_warm_total_after_sec": duck2["warm_total"],
         "duckdb_warm_paired_sec": duck_warm_paired,
+        "duckdb_idle_ref_sec": new_idle_ref,
         "duckdb_wall_sec": duck_wall,
         "duckdb_queries": {k: v["warm"] for k, v in duck["queries"].items()},
         "concurrent_warm_wall_sec": concurrent_best,
@@ -452,6 +485,7 @@ def main() -> None:
             "start": load_start,
             "ext_lane": load_ext,
             "bucketed_lane": load_buck,
+            "bucketed_lane_end": load_buck_end,
             "mid": load_mid,
             "end": load_end,
         },
@@ -468,18 +502,11 @@ def main() -> None:
     # Full per-query detail (cold AND both warm maps) — for humans and
     # for the local BENCH_LOCAL.json archive.
     print(json.dumps(detail))
-    local_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
-    )
     # carry the x1000 block forward (VERDICT r14 task 5): the 600M
     # lane is taken by a separate PROBE_X1000 run (too heavy for the
     # per-round bench) and merged into this file — a bench rewrite
     # must not clobber the paired measure it sits next to
-    try:
-        with open(local_path) as fh:
-            prev_x1000 = (json.load(fh).get("midscale") or {}).get("x1000")
-    except (OSError, ValueError):
-        prev_x1000 = None
+    prev_x1000 = (_prev_local.get("midscale") or {}).get("x1000")
     if prev_x1000 is not None:
         # copy-on-write: the compact driver line below shares this
         # dict object and must stay under its 1900-char budget

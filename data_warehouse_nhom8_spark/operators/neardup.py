@@ -75,6 +75,17 @@ def _perm(a: int, b: int):
     return lambda h: (h * a + b) % _P
 
 
+def _signature_parts_sql(shingle_hashes: str, k: int) -> str:
+    """SQL text of the k permutation-min signature elements over a
+    named shingle-hash array column — shared by the str-form
+    `minhash_signature_col` and the parsed-SQL builders."""
+    return ",".join(
+        f"array_min(transform({shingle_hashes}, "
+        f"h -> (h * {_coeff(i, 'a')}L + {_coeff(i, 'b')}L) % {_P}L))"
+        for i in range(k)
+    )
+
+
 def minhash_signature_col(shingle_hashes: Column | str, k: int = 64) -> Column:
     """k-element MinHash signature (array<long>) over a PRE-HASHED
     shingle array (array<long>).
@@ -95,12 +106,7 @@ def minhash_signature_col(shingle_hashes: Column | str, k: int = 64) -> Column:
     builds in ~0.05 s and plans/executes bit-identically — same
     operators, same coefficients, same arithmetic)."""
     if isinstance(shingle_hashes, str):
-        parts = ",".join(
-            f"array_min(transform({shingle_hashes}, "
-            f"h -> (h * {_coeff(i, 'a')}L + {_coeff(i, 'b')}L) % {_P}L))"
-            for i in range(k)
-        )
-        return F.expr(f"array({parts})")
+        return F.expr(f"array({_signature_parts_sql(shingle_hashes, k)})")
     sig = []
     for i in range(k):
         a, b = _coeff(i, "a"), _coeff(i, "b")
@@ -128,6 +134,27 @@ def minhash_signatures(
     return hashed.select("id", minhash_signature_col("__hs", k).alias("sig"))
 
 
+def _h64_sql(x: str) -> str:
+    """SQL-text twin of `md5_token_hash64` (hi/lo 32-bit halves of the
+    first 16 md5 hex chars recombined) — for parsed-SQL builders."""
+    return (
+        f"(shiftleft(CAST(conv(substring(md5({x}), 1, 8), 16, 10) AS BIGINT), 32)"
+        f" | CAST(conv(substring(md5({x}), 9, 8), 16, 10) AS BIGINT))"
+    )
+
+
+def _shingles_sql(text: str, w: int) -> str:
+    """SQL-text twin of `shingles_col` (same lambda-variable token
+    binding — the token array binds once, each shingle slices it)."""
+    from data_warehouse_nhom8_spark.regexes import WS_SPLIT_SQL
+
+    return (
+        f"transform(array(split(lower(trim({text})), '{WS_SPLIT_SQL}')), "
+        f"tk -> transform(sequence(1, greatest(size(tk) - {w - 1}, 1)), "
+        f"i -> concat_ws(' ', slice(tk, i, {w}))))[0]"
+    )
+
+
 def minhash_signature_sets(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -141,7 +168,38 @@ def minhash_signature_sets(
     the exact-Jaccard verify without ever rescanning corpus text).
     One shingling pass feeds both (staging rule from
     minhash_signature_col); identical hash family to
-    minhash_signatures, so banding results are byte-equal."""
+    minhash_signatures, so banding results are byte-equal.
+
+    Assembled as THREE parsed selectExpr round trips (r16, the
+    round-10 build-cost rule): the Column form issued ~200 py4j calls
+    per construction — this builder sits on q53's per-probe path,
+    where plan construction was half the probe wall. Same operators,
+    same token binding, same hash family; the Column twin below is
+    pinned value-identical by test_properties."""
+    sh = _shingles_sql(text_col, shingle_w)
+    return (
+        df.selectExpr(
+            f"{id_col} AS id",
+            f"transform(array_distinct({sh}), s -> {_h64_sql('s')}) AS __h64",
+        )
+        .selectExpr("id", "__h64", f"transform(__h64, h -> abs(h) % {_P}L) AS __hs")
+        .selectExpr(
+            "id",
+            "__h64",
+            f"array({_signature_parts_sql('__hs', k)}) AS sig",
+        )
+    )
+
+
+def minhash_signature_sets_column_form(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 64,
+    shingle_w: int = 3,
+) -> DataFrame:
+    """Column-API twin of `minhash_signature_sets` — kept as the
+    readable specification and for the form-equivalence pytest."""
     return (
         df.select(
             F.col(id_col).alias("id"),
@@ -209,16 +267,10 @@ def _band_table(with_sig: DataFrame, k: int, bands: int) -> DataFrame:
     readable twin, pinned equal by tests/test_properties.py)."""
     r = k // bands
 
-    def h64(x: str) -> str:
-        return (
-            f"(shiftleft(CAST(conv(substring(md5({x}), 1, 8), 16, 10) AS BIGINT), 32)"
-            f" | CAST(conv(substring(md5({x}), 9, 8), 16, 10) AS BIGINT))"
-        )
-
     structs = ", ".join(
         "named_struct('band', {b}, 'bhash', {h})".format(
             b=b,
-            h=h64(
+            h=_h64_sql(
                 "concat_ws(',', "
                 + ", ".join(
                     f"CAST(element_at(sig, {b * r + j + 1}) AS STRING)"
@@ -371,6 +423,7 @@ def minhash_incremental_pairs(
     corpus_band_sizes: DataFrame | None = None,
     corpus_sets: DataFrame | None = None,
     corpus_sets_loader=None,
+    band_sizes_hot: bool = False,
 ) -> DataFrame:
     """Daily-increment near-dup: pairs INVOLVING the new batch,
     without re-signaturing the corpus.
@@ -411,29 +464,18 @@ def minhash_incremental_pairs(
     # verify step, signatures for banding): shingling runs once and
     # the per-call barrier count stays low — each localCheckpoint is a
     # full job round-trip, and on a ~1k-doc daily batch the barriers
-    # cost as much as the compute. In the store path the checkpoint is
-    # LAZY (round 11): the `mx` histogram collect below is then the
-    # single first consumer, so its job writes the checkpoint as a
-    # side effect — one barrier instead of two, race-free because no
-    # other consumer runs concurrently with it. Without a store
-    # histogram the first consumer is the cands job, whose broadcast
-    # thread and probe side would RACE to materialize (measured
-    # slower than the extra barrier), so that path stays eager. The
-    # folded hash array is staged as a NAMED column before the k
+    # cost as much as the compute. Always EAGER since r16: this is the
+    # FIRST driver barrier of the probe, and with the mx histogram
+    # folded into the plan (below) its job carries only the batch
+    # shingle+signature pass — every downstream consumer (band
+    # histogram, banding, verify sets) reads the checkpointed rows.
+    # The folded hash array is staged as a NAMED column before the k
     # permutation mins fan out (staging rule from
-    # minhash_signature_col's docstring).
-    staged = (
-        new_docs.select(
-            F.col(id_col).alias("id"),
-            F.transform(
-                F.array_distinct(shingles_col(text_col, shingle_w)),
-                md5_token_hash64,
-            ).alias("__h64"),
-        )
-        .select("id", "__h64", F.transform("__h64", lambda h: F.abs(h) % _P).alias("__hs"))
-        .select("id", "__h64", minhash_signature_col("__hs", k).alias("sig"))
-        .localCheckpoint(eager=corpus_band_sizes is None)
-    )
+    # minhash_signature_col's docstring); the builder is the parsed-SQL
+    # `minhash_signature_sets` (r16 — this is the per-probe path).
+    staged = minhash_signature_sets(
+        new_docs, id_col, text_col, k, shingle_w
+    ).localCheckpoint(eager=True)
     new_sets = staged.select("id", "__h64")
     new_sigs = staged.select("id", "sig")
     if corpus_sigs is None:
@@ -467,15 +509,59 @@ def minhash_incremental_pairs(
         batch_hist = new_bands.groupBy("band", "bhash").agg(
             F.count(F.lit(1)).alias("__bn_new")
         )
-        mx_row = batch_hist.agg(F.max("__bn_new")).first()[0]
-        mx = int(mx_row) if mx_row is not None else 0
-        near_hot = F.broadcast(
-            corpus_band_sizes.filter(
-                F.col("__bn") > max_bucket_size - mx
-            ).withColumnRenamed("__bn", "__bn_old")
-        )
+        # r16 (VERDICT r15 task 1): `mx` — the batch histogram's max
+        # bucket count — is folded INTO the plan as a broadcast
+        # 1-row scalar (cross join) instead of a `.first()` driver
+        # collect. The collect was a full serial job barrier at plan-
+        # construction time (and, as the lazy checkpoint's first
+        # consumer, it carried the whole batch shingle pass); in-plan
+        # it executes inside the near_hot broadcast build, overlapped
+        # with the other broadcast exchanges of the final job. The
+        # trade documented for 100 TB: the corpus histogram scan's
+        # `__bn > cap - mx` filter no longer reaches parquet row-group
+        # pruning (mx is a join output, not a literal) — the histogram
+        # tier is (band, bhash, count) rows, orders of magnitude
+        # smaller than the corpus, and the store pins it hot anyway.
+        if band_sizes_hot:
+            # r16: when the caller pins the histogram tier hot (the
+            # store cache does — it is registry-sized, (band, bhash,
+            # count) ints), reconcile by broadcasting the WHOLE tier
+            # into the batch histogram instead of the mx/near-hot
+            # two-step. Identical ok set: the full tier is the
+            # near-hot superset at mx = ∞, and the filter below is the
+            # exact per-bucket test either way. One broadcast build
+            # replaces three chained ones (mx scalar → near-hot →
+            # ok) — each chained build was a serial ~20-150 ms
+            # sub-job of the probe. The mx path below stays the
+            # default: at 100 TB the histogram tier is NOT broadcast
+            # material and the near-hot tail is.
+            old_counts = F.broadcast(
+                corpus_band_sizes.withColumnRenamed("__bn", "__bn_old")
+            )
+        else:
+            # `mx` — the batch histogram's max bucket count — folded
+            # INTO the plan as a broadcast 1-row scalar (cross join)
+            # instead of a `.first()` driver collect (r16, VERDICT r15
+            # task 1). The collect was a full serial job barrier at
+            # plan-construction time (and, as the lazy checkpoint's
+            # first consumer, it carried the whole batch shingle
+            # pass); in-plan it executes inside the near-hot broadcast
+            # build. The trade documented for 100 TB: the histogram
+            # scan's `__bn > cap - mx` filter no longer reaches
+            # parquet row-group pruning (mx is a join output, not a
+            # literal) — the histogram tier is (band, bhash, count)
+            # rows, orders of magnitude smaller than the corpus.
+            mx_df = batch_hist.agg(
+                F.coalesce(F.max("__bn_new"), F.lit(0)).alias("__mx")
+            )
+            old_counts = F.broadcast(
+                corpus_band_sizes.crossJoin(F.broadcast(mx_df))
+                .filter(F.col("__bn") > max_bucket_size - F.col("__mx"))
+                .drop("__mx")
+                .withColumnRenamed("__bn", "__bn_old")
+            )
         ok_buckets = (
-            batch_hist.join(near_hot, ["band", "bhash"], "left")
+            batch_hist.join(old_counts, ["band", "bhash"], "left")
             .filter(
                 F.col("__bn_new") + F.coalesce(F.col("__bn_old"), F.lit(0))
                 <= max_bucket_size
@@ -483,9 +569,13 @@ def minhash_incremental_pairs(
             .select("band", "bhash")
         )
         ok_b = F.broadcast(ok_buckets)
-        nb = new_bands.join(ok_b, on=["band", "bhash"])
+        # r16: the cap filter is applied to the PROBE side only — the
+        # candidate join's key IS the bucket, so a pair's a-side bucket
+        # equals its (ok-filtered) b-side bucket and filtering both
+        # sides was redundant work (one extra BHJ probe pass) and one
+        # extra serial broadcast dependency for the batch side.
         ab = all_bands.join(ok_b, on=["band", "bhash"])
-        a, b = F.broadcast(nb).alias("a"), ab.alias("b")
+        a, b = F.broadcast(new_bands).alias("a"), ab.alias("b")
     else:
         sizes = all_bands.groupBy("band", "bhash").agg(
             F.count(F.lit(1)).alias("__bn")
@@ -506,17 +596,58 @@ def minhash_incremental_pairs(
             F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
         )
         .distinct()
-        # LAZY in the store-loader path (round 12): the capped
-        # cand_ids collect just below is then the single first
-        # consumer and writes the checkpoint as a side effect -- the
-        # cands job and the id-list job fuse into one barrier (same
-        # race-free rationale as the staged checkpoint above; the mx
-        # collect has already run, nothing else is in flight). The
-        # non-loader paths keep the eager barrier: their first
-        # consumer is the verify job, whose two plan branches over
-        # cands would otherwise race to materialize.
-        .localCheckpoint(eager=corpus_sets_loader is None)
     )
+    if corpus_sets is not None and corpus_sets_loader is None:
+        # r16 single-barrier verify (cached-sets tier; VERDICT r15
+        # task 1). The r15 shape checkpointed `cands` eagerly (a
+        # driver barrier) and then broadcast the candidate-PRUNED sets
+        # union on BOTH verify sides — each broadcast build re-ran the
+        # cand-id distinct aggregate and the corpus_sets semi-join
+        # (two SortMergeJoin LeftSemi + four Exchange subtrees in the
+        # r15 captured plan). Here `cands` executes exactly ONCE — as
+        # one broadcast build, exploded to (id_a, id_b, probe-id) so
+        # BOTH pair members resolve their hash set in a SINGLE pass
+        # over the sets tier (already resident: the store cache
+        # checkpoints it), then a candidate-scale groupBy stitches the
+        # pair back together. The BHJ does the candidate pruning the
+        # semi-join did; each pair matches exactly two set rows (ids
+        # are unique), so the ignorenulls-first aggregates are
+        # deterministic. No driver barrier remains between the staged
+        # batch checkpoint and the final action.
+        sets = new_sets.unionByName(corpus_sets.select("id", "__h64"))
+        exploded = cands.select(
+            "id_a",
+            "id_b",
+            F.explode(F.array("id_a", "id_b")).alias("id"),
+        )
+        hits = sets.join(F.broadcast(exploded), "id")
+        paired = hits.groupBy("id_a", "id_b").agg(
+            F.first(
+                F.when(F.col("id") == F.col("id_a"), F.col("__h64")),
+                ignorenulls=True,
+            ).alias("__ha"),
+            F.first(
+                F.when(F.col("id") == F.col("id_b"), F.col("__h64")),
+                ignorenulls=True,
+            ).alias("__hb"),
+        )
+        inter = F.size(F.array_intersect("__ha", "__hb"))
+        union = F.size(F.array_union("__ha", "__hb"))
+        return paired.select(
+            "id_a",
+            "id_b",
+            F.round(inter / F.when(union > 0, union).otherwise(1), 6)
+            .cast("double")
+            .alias("jaccard"),
+        ).filter(F.col("jaccard") >= threshold)
+    # LAZY checkpoint in the store-loader path (round 12): the capped
+    # cand_ids collect just below is then the single first consumer
+    # and writes the checkpoint as a side effect -- the cands job and
+    # the id-list job fuse into one barrier. The corpus-text fallback
+    # keeps the eager barrier: its first consumer is the verify job,
+    # whose two plan branches over cands would otherwise race to
+    # materialize.
+    cands = cands.localCheckpoint(eager=corpus_sets_loader is None)
 
     # shingle sets for the candidate OLD docs only (sparse rebuild)
     new_ids = new_sets.select("id")
@@ -548,11 +679,6 @@ def minhash_incremental_pairs(
             if loaded is not None
             else new_sets.limit(0)
         )
-    elif corpus_sets is not None:
-        # third store tier: persisted (id, __h64) hash sets — the
-        # verify step never touches corpus text (the steady-state cost
-        # that remained after the band-table tier; see store docstring)
-        old_sets = corpus_sets.join(cand_ids, "id", "left_semi").select("id", "__h64")
     else:
         old_sets = (
             corpus_docs.join(

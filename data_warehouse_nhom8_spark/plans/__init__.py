@@ -169,29 +169,78 @@ def latest_correctness_green(root: str | None = None):
 # q38/q119 oracle slots) but the optimization driver's contract forbids
 # removing any query present in BENCH_r14, so both are RESTORED.  That
 # puts 101 oracled queries over a 2x50-row certification window; the
-# structural overflow is pinned HERE, on the restored pair, because each
-# is the one kind of query that can safely sit outside the window: its
-# oracle is a strict subset of an oracled superset (q17 ⊂ q86, q63 ⊂
-# q64 — q64's oracle unpivots the identical wide pivot CTE), so a green
-# superset row certifies it cell-for-cell.  tests/test_plans.py's
-# rotation gate encodes exactly this exception.
+# structural overflow is pinned HERE, on the restored pair, because
+# each is the one query class that can best afford to sit outside the
+# window: SAME-SHAPE coverage (r16, correcting the r15 claim per
+# ADVICE: q17's oracle is NOT a cell-for-cell subset of q86's — q86
+# aggregates lineitem revenue, q17 counts orders; q63 ⊂ q64 IS real
+# oracle containment, but a green superset row still only runs the
+# superset's SPARK plan, never the restored query's).  The real
+# correctness guarantee for the pair is therefore the per-suite
+# DuckDB-twin pytest (tests/test_retired_oracles.py::
+# test_restored_pair_matches_duckdb_oracles — every suite run, both
+# queries' actual Spark plans vs their actual oracles), plus the
+# window ALTERNATION below so each restored query also gets a real
+# driver row when the parity allows one.
 RESTORED_SUBSET_COVERED = {
     "q17_scalar_agg_gate": "q86_forecast_revenue",
     "q63_pivot": "q64_unpivot",
 }
 
 
+def _green_rounds(root: str | None = None) -> dict:
+    """query -> highest round number with a green driver row, scanned
+    over EVERY CORRECTNESS_r*.json.  Drives the restored-pair window
+    alternation: the restored query that has gone longest without a
+    real driver row sorts earlier, so the pair alternates through the
+    one window slot the 101-over-2x50 overflow leaves them (ADVICE
+    r15: a fixed sort order starved q63 of driver rows forever)."""
+    import re
+
+    out: dict = {}
+    for path in sorted(
+        glob.glob(os.path.join(root or _repo_root(), "CORRECTNESS_r*.json"))
+    ):
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        m = re.search(r"CORRECTNESS_r(\d+)", os.path.basename(path))
+        rnd = int(m.group(1)) if m else 0
+        for q, r in rows.items():
+            if (
+                isinstance(r, dict)
+                and r.get("rows_match")
+                and r.get("schema_match")
+                and r.get("hash_match")
+            ):
+                out[q] = max(out.get(q, 0), rnd)
+    return out
+
+
 def _compute_front(names) -> list:
     """Oracled queries lacking a green row in the newest CORRECTNESS file,
     in stable sorted order.  These MUST head the registry so the driver's
     50-row window certifies them this round.  The restored subset-covered
-    pair sorts LAST so that any window overflow lands on a query whose
-    certification is implied by its in-window superset."""
+    pair sorts LAST (stalest-certified first among themselves) so that
+    any window overflow lands on a restored query — and, across rounds,
+    alternates between the two."""
     _, green = latest_correctness_green()
     if green is None:
         return [n for n in _BOOTSTRAP_FRONT if n in names]
     front = [n for n in sorted(names) if n in ORACLES and n not in green]
-    return sorted(front, key=lambda n: (n in RESTORED_SUBSET_COVERED, n))
+    if not any(n in RESTORED_SUBSET_COVERED for n in front):
+        return sorted(front)
+    stale = _green_rounds()
+    return sorted(
+        front,
+        key=lambda n: (
+            n in RESTORED_SUBSET_COVERED,
+            stale.get(n, -1) if n in RESTORED_SUBSET_COVERED else 0,
+            n,
+        ),
+    )
 
 
 _MISSED_LAST_ROUND = _compute_front(_ALL_QUERIES)

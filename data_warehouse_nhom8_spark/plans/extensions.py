@@ -915,6 +915,12 @@ def q53_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingle_w=5,
         corpus_bands=store["bands"],
         corpus_band_sizes=store["sizes"],
+        # r16: the store cache pins the histogram tier hot
+        # (registry-sized ints), so the probe broadcasts it whole
+        # instead of chaining the mx/near-hot builds — one serial
+        # broadcast sub-job instead of three. The mx path stays the
+        # operator default for stores whose histogram is not resident.
+        band_sizes_hot=True,
         **sets_kw,
     ).orderBy("id_a", "id_b")
 

@@ -205,17 +205,21 @@ def test_rotation_keeps_consecutive_round_coverage():
     # r15 optimization-round exception: q17/q63 were restored (query
     # removal is forbidden in optimization rounds) which puts 101
     # oracled queries over the 2x50 window.  A restored query may sit
-    # outside the window UNCERTIFIED only while its strict-superset
-    # oracle (q86/q64 — see plans.RESTORED_SUBSET_COVERED) is either
-    # in the upcoming window or green in the latest file, so superset
-    # certification stands in for the missing driver row.
+    # outside the window UNCERTIFIED only while its same-shape oracle
+    # (q86/q64 — see plans.RESTORED_SUBSET_COVERED) is ACTUALLY GREEN
+    # in the latest file (r16, ADVICE r15 medium: `sup in window`
+    # excused the pair on a certification that had not happened yet —
+    # a red superset row would have kept the excuse alive), AND the
+    # per-suite DuckDB twin (test_retired_oracles.py::
+    # test_restored_pair_matches_duckdb_oracles) runs the restored
+    # query's own Spark plan against its own oracle every suite run.
     from data_warehouse_nhom8_spark.plans import RESTORED_SUBSET_COVERED
 
     window = set(list(QUERIES)[:50])
     excused = {
         q
         for q, sup in RESTORED_SUBSET_COVERED.items()
-        if sup in window or sup in green_latest
+        if sup in green_latest
     }
     uncovered = [
         q

@@ -1061,3 +1061,34 @@ def test_band_table_sql_form_identical(spark):
         assert sorted(map(tuple, a.collect())) == sorted(
             map(tuple, b.collect())
         )
+
+
+def test_signature_sets_sql_form_identical(spark):
+    """minhash_signature_sets' parsed-SQL form (r16 build-cost rewrite
+    — it sits on q53's per-probe path, where plan construction was
+    ~half the probe wall) must reproduce the Column-form staged table
+    exactly: ids, deduped 64-bit shingle-hash sets, AND the k-element
+    signatures, including at a non-default (k, shingle_w)."""
+    from data_warehouse_nhom8_spark.operators.neardup import (
+        minhash_signature_sets,
+        minhash_signature_sets_column_form,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "the quick brown fox jumps over the lazy cat"),
+            (2, "pack my box with five dozen liquor jugs ok"),
+            (3, "short doc"),
+            (4, "tabs\tand\nnewlines \x0b mixed   whitespace here now"),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    for k, w in ((64, 5), (16, 3)):
+        a = minhash_signature_sets(df, "doc_id", "text", k, w)
+        b = minhash_signature_sets_column_form(df, "doc_id", "text", k, w)
+        assert a.schema == b.schema
+        ra = sorted(a.collect(), key=lambda r: r["id"])
+        rb = sorted(b.collect(), key=lambda r: r["id"])
+        assert [tuple(r) for r in ra] == [tuple(r) for r in rb]

@@ -172,6 +172,44 @@ def test_retired_queries_match_their_duckdb_oracles(spark, duck):
     assert not problems, problems
 
 
+def test_restored_pair_matches_duckdb_oracles(spark, duck):
+    """ADVICE r15 (high): the restored pair q17/q63 sits outside the
+    2x50 driver window in alternating rounds, and superset-oracle
+    coverage was a false premise (q17's COUNT-of-orders oracle is not
+    a cell subset of q86's lineitem-revenue oracle; and even for the
+    real q63 ⊂ q64 containment, a green q64 row never runs q63's
+    Spark plan). This test is the pair's real correctness guarantee:
+    each restored query's ACTUAL Spark plan vs its ACTUAL DuckDB
+    oracle, every suite run, same canon as the driver mimic."""
+    from data_warehouse_nhom8_spark.plans import (
+        ORACLES,
+        QUERIES,
+        RESTORED_SUBSET_COVERED,
+    )
+
+    canon = _verify_oracle_module().canon
+    problems = []
+    for name in sorted(RESTORED_SUBSET_COVERED):
+        sdf = QUERIES[name](spark, SF_DIR)
+        scols = sdf.columns
+        srows = [tuple(canon(v) for v in r) for r in sdf.collect()]
+        cur = duck.execute(ORACLES[name])
+        dcols = [d[0] for d in cur.description]
+        drows = [tuple(canon(v) for v in r) for r in cur.fetchall()]
+        if sorted(scols) != sorted(dcols):
+            problems.append(f"{name}: cols {sorted(scols)} vs {sorted(dcols)}")
+            continue
+        sidx = [scols.index(c) for c in sorted(scols)]
+        didx = [dcols.index(c) for c in sorted(dcols)]
+        so = [tuple(r[i] for i in sidx) for r in srows]
+        do = [tuple(r[i] for i in didx) for r in drows]
+        if sorted(so) != sorted(do):
+            problems.append(f"{name}: values differ ({len(so)} vs {len(do)} rows)")
+        elif so != do:
+            problems.append(f"{name}: result order differs")
+    assert not problems, problems
+
+
 def test_verify_mimic_hard_fails_out_of_pandas_bounds_dates(spark):
     """Round-12 blind-spot closure (verdict task 2): the local mimic
     canonicalized dates via isoformat and so PASSED the SCD2 sentinel
