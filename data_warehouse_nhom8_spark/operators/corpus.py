@@ -778,6 +778,30 @@ def _contamination_folded(
     )
 
 
+# Broadcast the contaminated-spans side of the scrub join while the
+# CORPUS input is under this on-disk size (the `sets_cached`-style
+# size policy): the spans table is bounded by the contaminated doc
+# subset and carries window-granular struct arrays — orders of
+# magnitude smaller than the text it was derived from — so a corpus
+# whose raw bytes fit here bounds the broadcast to low MBs. Above the
+# bound (and at 100 TB) the scrub keeps the shuffle join: a broadcast
+# build of a corpus-scale span table is exactly the driver/executor
+# OOM §3.1 warns about.
+_SPANS_BROADCAST_MAX_CORPUS_BYTES = 256 * 1024 * 1024
+
+
+def _input_bytes(df: DataFrame) -> int:
+    import os as _os
+
+    total = 0
+    for f in df.inputFiles():
+        try:
+            total += _os.path.getsize(f.replace("file:", "", 1))
+        except OSError:
+            return 1 << 62  # unknown input — treat as over-bound
+    return total
+
+
 def decontaminate_scrub(
     corpus: DataFrame,
     benchmark: DataFrame | None = None,
@@ -786,6 +810,7 @@ def decontaminate_scrub(
     text_col: str = "text",
     bench_grams: DataFrame | str | None = None,
     ordered: bool = False,
+    broadcast_spans: bool | None = None,
 ) -> DataFrame:
     """Token-level benchmark decontamination SCRUB — the excision
     step `contamination_fraction` measures for: every token covered
@@ -827,10 +852,21 @@ def decontaminate_scrub(
         .filter(F.size("__spans") > 0)
         .select(id_col, "__spans")
     )
+    # r16 (VERDICT r15 task 7, guide §2.4/§3.1): size-policied
+    # broadcast of the spans side. The spans aggregate's output size
+    # is unknown to Catalyst (post-ObjectHashAggregate), so the
+    # planner falls back to a SortMergeJoin that shuffles the CORPUS
+    # TEXT by id — the one heavy-bytes exchange on the scrub path
+    # (r15 plan: Exchange(3) under the SMJ, on top of the final
+    # order's range exchange — text moved twice). Under the size
+    # policy the spans side broadcasts and corpus text never shuffles
+    # for the join; the SMJ stays the over-bound fallback.
+    if broadcast_spans is None:
+        broadcast_spans = _input_bytes(corpus) <= _SPANS_BROADCAST_MAX_CORPUS_BYTES
     joined = (
         corpus.select(id_col, text_col)
         .filter(_c(text_col).isNotNull())
-        .join(spans, id_col, "left")
+        .join(F.broadcast(spans) if broadcast_spans else spans, id_col, "left")
     )
     if ordered:
         # r15: `ordered=True` sorts BETWEEN the join and the excision

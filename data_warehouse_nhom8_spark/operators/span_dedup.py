@@ -36,10 +36,21 @@ from pyspark.sql import functions as F
 from data_warehouse_nhom8_spark.regexes import WS_SPLIT, WS_SPLIT_SQL
 
 
-def _window_hashes(text: Column | str, w: int) -> Column:
-    """array<string>: md5 of each W-token rolling window (lowercased,
-    whitespace-split). Documents shorter than w tokens yield a single
-    whole-document window.
+def _window_hashes(text: Column | str, w: int, binary: bool = False) -> Column:
+    """array<string> (or array<binary> with `binary=True`): md5 of
+    each W-token rolling window (lowercased, whitespace-split).
+    Documents shorter than w tokens yield a single whole-document
+    window.
+
+    `binary=True` (r16, guide §2.3 — narrow the shuffle key) emits
+    `unhex(md5(...))`: 16 raw bytes instead of the 32-char hex string.
+    unhex is a bijection of md5's lowercase hex, so the equality
+    classes — and therefore every duplicate decision — are IDENTICAL;
+    the window-hash exchange (the span-dedup family's dominant
+    shuffle) carries half the key bytes. The hex form stays the
+    default because the benchmark gram store persists hex digests
+    (`_gram_digests` contract) and the contamination operators join
+    against it.
 
     Pass the column NAME (str) on latency-sensitive paths: the whole
     nested-HOF tree then parses as ONE SQL string in a single JVM
@@ -47,16 +58,22 @@ def _window_hashes(text: Column | str, w: int) -> Column:
     costing more driver time than execution on the span-dedup family).
     Same operators, same token binding, bit-identical plans."""
     if isinstance(text, str):
+        gram = f"md5(concat_ws(' ', slice(tk, i, {w})))"
+        if binary:
+            gram = f"unhex({gram})"
         return F.expr(
             f"transform(array(split(lower(trim({text})), '{WS_SPLIT_SQL}')), "
             f"tk -> transform(sequence(1, greatest(size(tk) - {w - 1}, 1)), "
-            f"i -> md5(concat_ws(' ', slice(tk, i, {w})))))[0]"
+            f"i -> {gram}))[0]"
         )
     toks = F.split(F.lower(F.trim(text)), WS_SPLIT)
 
+    def h(x: Column) -> Column:
+        return F.unhex(F.md5(x)) if binary else F.md5(x)
+
     def build(tk: Column) -> Column:
         idx = F.sequence(F.lit(1), F.greatest(F.size(tk) - (w - 1), F.lit(1)))
-        return F.transform(idx, lambda i: F.md5(F.concat_ws(" ", F.slice(tk, i, w))))
+        return F.transform(idx, lambda i: h(F.concat_ws(" ", F.slice(tk, i, w))))
 
     return F.transform(F.array(toks), build)[0]
 
@@ -107,7 +124,9 @@ def duplicated_spans(
         docs.select(id_col, text_col)
     ).select(
         F.col(id_col).alias("__id"),
-        F.posexplode(_window_hashes(text_col, window)).alias("__pos", "__h"),
+        F.posexplode(
+            _window_hashes(text_col, window, binary=True)
+        ).alias("__pos", "__h"),
     )
     if materialize:
         wins = wins.localCheckpoint(eager=True)
@@ -299,7 +318,9 @@ def span_store_build(
 
     wins = repartition_if_split_starved(docs.select(id_col, text_col)).select(
         F.col(id_col).alias("__id"),
-        F.explode(F.array_distinct(_window_hashes(text_col, window))).alias("h"),
+        F.explode(
+            F.array_distinct(_window_hashes(text_col, window, binary=True))
+        ).alias("h"),
     )
     return wins.groupBy("h").agg(F.count(F.lit(1)).alias("n_docs"))
 
@@ -337,7 +358,9 @@ def duplicated_spans_incremental(
         batch_docs.select(id_col, text_col)
     ).select(
         F.col(id_col).alias("__id"),
-        F.posexplode(_window_hashes(text_col, window)).alias("__pos", "__h"),
+        F.posexplode(
+            _window_hashes(text_col, window, binary=True)
+        ).alias("__pos", "__h"),
     )
     batch_counts = wins.select("__id", "__h").distinct().groupBy("__h").agg(
         F.count(F.lit(1)).alias("__bn")

@@ -242,6 +242,30 @@ def test_rotation_keeps_consecutive_round_coverage():
     )
 
 
+def test_q116_order_survives_above_sort(spark):
+    """q116's final row order is CONVENTIONAL, not contractual
+    (VERDICT r15 "what's wrong" #4): with ordered=True the Sort sits
+    below the excision projections, so the oracle's result-order check
+    relies on everything above the Sort being order-preserving narrow
+    ops. Gate the shape: no Exchange (shuffle) and no non-broadcast
+    join may appear ABOVE the Sort in the physical plan — anyone
+    inserting one silently breaks the order guarantee. Also pin the
+    r16 scrub-join win: the spans side joins as a broadcast under the
+    size policy, so corpus text is exchanged exactly once (the final
+    order's range partitioning), not shuffled again for the join."""
+    p = plan_of(spark, "q116_decontaminate_scrub")
+    tree = p.split("\n\n")[0].splitlines()
+    sort_lines = [i for i, ln in enumerate(tree) if "- Sort" in ln]
+    assert sort_lines, p
+    above = "\n".join(tree[: sort_lines[0]])
+    assert "Exchange" not in above, above
+    assert "Join" not in above, above
+    # the scrub join itself: broadcast under the bench-scale policy,
+    # and the corpus text carries exactly one (range) exchange
+    assert "SortMergeJoin" not in p, "spans-side broadcast policy regressed"
+    assert p.count("Exchange hashpartitioning(doc_id") == 0, p
+
+
 def test_frequency_topk_is_take_ordered(spark):
     """Vocab/bigram heads must compile to TakeOrderedAndProject over a
     partially-aggregated count — each partition contributes its local
