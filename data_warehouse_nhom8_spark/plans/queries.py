@@ -68,20 +68,24 @@ def q03_partition_day_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: `ep` is the raw DOUBLE passthrough (no DECIMAL output
     columns — round-1 hash-gate post-mortem)."""
+    from data_warehouse_nhom8_spark.session import sort_boundary
+
     c = Catalog(spark, sf_dir)
-    # r15: keyed repartition of the tiny filtered result before the
-    # global sort — the range sampler otherwise re-scans the fact
-    # table (pushed filter and all) a second time to pick bounds.
-    return (
+    # r15/r16: keyed repartition of the tiny filtered result before
+    # the global sort, under sort_boundary's size policy (the range
+    # sampler otherwise re-scans the fact table a second time to pick
+    # bounds — a win on the latency floor, a loss at scale; A/B both
+    # sides in session.sort_boundary).
+    return sort_boundary(
         c.lineitem.filter(F.to_date("l_shipdate") == F.lit("1995-06-17").cast("date"))
         .select(
             "l_orderkey",
             "l_linenumber",
             F.col("l_extendedprice").alias("ep"),
-        )
-        .repartition("l_orderkey")
-        .orderBy("l_orderkey", "l_linenumber")
-    )
+        ),
+        sf_dir,
+        "l_orderkey",
+    ).orderBy("l_orderkey", "l_linenumber")
 
 
 def q04_computed_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -161,15 +165,18 @@ def q09_theta_change_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     detection (load_to_wh.sh:64-75)."""
     c = Catalog(spark, sf_dir)
     l, o = c.lineitem.alias("l"), c.orders.alias("o")
-    return (
+    from data_warehouse_nhom8_spark.session import sort_boundary
+
+    # r15/r16: size-policied boundary before the sort — the range
+    # sampler otherwise re-runs the whole join probe over the fact
+    # scan (policy + A/B numbers in session.sort_boundary)
+    return sort_boundary(
         l.join(o, F.col("l.l_orderkey") == F.col("o.o_orderkey"), "inner")
         .filter(F.col("l.l_extendedprice") > F.col("o.o_totalprice") * 0.5)
-        .select("l.l_orderkey", "l.l_linenumber")
-        # r15: boundary before the sort — the range sampler otherwise
-        # re-runs the whole join probe over the fact scan
-        .repartition("l_orderkey")
-        .orderBy("l_orderkey", "l_linenumber")
-    )
+        .select("l.l_orderkey", "l.l_linenumber"),
+        sf_dir,
+        "l_orderkey",
+    ).orderBy("l_orderkey", "l_linenumber")
 
 
 def q10_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -177,17 +184,19 @@ def q10_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     (load_to_wh.sh:78-87)."""
     c = Catalog(spark, sf_dir)
     open_orders = c.orders.filter(F.col("o_orderstatus") == "O")
-    return (
+    from data_warehouse_nhom8_spark.session import sort_boundary
+
+    # r15/r16: size-policied boundary (sampler re-ran the anti-join;
+    # policy + A/B numbers in session.sort_boundary)
+    return sort_boundary(
         J.anti_join(
             c.customer,
             open_orders,
             c.customer["c_custkey"] == open_orders["o_custkey"],
-        )
-        .select("c_custkey")
-        # r15: boundary before the sort (sampler re-ran the anti-join)
-        .repartition("c_custkey")
-        .orderBy("c_custkey")
-    )
+        ).select("c_custkey"),
+        sf_dir,
+        "c_custkey",
+    ).orderBy("c_custkey")
 
 
 def q11_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -327,9 +336,12 @@ def q21_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo = c.orders.filter(F.col("o_totalprice") < 1000).select(
         F.lit("lo").alias("s"), F.col("o_orderkey").alias("k")
     )
-    # r15: boundary before the sort — the range sampler otherwise
-    # re-scans both union branches to pick bounds.
-    return setops.union_all(hi, lo).repartition("k").orderBy("s", "k")
+    from data_warehouse_nhom8_spark.session import sort_boundary
+
+    # r15/r16: size-policied boundary before the sort — the range
+    # sampler otherwise re-scans both union branches to pick bounds
+    # (policy + A/B numbers in session.sort_boundary).
+    return sort_boundary(setops.union_all(hi, lo), sf_dir, "k").orderBy("s", "k")
 
 
 def q22_except(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -194,6 +194,38 @@ def repartition_if_split_starved(df, min_fraction: float = 0.5):
     return df.repartition(n)
 
 
+# sort_boundary policy bound: below this uncompressed input size the
+# per-query wall sits on the client/scheduling latency floor and the
+# range sampler's child re-execution is a measurable fraction of it;
+# above, the added hash exchange shuffles real data for a sampler
+# rescan that amortizes into the job. Measured both sides at r16:
+# sf0.1 (~22 MB) WITH boundary q03 0.304 / q09 0.591 / q21 0.289 s vs
+# WITHOUT 0.35 / 0.779 / 0.32; x100 (~1.7 GiB) WITH 1.38 / 6.91 /
+# 2.07 vs WITHOUT 1.16 / 6.79 / 1.86 — the boundary wins under the
+# floor regime and loses in the throughput regime.
+_SORT_BOUNDARY_MAX_BYTES = 256 << 20
+
+
+def sort_boundary(df, data_dir: str, *cols):
+    """Keyed repartition of a small result before a global orderBy —
+    skipped at scale (VERDICT r15 task 5's size-policied guard).
+
+    A global sort plans `Exchange rangepartitioning`, whose bounds
+    come from a sampling job that re-executes everything above the
+    last real shuffle boundary (broadcasts are not boundaries). On
+    scan/join-probe shapes at bench scale that double-run is a large
+    fraction of the per-query latency floor, so a cheap keyed
+    repartition of the result pays for itself; at throughput scale
+    the same repartition is a full extra shuffle of the result while
+    the sampler's rescan amortizes — so above the policy bound this
+    is a no-op. Heavy-map shapes (regex/digest passes: q24/q54/q55/
+    q96/q42/q110/q119) keep their unconditional boundary — there the
+    rescan re-runs the expensive map at ANY scale."""
+    if _dir_uncompressed_bytes(data_dir) > _SORT_BOUNDARY_MAX_BYTES:
+        return df
+    return df.repartition(*cols)
+
+
 def get_spark(
     app_name: str = "data_warehouse_nhom8_spark",
     master: str | None = None,
