@@ -379,6 +379,7 @@ def main() -> None:
         raise ValueError("no JSON object line in probe stdout")
 
     midscale = None
+    midscale_llm_detail = None
     if os.environ.get("SPARK_GRAFT_MIDSCALE", "1") != "0" and sf == 0.1:
         try:
             env = dict(os.environ, PROBE_DUCKDB="1", PROBE_BASE=sf_dir)
@@ -425,6 +426,11 @@ def main() -> None:
                 PROBE_BASE=sf_dir,
                 PROBE_REPLICATION="100",
                 PROBE_SKIP_AQE="1",
+                # r16 (VERDICT r15 task 9): the five heaviest LLM-
+                # pipeline queries ride the same lane against x10-
+                # replicated documents, paired with their DuckDB
+                # oracles — the near-dup/scrub scaling evidence
+                PROBE_LLM="1",
             )
             proc = subprocess.run(
                 [sys.executable, os.path.join("scripts", "midscale_probe.py")],
@@ -435,13 +441,28 @@ def main() -> None:
                 cwd=os.path.dirname(os.path.abspath(__file__)),
             )
             probe = _last_json_line(proc.stdout)
+            llm = probe.get("llm") or {}
             midscale["x100"] = {
                 "lineitem_rows": probe["lineitem_rows"],
                 "spark_bucketed_sec": probe["bucketed"]["total_sec"],
                 "duckdb_warm_sec": probe["duckdb"]["total_warm_sec"],
                 "fixture_build_sec": probe["bucketed"].get("fixture_build_sec"),
-                "n": len(probe["bucketed"]["queries"]),
+                # n counts every query the lane timed (8 join-heavy at
+                # x100 facts + 5 LLM-pipeline at x10 documents)
+                "n": len(probe["bucketed"]["queries"])
+                + len(llm.get("queries") or {}),
             }
+            if llm:
+                # compact summary on the driver line; the per-query
+                # detail (samples, cold fits, DuckDB pairs) ships via
+                # BENCH_LOCAL.json's midscale_llm_detail
+                midscale["x100"]["llm"] = {
+                    "docs_x": llm.get("doc_replication"),
+                    "spark": llm.get("total_sec"),
+                    "duck": (llm.get("duckdb") or {}).get("total_warm_sec"),
+                    "n": len(llm.get("queries") or {}),
+                }
+                midscale_llm_detail = llm
         except Exception as e:
             midscale["x100"] = {"error": f"{type(e).__name__}: {e}"[:120]}
 
@@ -481,6 +502,7 @@ def main() -> None:
         "aqe_on_warm_total_sec": aqe_on_warm_total,
         "n_queries": len(cold),
         "midscale": midscale,
+        "midscale_llm_detail": midscale_llm_detail,
         "loadavg": {
             "start": load_start,
             "ext_lane": load_ext,

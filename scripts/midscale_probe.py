@@ -62,6 +62,19 @@ SUBSET = [
     "q103_product_profit",
 ]
 
+# LLM-pipeline subset (r16, VERDICT r15 task 9): the five heaviest
+# near-dup/scrub/text queries, run against a DOCUMENT-replicated dir
+# (PROBE_LLM=1; PROBE_DOC_REPLICATION, default 10 -> 50k docs) so the
+# 100 TB scaling claims for those tiers rest on measurement. Facts are
+# symlinked unreplicated — these queries only read documents.
+LLM_SUBSET = [
+    "q110_span_dedup",
+    "q116_decontaminate_scrub",
+    "q95_tfidf_topterms",
+    "q58_corpus_prep_summary",
+    "q53_incremental_neardup",
+]
+
 DIMS = ["region", "nation", "customer", "supplier", "part"]
 FACT_KEYS = {"orders": "o_orderkey", "lineitem": "l_orderkey"}
 
@@ -110,6 +123,109 @@ def _build_replication(spark, base: str, out: str, repl: int) -> None:
         )
     with open(ready, "w") as fh:
         fh.write("ok")
+
+
+def _build_doc_replication(spark, base: str, out: str, repl: int) -> float:
+    """Replicate base's DOCUMENTS xrepl into out (doc_id offset per
+    replica — the %-split residues are preserved because the id span
+    at this testdata is a multiple of the split moduli's product
+    partner; the splits stay valid workloads at any offset), symlink
+    every other table unreplicated. Cached via _READY; returns build
+    seconds (0.0 when cached)."""
+    from pyspark.sql import functions as F
+
+    ready = os.path.join(out, "_READY")
+    if os.path.exists(ready):
+        return 0.0
+    t0 = time.perf_counter()
+    os.makedirs(out, exist_ok=True)
+    for t in (
+        "region nation customer supplier part orders lineitem events embeddings"
+    ).split():
+        link = os.path.join(out, f"{t}.parquet")
+        if not os.path.lexists(link):
+            os.symlink(os.path.abspath(os.path.join(base, f"{t}.parquet")), link)
+    df = spark.read.parquet(os.path.join(base, "documents.parquet"))
+    span = df.agg(F.max("doc_id")).first()[0] + 1
+    reps = [
+        df.withColumn("doc_id", F.col("doc_id") + F.lit(int(i * span)))
+        for i in range(repl)
+    ]
+    rep_df = reps[0]
+    for r in reps[1:]:
+        rep_df = rep_df.unionByName(r)
+    rep_df.repartition(16).write.mode("overwrite").parquet(
+        os.path.join(out, "documents.parquet")
+    )
+    with open(ready, "w") as fh:
+        fh.write("ok")
+    return round(time.perf_counter() - t0, 1)
+
+
+def _llm_lane(spark) -> dict:
+    """PROBE_LLM=1: the near-dup/scrub/text scaling lane. Cold pass
+    per query pays the session store fits (corpus_sig_store,
+    bench_grams) and codegen — reported as `cold_fit_sec`, excluded
+    from the warm estimator (the bench prices fits the same way);
+    warm = min of two full passes, the suite's standard protocol.
+    PROBE_DUCKDB pairs the same oracle SQL on the same files."""
+    from data_warehouse_nhom8_spark.plans import ORACLES, QUERIES
+    from data_warehouse_nhom8_spark.session import auto_shuffle_partitions
+
+    repl = int(os.environ.get("PROBE_DOC_REPLICATION", "10"))
+    out = f"/tmp/spark_graft_midscale_llm_x{repl}"
+    build_sec = _build_doc_replication(spark, BASE, out, repl)
+    s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", str(auto_shuffle_partitions(out)))
+    cold, samples = {}, {}
+    for name in LLM_SUBSET:
+        t0 = time.perf_counter()
+        QUERIES[name](s, out).toArrow()
+        cold[name] = round(time.perf_counter() - t0, 2)
+        for _ in range(2):
+            t0 = time.perf_counter()
+            QUERIES[name](s, out).toArrow()
+            samples.setdefault(name, []).append(round(time.perf_counter() - t0, 2))
+    times = {n: min(v) for n, v in samples.items()}
+    block = {
+        "doc_replication": repl,
+        "doc_rows": s.read.parquet(os.path.join(out, "documents.parquet")).count(),
+        "build_sec": build_sec,
+        "total_sec": round(sum(times.values()), 2),
+        "queries": times,
+        "samples": samples,
+        "cold_fit_sec": cold,
+    }
+    if os.environ.get("PROBE_DUCKDB"):
+        import duckdb
+
+        con = duckdb.connect()
+        for t in DIMS + list(FACT_KEYS) + ["events", "embeddings"]:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{out}/{t}.parquet'"
+            )
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{out}/documents.parquet/*.parquet'"
+        )
+        dtimes = {}
+        for name in LLM_SUBSET:
+            sql = ORACLES.get(name)
+            if not sql:
+                continue
+            t0 = time.perf_counter()
+            con.execute(sql).fetchall()  # cold
+            dcold = round(time.perf_counter() - t0, 2)
+            ws = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                con.execute(sql).fetchall()
+                ws.append(round(time.perf_counter() - t0, 2))
+            dtimes[name] = {"cold": dcold, "warm": min(ws), "samples": ws}
+        block["duckdb"] = {
+            "total_warm_sec": round(sum(v["warm"] for v in dtimes.values()), 2),
+            "queries": dtimes,
+        }
+    return block
 
 
 def build(spark) -> None:
@@ -398,6 +514,8 @@ def main() -> None:
         "lineitem_rows": li_rows,
         "shuffle_partitions": parts,
     }
+    if os.environ.get("PROBE_LLM") == "1":
+        result["llm"] = _llm_lane(spark)
     # PROBE_SKIP_AQE=1 (round 13): skip the plain AQE-on/off lanes and
     # run only the production-layout + DuckDB pair — the per-round
     # bench's x100 lane needs just the crossover ratio, and the two
