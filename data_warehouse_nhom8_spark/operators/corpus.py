@@ -753,22 +753,36 @@ def _contamination_folded(
     bench_grams = (
         bench_grams.select(F.col("gram").alias("__h")).withColumn("__m", F.lit(1))
     )
-    wins = repartition_if_split_starved(corpus.select(id_col, text_col)).select(
-        F.col(id_col).alias("__id"),
-        F.size(F.split(F.lower(F.trim(_c(text_col))), WS_SPLIT)).alias("__nt"),
-        F.posexplode(
-            _window_hashes(
-                text_col if isinstance(text_col, str) else _c(text_col), gram_w
-            )
-        ).alias("__pos", "__h"),
-    )
+    base = repartition_if_split_starved(corpus.select(id_col, text_col))
+    if isinstance(text_col, str):
+        # parsed selectExpr forms (r16 build-cost rule — this core is
+        # on the q112/q116/q57 timed paths); identical operators to
+        # the Column twins below, results pinned by the oracles
+        from data_warehouse_nhom8_spark.operators.span_dedup import (
+            _window_hashes_sql,
+        )
+        from data_warehouse_nhom8_spark.regexes import WS_SPLIT_SQL
+
+        wins = base.selectExpr(
+            f"{id_col} AS __id",
+            f"size(split(lower(trim({text_col})), '{WS_SPLIT_SQL}')) AS __nt",
+            f"posexplode({_window_hashes_sql(text_col, gram_w)}) AS (__pos, __h)",
+        )
+    else:
+        wins = base.select(
+            F.col(id_col).alias("__id"),
+            F.size(F.split(F.lower(F.trim(_c(text_col))), WS_SPLIT)).alias("__nt"),
+            F.posexplode(_window_hashes(_c(text_col), gram_w)).alias(
+                "__pos", "__h"
+            ),
+        )
     marked = wins.join(F.broadcast(bench_grams), "__h", "left")
     per_doc = marked.groupBy("__id").agg(
         F.max("__nt").alias("n_tokens"),
         # collect_list skips the NULLs the when() leaves on misses —
         # only true benchmark hits enter the position fold
-        F.sort_array(
-            F.collect_list(F.when(F.col("__m") == 1, F.col("__pos")))
+        F.expr(
+            "sort_array(collect_list(CASE WHEN __m = 1 THEN __pos END))"
         ).alias("__ps"),
     )
     return per_doc.select(
@@ -885,7 +899,40 @@ def decontaminate_scrub(
     # the excision filter is O(tokens x spans) per row — inlined, the
     # plan runs it once per referencing output column (verified in the
     # collapsed plan); multi-referenced non-cheap aliases survive
-    # CollapseProject, so the filter runs once per row
+    # CollapseProject, so the filter runs once per row.
+    # Assembled as parsed selectExpr when text_col is a name (r16, the
+    # round-10 build-cost rule — this builder sits in the q116 timed
+    # path; same operators, same lambdas, Column twin kept below).
+    if isinstance(text_col, str):
+        from data_warehouse_nhom8_spark.regexes import WS_SPLIT_SQL
+
+        staged = joined.selectExpr(
+            id_col,
+            "__spans",
+            f"split(trim({text_col}), '{WS_SPLIT_SQL}') AS __ot",
+        ).selectExpr(
+            id_col,
+            "__spans",
+            "__ot",
+            "CASE WHEN __spans IS NULL THEN __ot ELSE "
+            "filter(__ot, (tok, i) -> NOT exists(__spans, "
+            "sp -> i >= sp.s AND i < sp.e)) END AS __kept",
+        )
+        return staged.selectExpr(
+            id_col,
+            "CAST(size(__ot) AS BIGINT) AS n_tokens",
+            "CAST(size(__kept) AS BIGINT) AS kept_tokens",
+            "CAST((size(__ot) - size(__kept)) AS BIGINT) AS removed_tokens",
+            "CAST(coalesce(size(__spans), 0) AS BIGINT) AS n_spans",
+            "concat_ws(' ', __kept) AS clean_text",
+        )
+    return _scrub_tail_column_form(joined, id_col, text_col)
+
+
+def _scrub_tail_column_form(joined: DataFrame, id_col: str, text_col) -> DataFrame:
+    """Column-API twin of the scrub excision tail — the readable
+    specification, the Column-input path, and the form-equivalence
+    pytest's reference."""
     staged = joined.select(
         id_col,
         "__spans",

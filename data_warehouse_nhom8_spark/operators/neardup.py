@@ -106,7 +106,9 @@ def minhash_signature_col(shingle_hashes: Column | str, k: int = 64) -> Column:
     builds in ~0.05 s and plans/executes bit-identically — same
     operators, same coefficients, same arithmetic)."""
     if isinstance(shingle_hashes, str):
-        return F.expr(f"array({_signature_parts_sql(shingle_hashes, k)})")
+        from data_warehouse_nhom8_spark.session import memo_expr
+
+        return memo_expr(f"array({_signature_parts_sql(shingle_hashes, k)})")
     sig = []
     for i in range(k):
         a, b = _coeff(i, "a"), _coeff(i, "b")
@@ -281,9 +283,11 @@ def _band_table(with_sig: DataFrame, k: int, bands: int) -> DataFrame:
         )
         for b in range(bands)
     )
-    return with_sig.selectExpr("id", f"explode(array({structs})) AS bb").select(
-        "id", "bb.band", "bb.bhash"
-    )
+    from data_warehouse_nhom8_spark.session import memo_expr
+
+    return with_sig.select(
+        "id", memo_expr(f"explode(array({structs})) AS bb")
+    ).select("id", "bb.band", "bb.bhash")
 
 
 def _band_table_column_form(with_sig: DataFrame, k: int, bands: int) -> DataFrame:

@@ -91,6 +91,11 @@ def hyperplane_bucket_col(vec: Column | str, planes: list[list[float]]) -> Colum
     association, repr-roundtripped double literals → bit-identical
     buckets (pytest-gated), which is what keeps q52 oracled."""
     if isinstance(vec, str):
+        # r16: parse through session.memo_expr — the n_planes x dim
+        # double-literal expression is a ~15 KB SQL parse per build,
+        # identical every time for a fixed plane family
+        from data_warehouse_nhom8_spark.session import memo_expr
+
         terms = []
         for i, plane in enumerate(planes):
             arr = ",".join(f"{float(x)!r}D" for x in plane)
@@ -99,7 +104,7 @@ def hyperplane_bucket_col(vec: Column | str, planes: list[list[float]]) -> Colum
                 "0.0D, (acc, v) -> acc + v)"
             )
             terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << i}L ELSE 0L END)")
-        return F.expr("CAST(0 AS BIGINT) + " + " + ".join(terms))
+        return memo_expr("CAST(0 AS BIGINT) + " + " + ".join(terms))
     bucket = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
         p = F.array(*[F.lit(float(x)) for x in plane])
@@ -440,25 +445,30 @@ def embedding_neardup_pairs(
     # per-vector norm computed ONCE before the self-join (each side's
     # fold runs n_rows times instead of n_pairs times; bit-identical —
     # the pair denominator is the same sqrt-of-fold product either way)
+    from data_warehouse_nhom8_spark.session import memo_expr
+
     b = staged.select(
         "id",
         "v",
         hyperplane_bucket_col("v", planes).alias("bucket"),
-        _norm(F.col("v")).alias("nrm"),
+        memo_expr("sqrt(aggregate(v, 0.0D, (acc, w) -> acc + w * w)) AS nrm"),
     )
     x, y = b.alias("x"), b.alias("y")
     cand = x.join(
         y, (F.col("x.bucket") == F.col("y.bucket")) & (F.col("x.id") < F.col("y.id"))
     )
-    denom = F.col("x.nrm") * F.col("y.nrm")
-    sim = F.when(
-        denom > 0, _dot(F.col("x.v"), F.col("y.v")) / denom
-    ).otherwise(F.lit(0.0))
+    # the verify projection as one memoized parse (r16 build-cost rule;
+    # same fold/when operators as the Column twin, oracle-pinned)
     return (
         cand.select(
-            F.col("x.id").alias("id_a"),
-            F.col("y.id").alias("id_b"),
-            F.round(sim, 6).alias("cosine"),
+            memo_expr("x.id AS id_a"),
+            memo_expr("y.id AS id_b"),
+            memo_expr(
+                "round(CASE WHEN x.nrm * y.nrm > 0 THEN "
+                "aggregate(zip_with(x.v, y.v, (p, q) -> p * q), 0.0D, "
+                "(acc, w) -> acc + w) / (x.nrm * y.nrm) "
+                "ELSE 0.0D END, 6) AS cosine"
+            ),
         )
         .filter(F.col("cosine") >= threshold)
         .distinct()

@@ -36,6 +36,19 @@ from pyspark.sql import functions as F
 from data_warehouse_nhom8_spark.regexes import WS_SPLIT, WS_SPLIT_SQL
 
 
+def _window_hashes_sql(text: str, w: int, binary: bool = False) -> str:
+    """SQL text of `_window_hashes` over a named column — for callers
+    that embed it in a larger parsed expression (posexplode etc.)."""
+    gram = f"md5(concat_ws(' ', slice(tk, i, {w})))"
+    if binary:
+        gram = f"unhex({gram})"
+    return (
+        f"transform(array(split(lower(trim({text})), '{WS_SPLIT_SQL}')), "
+        f"tk -> transform(sequence(1, greatest(size(tk) - {w - 1}, 1)), "
+        f"i -> {gram}))[0]"
+    )
+
+
 def _window_hashes(text: Column | str, w: int, binary: bool = False) -> Column:
     """array<string> (or array<binary> with `binary=True`): md5 of
     each W-token rolling window (lowercased, whitespace-split).
@@ -58,14 +71,9 @@ def _window_hashes(text: Column | str, w: int, binary: bool = False) -> Column:
     costing more driver time than execution on the span-dedup family).
     Same operators, same token binding, bit-identical plans."""
     if isinstance(text, str):
-        gram = f"md5(concat_ws(' ', slice(tk, i, {w})))"
-        if binary:
-            gram = f"unhex({gram})"
-        return F.expr(
-            f"transform(array(split(lower(trim({text})), '{WS_SPLIT_SQL}')), "
-            f"tk -> transform(sequence(1, greatest(size(tk) - {w - 1}, 1)), "
-            f"i -> {gram}))[0]"
-        )
+        from data_warehouse_nhom8_spark.session import memo_expr
+
+        return memo_expr(_window_hashes_sql(text, w, binary))
     toks = F.split(F.lower(F.trim(text)), WS_SPLIT)
 
     def h(x: Column) -> Column:
@@ -119,25 +127,24 @@ def duplicated_spans(
     from data_warehouse_nhom8_spark.session import repartition_if_split_starved
 
     # the gram build is compute-per-byte-heavy interpreted-HOF work —
-    # don't let a single-file input cap it at one task
-    wins = repartition_if_split_starved(
-        docs.select(id_col, text_col)
-    ).select(
-        F.col(id_col).alias("__id"),
-        F.posexplode(
-            _window_hashes(text_col, window, binary=True)
-        ).alias("__pos", "__h"),
+    # don't let a single-file input cap it at one task. Assembled as
+    # parsed selectExpr (r16 build-cost rule — q110's timed path);
+    # same window aggregates as the Column form, results oracle-pinned.
+    wins = repartition_if_split_starved(docs.select(id_col, text_col)).selectExpr(
+        f"{id_col} AS __id",
+        f"posexplode({_window_hashes_sql(text_col, window, binary=True)})"
+        " AS (__pos, __h)",
     )
     if materialize:
         wins = wins.localCheckpoint(eager=True)
-    from pyspark.sql import Window as W
-
-    byh = W.partitionBy("__h")
-    dup_test = F.count(F.lit(1)).over(byh) >= min_count
+    cond = f"count(1) OVER (PARTITION BY __h) >= {int(min_count)}"
     if across_docs:
-        dup_test = dup_test & (F.min("__id").over(byh) != F.max("__id").over(byh))
+        cond += (
+            " AND min(__id) OVER (PARTITION BY __h)"
+            " <> max(__id) OVER (PARTITION BY __h)"
+        )
     hits = (
-        wins.withColumn("__dup", dup_test)
+        wins.selectExpr("__id", "__pos", f"({cond}) AS __dup")
         .filter("__dup")
         .select("__id", "__pos")
     )
@@ -157,8 +164,10 @@ def _merge_positions_col(col: str, window: int):
     certified by the q110/q112 oracles and the exact-twin pytests).
     The Column twin below is kept for reference and regression
     comparison."""
+    from data_warehouse_nhom8_spark.session import memo_expr
+
     w = int(window)
-    return F.expr(
+    return memo_expr(
         f"aggregate({col}, "
         "CAST(array() AS array<struct<s:int,e:int,n:int>>), "
         "(acc, p) -> CASE WHEN size(acc) > 0 AND p <= element_at(acc, -1).e "
@@ -212,17 +221,16 @@ def _positions_to_spans(hits: DataFrame, window: int, id_col: str) -> DataFrame:
     """(__id, __pos) duplicated-window positions → exploded span rows."""
     merged = (
         hits.groupBy("__id")
-        .agg(F.sort_array(F.collect_list("__pos")).alias("__ps"))
+        .agg(F.expr("sort_array(collect_list(__pos))").alias("__ps"))
         .select("__id", _merge_positions_col("__ps", window).alias("__spans"))
     )
-    return merged.select(
-        F.col("__id").alias(id_col),
-        F.explode("__spans").alias("__sp"),
-    ).select(
+    return merged.selectExpr(
+        f"__id AS {id_col}", "explode(__spans) AS __sp"
+    ).selectExpr(
         id_col,
-        F.col("__sp.s").alias("span_start"),
-        F.col("__sp.e").alias("span_end"),
-        F.col("__sp.n").alias("n_windows"),
+        "__sp.s AS span_start",
+        "__sp.e AS span_end",
+        "__sp.n AS n_windows",
     )
 
 
@@ -242,32 +250,22 @@ def span_dedup_stats(
         id_col=id_col, text_col=text_col, materialize=materialize,
     )
     per_doc = spans.groupBy(id_col).agg(
-        F.sum(F.col("span_end") - F.col("span_start")).alias("dup_tokens"),
-        F.count(F.lit(1)).alias("n_spans"),
+        F.expr("sum(span_end - span_start)").alias("dup_tokens"),
+        F.expr("count(1)").alias("n_spans"),
     )
-    toks = docs.select(
-        F.col(id_col),
-        F.size(F.split(F.lower(F.trim(F.col(text_col))), WS_SPLIT)).alias("n_tokens"),
+    toks = docs.selectExpr(
+        id_col,
+        f"size(split(lower(trim({text_col})), '{WS_SPLIT_SQL}')) AS n_tokens",
     )
-    return (
-        toks.join(per_doc, id_col, "left")
-        .select(
-            id_col,
-            "n_tokens",
-            # spans are window-granular; a short tail doc can be fully
-            # covered by a window longer than the doc — clamp
-            F.least(
-                F.coalesce("dup_tokens", F.lit(0)), F.col("n_tokens")
-            ).alias("dup_tokens"),
-            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
-        )
-        .withColumn(
-            "dup_fraction",
-            F.when(
-                F.col("n_tokens") > 0,
-                F.round(F.col("dup_tokens") / F.col("n_tokens"), 4),
-            ).otherwise(F.lit(0.0)),
-        )
+    return toks.join(per_doc, id_col, "left").selectExpr(
+        id_col,
+        "n_tokens",
+        # spans are window-granular; a short tail doc can be fully
+        # covered by a window longer than the doc — clamp
+        "least(coalesce(dup_tokens, 0), n_tokens) AS dup_tokens",
+        "coalesce(n_spans, 0) AS n_spans",
+        "CASE WHEN n_tokens > 0 THEN round(least(coalesce(dup_tokens, 0),"
+        " n_tokens) / n_tokens, 4) ELSE 0.0d END AS dup_fraction",
     )
 
 
@@ -316,11 +314,10 @@ def span_store_build(
     groupBy) and is the only state the incremental detector needs."""
     from data_warehouse_nhom8_spark.session import repartition_if_split_starved
 
-    wins = repartition_if_split_starved(docs.select(id_col, text_col)).select(
-        F.col(id_col).alias("__id"),
-        F.explode(
-            F.array_distinct(_window_hashes(text_col, window, binary=True))
-        ).alias("h"),
+    wins = repartition_if_split_starved(docs.select(id_col, text_col)).selectExpr(
+        f"{id_col} AS __id",
+        f"explode(array_distinct("
+        f"{_window_hashes_sql(text_col, window, binary=True)})) AS h",
     )
     return wins.groupBy("h").agg(F.count(F.lit(1)).alias("n_docs"))
 
@@ -356,11 +353,10 @@ def duplicated_spans_incremental(
 
     wins = repartition_if_split_starved(
         batch_docs.select(id_col, text_col)
-    ).select(
-        F.col(id_col).alias("__id"),
-        F.posexplode(
-            _window_hashes(text_col, window, binary=True)
-        ).alias("__pos", "__h"),
+    ).selectExpr(
+        f"{id_col} AS __id",
+        f"posexplode({_window_hashes_sql(text_col, window, binary=True)})"
+        " AS (__pos, __h)",
     )
     batch_counts = wins.select("__id", "__h").distinct().groupBy("__h").agg(
         F.count(F.lit(1)).alias("__bn")

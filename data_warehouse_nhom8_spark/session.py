@@ -194,6 +194,30 @@ def repartition_if_split_starved(df, min_fraction: float = 0.5):
     return df.repartition(n)
 
 
+# parsed-expression memo: (id(SparkContext), sql) -> Column. Column
+# expression trees are immutable and reusable across plans, so parsing
+# the same SQL text once per JVM is free speed for the big generated
+# expressions (64-permutation MinHash signatures ~5 KB, hyperplane
+# dot folds ~15 KB, band tables ~10 KB) that otherwise re-parse on
+# EVERY plan construction. Keyed on the live context so a JVM restart
+# can never serve a stale gateway ref; bounded by the distinct
+# generated expressions in the workload (a few hundred).
+_expr_memo: dict = {}
+
+
+def memo_expr(sql: str):
+    """`F.expr(sql)` with a per-JVM parse memo (r16 build-cost rule)."""
+    from pyspark import SparkContext
+    from pyspark.sql import functions as F
+
+    sc = SparkContext._active_spark_context
+    key = (id(sc), sql)
+    col = _expr_memo.get(key)
+    if col is None:
+        col = _expr_memo[key] = F.expr(sql)
+    return col
+
+
 # sort_boundary policy bound: below this uncompressed input size the
 # per-query wall sits on the client/scheduling latency floor and the
 # range sampler's child re-execution is a measurable fraction of it;
