@@ -570,7 +570,29 @@ def url_canonical_cols(url: Column | str) -> dict[str, Column]:
     Pure per-row regex projections — whole-stage codegen over the
     scan, zero shuffle, and every step is byte-identical in DuckDB
     (simple anchored patterns, no engine-specific regex syntax), so
-    derived queries are fully driver-oracled."""
+    derived queries are fully driver-oracled.
+
+    When `url` is a column NAME the chain assembles as two memoized
+    parses (r16 build-cost rule — ~40 py4j calls per build otherwise);
+    identical regexp_replace/extract operators, Column twin kept as
+    the fallback for Column inputs, results oracle-pinned (q111)."""
+    if isinstance(url, str):
+        from data_warehouse_nhom8_spark.session import memo_expr
+
+        s = (
+            f"regexp_replace(regexp_replace(regexp_replace(trim({url}), "
+            "'#.*', ''), '\\\\?.*', ''), '^[a-zA-Z][a-zA-Z0-9+.-]*://', '')"
+        )
+        host = f"regexp_replace(lower(regexp_extract({s}, '^[^/]+', 0)), ':(80|443)$', '')"
+        domain = f"regexp_replace({host}, '^www\\\\.', '')"
+        path = (
+            f"regexp_replace(regexp_replace(regexp_replace({s}, '^[^/]+', ''), "
+            "'/index\\\\.html$', '/'), '/+$', '')"
+        )
+        return {
+            "domain": memo_expr(domain),
+            "canon_url": memo_expr(f"concat({domain}, {path})"),
+        }
     s = F.trim(_c(url))
     s = F.regexp_replace(s, "#.*", "")  # fragment
     s = F.regexp_replace(s, r"\?.*", "")  # query string

@@ -317,7 +317,24 @@ def ngram_repetition_stats(
     shorter than `dup_w` yield a single whole-doc window that can
     never reach count ≥ 2, so their coverage is 0 by construction.
     NULL-text rows drop (explicit filter — the old explode dropped
-    them implicitly)."""
+    them implicitly).
+
+    Memory bound (ADVICE r15): the per-doc gram arrays materialize
+    ~n_tokens x (top_w + dup_w) token copies INSIDE ONE ROW — about
+    60 bytes/token at the defaults, i.e. ~60 MB of row state per
+    million tokens, peaking while the sorted __g2/__gp arrays coexist
+    in a projection. That is fine for any plausible document (a
+    1M-token doc is ~100x the longest real training doc) but a
+    pathological multi-100M-token blob would OOM its task. This
+    operator assumes the standard corpus-prep invariant that document
+    length is bounded upstream (the pipeline's quality gate drops
+    giant docs; ingest caps payloads); for corpora that genuinely
+    carry unbounded single documents, use the pre-r15 explode+
+    aggregate form (git history) whose state is row-per-gram, and
+    accept its 6 exchanges. Switching the sorted arrays to fixed-width
+    gram hashes would only halve the constant, not change the
+    O(n_tokens)-per-row bound, at the cost of md5-class (rather than
+    raw) gram identity — not worth weakening the oracle contract."""
     from data_warehouse_nhom8_spark.operators.span_dedup import (
         _merge_positions_col,
     )

@@ -2400,23 +2400,25 @@ def _messy_url() -> F.Column:
     identically, feeding the real operator. Variants cycle scheme
     case, www-prefix, host case, default port, /index.html and
     trailing-slash suffixes, query strings and fragments — every
-    strip rule in `url_canonical_cols` has live inputs at any SF."""
-    did = F.col("doc_id")
-    return F.concat(
-        F.when(did % 3 == 0, F.lit("HTTPS://"))
-        .when(did % 3 == 1, F.lit("http://"))
-        .otherwise(F.lit("https://")),
-        F.when(did % 2 == 0, F.lit("www.")).otherwise(F.lit("")),
-        F.when(did % 4 == 0, F.upper("source")).otherwise(F.col("source")),
-        F.lit(".Example.COM"),
-        F.when(did % 5 == 0, F.lit(":443")).otherwise(F.lit("")),
-        F.lit("/Docs/"),
-        (did % 200).cast("string"),
-        F.when(did % 11 == 0, F.lit("/index.html"))
-        .when(did % 13 == 0, F.lit("/"))
-        .otherwise(F.lit("")),
-        F.when(did % 3 == 0, F.lit("?utm_source=feed&ref=rss")).otherwise(F.lit("")),
-        F.when(did % 7 == 0, F.lit("#section-2")).otherwise(F.lit("")),
+    strip rule in `url_canonical_cols` has live inputs at any SF.
+    One memoized parse (r16 build-cost rule) — the when-chain was
+    ~60 py4j calls per q111 build; same CASE operators, oracle-pinned."""
+    from data_warehouse_nhom8_spark.session import memo_expr
+
+    return memo_expr(
+        "concat("
+        "CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://' "
+        "WHEN doc_id % 3 = 1 THEN 'http://' ELSE 'https://' END, "
+        "CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END, "
+        "CASE WHEN doc_id % 4 = 0 THEN upper(source) ELSE source END, "
+        "'.Example.COM', "
+        "CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END, "
+        "'/Docs/', "
+        "CAST(doc_id % 200 AS STRING), "
+        "CASE WHEN doc_id % 11 = 0 THEN '/index.html' "
+        "WHEN doc_id % 13 = 0 THEN '/' ELSE '' END, "
+        "CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&ref=rss' ELSE '' END, "
+        "CASE WHEN doc_id % 7 = 0 THEN '#section-2' ELSE '' END)"
     )
 
 
