@@ -346,18 +346,27 @@ def main() -> None:
             _prev_local = json.load(fh)
     except (OSError, ValueError):
         _prev_local = {}
-    duck_idle_ref = _prev_local.get("duckdb_idle_ref_sec")
+    # the reference is SF-KEYED (r16 post-review): the driver also
+    # runs this bench at other SFs / core counts, and an sf0.01 run's
+    # much smaller DuckDB total must not become the drift baseline
+    # for the next sf0.1 run (it would flag every idle run contended).
+    # Legacy scalar from a same-sf archive is honoured as a seed.
+    _refs = _prev_local.get("duckdb_idle_refs")
+    _refs = dict(_refs) if isinstance(_refs, dict) else {}
+    _prev_scalar = _prev_local.get("duckdb_idle_ref_sec")
+    if isinstance(_prev_scalar, (int, float)) and _prev_local.get("sf") is not None:
+        _refs.setdefault(str(_prev_local["sf"]), _prev_scalar)
+    _sf_key = str(sf)
+    duck_idle_ref = _refs.get(_sf_key)
     drifted = (
         isinstance(duck_idle_ref, (int, float))
         and duck_idle_ref > 0
         and duck_warm_paired > 1.3 * duck_idle_ref
     )
     contended = contended_start or drifted
-    new_idle_ref = (
-        duck_warm_paired
-        if not contended
-        else (duck_idle_ref if isinstance(duck_idle_ref, (int, float)) else None)
-    )
+    if not contended:
+        _refs[_sf_key] = duck_warm_paired
+    new_idle_ref = _refs.get(_sf_key)
 
     # Mid-scale lane (round-9 task 4): the sf1-equivalent crossover
     # probe as a standing per-round signal. Subprocess (own JVM, own
@@ -491,6 +500,7 @@ def main() -> None:
         "duckdb_warm_total_after_sec": duck2["warm_total"],
         "duckdb_warm_paired_sec": duck_warm_paired,
         "duckdb_idle_ref_sec": new_idle_ref,
+        "duckdb_idle_refs": _refs,
         "duckdb_wall_sec": duck_wall,
         "duckdb_queries": {k: v["warm"] for k, v in duck["queries"].items()},
         "concurrent_warm_wall_sec": concurrent_best,
